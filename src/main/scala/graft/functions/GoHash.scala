@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.graftbridge.CatalystBridge.{toColumn, toExpression}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Hashing with bit-parity to the reference's sharding hash.
+  *
+  * The reference shards string keys with cespare/xxhash `Sum64`, i.e.
+  * standard XXH64 with seed 0 over the raw UTF-8 bytes
+  * (`/root/reference/task/sharding.go:108-115`). Spark's `xxhash64(...)`
+  * function hard-codes seed 42, but the underlying Catalyst expression is
+  * seed-parameterized and hashes String/Binary children as raw bytes with
+  * standard XXH64 — so seed 0 over a single string column is exactly Go
+  * parity, with whole-stage codegen for free.
+  */
+object GoHash {
+
+  /** XXH64(seed=0) of the UTF-8 bytes of `c` (cast to string). */
+  def goXxHash64(c: Column): Column =
+    toColumn(XxHash64(Seq(toExpression(c.cast("string"))), 0L))
+
+  /** XXH64(seed) — used for minhash permutations and LSH planes. */
+  def xxHash64Seeded(c: Column, seed: Long): Column =
+    toColumn(XxHash64(Seq(toExpression(c.cast("string"))), seed))
+
+  private val TwoPow64 = BigDecimal(BigInt(1) << 64)
+
+  /** Reinterpret a signed long column as unsigned, as Decimal(38,0) —
+    * matches Go's `uint64(x)` wrap semantics used throughout sharding.
+    */
+  def asUnsigned(c: Column): Column = {
+    val d = c.cast(DecimalType(38, 0))
+    when(c < 0, d + lit(TwoPow64.bigDecimal).cast(DecimalType(38, 0))).otherwise(d)
+  }
+
+  /** Go `uint64(hash) % n` on a signed-long hash column. */
+  def unsignedMod(c: Column, n: Int): Column =
+    pmod(asUnsigned(c) % n, lit(n)).cast("int")
+}
