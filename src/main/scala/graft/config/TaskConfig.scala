@@ -1,0 +1,133 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.parse.Projector.Dim
+import graft.types.ChType
+
+/** Task/sink configuration mirroring the reference's HJSON task section
+  * (SURVEY §3.2; `/root/reference/config/config.go:135-230`). Parsed with
+  * Jackson (already on the Spark classpath); comments and trailing commas
+  * — the HJSON extensions the reference's configs actually use — are
+  * enabled via Jackson's JSON read features.
+  */
+final case class KafkaConfig(
+    brokers: String,
+    securityProtocol: Option[String] = None,
+    saslMechanism: Option[String] = None,
+    saslUsername: Option[String] = None,
+    saslPassword: Option[String] = None) {
+
+  /** Kafka source options (SURVEY S1 mapping). */
+  def sourceOptions: Map[String, String] =
+    Map("kafka.bootstrap.servers" -> brokers) ++
+      securityProtocol.map("kafka.security.protocol" -> _) ++
+      saslMechanism.map("kafka.sasl.mechanism" -> _) ++
+      (for (u <- saslUsername; p <- saslPassword) yield
+        "kafka.sasl.jaas.config" ->
+          s"""org.apache.kafka.common.security.plain.PlainLoginModule required username="$u" password="$p";""")
+}
+
+final case class TaskConfig(
+    name: String,
+    topic: String,
+    consumerGroup: String,
+    earliest: Boolean = true,
+    parser: String = "fastjson",        // fastjson|gjson|json -> variant; csv
+    csvFormat: Seq[String] = Nil,
+    delimiter: String = ",",
+    fields: Map[String, String] = Map.empty, // static fields, raw JSON values
+    clickhouse: String = "default",
+    tableName: String = "",
+    dims: Seq[Dim] = Nil,
+    autoSchema: Boolean = false,
+    excludeColumns: Seq[String] = Nil,
+    dynamicSchema: Boolean = false,
+    whiteList: Option[String] = None,
+    blackList: Option[String] = None,
+    shardingKey: String = "",
+    shardingStripe: Long = 0L,
+    bufferSize: Int = 262144,
+    flushInterval: Int = 10,            // seconds (config.go:219-222,458-462)
+    timeZone: String = "UTC",
+    timeUnit: Double = 1.0,
+    prometheusSchema: Boolean = false,
+    promLabelsBlackList: Option[String] = None)
+
+object TaskConfig {
+
+  private lazy val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    import com.fasterxml.jackson.core.JsonParser.Feature
+    m.configure(Feature.ALLOW_COMMENTS, true)
+    m.configure(Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
+    m.configure(Feature.ALLOW_SINGLE_QUOTES, true)
+    m.configure(Feature.ALLOW_TRAILING_COMMA, true)
+    m
+  }
+
+  private def str(n: JsonNode, f: String, dflt: String = ""): String =
+    if (n.has(f)) n.get(f).asText() else dflt
+  private def opt(n: JsonNode, f: String): Option[String] =
+    if (n.has(f) && !n.get(f).isNull) Some(n.get(f).asText()) else None
+
+  /** Parse one task object (the `task` section of a sinker config). */
+  def fromJson(json: String): TaskConfig = {
+    val n = mapper.readTree(json)
+    val dims =
+      if (n.has("dims")) {
+        val it = n.get("dims").elements()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Dim]
+        while (it.hasNext) {
+          val d = it.next()
+          buf += Dim(
+            name = str(d, "name"),
+            ti = ChType.whichType(str(d, "type")),
+            sourceName = opt(d, "sourcename"))
+        }
+        buf.toSeq
+      } else Nil
+    val fields =
+      if (n.has("fields")) {
+        val f  = n.get("fields")
+        val it = f.fieldNames()
+        val buf = scala.collection.mutable.Map.empty[String, String]
+        while (it.hasNext) {
+          val k = it.next()
+          buf(k) = mapper.writeValueAsString(f.get(k)) // raw JSON value
+        }
+        buf.toMap
+      } else Map.empty[String, String]
+    TaskConfig(
+      name = str(n, "name"),
+      topic = str(n, "topic"),
+      consumerGroup = str(n, "consumerGroup", str(n, "name")),
+      earliest = !n.has("earliest") || n.get("earliest").asBoolean(true),
+      parser = str(n, "parser", "fastjson"),
+      csvFormat = if (n.has("csvFormat")) {
+        val it = n.get("csvFormat").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+      } else Nil,
+      delimiter = str(n, "delimiter", ","),
+      fields = fields,
+      clickhouse = str(n, "clickhouse", "default"),
+      tableName = str(n, "tableName"),
+      dims = dims,
+      autoSchema = n.has("autoSchema") && n.get("autoSchema").asBoolean(),
+      excludeColumns = if (n.has("excludeColumns")) {
+        val it = n.get("excludeColumns").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+      } else Nil,
+      dynamicSchema = n.has("dynamicSchema") && n.get("dynamicSchema").asBoolean(),
+      whiteList = opt(n, "whiteList"),
+      blackList = opt(n, "blackList"),
+      shardingKey = str(n, "shardingKey"),
+      shardingStripe = if (n.has("shardingStripe")) n.get("shardingStripe").asLong() else 0L,
+      bufferSize = if (n.has("bufferSize")) n.get("bufferSize").asInt() else 262144,
+      flushInterval = if (n.has("flushInterval")) n.get("flushInterval").asInt() else 10,
+      timeZone = str(n, "timeZone", "UTC"),
+      timeUnit = if (n.has("timeUnit")) n.get("timeUnit").asDouble() else 1.0,
+      prometheusSchema = n.has("prometheusSchema") && n.get("prometheusSchema").asBoolean(),
+      promLabelsBlackList = opt(n, "promLabelsBlackList"))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GoHash
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle shape at 100 TB:
+  *
+  *   - exact: one hash-shuffle on a 64/128-bit digest (never on the text)
+  *   - minhash LSH: per-row signature (narrow) -> explode b bands ->
+  *     shuffle on (band, bandHash) only — candidate pairs are verified
+  *     with exact Jaccard so false positives cost nothing downstream
+  *   - simhash: 64-bit signature, self-join on signature bands
+  *   - n-gram Jaccard: exact verify used standalone on candidate pairs
+  *   - embedding cosine: see [[Similarity]]
+  *
+  * All shingling/minhashing is pure Catalyst (higher-order functions +
+  * seeded XXH64), so signatures compute inside whole-stage codegen during
+  * the scan — no UDF, no RDD.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact-duplicate groups by canonical fingerprint: returns
+    * (fingerprint, keeper id, dup count). Keeper = min id, the standard
+    * deterministic survivor rule.
+    */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n"))
+
+  /** Drop exact duplicates, keeping the min-id row per fingerprint. */
+  def dropExact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(text)).orderBy(id)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__")
+  }
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Distinct word n-gram shingles of the canonical text, as an array
+    * column (pure Catalyst: split + sequence + transform + array_distinct).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val cnt  = size(toks)
+    when(cnt < n, array_distinct(array(concat_ws(" ", toks))))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), cnt - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni   = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // ---- minhash + LSH --------------------------------------------------
+
+  /** k-permutation minhash signature: element i is
+    * min over shingles of XXH64(shingle, seed=i).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => GoHash.xxHash64Seeded(s, i.toLong)))
+    }: _*)
+
+  /** LSH banding: (docId, band, bandHash) rows — b bands of r rows each
+    * (k = b*r). Docs sharing any (band, bandHash) bucket are candidates.
+    */
+  def lshBands(df: DataFrame, id: Column, signature: Column,
+      bands: Int, rows: Int): DataFrame =
+    df.select(id.as("doc_id"), signature.as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          hash(slice(col("sig"), b * rows + 1, rows), lit(b))
+        }: _*)).as(Seq("band", "band_hash")))
+
+  /** Near-duplicate candidate pairs via minhash LSH, verified with exact
+    * n-gram Jaccard >= threshold. Returns (a, b, jaccard) with a < b.
+    *
+    * Scale shape: the only wide exchanges are (band, bandHash) self-join
+    * buckets and the final distinct — never an all-pairs product. Skewed
+    * buckets (boilerplate docs) are bounded by AQE skew-join handling.
+    */
+  def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), bands * rows))
+
+    val banded = lshBands(withSig, col("id"), col("sig"), bands, rows)
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+
+    val sh = withSig.select(col("id"), col("shingles"))
+    candidates
+      .join(sh.as("sa"), col("a") === col("sa.id"))
+      .join(sh.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs (quadratic — the oracle/baseline
+    * path for small data; production uses the LSH variant above).
+    */
+  def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- simhash --------------------------------------------------------
+
+  /** 64-bit simhash over word tokens, pure Catalyst: for each bit j,
+    * sum(sign of bit j of XXH64(token)) — positive -> bit set. Computed
+    * as a 64-element counter array folded with `aggregate`, then reduced
+    * to a long.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val hashes = transform(toks, t => GoHash.goXxHash64(t))
+    // counters[j] = sum over tokens of (bit j set ? +1 : -1); single pass
+    // over the token hashes, bit positions are compile-time literals
+    val counters = aggregate(
+      hashes,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+        (a, b) => a + b))
+    // fold bits into a long: OR of 2^j where counters[j] > 0
+    (0 until 64).map { j =>
+      when(element_at(counters, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Simhash near-dup pairs: block on 4 16-bit bands (a pair within
+    * hamming distance<=3 of 64 bits shares at least one identical band by
+    * pigeonhole when distance < 4), verify with true hamming distance.
+    */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming64(col("l.sh"), col("r.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

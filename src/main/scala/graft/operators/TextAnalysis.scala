@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * Catalyst expressions (codegen'd, no UDFs), so they run at scan speed
+  * and survive column pruning — at 100 TB these are the operators that
+  * must not leave whole-stage codegen.
+  *
+  * Every formula here is deliberately SQL-expressible so the DuckDB
+  * oracles can recompute it verbatim.
+  */
+object TextAnalysis {
+
+  // ---- token counting -------------------------------------------------
+
+  /** Whitespace tokenization count (split on runs of whitespace). */
+  def wsTokenCount(text: Column): Column = {
+    val trimmed = trim(text)
+    when(trimmed === "", lit(0L))
+      .otherwise(size(split(trimmed, "\\s+")).cast(LongType))
+  }
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a deterministic stand-in for a real
+    * tokenizer's piece count, cheap enough for a full-corpus pass.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  // ---- quality scoring ------------------------------------------------
+
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
+          length(text).cast(DoubleType))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast(DoubleType) /
+          length(text).cast(DoubleType))
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast(DoubleType) /
+        n.cast(DoubleType))
+  }
+
+  /** Occurrences of a literal word surrounded by spaces, via the
+    * replace-length trick — identical semantics in any SQL engine, no
+    * regex dialect to match.
+    */
+  def wordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    // overlapping " a b a " patterns undercount with replace; stopwords
+    // are interior words so this is the standard corpus heuristic
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast(LongType)
+  }
+
+  /** Stopword hit count over a fixed English stopword list. */
+  val enStopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  def stopwordHits(text: Column, words: Seq[String] = enStopwords): Column =
+    words.map(wordHits(text, _)).reduce(_ + _)
+
+  /** Composite quality score in [0,1] — the usual corpus-filter shape:
+    * enough tokens, sane token length, some stopwords, low punctuation.
+    * Deterministic and SQL-expressible; weights are explicit.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = wsTokenCount(text).cast(DoubleType)
+    val lengthOk = least(n / 20.0, lit(1.0))
+    val stopOk   = least(stopwordHits(text).cast(DoubleType) / 3.0, lit(1.0))
+    val punctOk  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round(lengthOk * 0.4 + stopOk * 0.3 + punctOk * 0.3, 6)
+  }
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Stopword sets per language for the n-gram/stopword-count heuristic.
+    * Scores are literal-word hit counts; argmax wins, ties break by
+    * language code order, zero hits -> "und".
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column =
+    stopwordHits(lower(text), langMarkers(lang))
+
+  def langId(text: Column): Column = {
+    val langs  = langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(text, l))
+    val best   = scores.reduce((a, b) => greatest(a, b))
+    // first language (in sorted order) reaching the max score
+    langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** Canonical-form content fingerprint: lowercase, collapse whitespace,
+    * md5. The exact-dedup key for noisy corpora.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+
+  /** 64-bit rolling content hash (xxh64 of the canonical form) — cheaper
+    * join key than the md5 hex string at shuffle time.
+    */
+  def fingerprint64(text: Column): Column =
+    graft.functions.GoHash.goXxHash64(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,108 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ChGetters
+import graft.functions.ChGetters.ParseOpts
+import graft.types.{ChKind, ChTypeInfo}
+
+/** Message -> typed row projection (SURVEY §2.2-§2.4): the declarative
+  * equivalent of the reference's parse + metric2Row hot path
+  * (task/task.go:166-321). Input is a DataFrame with a string `value`
+  * column (plus Kafka metadata columns when present); output has one typed
+  * column per dim with tolerant-getter semantics, corrupt messages dropped
+  * (P5), not-nullable-null messages dropped (F14/FL2), `__kafka*` metadata
+  * dims filled from source metadata (F13), and static `fields` overriding
+  * message content (P6).
+  */
+object Projector {
+
+  final case class Dim(
+      name: String,
+      ti: ChTypeInfo,
+      /** JSON source key; defaults to the column name (GetSourceName
+        * escaping is a CH-side concern the variant path doesn't need). */
+      sourceName: Option[String] = None,
+      notNullable: Boolean = false) {
+    def source: String = sourceName.getOrElse(name)
+  }
+
+  /** F13 — `__kafka*` metadata dims (task/task.go:285-298). */
+  private val kafkaMeta: Map[String, String] = Map(
+    "__kafka_topic"     -> "topic",
+    "__kafka_partition" -> "partition",
+    "__kafka_offset"    -> "offset",
+    "__kafka_key"       -> "key",
+    "__kafka_timestamp" -> "timestamp")
+
+  /** Project a JSON-message DataFrame. `fields` is the task-level static
+    * JSON object merged over every message (P6, overwrite semantics).
+    */
+  def projectJson(df: DataFrame, dims: Seq[Dim], opts: ParseOpts,
+      fields: Map[String, String] = Map.empty,
+      dropCorrupt: Boolean = true): DataFrame = {
+    val msg = ChGetters.parsed(col("value"))
+    val parsed0 = df.withColumn("__msg__", msg)
+    // P5: unparseable JSON -> dropped (counted by the caller via metrics)
+    val parsed =
+      if (dropCorrupt) parsed0.filter(col("__msg__").isNotNull) else parsed0
+
+    val cols = dims.map { d =>
+      metaColumn(parsed, d).getOrElse {
+        val f =
+          fields.get(d.source) match {
+            // static fields win over message content (fastjson.go:54-58)
+            case Some(rawJson) => ChGetters.parsed(lit(rawJson))
+            case None          => ChGetters.field(col("__msg__"), d.source)
+          }
+        valueColumn(f, d, opts).as(d.name)
+      }
+    }
+    withNotNullFilter(parsed.select(cols: _*), dims)
+  }
+
+  /** Project a CSV-message DataFrame given the csvFormat column order
+    * (P4 — RFC-4180, custom delimiter, strict arity; parser/csv.go).
+    */
+  def projectCsv(df: DataFrame, csvFormat: Seq[String], dims: Seq[Dim],
+      opts: ParseOpts, delimiter: String = ","): DataFrame = {
+    val schema = StructType(csvFormat.map(n => StructField(n, StringType)))
+    val parsed = df
+      .withColumn("__csv__",
+        from_csv(col("value"), schema, Map(
+          "sep" -> delimiter, "mode" -> "PERMISSIVE",
+          // RFC-4180 escaping: quotes are escaped by doubling, not backslash
+          "quote" -> "\"", "escape" -> "\"")))
+      .filter(col("__csv__").isNotNull)
+    val cols = dims.map { d =>
+      metaColumn(parsed, d).getOrElse {
+        CsvGetters.getValue(col("__csv__").getField(d.source), d.ti, opts).as(d.name)
+      }
+    }
+    withNotNullFilter(parsed.select(cols: _*), dims)
+  }
+
+  private def metaColumn(df: DataFrame, d: Dim): Option[Column] =
+    kafkaMeta.get(d.name).flatMap { src =>
+      if (df.columns.contains(src)) Some(col(src).cast(d.ti.sparkType).as(d.name))
+      else None
+    }
+
+  // NOTE: the getter keeps the dim's own nullability even when
+  // notNullable is set — the reference extracts with Nullable semantics
+  // and then DROPS the message on null (task/task.go:303-314), it does
+  // not substitute a default.
+  private def valueColumn(f: Column, d: Dim, opts: ParseOpts): Column =
+    if (d.ti.kind == ChKind.MapK) ChGetters.getMap(f, d.ti, opts)
+    else if (d.ti.array) ChGetters.getArray(f, d.ti, opts)
+    else ChGetters.getScalar(f, d.ti.kind, d.ti.nullable, opts,
+      d.ti.dateTime64Precision)
+
+  /** F14/FL2 — a NULL in a NotNullable dim drops the whole message. */
+  private def withNotNullFilter(df: DataFrame, dims: Seq[Dim]): DataFrame = {
+    val guarded = dims.filter(_.notNullable).map(d => col(d.name).isNotNull)
+    if (guarded.isEmpty) df else df.filter(guarded.reduce(_ && _))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SeriesDedup
+import graft.streaming.SeriesDedup.{SeriesRow, WriteQuota}
+
+/** Prometheus series dedup semantics (SURVEY FL5/ST5; reference
+  * output/clickhouse.go:163-228): first sight of a sid writes, repeats
+  * don't, a changed mid rewrites (quota-gated).
+  */
+class SeriesDedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  test("streaming dedup: new sids pass, repeats drop, mid change rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeriesRow]
+    val out = SeriesDedup.dedup(input.toDS(), new WriteQuota(16384, 10000))
+    val q = out.writeStream.format("memory").queryName("series_out")
+      .outputMode("append").start()
+
+    input.addData(
+      SeriesRow(1L, 10L, "{\"a\":\"x\"}"),
+      SeriesRow(1L, 10L, "{\"a\":\"x\"}"),
+      SeriesRow(2L, 20L, "{\"a\":\"y\"}"))
+    q.processAllAvailable()
+    assert(spark.table("series_out").count() === 2) // 1 and 2, dup dropped
+
+    input.addData(
+      SeriesRow(1L, 10L, "{\"a\":\"x\"}"), // unchanged -> dropped
+      SeriesRow(2L, 21L, "{\"a\":\"y2\"}"), // mid changed -> rewritten
+      SeriesRow(3L, 30L, "{\"a\":\"z\"}")) // new
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("series_out").as[SeriesRow].collect().sortBy(r => (r.sid, r.mid))
+    assert(rows.map(r => (r.sid, r.mid)).toSeq ===
+      Seq((1L, 10L), (2L, 20L), (2L, 21L), (3L, 30L)))
+  }
+
+  test("quota limits changed-series rewrites (16384/10s parity, small window)") {
+    val quota = new WriteQuota(2, 60000)
+    assert(quota.allow(1000))
+    assert(quota.allow(1001))
+    assert(!quota.allow(1002)) // window quota spent
+    assert(quota.allow(70000)) // next window
+  }
+
+  test("batch dedup keeps first occurrence per sid") {
+    import spark.implicits._
+    val ds = Seq(
+      SeriesRow(1L, 10L, "a"), SeriesRow(1L, 11L, "b"), SeriesRow(2L, 20L, "c")).toDS()
+    val got = SeriesDedup.dedupBatch(ds).collect().map(_.sid).sorted.toSeq
+    assert(got === Seq(1L, 2L))
+  }
+}
