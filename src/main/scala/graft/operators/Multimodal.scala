@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata beside them. The Spark-side
+  * contract — schema, batch shape, partition sizing — is real and tested;
+  * the actual codec step is STUBBED (this container has no image/audio
+  * libraries) behind [[DecodeStub]], a deterministic fake with the same
+  * signature a real decoder would have (mapPartitions over binary
+  * payloads, the Scala analogue of a Pandas-UDF batch).
+  *
+  * Scale notes: payloads never enter a shuffle — metadata extraction
+  * projects narrow columns first, and per-partition byte budgets are
+  * controlled by `spark.sql.files.maxPartitionBytes` on read. Derived
+  * features (small arrays) are what flows into joins/aggregations.
+  */
+object Multimodal {
+
+  /** The typed envelope for a multimodal asset. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),   // image|audio|video
+    StructField("mime", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Cheap metadata extraction — pure Catalyst, no decode: sizes, digests,
+    * magic-byte sniffing. This is the first pass a 100 TB pipeline runs to
+    * partition/route assets before any codec work.
+    */
+  def withByteMetadata(assets: DataFrame, content: String = "content"): DataFrame =
+    assets
+      .withColumn("byte_len", octet_length(col(content)).cast(LongType))
+      .withColumn("sha256", sha2(col(content), 256))
+      .withColumn("magic", hex(substring(col(content), 1, 4)))
+
+  /** Deterministic stand-in for the codec stage. A real deployment swaps
+    * `decode` for an image/audio library call; everything around it —
+    * batch iteration, output schema, feature width — stays identical.
+    */
+  object DecodeStub extends Serializable {
+    val featureDim = 8
+
+    /** "Decode" a payload into a fixed-width feature vector: byte
+      * histogram moments per stripe. Deterministic, content-sensitive.
+      */
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        val stripe = math.max(1, bytes.length / featureDim)
+        var j = 0
+        while (j < featureDim) { out(j) = out(j) / stripe; j += 1 }
+      }
+      out
+    }
+
+    /** Frame-sample stand-in: byte offsets a video sampler would seek. */
+    def frameOffsets(byteLen: Long, frames: Int): Array[Long] =
+      (0 until frames).map(i => byteLen * i / math.max(1, frames)).toArray
+  }
+
+  final case class AssetFeatures(asset_id: Long, modality: String,
+      byte_len: Long, features: Array[Float])
+
+  /** The codec pass: mapPartitions over payload batches (one JVM-side
+    * batch per partition, mirroring a Pandas-UDF's arrow-batch shape).
+    */
+  def extractFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx  = assets.schema.fieldIndex("asset_id")
+    val modIdx = assets.schema.fieldIndex("modality")
+    val cIdx   = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        AssetFeatures(r.getLong(idIdx), r.getString(modIdx),
+          bytes.length.toLong, DecodeStub.decode(bytes))
+      }
+    }
+  }
+}

@@ -7,23 +7,27 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.ChGetters
 import graft.functions.ChGetters.ParseOpts
+import graft.parse.CsvGetters
+import graft.shard.Sharding
+import graft.types.ChType
 
 /** Reference-parity query surface (SURVEY §2), phrased over the driver's
   * parquet tables. Each entry has a DuckDB oracle in [[ParityQueries.oracle]]
-  * with identical column names and ORDER BY, so the driver's hash compare
-  * is deterministic. Float aggregates go through exact decimal sums and are
-  * rounded on output; plain doubles are only passed through, never
-  * re-associated.
+  * with identical column names/types and a deterministic ORDER BY where
+  * relevant. The oracles recompute the tolerant-cast semantics from the
+  * base columns, so the gate checks the SEMANTICS, not just plumbing.
+  * Float aggregates go through exact decimal sums; raw doubles are only
+  * passed through, never re-associated.
   */
 object ParityQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val opts = ParseOpts(timeZone = "UTC", timeUnit = 1.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- flagship: TPC-H Q1-style pricing summary (agg + decimal sums) ---
+    // --- flagship: pricing summary (hash agg + exact decimal sums) ------
     "q1_agg" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      t.lineitem
+      Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
@@ -34,13 +38,9 @@ object ParityQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
-    // --- the ingest hot path: JSON -> variant -> tolerant typed projection
-    // (P2 + F2/F4/F6/F7/F8 + clamp semantics), exercised by synthesizing a
-    // JSON message per event row and projecting it back out.
+    // --- P2+F2/F4/F6/F7: JSON -> variant -> tolerant typed projection ---
     "q_parse_typed" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      val opts = ParseOpts(timeZone = "UTC", timeUnit = 1.0)
-      val raw = t.events.select(
+      val raw = Tables(s, dir).events.select(
         col("event_id"),
         to_json(struct(
           col("event_id").as("id"),
@@ -60,6 +60,261 @@ object ParityQueries {
         ChGetters.getSigned(f("v"), nullable = false, LongType).as("v_as_int"),
         ChGetters.getBool(f("etype"), nullable = false).as("etype_as_bool"))
         .orderBy(col("event_id"))
+    },
+
+    // --- P4: CSV line -> from_csv -> tolerant text casts ----------------
+    "q_parse_csv" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val raw = t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat_ws(",",
+          col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd")).as("value"))
+      val schema = StructType(Seq("ok", "qty", "flag", "ship")
+        .map(n => StructField(n, StringType)))
+      val parsed = raw.withColumn("c",
+        from_csv(col("value"), schema, Map("sep" -> ",")))
+      parsed.select(
+        col("l_orderkey"), col("l_linenumber"),
+        CsvGetters.getSigned(col("c.ok"), nullable = false, LongType).as("ok_i64"),
+        CsvGetters.getFloat(col("c.qty"), nullable = false, DoubleType).as("qty_f64"),
+        CsvGetters.getSigned(col("c.qty"), nullable = false, LongType).as("qty_as_int"),
+        CsvGetters.getString(col("c.flag"), nullable = false).as("flag_str"),
+        CsvGetters.getDateTime(col("c.ship"), nullable = false, opts).as("ship_ts"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // --- F2/F3: range clamping on signed/unsigned targets ---------------
+    "q_cast_clamp" -> { (s, dir) =>
+      val x = ((col("event_id") * 7919) % 70000 - 35000).cast(LongType)
+      Tables(s, dir).events
+        .select(col("event_id"), x.cast(StringType).as("xs"), x.as("x"))
+        .select(
+          col("event_id"), col("x"),
+          CsvGetters.getSigned(col("xs"), nullable = false, ByteType)
+            .cast(IntegerType).as("as_i8"),
+          CsvGetters.getSigned(col("xs"), nullable = false, ShortType)
+            .cast(IntegerType).as("as_i16"),
+          CsvGetters.getUnsigned(col("xs"), nullable = false, BigDecimal(255), ShortType)
+            .cast(IntegerType).as("as_u8"),
+          CsvGetters.getUnsigned(col("xs"), nullable = false, BigDecimal(65535), IntegerType)
+            .as("as_u16"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- F7: epoch numbers with timeUnit scaling and range default ------
+    "q_cast_epoch" -> { (s, dir) =>
+      val sec = lit(1500000000L) + col("event_id")
+      val big = col("event_id") * lit(10000000000L) // >= 2^32 -> Epoch
+      Tables(s, dir).events
+        .select(col("event_id"),
+          sec.cast(StringType).as("s1"), big.cast(StringType).as("s2"))
+        .select(
+          col("event_id"),
+          CsvGetters.getDateTime(col("s1"), nullable = false, opts).as("ts_ok"),
+          CsvGetters.getDateTime(col("s2"), nullable = false, opts).as("ts_oor"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- F8: multi-layout string datetime detection. One column per
+    // layout: the reference caches the first matched layout PER FIELD
+    // (parser.go:157-189), so a field must be layout-consistent.
+    "q_cast_datetime_str" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s_ch"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("s_rfc"),
+          date_format(col("ts"), "dd/MM/yyyy").as("s_date"))
+        .select(col("event_id"),
+          ChGetters.autoTimestamp(col("s_ch"), "UTC").as("p_ch"),
+          ChGetters.autoTimestamp(col("s_rfc"), "UTC").as("p_rfc"),
+          ChGetters.autoTimestamp(col("s_date"), "UTC").as("p_date"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- F9: IP validation with zero-IP defaults ------------------------
+    "q_ip_validate" -> { (s, dir) =>
+      val m  = pmod(col("event_id"), lit(3))
+      val o1 = pmod(col("user_id"), lit(256))
+      val ip = when(m === 0, concat_ws(".", lit(10), o1, lit(0), pmod(col("event_id"), lit(256))))
+        .when(m === 1, concat_ws(".", lit(999), o1, lit(0), lit(1)))
+        .otherwise(lit("::1"))
+      Tables(s, dir).events
+        .select(col("event_id"), ip.as("ip"))
+        .select(col("event_id"), col("ip"),
+          CsvGetters.getIp(col("ip"), nullable = false, "0.0.0.0").as("ipv4_checked"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- X1: stripe sharding distribution -------------------------------
+    "q_shard_stripe" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(Sharding.stripe(col("user_id"), ChType.whichType("Int64"), 10L, 4)
+          .as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"))
+    },
+
+    // --- X3: offset sharding distribution -------------------------------
+    "q_shard_offset" -> { (s, dir) =>
+      val part = pmod(col("user_id"), lit(4))
+      Tables(s, dir).events
+        .select(Sharding.byOffset(col("event_id"), part, 50000, 4).as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"))
+    },
+
+    // --- X2: hash sharding (no SQL oracle: Go-parity xxhash) ------------
+    "q_shard_hash" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(Sharding.hash(col("event_type"), 8).as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"))
+    },
+
+    // --- J2: left-semi join (series reload shape) -----------------------
+    "q_semi_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer
+      val recent = t.orders.filter(col("o_orderdate") >= lit("1997-01-01"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- anti join (completeness; Catalyst-native) ----------------------
+    "q_anti_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer
+      val o = t.orders
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- J1 shape: multi-way broadcast join + agg -----------------------
+    "q_join_broadcast" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- FL7: table routing predicate ------------------------------------
+    "q_table_routing" -> { (s, dir) =>
+      val route = when(col("event_type").isin("purchase", "signup"), lit("audit_table"))
+        .otherwise(lit("main_table"))
+      Tables(s, dir).events
+        .select(route.as("route"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    },
+
+    // --- FL5 batch shape: first-occurrence series dedup ------------------
+    "q_series_dedup" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id").as("sid"))
+        .agg(min(col("event_id")).as("first_event"),
+          count(lit(1)).as("n_points"))
+        .orderBy(col("sid"))
+    },
+
+    // --- D5/F16: prometheus two-table split ------------------------------
+    "q_prom_metric" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("user_id").as("__series_id__"),
+          date_trunc("second", col("ts")).as("timestamp"),
+          col("value"))
+        .orderBy(col("__series_id__"), col("timestamp"), col("value"))
+    },
+    "q_prom_series" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id").as("sid"))
+        .agg(min(col("event_type")).as("et"))
+        .select(col("sid"),
+          concat(lit("{\"et\":\""), col("et"), lit("\"}")).as("labels"))
+        .orderBy(col("sid"))
+    },
+
+    // --- D2: distributed type inference over a JSON batch ----------------
+    "q_schema_infer" -> { (s, dir) =>
+      val raw = Tables(s, dir).events.select(
+        to_json(struct(
+          col("event_id").as("id"),
+          col("value").as("v"),
+          (pmod(col("user_id"), lit(2)) === 0).as("flag"),
+          col("event_type").as("s"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))).as("raw"))
+      val msg = ChGetters.parsed(col("raw"))
+      val pairs = raw.select(explode(
+        try_variant_get(msg, "$", "map<string,variant>")).as(Seq("k", "v")))
+      val tag = schema_of_variant(col("v"))
+      val chType = when(tag === "BOOLEAN", "Bool")
+        .when(tag.isin("TINYINT", "SMALLINT", "INT", "BIGINT"), "Int64")
+        .when(tag === "DOUBLE" || tag.startsWith("DECIMAL"), "Float64")
+        .when(tag === "STRING", "String")
+        .otherwise("Unknown")
+      pairs.select(col("k"), chType.as("inferred"))
+        .groupBy(col("k"), col("inferred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"), col("inferred"))
+    },
+
+    // --- A3: distinct counting -------------------------------------------
+    "q_distinct" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- A1: offset-range bookkeeping ------------------------------------
+    "q_offsets_minmax" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("begin_off"),
+          max(col("event_id")).as("end_off"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- top-k per group (window; §2.7 completeness) ---------------------
+    "q_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables(s, dir).events
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+
+    // --- running window aggregate (§2.7 completeness) --------------------
+    "q_window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .filter(col("user_id") < 50)
+        .withColumn("running_value",
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // --- set ops (§2.7 completeness) -------------------------------------
+    "q_setops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val names = t.nation.select(col("n_name").as("name"))
+        .union(t.region.select(col("r_name").as("name")))
+        .distinct()
+      names.agg(count(lit(1)).as("n_names"))
     }
   )
 
@@ -73,10 +328,6 @@ object ParityQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    // the oracle recomputes the tolerant-getter results straight from the
-    // base columns: int64 passthrough, uint8 clamp, float passthrough,
-    // second-precision timestamp, float-for-int rejected -> 0, string-for-
-    // bool rejected -> false
     "q_parse_typed" ->
       """SELECT event_id,
         |  event_id AS id_i64,
@@ -84,10 +335,139 @@ object ParityQueries {
         |  event_type AS etype_str,
         |  value AS v_f64,
         |  date_trunc('second', ts) AS ts_parsed,
-        |  -- doubles always serialize with a fraction dot; fastjson Int64()
-        |  -- and the variant integral guard both reject float syntax
         |  CAST(0 AS BIGINT) AS v_as_int,
         |  false AS etype_as_bool
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_parse_csv" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey AS ok_i64,
+        |  l_quantity AS qty_f64,
+        |  -- Spark stringifies doubles with a fraction dot, so the integer
+        |  -- text test always rejects the qty cell
+        |  CAST(0 AS BIGINT) AS qty_as_int,
+        |  l_returnflag AS flag_str,
+        |  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS ship_ts
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_cast_clamp" ->
+      """WITH t AS (SELECT event_id, (event_id * 7919) % 70000 - 35000 AS x FROM events)
+        |SELECT event_id, x,
+        |  CAST(GREATEST(LEAST(x, 127), -128) AS INT) AS as_i8,
+        |  CAST(GREATEST(LEAST(x, 32767), -32768) AS INT) AS as_i16,
+        |  CAST(CASE WHEN x < 0 THEN 0 ELSE LEAST(x, 255) END AS INT) AS as_u8,
+        |  CAST(CASE WHEN x < 0 THEN 0 ELSE LEAST(x, 65535) END AS INT) AS as_u16
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_cast_epoch" ->
+      """SELECT event_id,
+        |  epoch_ms((1500000000 + event_id) * 1000) AS ts_ok,
+        |  epoch_ms(0) AS ts_oor
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cast_datetime_str" ->
+      """SELECT event_id,
+        |  date_trunc('second', ts) AS p_ch,
+        |  date_trunc('second', ts) AS p_rfc,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS p_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ip_validate" ->
+      """SELECT event_id,
+        |  CASE event_id % 3
+        |    WHEN 0 THEN '10.' || (user_id % 256) || '.0.' || (event_id % 256)
+        |    WHEN 1 THEN '999.' || (user_id % 256) || '.0.1'
+        |    ELSE '::1' END AS ip,
+        |  CASE event_id % 3
+        |    WHEN 0 THEN '10.' || (user_id % 256) || '.0.' || (event_id % 256)
+        |    WHEN 1 THEN '0.0.0.0'
+        |    ELSE '::1' END AS ipv4_checked
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_shard_stripe" ->
+      """SELECT CAST((user_id // 10) % 4 AS INT) AS shard, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_shard_offset" ->
+      """SELECT CAST(((event_id * ((user_id % 4) + 1)) >> 15) % 4 AS INT) AS shard,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_table_routing" ->
+      """SELECT CASE WHEN event_type IN ('purchase','signup')
+        |       THEN 'audit_table' ELSE 'main_table' END AS route,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY route""".stripMargin,
+
+    "q_series_dedup" ->
+      """SELECT user_id AS sid, MIN(event_id) AS first_event, COUNT(*) AS n_points
+        |FROM events GROUP BY 1 ORDER BY sid""".stripMargin,
+
+    "q_prom_metric" ->
+      """SELECT user_id AS __series_id__, date_trunc('second', ts) AS "timestamp", value
+        |FROM events ORDER BY __series_id__, "timestamp", value""".stripMargin,
+
+    "q_prom_series" ->
+      """SELECT user_id AS sid, '{"et":"' || MIN(event_type) || '"}' AS labels
+        |FROM events GROUP BY 1 ORDER BY sid""".stripMargin,
+
+    "q_schema_infer" ->
+      """WITH keys AS (
+        |  SELECT 'id' AS k, 'Int64' AS inferred, COUNT(*) AS n FROM events
+        |  UNION ALL SELECT 'v', 'Float64', COUNT(*) FROM events
+        |  UNION ALL SELECT 'flag', 'Bool', COUNT(*) FROM events
+        |  UNION ALL SELECT 's', 'String', COUNT(*) FROM events
+        |  UNION ALL SELECT 'd', 'String', COUNT(*) FROM events)
+        |SELECT k, inferred, n FROM keys ORDER BY k, inferred""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_offsets_minmax" ->
+      """SELECT event_type, MIN(event_id) AS begin_off, MAX(event_id) AS end_off
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_topk" ->
+      """SELECT event_type,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk,
+        |  event_id, value
+        |FROM events
+        |QUALIFY rk <= 3
+        |ORDER BY event_type, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_setops" ->
+      """SELECT COUNT(*) AS n_names FROM (
+        |  SELECT n_name AS name FROM nation
+        |  UNION SELECT r_name FROM region)""".stripMargin
   )
 }

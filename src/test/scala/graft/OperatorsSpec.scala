@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior tests for the training-data operators: planted duplicates are
+  * found, approximate methods recall what the exact methods find, stubs
+  * are deterministic.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(8)
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, sf).documents
+  private def embs = Tables(spark, sf).embeddings
+
+  test("exact dedup finds planted duplicates and keeps min id") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 10000).as("doc_id"),
+        // same content modulo whitespace/case -> same fingerprint
+        upper(concat(col("text"), lit("  ")))))
+    val groups = Dedup.exactGroups(corpus, col("text"), col("doc_id"))
+    assert(groups.filter(col("n") =!= 2).count() === 0)
+    assert(groups.agg(max(col("keeper"))).head().getLong(0) < 10000)
+  }
+
+  test("minhash LSH recalls planted near-duplicates") {
+    // perturb one word out of each doc: jaccard stays >= ~0.9
+    val perturbed = docs.select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+", "zzzz").as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).union(perturbed)
+    val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, threshold = 0.5)
+      .filter(col("b") === col("a") + 10000)
+    val found = pairs.count()
+    val total = docs.count()
+    assert(found >= (total * 0.8).toLong, s"LSH recall too low: $found/$total")
+  }
+
+  test("simhash: identical docs at distance 0, perturbed docs nearby") {
+    val sigs = docs.limit(50)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("s1"),
+        Dedup.simhash64(regexp_replace(col("text"), "^\\S+", "zzzz")).as("s2"))
+      .select(Dedup.hamming64(col("s1"), col("s2")).as("d"))
+      .agg(avg(col("d"))).head().getDouble(0)
+    assert(sigs < 16.0, s"perturbed simhash too far: $sigs")
+
+    val self = docs.limit(10)
+      .select(Dedup.hamming64(
+        Dedup.simhash64(col("text")), Dedup.simhash64(col("text"))).as("d"))
+      .agg(max(col("d"))).head().getInt(0)
+    assert(self === 0)
+  }
+
+  test("lsh and ivf topk recall against brute force") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, 5))
+    val lsh   = pairs(Similarity.lshTopK(e, q, 5, dims = 64))
+    val ivf   = pairs(Similarity.ivfTopK(e, q, 5, nCells = 8, nprobe = 4))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    // deterministic planes/centroids -> these are fixed numbers; the
+    // assertion guards regressions, not statistics
+    assert(lshRecall >= 0.2, s"lsh recall $lshRecall")
+    assert(ivfRecall >= 0.2, s"ivf recall $ivfRecall")
+    info(f"lsh recall $lshRecall%.2f, ivf recall $ivfRecall%.2f")
+  }
+
+  test("language id picks the marker language") {
+    val df = Seq(
+      ("en", "the cat and the dog is in the house of the king"),
+      ("de", "der hund und die katze ist das beste der welt und der rest"),
+      ("fr", "le chien et la fille est les amis et le chat est la"),
+      ("und", "xyzzy plugh qwerty")).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (exp, act) => assert(act === exp, s"langid $exp -> $act") }
+  }
+
+  test("token counts and quality are sane") {
+    val r = Seq("The quick brown fox, and the lazy dog!").toDF("text")
+      .select(
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bp"),
+        TextAnalysis.stopwordHits(lower(col("text"))).as("sh"),
+        TextAnalysis.qualityScore(col("text")).as("q")).head()
+    assert(r.getLong(0) === 8L)
+    assert(r.getLong(1) === 10L) // 8 words + comma + bang
+    assert(r.getLong(2) === 3L)  // lowered: "the" twice + "and"
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("multimodal decode stub is deterministic with fixed width") {
+    val assets = docs.limit(20)
+      .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
+        lit("text/plain").as("mime"), col("text").cast(BinaryType).as("content"))
+    val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f1.length === 20)
+    assert(f1.forall(_.features.length === Multimodal.DecodeStub.featureDim))
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    assert(f1.forall(f => f.byte_len > 0))
+  }
+}
