@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.ChGetters.ParseOpts
+import graft.parse.Projector
+import graft.parse.Projector.Dim
+import graft.types.ChType
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,19 +18,61 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local test tables are single small parquet files; split scans so
+      // all cores participate (a real deployment reads many large files)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JIT/codegen warm-up so the first timed query isn't charged for it
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
+
+    // headline: the reference's benchmark shape — JSON messages through
+    // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance)
+    val ingest = {
+      val events = Tables(spark, sfDir).events
+      val raw = events.select(to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
+        col("event_type").as("name"),
+        col("value").as("value"),
+        col("value").as("price"),
+        col("user_id").as("uid"),
+        col("event_id").as("id"))).as("value"))
+        // mimic a Kafka source's partitioning (one partition per core)
+        .repartition(cpus.toInt).persist()
+      val n = raw.count()
+      val dims = Seq(
+        Dim("time", ChType.whichType("DateTime")),
+        Dim("name", ChType.whichType("String")),
+        Dim("value", ChType.whichType("Float64")),
+        Dim("price", ChType.whichType("Decimal32(3)")),
+        Dim("uid", ChType.whichType("UInt32")),
+        Dim("id", ChType.whichType("Int64")))
+      val projected = Projector.projectJson(raw, dims, ParseOpts())
+      projected.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      projected.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      raw.unpersist()
+      (n, sec)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("ingest_json" -> ingest._2))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + ingest._2
+    val rps = (ingest._1 / ingest._2).toLong
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps}""")
     spark.stop()
   }
 }

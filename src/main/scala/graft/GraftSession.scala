@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local test tables are single small parquet files; split scans so
+      // all cores participate (a real deployment reads many large files)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

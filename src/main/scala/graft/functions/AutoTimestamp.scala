@@ -6,7 +6,7 @@ import java.time.temporal.{ChronoField, TemporalAccessor, TemporalQueries}
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -127,7 +127,7 @@ object GoLayouts {
 }
 
 case class AutoTimestamp(child: Expression, zone: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
@@ -136,18 +136,46 @@ case class AutoTimestamp(child: Expression, zone: String)
   @transient private lazy val zoneId = ZoneId.of(zone)
   // Reference-parity per-field layout cache: first successful layout wins
   // and is then the only one tried (parser.go:157-189).
-  @transient private var cachedLayout: Int = -1
+  // Stored as layoutIdx+1 with 0 = "unset": a @transient primitive resets
+  // to 0 on task deserialization, so 0 MUST mean uncached (a -1 sentinel
+  // silently became "layout 0 cached" on executors).
+  @transient private var cachedLayoutPlus1: Int = 0
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.isEmpty) return null
-    if (cachedLayout >= 0) {
-      GoLayouts.parseWith(cachedLayout, s, zoneId)
+  /** Parse to UTC micros, or null. Called from both interpreted eval and
+    * generated code.
+    */
+  def parseMicros(s: UTF8String): java.lang.Long = {
+    val str = s.toString
+    if (str.isEmpty) return null
+    val cached = cachedLayoutPlus1 - 1
+    if (cached >= 0) {
+      GoLayouts.parseWith(cached, str, zoneId)
     } else {
-      val (micros, idx) = GoLayouts.detect(s, zoneId)
-      if (idx >= 0) cachedLayout = idx
+      val (micros, idx) = GoLayouts.detect(str, zoneId)
+      if (idx >= 0) cachedLayoutPlus1 = idx + 1
       micros
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    parseMicros(input.asInstanceOf[UTF8String])
+
+  // real codegen (not CodegenFallback): a CodegenFallback expression would
+  // evict the WHOLE projection from whole-stage codegen, which costs ~10x
+  // on the ingest hot path
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("autoTs", this, classOf[AutoTimestamp].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("micros")
+      s"""
+         |java.lang.Long $tmp = $ref.parseMicros($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): AutoTimestamp =

@@ -51,21 +51,23 @@ object ChGetters {
   def field(msg: Column, key: String): Column =
     try_variant_get(msg, vpath(key), "variant")
 
-  /** schema_of_variant type tag of a field. */
-  private def tyOf(f: Column): Column = schema_of_variant(f)
+  /** O(1) binary type tag of a field (see [[VariantKind]]) — NOT
+    * schema_of_variant, which computes a string per value per branch.
+    *
+    * Integer literals up to int64 always store as LONG in variant; a
+    * zero-scale DECIMAL beyond int64 is a big integer literal; any
+    * fractional decimal/double means float syntax ("28.0"), which
+    * fastjson's Int64()/Uint64() reject.
+    */
+  private def kindOf(f: Column): Column = VariantKind.of(f)
 
-  private def isBoolTy(t: Column): Column = t === "BOOLEAN"
-  // Integer literals up to int64 always tag as TINYINT..BIGINT in variant;
-  // a DECIMAL(p,0) tag within int64 range can only come from float syntax
-  // ("28.0"), which fastjson's Int64()/Uint64() reject — so integral
-  // acceptance is: int tags, or DECIMAL(p,0) beyond int64 (big int literal).
-  private def isIntTag(t: Column): Column =
-    t.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
-  private def isZeroScaleDec(t: Column): Column =
-    t.rlike("^DECIMAL\\([0-9]+,0\\)$")
-  private def isNumTy(t: Column): Column =
-    isIntTag(t) || t.isin("FLOAT", "DOUBLE") || t.rlike("^DECIMAL\\(")
-  private def isStrTy(t: Column): Column = t === "STRING"
+  import VariantKindOps._
+  private def isBoolTy(k: Column): Column = k === BoolK
+  private def isIntTag(k: Column): Column = k === IntK
+  private def isZeroScaleDec(k: Column): Column = k === Dec0K
+  private def isNumTy(k: Column): Column =
+    k.isin(IntK, FloatK, Dec0K, DecFracK)
+  private def isStrTy(k: Column): Column = k === StrK
 
   private val Dec38 = DecimalType(38, 0)
   private val TwoPow32 = 4294967296.0
@@ -74,6 +76,8 @@ object ChGetters {
   private def asDec(f: Column): Column = try_variant_get(f, "$", "decimal(38,0)")
   private def asDouble(f: Column): Column = try_variant_get(f, "$", "double")
   private def asString(f: Column): Column = try_variant_get(f, "$", "string")
+  private def asLong(f: Column): Column = try_variant_get(f, "$", "bigint")
+  private def asBool(f: Column): Column = try_variant_get(f, "$", "boolean")
 
   private def defaultOr(nullable: Boolean, dflt: Column, t: DataType): Column =
     if (nullable) lit(null).cast(t) else dflt.cast(t)
@@ -82,7 +86,7 @@ object ChGetters {
 
   /** F1: strict bool — only JSON true/false accepted. */
   def getBool(f: Column, nullable: Boolean): Column =
-    when(isBoolTy(tyOf(f)), asString(f) === "true")
+    when(isBoolTy(kindOf(f)), asBool(f))
       .otherwise(defaultOr(nullable, lit(false), BooleanType))
 
   /** F2: signed integer with range clamp; bool -> 0/1; floats rejected. */
@@ -94,14 +98,14 @@ object ChGetters {
       case LongType    => (Long.MinValue, Long.MaxValue)
       case other       => throw new IllegalArgumentException(s"not a signed type: $other")
     }
-    val ty = tyOf(f)
-    val d  = asDec(f)
+    val k = kindOf(f)
     // Go parity: v.Int64() fails on float syntax and outside int64 ->
     // default; in-range values clamp to the target width
-    // (fastjson.go:129-151).
-    when(isBoolTy(ty), getBool(f, nullable = false).cast(t))
-      .when(isIntTag(ty),
-        greatest(least(d, lit(maxV).cast(Dec38)), lit(minV).cast(Dec38)).cast(t))
+    // (fastjson.go:129-151). IntK guarantees int64 range, so the clamp is
+    // pure long arithmetic — no decimal in the hot path.
+    when(isBoolTy(k), getBool(f, nullable = false).cast(t))
+      .when(isIntTag(k),
+        greatest(least(asLong(f), lit(maxV)), lit(minV)).cast(t))
       .otherwise(defaultOr(nullable, lit(0L), t))
   }
 
@@ -109,16 +113,21 @@ object ChGetters {
     * and > 2^64-1 rejected like Go's Uint64() error path.
     */
   def getUnsigned(f: Column, nullable: Boolean, maxU: BigDecimal, t: DataType): Column = {
-    val ty = tyOf(f)
-    val d  = asDec(f)
-    // int-tagged (within int64) and non-negative, or a big integer literal
-    // in (int64max, 2^64) — Go Uint64() accepts exactly that range
-    val bigLit = isZeroScaleDec(ty) &&
+    val k = kindOf(f)
+    val l = asLong(f)
+    // the common path is int64-tagged and non-negative: pure long clamp;
+    // big integer literals in (int64max, 2^64) — which Go's Uint64()
+    // accepts — go through the rare decimal branch
+    val d = asDec(f)
+    val bigLit = isZeroScaleDec(k) &&
       d > lit(Long.MaxValue).cast(Dec38) &&
       d <= lit(MaxUint64.bigDecimal).cast(Dec38)
-    when(isBoolTy(ty), getBool(f, nullable = false).cast(t))
-      .when((isIntTag(ty) && d >= 0) || bigLit,
-        least(d, lit(maxU.bigDecimal).cast(Dec38)).cast(t))
+    val fastMax =
+      if (maxU <= BigDecimal(Long.MaxValue)) least(l, lit(maxU.toLong)).cast(t)
+      else l.cast(t) // UInt64 target: any non-negative int64 fits
+    when(isBoolTy(k), getBool(f, nullable = false).cast(t))
+      .when(isIntTag(k) && l >= 0, fastMax)
+      .when(bigLit, least(d, lit(maxU.bigDecimal).cast(Dec38)).cast(t))
       .otherwise(defaultOr(nullable, lit(0L), t))
   }
 
@@ -140,22 +149,22 @@ object ChGetters {
       case DoubleType => Double.MaxValue
       case other      => throw new IllegalArgumentException(s"not a float type: $other")
     }
-    when(isNumTy(tyOf(f)), least(asDouble(f), lit(maxV)).cast(t))
+    when(isNumTy(kindOf(f)), least(asDouble(f), lit(maxV)).cast(t))
       .otherwise(defaultOr(nullable, lit(0.0), t))
   }
 
   /** F5: decimal via float64 round-trip (decimal.NewFromFloat parity). */
   def getDecimal(f: Column, nullable: Boolean, t: DecimalType = DecimalType(38, 9)): Column =
-    when(isNumTy(tyOf(f)), asDouble(f).cast(t))
+    when(isNumTy(kindOf(f)), asDouble(f).cast(t))
       .otherwise(defaultOr(nullable, lit(0), t))
 
   /** F6: string — strings kept as-is, any other value becomes its JSON
     * text (fastjson.go:712-728).
     */
   def getString(f: Column, nullable: Boolean): Column = {
-    val ty = tyOf(f)
-    when(isStrTy(ty), asString(f))
-      .when(f.isNotNull && !is_variant_null(f), to_json(f))
+    val k = kindOf(f)
+    when(isStrTy(k), asString(f))
+      .when(k.isNotNull && k =!= VariantKindOps.NullK, to_json(f))
       .otherwise(defaultOr(nullable, lit(""), StringType))
   }
 
@@ -174,15 +183,15 @@ object ChGetters {
     val unit =
       if (dateTime64Precision > 0) math.pow(10.0, -dateTime64Precision)
       else opts.timeUnit
-    val ty  = tyOf(f)
+    val k   = kindOf(f)
     val sec = asDouble(f) * lit(unit)
     val fromNum =
       when(sec < 0.0 || sec >= TwoPow32, epochTs).otherwise(timestamp_seconds(sec))
     val s = asString(f)
     val fromStr = autoTimestamp(s, opts.timeZone)
     val dflt = defaultOr(nullable, epochTs, TimestampType)
-    when(isNumTy(ty), fromNum)
-      .when(isStrTy(ty) && s =!= "", coalesce(fromStr, dflt))
+    when(isNumTy(k), fromNum)
+      .when(isStrTy(k) && s =!= "", coalesce(fromStr, dflt))
       .otherwise(dflt)
   }
 
@@ -201,19 +210,19 @@ object ChGetters {
     * accepts a uint32 (rendered dotted-quad); invalid -> 0.0.0.0.
     */
   def getIPv4(f: Column, nullable: Boolean): Column = {
-    val ty = tyOf(f)
-    val s  = asString(f)
-    when(isStrTy(ty), when(validIpUdf(s), s).otherwise(lit("0.0.0.0")))
-      .when(isIntTag(ty), uintToDottedQuad(getUint32(f, nullable = false)))
-      .when(f.isNotNull && !is_variant_null(f), lit("0.0.0.0"))
+    val k = kindOf(f)
+    val s = asString(f)
+    when(isStrTy(k), when(validIpUdf(s), s).otherwise(lit("0.0.0.0")))
+      .when(isIntTag(k), uintToDottedQuad(getUint32(f, nullable = false)))
+      .when(k.isNotNull && k =!= VariantKindOps.NullK, lit("0.0.0.0"))
       .otherwise(defaultOr(nullable, lit(""), StringType))
   }
 
   def getIPv6(f: Column, nullable: Boolean): Column = {
-    val ty = tyOf(f)
-    val s  = asString(f)
-    when(isStrTy(ty), when(validIpUdf(s), s).otherwise(lit("::")))
-      .when(f.isNotNull && !is_variant_null(f), lit("::"))
+    val k = kindOf(f)
+    val s = asString(f)
+    when(isStrTy(k), when(validIpUdf(s), s).otherwise(lit("::")))
+      .when(k.isNotNull && k =!= VariantKindOps.NullK, lit("::"))
       .otherwise(defaultOr(nullable, lit(""), StringType))
   }
 
@@ -227,9 +236,9 @@ object ChGetters {
     */
   def getObject(f: Column, nullable: Boolean): Column = {
     val m = asVariantMap(f)
-    val kept = map_filter(m, (_, v) => isStrTy(tyOf(v)) || isNumTy(tyOf(v)))
+    val kept = map_filter(m, (_, v) => isStrTy(kindOf(v)) || isNumTy(kindOf(v)))
     val strd = transform_values(kept, (_, v) =>
-      when(isStrTy(tyOf(v)), try_variant_get(v, "$", "string")).otherwise(to_json(v)))
+      when(isStrTy(kindOf(v)), try_variant_get(v, "$", "string")).otherwise(to_json(v)))
     coalesce(strd, map().cast(MapType(StringType, StringType)))
   }
 

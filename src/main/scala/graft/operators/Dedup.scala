@@ -44,17 +44,13 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------
 
-  /** Distinct word n-gram shingles of the canonical text, as an array
-    * column (pure Catalyst: split + sequence + transform + array_distinct).
+  /** Distinct word n-gram shingles of the canonical text — a codegen'd
+    * expression ([[graft.functions.WordShingles]]); the equivalent
+    * split/sequence/transform/array_distinct chain runs interpreted and
+    * was the minhash bottleneck.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val cnt  = size(toks)
-    when(cnt < n, array_distinct(array(concat_ws(" ", toks))))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), cnt - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.of(text, n)
 
   /** Exact Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -72,6 +68,30 @@ object Dedup {
     array((0 until k).map { i =>
       array_min(transform(shingles, s => GoHash.xxHash64Seeded(s, i.toLong)))
     }: _*)
+
+  /** Signature via explode + hash aggregate instead of per-row lambdas:
+    * higher-order functions are interpreted in Spark, but `min` columns in
+    * a HashAggregate are whole-stage-codegen'd — at corpus scale this is
+    * the difference between scan-speed and 10x slower. One shuffle on the
+    * doc id (which the downstream banding join needs anyway).
+    *
+    * Permutations use the standard two-hash construction
+    * h_i = h1 + i*h2 (Broder-style, as in Spark MLlib's MinHashLSH): two
+    * XXH64 evaluations per shingle instead of k.
+    */
+  def minhashSignatureDF(df: DataFrame, idCol: String, shinglesCol: String,
+      k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(col(shinglesCol)).as("sh"))
+      .select(col("id"),
+        GoHash.xxHash64Seeded(col("sh"), 0L).as("h1"),
+        GoHash.xxHash64Seeded(col("sh"), 1L).as("h2"))
+    val aggs = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: (docId, band, bandHash) rows — b bands of r rows each
     * (k = b*r). Docs sharing any (band, bandHash) bucket are candidates.
@@ -94,10 +114,12 @@ object Dedup {
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(
+    val shingled = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), bands * rows))
+    // signature via explode + codegen'd min-aggregate; banding needs only
+    // (id, sig) — the shingle arrays rejoin solely at the verify stage
+    val withSig = minhashSignatureDF(shingled, "id", "shingles", bands * rows)
 
     val banded = lshBands(withSig, col("id"), col("sig"), bands, rows)
 
@@ -110,7 +132,7 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
 
-    val sh = withSig.select(col("id"), col("shingles"))
+    val sh = shingled.select(col("id"), col("shingles"))
     candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))
@@ -160,13 +182,31 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Simhash via explode + codegen'd hash aggregate (same rationale as
+    * [[minhashSignatureDF]]): 64 conditional-sum columns per doc, folded
+    * into the signature long.
+    */
+  def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+      .withColumn("h", GoHash.goXxHash64(col("tok")))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$j"))
+    toks.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** Simhash near-dup pairs: block on 4 16-bit bands (a pair within
     * hamming distance<=3 of 64 bits shares at least one identical band by
     * pigeonhole when distance < 4), verify with true hamming distance.
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sigs = simhashDF(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))

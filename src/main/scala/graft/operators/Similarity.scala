@@ -26,10 +26,10 @@ import graft.functions.GoHash
   */
 object Similarity {
 
-  /** aggregate(zip_with(a, b, *), +) — the codegen dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dense dot product (see [[graft.functions.VecDot]]); the
+    * zip_with/aggregate formulation runs interpreted and is ~50x slower.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.of(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -65,9 +65,9 @@ object TextAnalysis {
   def wordHits(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))
     val needle = s" $word "
-    // overlapping " a b a " patterns undercount with replace; stopwords
-    // are interior words so this is the standard corpus heuristic
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), "")))
+    // literal replace (no regex machinery), same non-overlapping
+    // left-to-right semantics as SQL replace() in any engine
+    ((length(padded) - length(replace(padded, lit(needle), lit(""))))
       / needle.length).cast(LongType)
   }
 

@@ -43,24 +43,37 @@ object Projector {
   def projectJson(df: DataFrame, dims: Seq[Dim], opts: ParseOpts,
       fields: Map[String, String] = Map.empty,
       dropCorrupt: Boolean = true): DataFrame = {
-    val msg = ChGetters.parsed(col("value"))
+    // Once(..) pins the parse to a single evaluation per row — without it
+    // the corrupt filter below is predicate-pushed into the scan and the
+    // message parses twice (see graft.functions.Once)
+    val msg = graft.functions.Once(ChGetters.parsed(col("value")))
     val parsed0 = df.withColumn("__msg__", msg)
     // P5: unparseable JSON -> dropped (counted by the caller via metrics)
     val parsed =
       if (dropCorrupt) parsed0.filter(col("__msg__").isNotNull) else parsed0
 
-    val cols = dims.map { d =>
-      metaColumn(parsed, d).getOrElse {
-        val f =
-          fields.get(d.source) match {
-            // static fields win over message content (fastjson.go:54-58)
-            case Some(rawJson) => ChGetters.parsed(lit(rawJson))
-            case None          => ChGetters.field(col("__msg__"), d.source)
-          }
-        valueColumn(f, d, opts).as(d.name)
-      }
+    // Stage 1: navigate the message ONCE per dim into a variant column.
+    // Each getter inspects its field several times (type tag + casts);
+    // binding the extraction here keeps those as cheap attribute reads and
+    // stops CollapseProject from re-inlining the path walk per use.
+    val (metaDims, valueDims) = dims.partition(d => kafkaMeta.contains(d.name))
+    val fieldCols = valueDims.map { d =>
+      (fields.get(d.source) match {
+        // static fields win over message content (fastjson.go:54-58)
+        case Some(rawJson) => ChGetters.parsed(lit(rawJson))
+        case None          => ChGetters.field(col("__msg__"), d.source)
+      }).as(s"__f_${d.name}")
     }
-    withNotNullFilter(parsed.select(cols: _*), dims)
+    val passthrough = parsed.columns.filter(_ != "__msg__").map(col).toSeq
+    val stage1 = parsed.select(passthrough ++ fieldCols: _*)
+
+    // Stage 2: tolerant typed getters over the bound fields.
+    val cols = dims.map { d =>
+      if (kafkaMeta.contains(d.name))
+        metaColumn(stage1, d).getOrElse(lit(null).cast(d.ti.sparkType).as(d.name))
+      else valueColumn(col(s"__f_${d.name}"), d, opts).as(d.name)
+    }
+    withNotNullFilter(stage1.select(cols: _*), dims)
   }
 
   /** Project a CSV-message DataFrame given the csvFormat column order

@@ -40,7 +40,11 @@ object ParityQueries {
 
     // --- P2+F2/F4/F6/F7: JSON -> variant -> tolerant typed projection ---
     "q_parse_typed" -> { (s, dir) =>
-      val raw = Tables(s, dir).events.select(
+      // repartition the synthesized messages like a Kafka source would be
+      // (the local parquet is one small file -> one scan partition)
+      val raw = Tables(s, dir).events
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         col("event_id"),
         to_json(struct(
           col("event_id").as("id"),
@@ -65,7 +69,9 @@ object ParityQueries {
     // --- P4: CSV line -> from_csv -> tolerant text casts ----------------
     "q_parse_csv" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val raw = t.lineitem.select(
+      val raw = t.lineitem
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         concat_ws(",",
           col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
