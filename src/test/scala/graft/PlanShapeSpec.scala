@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that decide 100 TB behavior —
+  * filter/projection pushdown into the parquet scan, broadcast joins for
+  * small dims, partial (map-side) aggregation, single-shuffle shapes, and
+  * whole-stage codegen on the ingest path. Catching a regression here is
+  * catching a 10x at scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter and column pruning reach the parquet scan") {
+    val t = Tables(spark, sf)
+    val q = t.lineitem
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val f = formatted(q)
+    assert(f.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$f")
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$f")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the big side)") {
+    val p = plan(SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("semi join plans as a real semi join") {
+    val p = plan(SparkEntry.queries("q_semi_join")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("flagship aggregation has map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
+    // partial + final HashAggregate pair around one shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"flagship agg should shuffle exactly once before the sort:\n$p")
+  }
+
+  test("ingest projection stays inside whole-stage codegen") {
+    import graft.functions.ChGetters.ParseOpts
+    import graft.parse.Projector
+    import graft.parse.Projector.Dim
+    import graft.types.ChType
+    val raw = Tables(spark, sf).events
+      .select(to_json(struct(col("event_id").as("id"), col("event_type").as("s"))).as("value"))
+    val projected = Projector.projectJson(raw,
+      Seq(Dim("id", ChType.whichType("Int64")), Dim("s", ChType.whichType("String")),
+        Dim("t", ChType.whichType("DateTime"), sourceName = Some("s"))),
+      ParseOpts())
+    val p = plan(projected)
+    // every operator carries the codegen stage marker "*(n)"
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("Project") || l.trim.startsWith("Filter")),
+      s"found non-codegen Project/Filter on the ingest path:\n$p")
+    // and the message parses exactly once (the Once barrier holds)
+    assert("parseJson".r.findAllIn(p).length === 1,
+      s"parse_json must run once per row:\n$p")
+  }
+
+  test("minhash LSH plan never builds a cartesian product") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.Dedup.nearDupPairsMinhash(
+      t.documents, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("brute-force topk broadcasts the query side") {
+    val e = Tables(spark, sf).embeddings
+    val p = plan(graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 10), 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
