@@ -85,6 +85,17 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- IVF-cell top-k (probabilistic recall; rows-only check) ----------
+    "sim_topk_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // --- language identification -----------------------------------------
     "text_langid" -> { (s, dir) =>
       Tables(s, dir).documents

@@ -314,6 +314,30 @@ object ParityQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // --- ST2: tumbling event-time window aggregation ---------------------
+    "q_tumbling_window" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // --- rollup (§2.6 completeness: grouping sets family) ----------------
+    "q_rollup" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
     // --- set ops (§2.7 completeness) -------------------------------------
     "q_setops" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -474,6 +498,20 @@ object ParityQueries {
     "q_setops" ->
       """SELECT COUNT(*) AS n_names FROM (
         |  SELECT n_name AS name FROM nation
-        |  UNION SELECT r_name FROM region)""".stripMargin
+        |  UNION SELECT r_name FROM region)""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin
   )
 }
