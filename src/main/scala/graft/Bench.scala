@@ -61,10 +61,15 @@ object Bench {
       (n, sec)
     }
 
+    // a failing query must fail the bench LOUDLY — a swallowed crash
+    // would score ~0s and *improve* the total
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = (results :+ ("ingest_json" -> ingest._2))
@@ -72,7 +77,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + ingest._2
     val rps = (ingest._1 / ingest._2).toLong
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps}""")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps,"errors":$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -37,13 +37,20 @@ object SchemaEvolution {
       maxDims: Int = Int.MaxValue,
       timeZone: String = "UTC")
 
-  /** D1+D2 — returns (key -> inferred kind) for new keys in the batch. */
+  /** D1+D2 — returns (key -> inferred kind) for new keys in the batch.
+    *
+    * `parsedCol`: when the caller already parsed `value` (the pipeline's
+    * single-parse invariant — reference piggybacks GetNewKeys on the one
+    * parse, parser/fastjson.go:512-536), pass that column's name and the
+    * detection aggregates over it instead of re-parsing.
+    */
   def detectNewKeys(batch: DataFrame, knownKeys: Set[String],
-      policy: NewKeyPolicy = NewKeyPolicy()): Seq[(String, ChKind)] = {
+      policy: NewKeyPolicy = NewKeyPolicy(),
+      parsedCol: Option[String] = None): Seq[(String, ChKind)] = {
     val white = policy.whiteList.map(Pattern.compile(_))
     val black = policy.blackList.map(Pattern.compile(_))
 
-    val msg = ChGetters.parsed(col("value"))
+    val msg = parsedCol.map(col).getOrElse(ChGetters.parsed(col("value")))
     val fields = batch
       .select(explode(try_variant_get(msg, "$", "map<string,variant>")).as(Seq("k", "v")))
       .filter(!col("k").isin(knownKeys.toSeq: _*))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.GoHash
+import graft.functions.{GoHash, PortableHash}
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its shuffle shape at 100 TB:
@@ -62,11 +62,14 @@ object Dedup {
   // ---- minhash + LSH --------------------------------------------------
 
   /** k-permutation minhash signature: element i is
-    * min over shingles of XXH64(shingle, seed=i).
+    * min over shingles of `h1 + i*h2` (two-hash Broder construction,
+    * wrapped signed-long arithmetic; h1/h2 are the md5 halves — see
+    * [[PortableHash]], chosen so SQL oracles recompute identical values).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingles, s => GoHash.xxHash64Seeded(s, i.toLong)))
+      array_min(transform(shingles, s =>
+        PortableHash.md5Lo(s) + lit(i.toLong) * PortableHash.md5Hi(s)))
     }: _*)
 
   /** Signature via explode + hash aggregate instead of per-row lambdas:
@@ -76,16 +79,18 @@ object Dedup {
     * doc id (which the downstream banding join needs anyway).
     *
     * Permutations use the standard two-hash construction
-    * h_i = h1 + i*h2 (Broder-style, as in Spark MLlib's MinHashLSH): two
-    * XXH64 evaluations per shingle instead of k.
+    * h_i = h1 + i*h2 (Broder-style, as in Spark MLlib's MinHashLSH): one
+    * md5 per shingle instead of k hashes; h1/h2 are its two 64-bit
+    * halves ([[PortableHash]] — bit-identical to DuckDB's
+    * md5_number_lower/upper, so the oracle recomputes the signatures).
     */
   def minhashSignatureDF(df: DataFrame, idCol: String, shinglesCol: String,
       k: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(col(shinglesCol)).as("sh"))
       .select(col("id"),
-        GoHash.xxHash64Seeded(col("sh"), 0L).as("h1"),
-        GoHash.xxHash64Seeded(col("sh"), 1L).as("h2"))
+        PortableHash.md5Lo(col("sh")).as("h1"),
+        PortableHash.md5Hi(col("sh")).as("h2"))
     val aggs = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     exploded.groupBy(col("id"))
@@ -162,7 +167,7 @@ object Dedup {
     */
   def simhash64(text: Column): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(toks, t => GoHash.goXxHash64(t))
+    val hashes = transform(toks, t => PortableHash.md5Lo(t))
     // counters[j] = sum over tokens of (bit j set ? +1 : -1); single pass
     // over the token hashes, bit positions are compile-time literals
     val counters = aggregate(
@@ -189,7 +194,7 @@ object Dedup {
   def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
-      .withColumn("h", GoHash.goXxHash64(col("tok")))
+      .withColumn("h", PortableHash.md5Lo(col("tok")))
     val aggs = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$j"))
     toks.groupBy(col("id"))

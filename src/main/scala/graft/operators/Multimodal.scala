@@ -44,20 +44,26 @@ object Multimodal {
   object DecodeStub extends Serializable {
     val featureDim = 8
 
-    /** "Decode" a payload into a fixed-width feature vector: byte
-      * histogram moments per stripe. Deterministic, content-sensitive.
+    /** "Decode" a payload into a fixed-width feature vector: per-stripe
+      * byte-value means. Deterministic AND engine-reproducible: the
+      * accumulation is an exact integer sum with a single double division
+      * at the end, so a SQL oracle recomputing from the same bytes gets
+      * bit-identical floats (no FP-accumulation-order dependence).
       */
     def decode(bytes: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       if (bytes.nonEmpty) {
+        val sums = new Array[Long](featureDim)
         var i = 0
         while (i < bytes.length) {
-          out(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+          sums(i % featureDim) += (bytes(i) & 0xFF)
           i += 1
         }
         val stripe = math.max(1, bytes.length / featureDim)
         var j = 0
-        while (j < featureDim) { out(j) = out(j) / stripe; j += 1 }
+        while (j < featureDim) {
+          out(j) = (sums(j) / (255.0 * stripe)).toFloat; j += 1
+        }
       }
       out
     }

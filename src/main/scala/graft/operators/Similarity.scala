@@ -1,28 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.GoHash
+import graft.functions.PortableHash
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Three tiers, by corpus size:
   *
   *   - [[bruteForceTopK]]: exact — broadcast the (small) query set and
-  *     scan the corpus once; one window per query for top-k. The baseline
-  *     and the verifier for the approximate tiers.
+  *     scan the corpus once; per-query top-k via a bounded-heap partial
+  *     aggregate, so the shuffle carries |q|*k rows, never the
+  *     |q|*|corpus| scored product. The baseline and the verifier for the
+  *     approximate tiers.
   *   - [[lshTopK]]: random-hyperplane LSH — per-row bit signature computed
   *     in codegen, candidates bucketed by signature band, exact re-rank
   *     inside buckets. Sub-linear candidate sets at 100 TB.
-  *   - [[ivfTopK]]: IVF-style coarse quantization — assign each vector to
-  *     its nearest of k centroids (broadcast), probe the query's nearest
-  *     nprobe cells only. Centroids come from a sampled k-means-lite pass.
+  *   - [[ivfTopK]]: IVF coarse quantization — deterministic hash-sampled
+  *     seeds + one Lloyd refinement give the cell centroids; cell
+  *     assignment is a single PROJECTION against centroid literals (no
+  *     join, no window — an argmax over nCells inline scores); queries
+  *     probe their `nprobe` nearest cells only.
   *
-  * Dot products are `zip_with` + `aggregate` (no UDF); hyperplanes are
-  * deterministic pseudo-random literals derived from xxh64(seed, dim), so
-  * results are reproducible across runs and engines.
+  * Dot products are codegen'd ([[graft.functions.VecDot]]); hyperplanes
+  * are deterministic pseudo-random literals (splitmix64 of (bit, dim)),
+  * so results are reproducible across runs and engines — the DuckDB
+  * oracles recompute signatures, centroids and ranks from the same
+  * parquet and match hash-for-hash.
   */
 object Similarity {
 
@@ -38,6 +44,61 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  // ---- bounded top-k aggregation --------------------------------------
+
+  final case class Scored(cos: Double, nn_id: Long)
+
+  /** Bounded top-k by (cos DESC, nn_id ASC): a partial-aggregatable
+    * replacement for `row_number().over(Window)` — the window shuffles
+    * every scored row; this shuffles at most k rows per group (map-side
+    * partial + merge), which is the difference between |q|*k and
+    * |q|*|corpus| exchange volume at scale.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.nn_id < b.nn_id)
+    override def zero: List[Scored] = Nil
+    override def reduce(buf: List[Scored], in: Scored): List[Scored] = {
+      // sorted insert, bounded at k — k is small, O(k) insert is cheaper
+      // than heap bookkeeping at these sizes
+      if (buf.lengthCompare(k) >= 0 && !beats(in, buf.last)) buf
+      else {
+        val (pre, post) = buf.span(beats(_, in))
+        (pre ::: in :: post).take(k)
+      }
+    }
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
+      val builder = List.newBuilder[Scored]
+      var (x, y) = (a, b); var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && beats(x.head, y.head))) {
+          builder += x.head; x = x.tail
+        } else { builder += y.head; y = y.tail }
+        n += 1
+      }
+      builder.result()
+    }
+    override def finish(r: List[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** (query_id, scored rows) -> (query_id, rank, nn_id, cos) via the
+    * bounded aggregate.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k))
+    scored.groupBy(col("query_id"))
+      .agg(agg(col("cos"), col("nn_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "nn")))
+      .select(col("query_id"),
+        col("nn").getField("nn_id").as("nn_id"),
+        col("nn").getField("cos").as("cos"),
+        (col("r0") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Exact top-k: for each query vector (small set — broadcast), the k
     * nearest corpus vectors by cosine. Deterministic tie-break on corpus
     * id.
@@ -49,19 +110,15 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (seed, dim):
-    * xxh64 of "seed:dim" scaled to [-1, 1].
+    * splitmix64 of the pair scaled to [-1, 1]. These are plan-time
+    * literals — the oracle SQL embeds the identical doubles.
     */
-  private def planeComponent(seed: Int, dim: Int): Double = {
+  def planeComponent(seed: Int, dim: Int): Double = {
     val h = {
-      // xxh64 via Spark expression would need a row; use the same 64-bit
-      // mix inline (splitmix64) — deterministic, engine-independent
       var z = seed.toLong * 0x9E3779B97F4A7C15L + dim.toLong
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -91,7 +148,6 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
       nBits: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = nBits / bandBits
     def withBands(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         posexplode(bandKeys(rhpSignature(col(vecCol), dims, nBits), nBits, bandBits))
@@ -106,45 +162,102 @@ object Similarity {
       .dropDuplicates("query_id", "nn_id")
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(candidates, k)
   }
 
-  /** IVF-lite: centroids = deterministic sample of corpus vectors; each
-    * corpus vector is assigned to its nearest centroid once (narrow scan
-    * vs broadcast centroids); queries probe their `nprobe` nearest cells.
+  // ---- IVF ------------------------------------------------------------
+
+  /** A trained coarse quantizer: cell id -> (centroid, norm). */
+  final case class Centroids(cells: Seq[(Int, Array[Double], Double)]) {
+    def nCells: Int = cells.size
+
+    /** Inline argmax-by-(score DESC, cell ASC) as ONE projection — no
+      * join, no window, no shuffle. `cos(v, c) = dot(v,c)/(|v||c|)`; |v|
+      * is constant across cells so ranking uses `dot(v,c)/|c|`.
+      */
+    private def scoreStructs(vec: Column): Column =
+      array(cells.map { case (i, cvec, cnorm) =>
+        val cv = array(cvec.map(lit).toIndexedSeq: _*)
+        struct((dot(vec, cv) / lit(cnorm)).as("s"), lit(-i).as("negc"))
+      }: _*)
+
+    /** Nearest cell of each vector. */
+    def assignCell(vec: Column): Column =
+      -array_max(scoreStructs(vec)).getField("negc")
+
+    /** The `nprobe` nearest cells, best first. */
+    def probeCells(vec: Column, nprobe: Int): Column =
+      transform(
+        slice(reverse(array_sort(scoreStructs(vec))), 1, nprobe),
+        x => -x.getField("negc"))
+  }
+
+  /** Deterministic "k-means-lite": seeds are the nCells corpus vectors
+    * with the smallest md5-hash of their id (an order-free uniform
+    * sample — a partial top-k, not a full sort), refined by one Lloyd
+    * step (mean of each seed's cosine-assigned vectors), components
+    * rounded to 3 decimals so the FP summation order of the distributed
+    * mean can never leak into cell assignments. Every step is
+    * re-computable in plain SQL — the oracle derives the identical
+    * centroids from the same parquet.
+    */
+  def trainCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Centroids = {
+    val vecd = col(vecCol).cast(ArrayType(DoubleType))
+    val seedRows = corpus
+      .select(col(idCol).as("id"), vecd.as("v"),
+        PortableHash.md5Lo(col(idCol).cast(StringType)).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(nCells)
+      .select(col("id"), col("v"))
+      .collect()
+    val seeds = Centroids(seedRows.zipWithIndex.map { case (r, i) =>
+      val v = r.getSeq[Double](1).toArray
+      (i, v, math.sqrt(v.map(x => x * x).sum))
+    }.toIndexedSeq)
+
+    val dims = seeds.cells.head._2.length
+    // one Lloyd step: element-wise mean per assigned cell
+    val meanCols = (0 until dims).map(d =>
+      round(avg(element_at(col("v"), d + 1)), 3).as(s"m$d"))
+    val means = corpus.select(vecd.as("v"))
+      .withColumn("cell", seeds.assignCell(col("v")))
+      .groupBy(col("cell"))
+      .agg(meanCols.head, meanCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)).toArray)
+      .toMap
+
+    Centroids(seeds.cells.map { case (i, seedVec, _) =>
+      // an empty cell keeps its (rounded) seed
+      val v = means.getOrElse(i, seedVec.map(x => BigDecimal(x)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      (i, v, math.sqrt(v.map(x => x * x).sum))
+    })
+  }
+
+  /** IVF top-k: assign each corpus vector to its nearest centroid (one
+    * narrow projection pass), probe each query's `nprobe` nearest cells,
+    * exact re-rank inside the probed cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic "k-means-lite": take the nCells lowest-id vectors as
-    // centroids (stable across runs; a real deployment would run sampled
-    // k-means on the driver and broadcast)
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("c_vec"))
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
 
-    def assign(df: DataFrame, idAs: String, vecAs: String, topCells: Int) = {
-      val scored = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .join(broadcast(centroids), col(idAs) =!= lit(-1))
-        .select(col(idAs), col(vecAs), col("cell"),
-          cosine(col(vecAs), col("c_vec")).as("c_cos"))
-      val w = Window.partitionBy(col(idAs)).orderBy(col("c_cos").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= topCells)
-        .drop("c_cos", "crank")
-    }
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("cell", centroids.assignCell(col("nn_vec")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(centroids.probeCells(col("q_vec"), nprobe)).as("cell"))
 
-    val c = assign(corpus, "nn_id", "nn_vec", 1)       // 1 cell per vector
-    val q = assign(queries, "query_id", "q_vec", nprobe) // probe nprobe cells
     val scored = c.join(broadcast(q),
         c("cell") === q("cell") && col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("cos"))
-      .dropDuplicates("query_id", "nn_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among a bounded

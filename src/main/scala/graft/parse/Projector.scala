@@ -45,9 +45,13 @@ object Projector {
       dropCorrupt: Boolean = true): DataFrame = {
     // Once(..) pins the parse to a single evaluation per row — without it
     // the corrupt filter below is predicate-pushed into the scan and the
-    // message parses twice (see graft.functions.Once)
+    // message parses twice (see graft.functions.Once). A pre-parsed
+    // `__msg__` column (the dynamic-schema single-parse path) is reused
+    // as-is.
     val msg = graft.functions.Once(ChGetters.parsed(col("value")))
-    val parsed0 = df.withColumn("__msg__", msg)
+    val parsed0 =
+      if (df.columns.contains("__msg__")) df
+      else df.withColumn("__msg__", msg)
     // P5: unparseable JSON -> dropped (counted by the caller via metrics)
     val parsed =
       if (dropCorrupt) parsed0.filter(col("__msg__").isNotNull) else parsed0
@@ -107,17 +111,26 @@ object Projector {
 
   /** Project a CSV-message DataFrame given the csvFormat column order
     * (P4 — RFC-4180, custom delimiter, strict arity; parser/csv.go).
+    * Strict arity: the Go csv reader runs with
+    * `FieldsPerRecord = len(csvFormat)` (parser/csv.go:46-63), so a short
+    * or long record is a parse error and the message is DROPPED — here the
+    * corrupt-record column marks wrong-arity rows and the filter drops
+    * them.
     */
   def projectCsv(df: DataFrame, csvFormat: Seq[String], dims: Seq[Dim],
       opts: ParseOpts, delimiter: String = ","): DataFrame = {
-    val schema = StructType(csvFormat.map(n => StructField(n, StringType)))
+    val schema = StructType(
+      csvFormat.map(n => StructField(n, StringType)) :+
+        StructField("__corrupt__", StringType))
     val parsed = df
       .withColumn("__csv__",
         from_csv(col("value"), schema, Map(
           "sep" -> delimiter, "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "__corrupt__",
           // RFC-4180 escaping: quotes are escaped by doubling, not backslash
           "quote" -> "\"", "escape" -> "\"")))
-      .filter(col("__csv__").isNotNull)
+      .filter(col("__csv__").isNotNull &&
+        col("__csv__").getField("__corrupt__").isNull)
     val cols = dims.map { d =>
       metaColumn(parsed, d).getOrElse {
         CsvGetters.getValue(col("__csv__").getField(d.source), d.ti, opts).as(d.name)

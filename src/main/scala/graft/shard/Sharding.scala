@@ -30,9 +30,9 @@ object Sharding {
       case ChKind.Float32 | ChKind.Float64 | ChKind.Decimal => key.cast(LongType)
       case _ => key.cast(LongType)
     }
-    val u = GoHash.asUnsigned(asLong)
-    pmod(floor(u / lit(stripeSize)).cast(DecimalType(38, 0)) % numShards, lit(numShards))
-      .cast(IntegerType)
+    // pure long arithmetic (divideUnsigned/remainderUnsigned) — no Decimal
+    // on the shuffle-key hot path
+    GoHash.unsignedStripeMod(asLong, stripeSize, numShards)
   }
 
   /** X2 — hash policy for string keys: `xxhash64(val) % numShards` with
@@ -61,10 +61,22 @@ object Sharding {
   def autoShardingKey(sortingKeys: Seq[Column]): Column =
     GoHash.goXxHash64(concat_ws(".", sortingKeys: _*))
 
-  /** X4 — route a batch: add the shard column and co-locate each shard in
-    * its own partition for the per-shard writer.
+  /** X4/X5 — route a batch: add the shard column and co-locate each shard
+    * in its own partition group for the per-shard writer. With
+    * `writersPerShard > 1` the repartition key is salted so each shard's
+    * rows spread over that many Spark tasks — the analogue of the
+    * reference's `MaxOpenConns` writer pool per shard
+    * (util/workerpool.go:29-118, pool/conn.go:178): write parallelism is
+    * `numShards * writersPerShard`, not bounded by the shard count.
     */
-  def partitionByShard(df: DataFrame, shard: Column, numShards: Int): DataFrame =
-    df.withColumn("__shard__", shard)
-      .repartition(numShards, col("__shard__"))
+  def partitionByShard(df: DataFrame, shard: Column, numShards: Int,
+      writersPerShard: Int = 1): DataFrame =
+    if (writersPerShard <= 1)
+      df.withColumn("__shard__", shard)
+        .repartition(numShards, col("__shard__"))
+    else
+      df.withColumn("__shard__", shard)
+        .withColumn("__salt__", pmod(spark_partition_id(), lit(writersPerShard)))
+        .repartition(numShards * writersPerShard, col("__shard__"), col("__salt__"))
+        .drop("__salt__")
 }

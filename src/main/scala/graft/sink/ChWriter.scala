@@ -57,17 +57,34 @@ object ChWriter {
 
     sharded.foreachPartition { (it: Iterator[Row]) =>
       // hash-partitioning can co-locate several shard values in one Spark
-      // partition; each shard still gets its own writer/batch
-      it.toVector.groupBy(_.getInt(shardIdx)).foreach { case (shard, rows) =>
-        val w = mkWriter()
-        w.open(shard)
-        try {
-          rows.grouped(cfg.batchSize).foreach { group =>
-            val (ok, bad, r) = writeWithRetry(w, group, cfg)
-            written.add(ok); numBad.add(bad); retries.add(r)
-          }
-        } finally w.close()
+      // partition; each shard gets its own writer and a BOUNDED buffer
+      // (<= batchSize rows) flushed as the iterator streams — the
+      // partition is never materialized (task/sharding.go:120-195 streams
+      // into per-shard buffers the same way)
+      val writers = scala.collection.mutable.Map.empty[Int, RowWriter]
+      val buffers = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Row]]
+      def flush(shard: Int): Unit = {
+        val buf = buffers(shard)
+        if (buf.nonEmpty) {
+          val w = writers.getOrElseUpdate(shard, {
+            val nw = mkWriter(); nw.open(shard); nw
+          })
+          val (ok, bad, r) = writeWithRetry(w, buf.toSeq, cfg)
+          written.add(ok); numBad.add(bad); retries.add(r)
+          buf.clear()
+        }
       }
+      try {
+        it.foreach { row =>
+          val shard = row.getInt(shardIdx)
+          val buf = buffers.getOrElseUpdate(shard,
+            new scala.collection.mutable.ArrayBuffer[Row](
+              math.min(cfg.batchSize, 1 << 10)))
+          buf += row
+          if (buf.length >= cfg.batchSize) flush(shard)
+        }
+        buffers.keys.foreach(flush)
+      } finally writers.values.foreach(_.close())
     }
     WriteStats(written.value, numBad.value, retries.value)
   }

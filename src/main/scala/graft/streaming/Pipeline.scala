@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.config.{KafkaConfig, TaskConfig}
 import graft.dynamic.SchemaEvolution
 import graft.dynamic.SchemaEvolution.NewKeyPolicy
+import graft.functions.ChGetters
 import graft.functions.ChGetters.ParseOpts
 import graft.parse.Projector
 import graft.parse.Projector.Dim
@@ -33,7 +34,9 @@ object Pipeline {
   final case class SinkSpec(
       numShards: Int,
       writeCfg: ChWriter.WriteConfig,
-      mkWriter: () => ChWriter.RowWriter)
+      mkWriter: () => ChWriter.RowWriter,
+      /** X5 — writer-pool width per shard (reference MaxOpenConns). */
+      writersPerShard: Int = 1)
 
   /** S1 — the Kafka micro-batch source with the reference's consumer
     * options mapped onto Spark's. (Requires the spark-sql-kafka package at
@@ -130,17 +133,29 @@ object Pipeline {
       .trigger(Trigger.ProcessingTime(task.flushInterval * 1000L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (task.dynamicSchema) {
-          val newKeys = SchemaEvolution.detectNewKeys(
-            batch, knownKeys,
-            NewKeyPolicy(task.whiteList, task.blackList, timeZone = task.timeZone))
-          if (newKeys.nonEmpty) onNewKeys(newKeys)
-        }
-        val projected = project(batch, task, dims ++ metaDims)
-        val sharded = Sharding.partitionByShard(
-          projected, shardColumn(task, dims ++ metaDims, sink.numShards), sink.numShards)
-          .select((dims.map(d => col(d.name)) :+ col("__shard__")): _*)
-        ChWriter.write(sharded, sink.writeCfg, sink.mkWriter)
+        // Single-parse invariant (reference: one parse per message,
+        // GetNewKeys piggybacked — parser/fastjson.go:512-536): with
+        // dynamicSchema on, parse ONCE into a cached stage and run both
+        // the new-key detection and the projection from it.
+        val (input, cached) =
+          if (task.dynamicSchema && task.parser != "csv") {
+            val stage = batch.withColumn("__msg__",
+              graft.functions.Once(ChGetters.parsed(col("value")))).persist()
+            val newKeys = SchemaEvolution.detectNewKeys(
+              stage, knownKeys,
+              NewKeyPolicy(task.whiteList, task.blackList, timeZone = task.timeZone),
+              parsedCol = Some("__msg__"))
+            if (newKeys.nonEmpty) onNewKeys(newKeys)
+            (stage, true)
+          } else (batch, false)
+        try {
+          val projected = project(input, task, dims ++ metaDims)
+          val sharded = Sharding.partitionByShard(
+            projected, shardColumn(task, dims ++ metaDims, sink.numShards),
+            sink.numShards, sink.writersPerShard)
+            .select((dims.map(d => col(d.name)) :+ col("__shard__")): _*)
+          ChWriter.write(sharded, sink.writeCfg, sink.mkWriter)
+        } finally if (cached) input.unpersist()
         ()
       }
       .start()
