@@ -9,9 +9,16 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`
   * (builder-prompt scope beyond the reference): dedup family, similarity
-  * search, text analysis, multimodal plumbing. Oracles recompute each
-  * formula in DuckDB; the probabilistic variants (minhash/simhash/LSH) are
-  * rows-only here and verified for recall in OperatorsSpec instead.
+  * search, text analysis, multimodal plumbing.
+  *
+  * Every entry has a full DuckDB oracle that RECOMPUTES the operator from
+  * the base tables — including the "probabilistic" ones: minhash/simhash
+  * signatures and LSH bands are derived from md5 halves
+  * ([[graft.functions.PortableHash]] == DuckDB md5_number_lower/upper)
+  * and deterministic plane/centroid literals, so banding decisions,
+  * candidate sets and ranks are bit-reproducible in plain SQL. Corpora
+  * plant near-duplicates (identical twins, +0.05 perturbed embeddings) so
+  * no oracle passes vacuously on an empty result.
   */
 object ExtensionQueries {
 
@@ -27,15 +34,19 @@ object ExtensionQueries {
         .orderBy(col("fp"))
     },
 
-    // --- exact n-gram Jaccard near-dup pairs (bounded slice) -------------
+    // --- exact n-gram Jaccard near-dup pairs (bounded slice; corpus
+    //     plants a 3-word-suffix twin per doc so pairs exist) ------------
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
-      Dedup.nearDupPairsExact(d, "doc_id", "text", n = 3, threshold = 0.05)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzdup zzmarker zztoken")).as("text")))
+      Dedup.nearDupPairsExact(corpus, "doc_id", "text", n = 3, threshold = 0.05)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
     },
 
-    // --- minhash-LSH near-dups (probabilistic; rows-only check) ----------
+    // --- minhash-LSH near-dups (oracle recomputes signatures + banding) --
     "dedup_minhash_lsh" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val corpus = d.select(col("doc_id"), col("text"))
@@ -46,7 +57,7 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // --- simhash near-dups (probabilistic; rows-only check) --------------
+    // --- simhash near-dups (oracle recomputes the 64-bit signatures) -----
     "dedup_simhash" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val corpus = d.select(col("doc_id"), col("text"))
@@ -55,12 +66,15 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // --- embedding cosine near-dups (bounded query slice) ----------------
+    // --- embedding cosine near-dups (planted +0.05 twins) ----------------
     "dedup_embedding" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val corpus = e.union(
+        e.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
       Similarity.embeddingNearDups(
-          e, e.filter(col("vec_id") < 50), threshold = 0.75)
+          corpus, corpus.filter(col("vec_id") < 50), threshold = 0.75)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
     },
@@ -75,7 +89,7 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // --- LSH-bucketed top-k (probabilistic recall; rows-only check) ------
+    // --- LSH-bucketed top-k (oracle recomputes bands from plane literals) -
     "sim_topk_lsh" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
@@ -85,7 +99,7 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // --- IVF-cell top-k (probabilistic recall; rows-only check) ----------
+    // --- IVF-cell top-k (oracle re-trains the same centroids in SQL) -----
     "sim_topk_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
@@ -137,7 +151,9 @@ object ExtensionQueries {
         .orderBy(col("asset_id"))
     },
 
-    // --- multimodal decode-stub features (rows-only: stub codec) ----------
+    // --- multimodal decode-stub features: the stub accumulates exact
+    //     integer byte sums, so the oracle recomputes f0 from the same
+    //     bytes (the real-codec swap point stays mapPartitions) -----------
     "mm_features" -> { (s, dir) =>
       val assets = Tables(s, dir).documents
         .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
@@ -146,10 +162,220 @@ object ExtensionQueries {
       val feats = Multimodal.extractFeatures(assets)
       feats.toDF()
         .select(col("asset_id"), col("byte_len"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
         .orderBy(col("asset_id"))
     }
   )
+
+  // ==== oracle SQL ======================================================
+
+  /** The planted-twin corpus used by the dedup oracles. */
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)""".stripMargin
+
+  /** Canonical distinct word-3-gram shingles (mirrors WordShingles). */
+  private def shinglesCtes(src: String): String =
+    s"""w AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(words) < 3
+       |      THEN [array_to_string(words, ' ')]
+       |      ELSE list_transform(range(1, len(words) - 1),
+       |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+       |  FROM w)""".stripMargin
+
+  private val jaccardExpr =
+    "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(sa.s, sb.s)))"
+
+  /** Signed-long value of `h1 + i*h2` with 64-bit wrap, in HUGEINT —
+    * bit-parity with Spark's wrapped long arithmetic.
+    */
+  private def wrappedPerm(i: Int): String = {
+    val u = s"((h1 + $i*h2) % 18446744073709551616)"
+    s"($u - CASE WHEN $u >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+  }
+
+  /** Full minhash-LSH recomputation: md5-half permutations, 8 bands of 4,
+    * band-equality candidates, exact-Jaccard verify.
+    */
+  private def minhashOracle: String = {
+    val sigCols = (0 until 32).map(i => s"MIN(${wrappedPerm(i)}) AS m$i").mkString(",\n    ")
+    val bandEq = (0 until 8).map { b =>
+      (0 until 4).map(r => s"x.m${b * 4 + r} = y.m${b * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    s"""WITH $corpusCte,
+       |${shinglesCtes("corpus")},
+       |hs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |hv AS (SELECT doc_id,
+       |    md5_number_lower(sg)::HUGEINT AS h1,
+       |    md5_number_upper(sg)::HUGEINT AS h2 FROM hs),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hv GROUP BY doc_id),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |    AND ($bandEq)),
+       |jac AS (
+       |  SELECT c.a, c.b, $jaccardExpr AS j
+       |  FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
+       |SELECT a, b, round(j, 6) AS jaccard FROM jac
+       |WHERE j >= 0.9 ORDER BY a, b""".stripMargin
+  }
+
+  /** Full simhash recomputation: md5-lower token hashes, 64 sign
+    * counters, 4x16-bit banding, hamming verify.
+    */
+  private def simhashOracle: String = {
+    val cntCols = (0 until 64).map(j =>
+      s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS c$j").mkString(",\n    ")
+    val sigExpr = (0 until 64).map(j =>
+      s"CASE WHEN c$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(b =>
+      s"((l.sh >> ${b * 16}) & 65535) = ((r.sh >> ${b * 16}) & 65535)")
+      .mkString("\n      OR ")
+    s"""WITH $corpusCte,
+       |tk AS (SELECT doc_id,
+       |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM corpus),
+       |hv AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tk),
+       |cnt AS (SELECT doc_id,
+       |    $cntCols
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($sigExpr) AS sh FROM cnt),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b,
+       |    CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |    AND ($bandEq))
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+  }
+
+  private val cosExpr =
+    "CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0 " +
+      "ELSE list_dot_product(qv, cv) / " +
+      "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END"
+
+  /** Random-hyperplane LSH recomputation: the 16 plane literals are the
+    * exact doubles the Spark plan embeds (same splitmix64 derivation).
+    */
+  private def lshOracle: String = {
+    def plane(b: Int): String =
+      (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
+        .mkString("[", ", ", "]")
+    val bitCols = (0 until 16).map(b =>
+      s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
+      .mkString(",\n    ")
+    val keyCols = (0 until 4).map { band =>
+      val expr = (0 until 4).map(r => s"b${band * 4 + r}")
+        .reduce((acc, b) => s"($acc * 2 + $b)")
+      s"$expr AS k$band"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 4).map(b => s"q.k$b = c.k$b").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v,
+       |    $bitCols
+       |  FROM e),
+       |bd AS (SELECT vec_id, v,
+       |    $keyCols
+       |  FROM sg),
+       |cd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id, q.v AS qv, c.v AS cv
+       |  FROM bd q JOIN bd c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+       |    AND ($bandEq)),
+       |sc AS (SELECT query_id, nn_id, $cosExpr AS cos0 FROM cd)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, nn_id) AS INT) AS rank,
+       |  nn_id, round(cos0, 6) AS cos
+       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF recomputation: re-trains the identical centroids in SQL —
+    * md5-hash-sampled seeds, one Lloyd step with round(mean, 3) — then
+    * assigns cells, probes 4, re-ranks.
+    */
+  private def ivfOracle: String = {
+    val meanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS m$d")
+      .mkString(",\n    ")
+    val centList = (0 until 64).map(d => s"coalesce(m.m$d, round(s.v[${d + 1}], 3))")
+      .mkString("[", ", ", "]")
+    // Spark orders seeds by the SIGNED md5 long; md5_number_lower is
+    // UBIGINT, so reinterpret before ordering
+    val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
+      "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY $hSigned, vec_id) - 1 AS cell, v
+       |  FROM e
+       |  ORDER BY $hSigned, vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, s.cell,
+       |    list_dot_product(e.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
+       |  FROM e CROSS JOIN seeds s),
+       |b0 AS (
+       |  SELECT vec_id, v, cell FROM a0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |m AS (SELECT cell,
+       |    $meanCols
+       |  FROM b0 GROUP BY cell),
+       |cent AS (
+       |  SELECT s.cell, $centList AS cv
+       |  FROM seeds s LEFT JOIN m ON s.cell = m.cell),
+       |ac AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+       |  FROM e CROSS JOIN cent c),
+       |cellof AS (
+       |  SELECT vec_id, v, cell FROM ac
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell FROM ac WHERE vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) <= 4),
+       |sc AS (
+       |  SELECT p.query_id, k.vec_id AS nn_id, p.qv, k.v AS cv
+       |  FROM probes p JOIN cellof k ON p.cell = k.cell AND k.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, nn_id, $cosExpr AS cos0 FROM sc)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, nn_id) AS INT) AS rank,
+       |  nn_id, round(cos0, 6) AS cos
+       |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** mm_features f0: exact integer byte sums over stride-8 positions of
+    * the UTF-8 bytes (via hex-nibble lookup), one double division, cast
+    * through REAL — bit-parity with DecodeStub.decode.
+    */
+  private def mmFeaturesOracle: String = {
+    val nib = "strpos('0123456789ABCDEF', %s) - 1"
+    val hi = nib.format("substr(h, 2*i + 1, 1)")
+    val lo = nib.format("substr(h, 2*i + 2, 1)")
+    s"""WITH b AS (
+       |  SELECT doc_id AS asset_id,
+       |    octet_length(encode(text)) AS byte_len,
+       |    hex(encode(text)) AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT asset_id, byte_len,
+       |    coalesce(list_sum(list_transform(
+       |      range(0, CAST(byte_len AS INT), 8),
+       |      i -> ($hi) * 16 + ($lo))), 0) AS s0,
+       |    greatest(1, byte_len // 8) AS stripe
+       |  FROM b)
+       |SELECT asset_id, byte_len,
+       |  round(CAST(CAST(CASE WHEN byte_len = 0 THEN 0.0
+       |    ELSE s0 / (255.0 * stripe) END AS REAL) AS DOUBLE), 6) AS f0
+       |FROM s ORDER BY asset_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -160,28 +386,30 @@ object ExtensionQueries {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
-        |  FROM documents WHERE doc_id < 100),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(words) < 3
-        |      THEN [array_to_string(words, ' ')]
-        |      ELSE list_transform(range(1, len(words) - 1),
-        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
-        |  FROM w)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
-        |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(x.s, y.s))) >= 0.05
-        |ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard" -> {
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' zzdup zzmarker zztoken' AS text
+         |  FROM documents WHERE doc_id < 100),
+         |${shinglesCtes("corpus")}
+         |SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |  round($jaccardExpr, 6) AS jaccard
+         |FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+         |WHERE $jaccardExpr >= 0.05
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_simhash" -> simhashOracle,
 
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(v, x -> x + 0.05) AS v FROM base)
         |SELECT q.vec_id AS a, c.vec_id AS b,
         |  round(list_dot_product(q.v, c.v) /
         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
@@ -203,6 +431,10 @@ object ExtensionQueries {
         |  nn_id, round(cos0, 6) AS cos
         |FROM scored QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_lsh" -> lshOracle,
+
+    "sim_topk_ivf" -> ivfOracle,
 
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>
@@ -264,6 +496,8 @@ object ExtensionQueries {
         |  octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS sha256,
         |  upper(substr(hex(encode(text)), 1, 8)) AS magic
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "mm_features" -> mmFeaturesOracle
   )
 }

@@ -170,7 +170,9 @@ object ParityQueries {
         .orderBy(col("shard"))
     },
 
-    // --- X2: hash sharding (no SQL oracle: Go-parity xxhash) ------------
+    // --- X2: hash sharding. Oracle = golden xxh64 shard per event_type
+    // (DuckDB has no XXH64; the mapping is pinned by GoHashSpec against
+    // the reference's cespare/xxhash semantics) --------------------------
     "q_shard_hash" -> { (s, dir) =>
       Tables(s, dir).events
         .select(Sharding.hash(col("event_type"), 8).as("shard"))
@@ -416,6 +418,15 @@ object ParityQueries {
 
     "q_shard_stripe" ->
       """SELECT CAST((user_id // 10) % 4 AS INT) AS shard, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // golden XXH64(seed 0) % 8 per event_type — values pinned in
+    // GoHashSpec ("event_type shard mapping is stable")
+    "q_shard_hash" ->
+      """SELECT CAST(CASE event_type
+        |    WHEN 'click' THEN 4 WHEN 'error' THEN 3 WHEN 'purchase' THEN 7
+        |    WHEN 'signup' THEN 6 WHEN 'view' THEN 7 END AS INT) AS shard,
+        |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_shard_offset" ->
