@@ -70,12 +70,35 @@ object SchemaEvolution {
       }
       .sortBy(_.getString(0))
       .flatMap { r =>
-        val tags = r.getSeq[String](1).filterNot(_ == "VOID")
         // the reference types a key from its first occurrence; mixed-type
-        // keys are inherently racy there — we require a consistent tag
-        if (tags.size != 1) None
-        else inferKind(tags.head, Option(r.getString(2)), zone).map(r.getString(0) -> _)
+        // keys are inherently racy there — we require a consistent type
+        // FAMILY (variant numeric tags carry per-value precision, e.g.
+        // DECIMAL(3,1) vs DECIMAL(10,2), and must unify)
+        val fams = r.getSeq[String](1).filterNot(_ == "VOID")
+          .map(tagFamily).distinct
+        if (fams.size != 1) None
+        else (fams.head match {
+          case "BOOLEAN" => Some(ChKind.Bool)
+          case "INT"     => Some(ChKind.Int64)
+          case "FLOAT"   => Some(ChKind.Float64)
+          case "STRING" =>
+            Option(r.getString(2)) match {
+              case Some(s) if GoLayouts.detect(s, zone)._2 >= 0 => Some(ChKind.DateTime)
+              case _ => Some(ChKind.Str)
+            }
+          case _ => None
+        }).map(r.getString(0) -> _)
       }
+  }
+
+  /** Variant tag -> unification family. */
+  private def tagFamily(tag: String): String = tag match {
+    case "BOOLEAN" => "BOOLEAN"
+    case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => "INT"
+    case "FLOAT" | "DOUBLE" => "FLOAT"
+    case t if t.startsWith("DECIMAL") => "FLOAT"
+    case "STRING" => "STRING"
+    case other => other
   }
 
   /** D2 — variant tag -> dynamic column kind (fjDetectType parity). */

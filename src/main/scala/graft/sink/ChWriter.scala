@@ -170,7 +170,22 @@ object ChWriter {
         cols.indices.foreach(i => stmt.setObject(i + 1, r.get(i)))
         stmt.addBatch()
       }
-      stmt.executeBatch()
+      try {
+        stmt.executeBatch()
+      } catch {
+        // per-row failures -> tolerant skip path (S6): the reference
+        // inspects row errors and retries without them
+        // (pool/ck_cli.go:197-229); JDBC surfaces them as EXECUTE_FAILED
+        // slots in a BatchUpdateException
+        case e: java.sql.BatchUpdateException =>
+          stmt.clearBatch()
+          val bad = e.getUpdateCounts.zipWithIndex.collect {
+            case (c, i) if c == java.sql.Statement.EXECUTE_FAILED => i
+          }
+          if (bad.nonEmpty)
+            throw new BadRowsException(bad.toIndexedSeq, s"bad rows: ${e.getMessage}")
+          else throw e
+      }
       stmt.clearBatch()
     }
     override def close(): Unit = {

@@ -36,9 +36,16 @@ object SeriesDedup {
 
   /** AllowWriteSeries as a flatMapGroupsWithState function: emit the row
     * when the sid is unseen or its mid changed (quota-gated).
+    *
+    * `bootstrap` seeds the state store with a (sid, mid) snapshot before
+    * the first batch — the reference loads `map[sid]mid` from ClickHouse
+    * at startup (task/sinker.go:561-614; the SQL is
+    * [[graft.sink.ChSql.loadSeriesQuery]]): pre-seeded sids with an
+    * unchanged mid never re-emit across restarts.
     */
   def dedup(rows: Dataset[SeriesRow], quota: WriteQuota,
-      stateTtl: Option[String] = None): Dataset[SeriesRow] = {
+      stateTtl: Option[String] = None,
+      bootstrap: Option[Dataset[(Long, Long)]] = None): Dataset[SeriesRow] = {
     import rows.sparkSession.implicits._
     // a TTL bounds state like the reference's ActiveSeriesRange reload
     // window; note processing-time timeouts keep the query ticking, so
@@ -46,24 +53,41 @@ object SeriesDedup {
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    rows
-      .groupByKey(_.sid)
-      .flatMapGroupsWithState[Long, SeriesRow](
-        OutputMode.Append(), timeoutConf) {
-        (sid: Long, it: Iterator[SeriesRow], state: GroupState[Long]) =>
-          stateTtl.foreach(state.setTimeoutDuration)
-          var out = List.empty[SeriesRow]
-          it.foreach { r =>
-            if (!state.exists) {
-              state.update(r.mid)
-              out = r :: out
-            } else if (state.get != r.mid && quota.allow()) {
-              state.update(r.mid)
-              out = r :: out
-            }
-          }
-          out.reverseIterator
+    val fn = (sid: Long, it: Iterator[SeriesRow], state: GroupState[Long]) => {
+      stateTtl.foreach(state.setTimeoutDuration)
+      var out = List.empty[SeriesRow]
+      it.foreach { r =>
+        if (!state.exists) {
+          state.update(r.mid)
+          out = r :: out
+        } else if (state.get != r.mid && quota.allow()) {
+          state.update(r.mid)
+          out = r :: out
+        }
       }
+      out.reverseIterator
+    }
+    val grouped = rows.groupByKey(_.sid)
+    bootstrap match {
+      case Some(b) =>
+        grouped.flatMapGroupsWithState[Long, SeriesRow](
+          OutputMode.Append(), timeoutConf, b.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[Long, SeriesRow](
+          OutputMode.Append(), timeoutConf)(fn)
+    }
+  }
+
+  /** Adapter: a ClickHouse series snapshot (the result of
+    * [[graft.sink.ChSql.loadSeriesQuery]] read over JDBC) -> bootstrap
+    * dataset for [[dedup]].
+    */
+  def bootstrapFromSnapshot(df: org.apache.spark.sql.DataFrame): Dataset[(Long, Long)] = {
+    import df.sparkSession.implicits._
+    df.select(
+      org.apache.spark.sql.functions.col("__series_id__").cast("long"),
+      org.apache.spark.sql.functions.col("__mgmt_id__").cast("long"))
+      .as[(Long, Long)]
   }
 
   /** Batch-mode equivalent (used by foreachBatch pipelines and the oracle

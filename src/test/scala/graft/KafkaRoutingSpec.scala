@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{KafkaConfig, TaskConfig}
+import graft.streaming.Pipeline
+
+/** S1 option mapping + FL7 header routing, exercised without a broker:
+  * the option map the Kafka source would receive (incl. SASL jaas) and
+  * the `__table_name`-header routing branch over a constructed DataFrame
+  * with a Kafka-shaped `headers` column (task/consumer.go:233-254,
+  * input/kafka_franz.go:125-187).
+  */
+class KafkaRoutingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(2)
+
+  test("source options map brokers + TLS/SASL onto spark-kafka options (S1)") {
+    val plain = KafkaConfig(brokers = "b1:9092,b2:9092")
+    assert(plain.sourceOptions === Map("kafka.bootstrap.servers" -> "b1:9092,b2:9092"))
+
+    val sasl = KafkaConfig(
+      brokers = "b:9092",
+      securityProtocol = Some("SASL_SSL"),
+      saslMechanism = Some("PLAIN"),
+      saslUsername = Some("svc"),
+      saslPassword = Some("p\"w"))
+    val opts = sasl.sourceOptions
+    assert(opts("kafka.bootstrap.servers") === "b:9092")
+    assert(opts("kafka.security.protocol") === "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") === "PLAIN")
+    val jaas = opts("kafka.sasl.jaas.config")
+    assert(jaas.startsWith("org.apache.kafka.common.security.plain.PlainLoginModule required"))
+    assert(jaas.contains("username=\"svc\"") && jaas.endsWith(";"))
+  }
+
+  test("__table_name header routes; missing header falls back to topic (FL7)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("m_header_match", "other_topic", Seq(("__table_name", "audit".getBytes("UTF-8")))),
+      ("m_header_miss", "t1", Seq(("x-trace", "42".getBytes("UTF-8")))),
+      ("m_no_match", "t2", Seq.empty[(String, Array[Byte])]),
+      ("m_header_wrong", "t2", Seq(("__table_name", "other".getBytes("UTF-8")))))
+      .toDF("value", "topic", "headers")
+      .withColumn("headers",
+        col("headers").cast("array<struct<key:string,value:binary>>"))
+    val task = TaskConfig(name = "t", topic = "t1", consumerGroup = "g",
+      tableName = "audit")
+    val got = Pipeline.routingFilter(raw, task)
+      .select(col("value")).as[String].collect().sorted.toSeq
+    // header match wins regardless of topic; no header -> topic decides;
+    // wrong header value -> dropped even if headerless topic would drop too
+    assert(got === Seq("m_header_match", "m_header_miss"))
+  }
+
+  test("headerless sources route purely by topic") {
+    import spark.implicits._
+    val raw = Seq(("a", "t1"), ("b", "t2")).toDF("value", "topic")
+    val task = TaskConfig(name = "t", topic = "t1", consumerGroup = "g")
+    val got = Pipeline.routingFilter(raw, task)
+      .select(col("value")).as[String].collect().toSeq
+    assert(got === Seq("a"))
+  }
+}

@@ -90,4 +90,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("topk is a bounded partial aggregate, not a full-shuffle window") {
+    val e = Tables(spark, sf).embeddings
+    val p = plan(graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 10), 5))
+    // partial (map-side) + final ObjectHashAggregate around one exchange:
+    // the shuffle carries |q|*k rows, never the |q|*|corpus| product
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), s"full-shuffle window on the scored product:\n$p")
+  }
+
+  test("ivf assign stage is a projection: no nested-loop join, no window") {
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val p = plan(graft.operators.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < 10), 5, nCells = 8, nprobe = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell assignment must not fan out corpus x centroids:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"no per-id window for the argmin:\n$p")
+    // the probe join is a real equi-join on the cell key
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("dynamic-schema path parses each message exactly once") {
+    import graft.dynamic.SchemaEvolution
+    import graft.functions.ChGetters
+    import graft.functions.ChGetters.ParseOpts
+    import graft.parse.Projector
+    import graft.parse.Projector.Dim
+    import graft.types.ChType
+    val raw = Tables(spark, sf).events
+      .select(to_json(struct(col("event_id").as("id"),
+        col("event_type").as("s"), col("value").as("extra"))).as("value"))
+    // the pipeline's single-parse shape: parse once into a cached stage,
+    // detect new keys AND project from it
+    val stage = raw.withColumn("__msg__",
+      graft.functions.Once(ChGetters.parsed(col("value")))).persist()
+    try {
+      val newKeys = SchemaEvolution.detectNewKeys(stage, Set("id", "s"),
+        parsedCol = Some("__msg__"))
+      assert(newKeys.map(_._1) === Seq("extra"))
+      val projected = Projector.projectJson(stage,
+        Seq(Dim("id", ChType.whichType("Int64")), Dim("s", ChType.whichType("String"))),
+        ParseOpts())
+      projected.count()
+      val p = plan(projected)
+      assert(p.contains("InMemoryTableScan"),
+        s"projection must reuse the cached parse stage:\n$p")
+      // the cached relation holds the single parse; the projection plan
+      // itself must not re-parse
+      assert("parseJson".r.findAllIn(p).length <= 1,
+        s"message must parse at most once on the dynamic-schema path:\n$p")
+    } finally stage.unpersist()
+  }
 }

@@ -39,6 +39,31 @@ class SeriesDedupSpec extends AnyFunSuite {
       Seq((1L, 10L), (2L, 20L), (2L, 21L), (3L, 30L)))
   }
 
+  test("bootstrap snapshot: pre-seeded sids don't re-emit, changed mids do") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeriesRow]
+    // ClickHouse snapshot (ChSql.loadSeriesQuery result): sid 1 -> mid 10,
+    // sid 2 -> mid 20 already known at startup
+    val snapshot = spark.createDataFrame(Seq((1L, 10L), (2L, 20L)))
+      .toDF("__series_id__", "__mgmt_id__")
+    val boot = SeriesDedup.bootstrapFromSnapshot(snapshot)
+    val out = SeriesDedup.dedup(input.toDS(), new WriteQuota(16384, 10000),
+      bootstrap = Some(boot))
+    val q = out.writeStream.format("memory").queryName("series_boot")
+      .outputMode("append").start()
+
+    input.addData(
+      SeriesRow(1L, 10L, "{}"), // pre-seeded, unchanged -> dropped
+      SeriesRow(2L, 21L, "{}"), // pre-seeded, mid changed -> rewritten
+      SeriesRow(3L, 30L, "{}")) // unseen -> emitted
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("series_boot").as[SeriesRow].collect()
+      .map(r => (r.sid, r.mid)).sorted.toSeq
+    assert(rows === Seq((2L, 21L), (3L, 30L)))
+  }
+
   test("quota limits changed-series rewrites (16384/10s parity, small window)") {
     val quota = new WriteQuota(2, 60000)
     assert(quota.allow(1000))
