@@ -23,7 +23,10 @@ object SeriesDedup {
   /** Quota parity: at most `writtenQuota` changed-series rewrites per
     * `windowMs` (WrSeriesQuota 16384 / 10 s, output/clickhouse.go:59,
     * 173-183). New series are never quota-dropped. Process-wide like the
-    * reference; per-executor on a cluster.
+    * reference; per-executor on a cluster. Inside [[dedup]] the window
+    * clock is the BATCH's processing time (GroupState's stored trigger
+    * timestamp), not wall clock — so a recovered/replayed batch makes the
+    * same quota decisions it made the first time.
     */
   final class WriteQuota(val quota: Int, val windowMs: Long) extends Serializable {
     @transient private var windowStart = 0L
@@ -60,7 +63,8 @@ object SeriesDedup {
         if (!state.exists) {
           state.update(r.mid)
           out = r :: out
-        } else if (state.get != r.mid && quota.allow()) {
+        } else if (state.get != r.mid &&
+            quota.allow(state.getCurrentProcessingTimeMs())) {
           state.update(r.mid)
           out = r :: out
         }

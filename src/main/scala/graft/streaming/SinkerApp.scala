@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.config.{KafkaConfig, TaskConfig}
+import graft.config.{ConfigReload, KafkaConfig, TaskConfig}
 import graft.parse.Projector.Dim
 import graft.sink.ChSql
 import graft.types.{ChKind, ChType, ChTypeInfo}
@@ -80,6 +80,26 @@ final class SinkerApp(
     queries.values().forEach(q => if (q.isActive) q.processAllAvailable())
 
   def stopAll(): Unit = queries.values().forEach(_.stop())
+
+  /** C3 — config hot-reload with a deep diff (task/sinker.go:340-519):
+    * stop removed/changed consumers, start new ones, re-init changed
+    * tasks in place; untouched tasks keep running. Returns the applied
+    * plan.
+    */
+  def applyConfig(oldTasks: Seq[TaskConfig], newTasks: Seq[TaskConfig],
+      dimsFor: TaskConfig => Seq[Dim],
+      globalSectionChanged: Boolean = false): ConfigReload.Plan = {
+    val plan = ConfigReload.plan(oldTasks, newTasks, globalSectionChanged)
+    val byName = newTasks.map(t => t.name -> t).toMap
+    (plan.stopTasks ++ plan.restartTasks).foreach { n =>
+      Option(queries.remove(n)).foreach(_.stop())
+      if (!byName.contains(n)) schemas.remove(n)
+    }
+    (plan.startTasks ++ plan.restartTasks).foreach { n =>
+      byName.get(n).foreach(t => startTask(t, dimsFor(t)))
+    }
+    plan
+  }
 }
 
 /** DDL for schema evolution, shaped by the task config. */
