@@ -88,9 +88,13 @@ object Dedup {
       k: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(col(shinglesCol)).as("sh"))
+      // ONE digest per shingle: Once pins the pair against CollapseProject
+      // re-inlining it into each half
       .select(col("id"),
-        PortableHash.md5Lo(col("sh")).as("h1"),
-        PortableHash.md5Hi(col("sh")).as("h2"))
+        graft.functions.Once(PortableHash.md5Pair(col("sh"))).as("p"))
+      .select(col("id"),
+        element_at(col("p"), 1).as("h1"),
+        element_at(col("p"), 2).as("h2"))
     val aggs = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     exploded.groupBy(col("id"))
