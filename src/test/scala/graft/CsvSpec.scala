@@ -46,6 +46,22 @@ class CsvSpec extends AnyFunSuite {
     assert(r.getByte(7) === 127.toByte) // clamped
   }
 
+  test("strict arity: short and long records are dropped (csv.go:46-63)") {
+    val dims = Seq(
+      Dim("a", ChType.whichType("Int64")),
+      Dim("b", ChType.whichType("String")),
+      Dim("c", ChType.whichType("Int64")))
+    val rows = Seq(
+      "1,x,10",        // exact arity -> kept
+      "2,y",           // short -> dropped (FieldsPerRecord mismatch)
+      "3,z,30,extra",  // long -> dropped
+      "4,\"q,uoted\",40") // delimiter inside quotes is NOT extra arity
+      .toDF("value")
+    val got = Projector.projectCsv(rows, Seq("a", "b", "c"), dims, ParseOpts())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "x", 10L), (4L, "q,uoted", 40L)))
+  }
+
   test("wrong-typed text cells fall to defaults") {
     val dims = Seq(
       Dim("bool_true", ChType.whichType("Int64")),   // "true" -> 1? No: text
