@@ -22,7 +22,9 @@ final class Metrics extends StreamingQueryListener {
       inputRowsPerSecond: Double,
       processedRowsPerSecond: Double,
       numInputRows: Long,
-      batchDurationMs: Long)
+      batchDurationMs: Long,
+      /** A4 — sum over topic-partitions of (broker latest - consumed). */
+      consumerLag: Long = 0L)
 
   private val snapshots = new ConcurrentHashMap[String, QuerySnapshot]()
   val batchesCompleted = new LongAdder
@@ -35,12 +37,15 @@ final class Metrics extends StreamingQueryListener {
     val name = Option(p.name).getOrElse(p.id.toString)
     batchesCompleted.increment()
     rowsConsumed.add(p.numInputRows)
+    val lag = p.sources.map(s =>
+      Metrics.lagFromOffsets(s.endOffset, s.latestOffset)).sum
     snapshots.put(name, QuerySnapshot(
       name, p.batchId,
       Option(p.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
       Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
       p.numInputRows,
-      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)))
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+      lag))
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -60,6 +65,7 @@ final class Metrics extends StreamingQueryListener {
     sb.append(s"graft_rows_consumed ${rowsConsumed.sum()}\n")
     state.values.foreach { s =>
       sb.append(s"""graft_processed_rows_per_second{task="${s.name}"} ${s.processedRowsPerSecond}\n""")
+      sb.append(s"""graft_consumer_lag{task="${s.name}"} ${s.consumerLag}\n""")
     }
     sb.toString
   }
@@ -70,5 +76,39 @@ object Metrics {
     val m = new Metrics
     spark.streams.addListener(m)
     m
+  }
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A4 — consumer-lag sum from a Kafka source progress's offset JSONs
+    * (`{"topic":{"0":123,...}}`): sum over partitions of
+    * latest - consumed, clamped at 0. The reference sums broker high
+    * watermark minus committed per assigned partition
+    * (task/consumer.go lag stats); the Kafka source's `latestOffset` is
+    * the same high watermark. Non-Kafka sources (files, memory) report
+    * offsets in other shapes -> 0.
+    */
+  def lagFromOffsets(endOffset: String, latestOffset: String): Long = {
+    def parse(s: String): Map[(String, String), Long] =
+      try {
+        val n = mapper.readTree(s)
+        if (n == null || !n.isObject) Map.empty
+        else {
+          val out = Map.newBuilder[(String, String), Long]
+          n.fields().forEachRemaining { topic =>
+            if (topic.getValue.isObject)
+              topic.getValue.fields().forEachRemaining { part =>
+                if (part.getValue.isNumber)
+                  out += ((topic.getKey, part.getKey) -> part.getValue.asLong())
+              }
+          }
+          out.result()
+        }
+      } catch { case _: Exception => Map.empty }
+    val end = parse(Option(endOffset).getOrElse(""))
+    val latest = parse(Option(latestOffset).getOrElse(""))
+    latest.map { case (tp, hi) =>
+      math.max(0L, hi - end.getOrElse(tp, hi))
+    }.sum
   }
 }

@@ -53,6 +53,18 @@ class KafkaRoutingSpec extends AnyFunSuite {
     assert(got === Seq("m_header_match", "m_header_miss"))
   }
 
+  test("consumer lag sums latest-minus-consumed per topic-partition (A4)") {
+    import graft.streaming.Metrics
+    val end    = """{"t1":{"0":100,"1":40},"t2":{"0":7}}"""
+    val latest = """{"t1":{"0":130,"1":40},"t2":{"0":10}}"""
+    assert(Metrics.lagFromOffsets(end, latest) === 33L) // 30 + 0 + 3
+    // partition present at the broker but never consumed -> no phantom lag
+    assert(Metrics.lagFromOffsets("""{"t1":{"0":5}}""", """{"t1":{"0":5,"1":99}}""") === 0L)
+    // non-Kafka offset shapes (file/memory sources) -> 0, never a crash
+    assert(Metrics.lagFromOffsets("{\"logOffset\":3}", "3") === 0L)
+    assert(Metrics.lagFromOffsets(null, null) === 0L)
+  }
+
   test("headerless sources route purely by topic") {
     import spark.implicits._
     val raw = Seq(("a", "t1"), ("b", "t2")).toDF("value", "topic")
