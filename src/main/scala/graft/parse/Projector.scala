@@ -122,13 +122,16 @@ object Projector {
     val schema = StructType(
       csvFormat.map(n => StructField(n, StringType)) :+
         StructField("__corrupt__", StringType))
+    // Once pins the parse: without it the corrupt/arity filter is
+    // predicate-pushed below this projection and every row parses the
+    // CSV twice (see the identical barrier on the JSON path)
     val parsed = df
       .withColumn("__csv__",
-        from_csv(col("value"), schema, Map(
+        graft.functions.Once(from_csv(col("value"), schema, Map(
           "sep" -> delimiter, "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "__corrupt__",
           // RFC-4180 escaping: quotes are escaped by doubling, not backslash
-          "quote" -> "\"", "escape" -> "\"")))
+          "quote" -> "\"", "escape" -> "\""))))
       .filter(col("__csv__").isNotNull &&
         col("__csv__").getField("__corrupt__").isNull)
     val cols = dims.map { d =>

@@ -74,6 +74,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"parse_json must run once per row:\n$p")
   }
 
+  test("csv projection parses each line exactly once") {
+    import graft.functions.ChGetters.ParseOpts
+    import graft.parse.Projector
+    import graft.parse.Projector.Dim
+    import graft.types.ChType
+    val raw = Tables(spark, sf).events
+      .select(concat_ws(",", col("event_id"), col("event_type")).as("value"))
+    val projected = Projector.projectCsv(raw, Seq("a", "b"),
+      Seq(Dim("a", ChType.whichType("Int64")), Dim("b", ChType.whichType("String"))),
+      ParseOpts())
+    val p = plan(projected)
+    assert("from_csv".r.findAllIn(p).length === 1,
+      s"CSV must parse once per row (arity filter must not re-parse):\n$p")
+  }
+
   test("minhash LSH plan never builds a cartesian product") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.nearDupPairsMinhash(
