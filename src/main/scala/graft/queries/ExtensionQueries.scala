@@ -34,6 +34,16 @@ object ExtensionQueries {
         .orderBy(col("fp"))
     },
 
+    // --- exact dedup, drop form: keep the min-id row per fingerprint ----
+    "dedup_drop_exact" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dropExact(corpus, col("text"), col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- exact n-gram Jaccard near-dup pairs (bounded slice; corpus
     //     plants a 3-word-suffix twin per doc so pairs exist) ------------
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -399,6 +409,18 @@ object ExtensionQueries {
          |WHERE $jaccardExpr >= 0.05
          |ORDER BY a, b""".stripMargin
     },
+
+    "dedup_drop_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM corpus)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
 

@@ -327,6 +327,18 @@ object ParityQueries {
         .orderBy(col("w_start"), col("event_type"))
     },
 
+    // --- ST2 family: session windows (absent in reference; §2.7
+    // completeness). Oracle recomputes via gaps-and-islands. -------------
+    "q_session_window" -> { (s, dir) =>
+      Tables(s, dir).events
+        .filter(col("user_id") < 50)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+          col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
     // --- rollup (§2.6 completeness: grouping sets family) ----------------
     "q_rollup" -> { (s, dir) =>
       Tables(s, dir).orders
@@ -516,6 +528,28 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // break when the gap to the previous event is >= 10 min (a session is
+    // [t, t+gap) — an event landing exactly at prev_end starts anew)
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events WHERE user_id < 50),
+        |m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT user_id, t,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT MIN(t) AS s_start, MAX(t) + INTERVAL 10 MINUTE AS s_end,
+        |  user_id, COUNT(*) AS n
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
