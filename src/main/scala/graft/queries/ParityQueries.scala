@@ -352,6 +352,29 @@ object ParityQueries {
         .orderBy(col("status"), col("priority"))
     },
 
+    // --- cube (§2.6 completeness: full grouping-sets lattice) ------------
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // --- exact percentiles (§2.6 completeness; continuous interpolation) -
+    "q_percentile" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+        .orderBy(col("event_type"))
+    },
+
     // --- set ops (§2.7 completeness) -------------------------------------
     "q_setops" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -517,6 +540,20 @@ object ParityQueries {
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events WHERE user_id < 50
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_setops" ->
       """SELECT COUNT(*) AS n_names FROM (
