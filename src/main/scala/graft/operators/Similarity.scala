@@ -211,6 +211,7 @@ object Similarity {
       .limit(nCells)
       .select(col("id"), col("v"))
       .collect()
+    require(seedRows.nonEmpty, s"ivf: corpus is empty, cannot train $nCells centroids")
     val seeds = Centroids(seedRows.zipWithIndex.map { case (r, i) =>
       val v = r.getSeq[Double](1).toArray
       (i, v, math.sqrt(v.map(x => x * x).sum))

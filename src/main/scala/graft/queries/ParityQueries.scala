@@ -365,6 +365,17 @@ object ParityQueries {
         .orderBy(col("status"), col("priority"))
     },
 
+    // --- pivot (§2.6 completeness: wide conditional aggregation) ---------
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir).events
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("bucket"))
+    },
+
     // --- exact percentiles (§2.6 completeness; continuous interpolation) -
     "q_percentile" -> { (s, dir) =>
       Tables(s, dir).events
@@ -548,6 +559,15 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
