@@ -77,27 +77,18 @@ object SchemaEvolution {
         val fams = r.getSeq[String](1).filterNot(_ == "VOID")
           .map(tagFamily).distinct
         if (fams.size != 1) None
-        else (fams.head match {
-          case "BOOLEAN" => Some(ChKind.Bool)
-          case "INT"     => Some(ChKind.Int64)
-          case "FLOAT"   => Some(ChKind.Float64)
-          case "STRING" =>
-            Option(r.getString(2)) match {
-              case Some(s) if GoLayouts.detect(s, zone)._2 >= 0 => Some(ChKind.DateTime)
-              case _ => Some(ChKind.Str)
-            }
-          case _ => None
-        }).map(r.getString(0) -> _)
+        else inferKind(fams.head, Option(r.getString(2)), zone)
+          .map(r.getString(0) -> _)
       }
   }
 
-  /** Variant tag -> unification family. */
+  /** Variant tag -> unification family (a representative tag, so
+    * [[inferKind]] stays the single tag->kind decision table).
+    */
   private def tagFamily(tag: String): String = tag match {
-    case "BOOLEAN" => "BOOLEAN"
-    case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => "INT"
-    case "FLOAT" | "DOUBLE" => "FLOAT"
-    case t if t.startsWith("DECIMAL") => "FLOAT"
-    case "STRING" => "STRING"
+    case "TINYINT" | "SMALLINT" | "INT" => "BIGINT"
+    case "FLOAT" | "DOUBLE" => "DOUBLE"
+    case t if t.startsWith("DECIMAL") => "DOUBLE"
     case other => other
   }
 

@@ -24,10 +24,6 @@ object GoHash {
   def goXxHash64(c: Column): Column =
     toColumn(XxHash64(Seq(toExpression(c.cast("string"))), 0L))
 
-  /** XXH64(seed) — used for minhash permutations and LSH planes. */
-  def xxHash64Seeded(c: Column, seed: Long): Column =
-    toColumn(XxHash64(Seq(toExpression(c.cast("string"))), seed))
-
   private val TwoPow64 = BigDecimal(BigInt(1) << 64)
 
   /** Reinterpret a signed long column as unsigned, as Decimal(38,0) —

@@ -61,17 +61,6 @@ object Dedup {
 
   // ---- minhash + LSH --------------------------------------------------
 
-  /** k-permutation minhash signature: element i is
-    * min over shingles of `h1 + i*h2` (two-hash Broder construction,
-    * wrapped signed-long arithmetic; h1/h2 are the md5 halves — see
-    * [[PortableHash]], chosen so SQL oracles recompute identical values).
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s =>
-        PortableHash.md5Lo(s) + lit(i.toLong) * PortableHash.md5Hi(s)))
-    }: _*)
-
   /** Signature via explode + hash aggregate instead of per-row lambdas:
     * higher-order functions are interpreted in Spark, but `min` columns in
     * a HashAggregate are whole-stage-codegen'd — at corpus scale this is

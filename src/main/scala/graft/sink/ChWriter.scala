@@ -34,7 +34,16 @@ object ChWriter {
     def close(): Unit
   }
 
-  final class BadRowsException(val badIndexes: Seq[Int], msg: String)
+  /** Raised by a [[RowWriter]] to trigger the tolerant-skip path.
+    * `badIndexes`: rows to drop and count. `writtenIndexes`: rows the
+    * backend ALREADY persisted before surfacing the error (JDBC batch
+    * semantics: a continued-execution driver inserts every non-failed
+    * row) — these must not be resubmitted or the sink sees duplicates.
+    * Atomic backends (the native protocol, the JSON-lines stand-in)
+    * leave it empty and the whole remainder is retried.
+    */
+  final class BadRowsException(val badIndexes: Seq[Int], msg: String,
+      val writtenIndexes: Seq[Int] = Nil)
       extends RuntimeException(msg)
 
   final case class WriteConfig(
@@ -93,20 +102,25 @@ object ChWriter {
   def writeWithRetry(w: RowWriter, batch: Seq[Row],
       cfg: WriteConfig): (Long, Long, Long) = {
     var remaining = batch
+    var written   = 0L
     var bad       = 0L
     var attempts  = 0L
     var done      = remaining.isEmpty
     while (!done) {
       try {
         w.writeBatch(remaining)
+        written += remaining.size
         done = true
       } catch {
         case e: BadRowsException =>
-          // drop flagged rows, count them, re-append the good ones
+          // drop flagged rows (counted), credit already-persisted rows
+          // (never resubmitted), retry only the rest
           val badSet = e.badIndexes.toSet
+          val wrSet  = e.writtenIndexes.toSet
           bad += badSet.size
+          written += wrSet.size
           remaining = remaining.zipWithIndex.collect {
-            case (r, i) if !badSet.contains(i) => r
+            case (r, i) if !badSet.contains(i) && !wrSet.contains(i) => r
           }
           done = remaining.isEmpty
         case e: Exception =>
@@ -117,7 +131,7 @@ object ChWriter {
           Thread.sleep(cfg.retryDelayMs)
       }
     }
-    (remaining.size.toLong, bad, attempts)
+    (written, bad, attempts)
   }
 
   /** Local stand-in backend: one JSON-lines file per shard per partition
@@ -176,14 +190,23 @@ object ChWriter {
         // per-row failures -> tolerant skip path (S6): the reference
         // inspects row errors and retries without them
         // (pool/ck_cli.go:197-229); JDBC surfaces them as EXECUTE_FAILED
-        // slots in a BatchUpdateException
+        // slots in a BatchUpdateException. A continued-execution driver
+        // has ALREADY inserted the non-failed slots — report them as
+        // written so the retry loop never duplicates them; a driver that
+        // stopped early returns a short counts array and the unexecuted
+        // tail is retried.
         case e: java.sql.BatchUpdateException =>
           stmt.clearBatch()
-          val bad = e.getUpdateCounts.zipWithIndex.collect {
+          val counts = e.getUpdateCounts
+          val bad = counts.zipWithIndex.collect {
             case (c, i) if c == java.sql.Statement.EXECUTE_FAILED => i
           }
-          if (bad.nonEmpty)
-            throw new BadRowsException(bad.toIndexedSeq, s"bad rows: ${e.getMessage}")
+          val written = counts.zipWithIndex.collect {
+            case (c, i) if c != java.sql.Statement.EXECUTE_FAILED => i
+          }
+          if (bad.nonEmpty || written.nonEmpty)
+            throw new BadRowsException(bad.toIndexedSeq,
+              s"bad rows: ${e.getMessage}", written.toIndexedSeq)
           else throw e
       }
       stmt.clearBatch()

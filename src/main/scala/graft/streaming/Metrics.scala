@@ -107,8 +107,10 @@ object Metrics {
       } catch { case _: Exception => Map.empty }
     val end = parse(Option(endOffset).getOrElse(""))
     val latest = parse(Option(latestOffset).getOrElse(""))
+    // a partition the query has not consumed yet (e.g. just added to the
+    // topic) has its whole high watermark outstanding
     latest.map { case (tp, hi) =>
-      math.max(0L, hi - end.getOrElse(tp, hi))
+      math.max(0L, hi - end.getOrElse(tp, 0L))
     }.sum
   }
 }

@@ -84,13 +84,19 @@ object SeriesDedup {
 
   /** Adapter: a ClickHouse series snapshot (the result of
     * [[graft.sink.ChSql.loadSeriesQuery]] read over JDBC) -> bootstrap
-    * dataset for [[dedup]].
+    * dataset for [[dedup]]. The snapshot is DISTINCT (sid, mid) PAIRS —
+    * a series whose mid was ever rewritten appears once per mid (a
+    * ReplacingMergeTree dedups only eventually) — and
+    * flatMapGroupsWithState rejects duplicate initial-state keys, so
+    * reduce to one row per sid here (max mid = the rewrite winner).
     */
   def bootstrapFromSnapshot(df: org.apache.spark.sql.DataFrame): Dataset[(Long, Long)] = {
     import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, max}
     df.select(
-      org.apache.spark.sql.functions.col("__series_id__").cast("long"),
-      org.apache.spark.sql.functions.col("__mgmt_id__").cast("long"))
+      col("__series_id__").cast("long").as("sid"),
+      col("__mgmt_id__").cast("long").as("mid"))
+      .groupBy(col("sid")).agg(max(col("mid")).as("mid"))
       .as[(Long, Long)]
   }
 

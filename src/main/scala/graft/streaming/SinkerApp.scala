@@ -93,7 +93,10 @@ final class SinkerApp(
     val byName = newTasks.map(t => t.name -> t).toMap
     (plan.stopTasks ++ plan.restartTasks).foreach { n =>
       Option(queries.remove(n)).foreach(_.stop())
-      if (!byName.contains(n)) schemas.remove(n)
+      // drop the cached schema so the restart re-introspects through
+      // dimsFor — startTask's putIfAbsent would otherwise pin the OLD
+      // config's dims onto the restarted query
+      schemas.remove(n)
     }
     (plan.startTasks ++ plan.restartTasks).foreach { n =>
       byName.get(n).foreach(t => startTask(t, dimsFor(t)))

@@ -81,8 +81,13 @@ object FakeJdbc {
               throw new SQLException("injected transient failure")
             val bad = badRowsOnce.getAndSet(Nil)
             if (bad.nonEmpty) {
-              val counts = batch.asScala.indices
+              // JDBC continued-execution semantics: non-failed rows ARE
+              // inserted before the exception surfaces
+              val rows = batch.asScala.toVector
+              val counts = rows.indices
                 .map(i => if (bad.contains(i)) Statement.EXECUTE_FAILED else 1)
+              batches.add(Batch(url,
+                rows.indices.filterNot(bad.contains).map(rows).toVector))
               batch.clear()
               throw new BatchUpdateException("injected bad rows", "", 0,
                 counts.toArray, null)
@@ -158,7 +163,12 @@ class FakeJdbcSpec extends AnyFunSuite {
       ChWriter.WriteConfig(numShards = 2, batchSize = 100, retryDelayMs = 1L), mkWriter)
     assert(stats.numBad === 2)
     assert(stats.written === 6)
-    assert(FakeJdbc.batches.asScala.map(_.rows.size).sum === 6)
+    val landed = FakeJdbc.batches.asScala.flatMap(_.rows.map(_.head)).toSeq
+    assert(landed.size === 6)
+    // exactly-once: rows the driver already inserted before the
+    // BatchUpdateException must NOT be resubmitted by the retry loop
+    assert(landed.distinct.size === landed.size,
+      s"duplicated rows in sink: $landed")
   }
 
   test("transient failures retry then succeed; exhausting retries throws (S7)") {

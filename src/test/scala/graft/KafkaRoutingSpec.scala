@@ -58,8 +58,9 @@ class KafkaRoutingSpec extends AnyFunSuite {
     val end    = """{"t1":{"0":100,"1":40},"t2":{"0":7}}"""
     val latest = """{"t1":{"0":130,"1":40},"t2":{"0":10}}"""
     assert(Metrics.lagFromOffsets(end, latest) === 33L) // 30 + 0 + 3
-    // partition present at the broker but never consumed -> no phantom lag
-    assert(Metrics.lagFromOffsets("""{"t1":{"0":5}}""", """{"t1":{"0":5,"1":99}}""") === 0L)
+    // a partition never consumed (just added) has its full watermark
+    // outstanding
+    assert(Metrics.lagFromOffsets("""{"t1":{"0":5}}""", """{"t1":{"0":5,"1":99}}""") === 99L)
     // non-Kafka offset shapes (file/memory sources) -> 0, never a crash
     assert(Metrics.lagFromOffsets("{\"logOffset\":3}", "3") === 0L)
     assert(Metrics.lagFromOffsets(null, null) === 0L)

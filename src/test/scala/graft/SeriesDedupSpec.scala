@@ -44,8 +44,10 @@ class SeriesDedupSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SeriesRow]
     // ClickHouse snapshot (ChSql.loadSeriesQuery result): sid 1 -> mid 10,
-    // sid 2 -> mid 20 already known at startup
-    val snapshot = spark.createDataFrame(Seq((1L, 10L), (2L, 20L)))
+    // sid 2 -> mid 20 already known at startup. Sid 1 appears TWICE (an
+    // old mid not yet merged away) — the bootstrap must keep max(mid)
+    // or the initial state would have duplicate keys and crash
+    val snapshot = spark.createDataFrame(Seq((1L, 10L), (1L, 9L), (2L, 20L)))
       .toDF("__series_id__", "__mgmt_id__")
     val boot = SeriesDedup.bootstrapFromSnapshot(snapshot)
     val out = SeriesDedup.dedup(input.toDS(), new WriteQuota(16384, 10000),
