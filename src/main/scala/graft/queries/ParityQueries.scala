@@ -376,7 +376,11 @@ object ParityQueries {
         .orderBy(col("bucket"))
     },
 
-    // --- exact percentiles (§2.6 completeness; continuous interpolation) -
+    // --- exact percentiles (§2.6 completeness; continuous interpolation,
+    // matches quantile_cont). Exact percentile sorts per group — the
+    // oracle tier; at 100 TB the production path is approx_percentile
+    // (t-digest, partial-aggregatable), which has no cross-engine-
+    // identical oracle.
     "q_percentile" -> { (s, dir) =>
       Tables(s, dir).events
         .groupBy(col("event_type"))
