@@ -91,6 +91,51 @@ class SinkerAppSpec extends AnyFunSuite {
     app.stopAll()
   }
 
+  test("applyConfig restarts only the changed task, with re-introspected dims") {
+    val inDir  = Files.createTempDirectory("cfg_in")
+    val outDir = Files.createTempDirectory("cfg_out").toString
+    val ckDir  = Files.createTempDirectory("cfg_ck")
+    Files.write(inDir.resolve("p.txt"),
+      """{"name":"a","value":1}""".getBytes)
+
+    val dimsA = Seq(Dim("name", ChType.whichType("String")),
+      Dim("value", ChType.whichType("Float64")))
+    val dimsB = dimsA :+ Dim("extra", ChType.whichType("Int64"))
+
+    def task(name: String, topic: String, buf: Int = 1000) =
+      TaskConfig(name = name, topic = topic, consumerGroup = name,
+        tableName = s"default.$name", bufferSize = buf, flushInterval = 1)
+    val t1 = task("cfg_t1", "top1")
+    val t2 = task("cfg_t2", "top2")
+
+    val app = new SinkerApp(
+      spark,
+      mkSource = t => Pipeline.fileSource(spark, inDir.toString, t.topic),
+      mkSink = (t, dims) => Pipeline.SinkSpec(1,
+        ChWriter.WriteConfig(1, retryTimes = 2, retryDelayMs = 5),
+        () => new ChWriter.JsonLinesWriter(outDir, dims.map(_.name))),
+      execDdl = _ => (),
+      checkpointRoot = ckDir.toString)
+
+    val q1 = app.startTask(t1, dimsA)
+    val q2 = app.startTask(t2, dimsA)
+    q1.processAllAvailable(); q2.processAllAvailable()
+
+    // t2's config changes (bufferSize); t1 untouched
+    val plan = app.applyConfig(Seq(t1, t2), Seq(t1, task("cfg_t2", "top2", buf = 9)),
+      dimsFor = _ => dimsB)
+    assert(plan.restartTasks === Seq("cfg_t2"))
+    assert(plan.stopTasks.isEmpty && plan.startTasks.isEmpty)
+    // the untouched task keeps its original query and dims
+    assert(q1.isActive)
+    assert(app.currentDims("cfg_t1") === dimsA)
+    // the changed task was stopped and restarted under FRESH dims — a
+    // stale cached schema here would write the old columns
+    assert(waitFor(20000)(!q2.isActive))
+    assert(app.currentDims("cfg_t2") === dimsB)
+    app.stopAll()
+  }
+
   test("lazy (gjson-style) projection preserves JSON types and prunes") {
     val df = Seq(
       """{"a":123,"b":"123","unused":{"big":[1,2,3]},"t":"2009-07-13"}""",
