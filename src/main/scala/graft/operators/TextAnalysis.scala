@@ -32,6 +32,18 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast(LongType)
 
+  /** Repetition ratio: 1 - distinct_words/words over the canonical
+    * (lowercased) tokens — the standard corpus-cleaning repetition
+    * filter (boilerplate, keyword-stuffed and degenerate-generation
+    * pages score high). 0 for empty text.
+    */
+  def wordRepetitionRatio(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val n = size(toks).cast(DoubleType)
+    when(trim(text) === "", lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / n)
+  }
+
   // ---- quality scoring ------------------------------------------------
 
   def charCount(text: Column): Column = length(text).cast(LongType)

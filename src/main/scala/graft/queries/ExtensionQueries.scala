@@ -142,6 +142,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- repetition filter (corpus-cleaning: drop keyword-stuffed /
+    //     degenerate docs by duplicate-word fraction) ----------------------
+    "text_repetition" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+          round(TextAnalysis.wordRepetitionRatio(col("text")), 6).as("dup_ratio"))
+        .withColumn("keep", col("dup_ratio") < 0.8)
+        .orderBy(col("doc_id"))
+    },
+
     // --- document fingerprinting ------------------------------------------
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -507,6 +518,20 @@ object ExtensionQueries {
          |      + GREATEST(0.0, 1.0 - praw * 5.0) * 0.3, 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) AS dup_ratio,
+        |  round(CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) < 0.8 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
