@@ -42,6 +42,19 @@ object Dedup {
       .drop("__rn__")
   }
 
+  /** Streaming exact dedup for a CONTINUOUS corpus feed: first sight of a
+    * fingerprint passes, later duplicates drop — state lives in the
+    * checkpointed store, partitioned by fingerprint (scales horizontally;
+    * the batch-mode reference has no analogue). With an event-time column
+    * + `withWatermark` on the input, state is bounded to the watermark
+    * window; without one it grows with the distinct-document count, like
+    * any global dedup.
+    */
+  def dropExactStreaming(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__fp__", TextAnalysis.fingerprint(text))
+      .dropDuplicates("__fp__")
+      .drop("__fp__")
+
   // ---- shingling ------------------------------------------------------
 
   /** Distinct word n-gram shingles of the canonical text — a codegen'd

@@ -28,6 +28,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(groups.agg(max(col("keeper"))).head().getLong(0) < 10000)
   }
 
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Dedup.dropExactStreaming(
+      input.toDS().toDF("doc_id", "text"), col("text"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "Alpha  Beta "))
+    q.processAllAvailable()
+    // 3 canonicalizes to 1's fingerprint within the same batch
+    assert(spark.table("dedup_stream").count() === 2)
+    input.addData((4L, "alpha beta"), (5L, "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    // cross-batch duplicate 4 dropped via the state store; 5 new
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.length === 3 && ids.last === 5L)
+  }
+
   test("minhash LSH recalls planted near-duplicates") {
     // perturb one word out of each doc: jaccard stays >= ~0.9
     val perturbed = docs.select((col("doc_id") + 10000).as("doc_id"),
