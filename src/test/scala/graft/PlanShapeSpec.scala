@@ -23,6 +23,11 @@ class PlanShapeSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("AQE and skew-join handling are on (the documented skew mitigation)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
+
   test("filter and column pruning reach the parquet scan") {
     val t = Tables(spark, sf)
     val q = t.lineitem
