@@ -90,9 +90,11 @@ class OperatorsSpec extends AnyFunSuite {
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     // deterministic planes/centroids -> these are fixed numbers; the
-    // assertion guards regressions, not statistics
-    assert(lshRecall >= 0.2, s"lsh recall $lshRecall")
-    assert(ivfRecall >= 0.2, s"ivf recall $ivfRecall")
+    // assertion guards regressions, not statistics (measured: lsh 0.36,
+    // ivf 0.84 — the Lloyd-refined centroids roughly tripled ivf recall
+    // over naive lowest-id seeds)
+    assert(lshRecall >= 0.3, s"lsh recall $lshRecall")
+    assert(ivfRecall >= 0.7, s"ivf recall $ivfRecall")
     info(f"lsh recall $lshRecall%.2f, ivf recall $ivfRecall%.2f")
   }
 
