@@ -62,7 +62,8 @@ object TaskConfig {
     m.configure(Feature.ALLOW_COMMENTS, true)
     m.configure(Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
     m.configure(Feature.ALLOW_SINGLE_QUOTES, true)
-    m.configure(Feature.ALLOW_TRAILING_COMMA, true)
+    m.configure(com.fasterxml.jackson.core.json.JsonReadFeature
+      .ALLOW_TRAILING_COMMA.mappedFeature(), true)
     m
   }
 

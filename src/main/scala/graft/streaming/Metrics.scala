@@ -15,16 +15,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * exposed as a snapshot map a /metrics endpoint can render.
   */
 final class Metrics extends StreamingQueryListener {
-
-  final case class QuerySnapshot(
-      name: String,
-      batchId: Long,
-      inputRowsPerSecond: Double,
-      processedRowsPerSecond: Double,
-      numInputRows: Long,
-      batchDurationMs: Long,
-      /** A4 — sum over topic-partitions of (broker latest - consumed). */
-      consumerLag: Long = 0L)
+  import Metrics.QuerySnapshot
 
   private val snapshots = new ConcurrentHashMap[String, QuerySnapshot]()
   val batchesCompleted = new LongAdder
@@ -72,6 +63,16 @@ final class Metrics extends StreamingQueryListener {
 }
 
 object Metrics {
+  final case class QuerySnapshot(
+      name: String,
+      batchId: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      numInputRows: Long,
+      batchDurationMs: Long,
+      /** A4 — sum over topic-partitions of (broker latest - consumed). */
+      consumerLag: Long = 0L)
+
   def install(spark: SparkSession): Metrics = {
     val m = new Metrics
     spark.streams.addListener(m)
@@ -95,9 +96,9 @@ object Metrics {
         if (n == null || !n.isObject) Map.empty
         else {
           val out = Map.newBuilder[(String, String), Long]
-          n.fields().forEachRemaining { topic =>
+          n.properties().forEach { topic =>
             if (topic.getValue.isObject)
-              topic.getValue.fields().forEachRemaining { part =>
+              topic.getValue.properties().forEach { part =>
                 if (part.getValue.isNumber)
                   out += ((topic.getKey, part.getKey) -> part.getValue.asLong())
               }
