@@ -45,14 +45,28 @@ object Dedup {
   /** Streaming exact dedup for a CONTINUOUS corpus feed: first sight of a
     * fingerprint passes, later duplicates drop — state lives in the
     * checkpointed store, partitioned by fingerprint (scales horizontally;
-    * the batch-mode reference has no analogue). With an event-time column
-    * + `withWatermark` on the input, state is bounded to the watermark
-    * window; without one it grows with the distinct-document count, like
-    * any global dedup.
+    * the batch-mode reference has no analogue). State grows with the
+    * distinct-fingerprint count REGARDLESS of any input watermark —
+    * `dropDuplicates` on the fingerprint alone never evicts (eviction
+    * needs the event-time column among the keys). For bounded state use
+    * [[dropExactStreamingWithinWatermark]].
     */
   def dropExactStreaming(df: DataFrame, text: Column): DataFrame =
     df.withColumn("__fp__", TextAnalysis.fingerprint(text))
       .dropDuplicates("__fp__")
+      .drop("__fp__")
+
+  /** Watermark-bounded streaming exact dedup: duplicates are dropped only
+    * while the fingerprint's state is younger than the input's watermark
+    * delay (`dropDuplicatesWithinWatermark` — the input MUST carry
+    * `withWatermark`). State is evicted once the watermark passes, so a
+    * 100 TB continuous feed runs with bounded state; a duplicate arriving
+    * after its twin's state expired is re-emitted (the standard
+    * within-watermark contract).
+    */
+  def dropExactStreamingWithinWatermark(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__fp__", TextAnalysis.fingerprint(text))
+      .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
   // ---- shingling ------------------------------------------------------
@@ -104,15 +118,18 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding: (docId, band, bandHash) rows — b bands of r rows each
-    * (k = b*r). Docs sharing any (band, bandHash) bucket are candidates.
+  /** LSH banding: (docId, band, bandKey) rows — b bands of r rows each
+    * (k = b*r). Docs sharing any (band, bandKey) bucket are candidates.
+    * The key is the band's raw m-value slice (not a hash of it), so the
+    * candidate set is identical to raw band equality by construction —
+    * exactly what the oracle declares; no hash-collision caveat.
     */
   def lshBands(df: DataFrame, id: Column, signature: Column,
       bands: Int, rows: Int): DataFrame =
     df.select(id.as("doc_id"), signature.as("sig"))
       .select(col("doc_id"),
         posexplode(array((0 until bands).map { b =>
-          hash(slice(col("sig"), b * rows + 1, rows), lit(b))
+          slice(col("sig"), b * rows + 1, rows)
         }: _*)).as(Seq("band", "band_hash")))
 
   /** Near-duplicate candidate pairs via minhash LSH, verified with exact

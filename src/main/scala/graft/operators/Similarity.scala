@@ -135,7 +135,7 @@ object Similarity {
     }: _*)
 
   /** Pack signature bits into band keys of `bandBits` each. */
-  private def bandKeys(sig: Column, nBits: Int, bandBits: Int): Column =
+  private[graft] def bandKeys(sig: Column, nBits: Int, bandBits: Int): Column =
     array((0 until nBits / bandBits).map { band =>
       aggregate(slice(sig, band * bandBits + 1, bandBits),
         lit(0L), (acc, b) => acc * 2 + b)
@@ -173,12 +173,17 @@ object Similarity {
 
     /** Inline argmax-by-(score DESC, cell ASC) as ONE projection — no
       * join, no window, no shuffle. `cos(v, c) = dot(v,c)/(|v||c|)`; |v|
-      * is constant across cells so ranking uses `dot(v,c)/|c|`.
+      * is constant across cells so ranking uses `dot(v,c)/|c|`. A
+      * zero-norm (degenerate) centroid scores -Inf so it never wins the
+      * argmax — dividing by 0 would yield NaN, which sorts greatest and
+      * would swallow every assignment.
       */
     private def scoreStructs(vec: Column): Column =
       array(cells.map { case (i, cvec, cnorm) =>
         val cv = array(cvec.map(lit).toIndexedSeq: _*)
-        struct((dot(vec, cv) / lit(cnorm)).as("s"), lit(-i).as("negc"))
+        val s = if (cnorm == 0.0) lit(Double.NegativeInfinity)
+                else dot(vec, cv) / lit(cnorm)
+        struct(s.as("s"), lit(-i).as("negc"))
       }: _*)
 
     /** Nearest cell of each vector. */
@@ -261,8 +266,10 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold among a bounded
-    * query slice (exact) — the embedding-dedup entry in the dedup suite.
+  /** Embedding near-duplicate pairs among a bounded query slice (exact
+    * all-pairs vs the slice) — the small-query-set verify/oracle tier.
+    * Corpus-wide dedup goes through [[nearDupPairsEmbedding]], which never
+    * materializes an all-pairs product.
     */
   def embeddingNearDups(corpus: DataFrame, queries: DataFrame,
       threshold: Double,
@@ -271,6 +278,42 @@ object Similarity {
     val q = queries.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
     c.join(broadcast(q), col("a") < col("b"))
       .select(col("a"), col("b"), cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Corpus-wide embedding near-duplicate pairs, the 100 TB path: the
+    * same random-hyperplane signature as [[lshTopK]] buckets the corpus
+    * by (band, key); candidate pairs are rows sharing any band bucket
+    * (an equi-self-join — shuffle on the band key only, NEVER an
+    * all-pairs product), verified with exact cosine >= threshold.
+    * Returns (a, b, cos) with a < b.
+    *
+    * Recall is the LSH band recall (pairs whose signatures share no band
+    * are missed — the standard trade; raise nBits/lower bandBits to
+    * trade cost for recall). Skewed buckets (a boilerplate embedding
+    * cluster) are handled by AQE skew-join splitting, same as the
+    * minhash path.
+    */
+  def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
+      nBits: Int = 16, bandBits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val banded = vecs.select(col("id"),
+      posexplode(bandKeys(rhpSignature(col("v"), dims, nBits), nBits, bandBits))
+        .as(Seq("band", "key")))
+
+    val candidates = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+
+    candidates
+      .join(vecs.as("va"), col("a") === col("va.id"))
+      .join(vecs.as("vb"), col("b") === col("vb.id"))
+      .select(col("a"), col("b"),
+        cosine(col("va.v"), col("vb.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

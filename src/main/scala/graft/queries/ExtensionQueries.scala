@@ -89,6 +89,20 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- corpus-wide embedding near-dups, the scale path: LSH-banded
+    //     candidate pairs + exact cosine verify (no all-pairs product;
+    //     oracle recomputes bands from the identical plane literals) ------
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val corpus = e.union(
+        e.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+      Similarity.nearDupPairsEmbedding(corpus, threshold = 0.75, dims = 64)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -319,6 +333,47 @@ object ExtensionQueries {
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Corpus-wide embedding near-dup recomputation: the 16 plane literals
+    * (same splitmix64 doubles as the Spark plan), 4x4-bit banding over
+    * the planted-twin corpus, band-equality candidate self-join, exact
+    * cosine verify — mirrors [[Similarity.nearDupPairsEmbedding]] step
+    * for step.
+    */
+  private def embeddingLshOracle: String = {
+    def plane(b: Int): String =
+      (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
+        .mkString("[", ", ", "]")
+    val bitCols = (0 until 16).map(b =>
+      s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
+      .mkString(",\n    ")
+    val keyCols = (0 until 4).map { band =>
+      val expr = (0 until 4).map(r => s"b${band * 4 + r}")
+        .reduce((acc, b) => s"($acc * 2 + $b)")
+      s"$expr AS k$band"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 4).map(b => s"l.k$b = r.k$b").mkString(" OR ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(v, x -> x + 0.05) AS v FROM base),
+       |sg AS (SELECT vec_id, v,
+       |    $bitCols
+       |  FROM e),
+       |bd AS (SELECT vec_id,
+       |    $keyCols
+       |  FROM sg),
+       |cd AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM bd l JOIN bd r ON l.vec_id < r.vec_id AND ($bandEq)),
+       |sc AS (
+       |  SELECT cd.a, cd.b, va.v AS qv, vb.v AS cv
+       |  FROM cd JOIN e va ON cd.a = va.vec_id JOIN e vb ON cd.b = vb.vec_id),
+       |scored AS (SELECT a, b, $cosExpr AS cos0 FROM sc)
+       |SELECT a, b, round(cos0, 6) AS cos FROM scored
+       |WHERE cos0 >= 0.75 ORDER BY a, b""".stripMargin
+  }
+
   /** IVF recomputation: re-trains the identical centroids in SQL —
     * md5-hash-sampled seeds, one Lloyd step with round(mean, 3) — then
     * assigns cells, probes 4, re-ranks.
@@ -451,6 +506,8 @@ object ExtensionQueries {
         |  AND list_dot_product(q.v, c.v) /
         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.75
         |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding_lsh" -> embeddingLshOracle,
 
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

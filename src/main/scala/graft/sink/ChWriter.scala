@@ -93,7 +93,16 @@ object ChWriter {
           if (buf.length >= cfg.batchSize) flush(shard)
         }
         buffers.keys.foreach(flush)
-      } finally writers.values.foreach(_.close())
+      } finally {
+        // close each writer independently — one throwing close() must not
+        // leak the remaining writers' connections/file handles
+        var firstErr: Throwable = null
+        writers.values.foreach { w =>
+          try w.close()
+          catch { case e: Throwable => if (firstErr == null) firstErr = e }
+        }
+        if (firstErr != null) throw firstErr
+      }
     }
     WriteStats(written.value, numBad.value, retries.value)
   }

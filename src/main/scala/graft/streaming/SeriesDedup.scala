@@ -22,11 +22,16 @@ object SeriesDedup {
 
   /** Quota parity: at most `writtenQuota` changed-series rewrites per
     * `windowMs` (WrSeriesQuota 16384 / 10 s, output/clickhouse.go:59,
-    * 173-183). New series are never quota-dropped. Process-wide like the
-    * reference; per-executor on a cluster. Inside [[dedup]] the window
-    * clock is the BATCH's processing time (GroupState's stored trigger
-    * timestamp), not wall clock — so a recovered/replayed batch makes the
-    * same quota decisions it made the first time.
+    * 173-183). New series are never quota-dropped. Scope delta vs the
+    * reference: its quota is process-global; this instance is captured in
+    * the flatMapGroupsWithState closure and deserialized per TASK with
+    * its @transient counters reset, so the effective window is
+    * per-task-attempt — the global budget multiplies by the number of
+    * state partitions (an upper bound, still bounded; acceptable for a
+    * rate limiter). Inside [[dedup]] the window clock is the BATCH's
+    * processing time (GroupState's stored trigger timestamp), not wall
+    * clock — so a recovered/replayed batch makes the same quota decisions
+    * it made the first time.
     */
   final class WriteQuota(val quota: Int, val windowMs: Long) extends Serializable {
     @transient private var windowStart = 0L

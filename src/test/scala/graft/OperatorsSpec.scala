@@ -77,6 +77,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self === 0)
   }
 
+  test("banded embedding near-dup recalls the exact pairs, no false positives") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    // plant a +0.05-perturbed twin per vector (cosine vs the original
+    // stays near 1) so true near-dup pairs exist
+    val corpus = e.union(e.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embeddingNearDups(corpus, corpus, 0.9))
+    val lsh = pairSet(Similarity.nearDupPairsEmbedding(corpus, 0.9, dims = 64))
+    assert(exact.nonEmpty, "ground truth is empty — the test corpus is broken")
+    // the verify stage is exact cosine, so every reported pair is true
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // deterministic planes -> a fixed number; guards regressions
+    assert(recall >= 0.5, s"banded embedding dedup recall $recall")
+    info(f"embedding near-dup recall $recall%.2f (${exact.size} true pairs)")
+  }
+
   test("lsh and ivf topk recall against brute force") {
     val e = embs.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("embedding"))

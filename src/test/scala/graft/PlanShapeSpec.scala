@@ -103,6 +103,19 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("corpus-wide embedding near-dup is banded: no nested-loop, no cartesian") {
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val p = plan(graft.operators.Similarity.nearDupPairsEmbedding(
+      e, threshold = 0.75, dims = 64))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x corpus embedding dedup must never be all-pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come from a real equi-join on the (band, key) bucket
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val e = Tables(spark, sf).embeddings
     val p = plan(graft.operators.Similarity.bruteForceTopK(
