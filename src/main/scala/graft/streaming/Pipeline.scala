@@ -117,7 +117,8 @@ object Pipeline {
     */
   def start(spark: SparkSession, src: DataFrame, task: TaskConfig, dims: Seq[Dim],
       sink: SinkSpec, checkpoint: String,
-      onNewKeys: Seq[(String, ChKind)] => Unit = _ => ()): StreamingQuery = {
+      onNewKeys: Seq[(String, ChKind)] => Unit = _ => (),
+      metrics: Option[Metrics] = None): StreamingQuery = {
 
     val knownKeys = dims.map(_.source).toSet
     // the default policy shards on kafka coordinates (X3) -> carry the
@@ -154,7 +155,9 @@ object Pipeline {
             projected, shardColumn(task, dims ++ metaDims, sink.numShards),
             sink.numShards, sink.writersPerShard)
             .select((dims.map(d => col(d.name)) :+ col("__shard__")): _*)
+          val t0 = System.nanoTime()
           ChWriter.write(sharded, sink.writeCfg, sink.mkWriter)
+          metrics.foreach(_.observeWriteMs((System.nanoTime() - t0) / 1000000L))
         } finally if (cached) input.unpersist()
         ()
       }

@@ -29,25 +29,34 @@ final class SinkerApp(
     mkSink: (TaskConfig, Seq[Dim]) => Pipeline.SinkSpec,
     /** Executes DDL against ClickHouse (or records it under test). */
     execDdl: String => Unit,
-    checkpointRoot: String) {
+    checkpointRoot: String,
+    /** Restart failures surface here (and in `/state`) instead of dying
+      * silently with the restart thread.
+      */
+    metrics: Option[Metrics] = None,
+    restartRetries: Int = 3,
+    restartRetryDelayMs: Long = 200L) {
 
   /** Live schema per task: dims evolve as ALTERs land. */
   private val schemas = new ConcurrentHashMap[String, Seq[Dim]]()
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val restarts = new ConcurrentHashMap[String, Integer]()
+  private val taskConfigs = new ConcurrentHashMap[String, TaskConfig]()
 
   def currentDims(task: String): Seq[Dim] = schemas.get(task)
   def restartCount(task: String): Int =
     Option(restarts.get(task)).map(_.intValue).getOrElse(0)
+  def query(name: String): Option[StreamingQuery] = Option(queries.get(name))
 
   /** Start one task (one streaming query). */
   def startTask(task: TaskConfig, initialDims: Seq[Dim]): StreamingQuery = {
     schemas.putIfAbsent(task.name, initialDims)
+    taskConfigs.put(task.name, task)
     val dims = schemas.get(task.name)
     val src  = Pipeline.routingFilter(mkSource(task), task)
     val q = Pipeline.start(spark, src, task, dims,
       mkSink(task, dims), s"$checkpointRoot/${task.name}",
-      onNewKeys = keys => onNewKeys(task, keys))
+      onNewKeys = keys => onNewKeys(task, keys), metrics = metrics)
     queries.put(task.name, q)
     q
   }
@@ -56,6 +65,12 @@ final class SinkerApp(
     * dims, and restart the query from its checkpoint under the new
     * schema. The in-flight micro-batch still writes under the old schema
     * (the reference drains, then restarts — same observable behavior).
+    *
+    * When the consumer group has more than one task, the WHOLE group is
+    * bounced (the reference restarts the shared consumer before the ALTER
+    * when `len(group.Tasks) > 1` — task/task.go:198-211): with a shared
+    * source fan-out, siblings reading on while one task ALTERs would
+    * observe a torn group state.
     */
   private def onNewKeys(task: TaskConfig, keys: Seq[(String, ChKind)]): Unit = {
     val dims = schemas.get(task.name)
@@ -69,11 +84,47 @@ final class SinkerApp(
     restarts.merge(task.name, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
     // restart asynchronously: stopping the query from inside its own
     // foreachBatch would deadlock on the streaming lock
-    new Thread(() => {
-      val old = queries.get(task.name)
-      if (old != null) old.stop()
-      startTask(task, newDims)
-    }, s"graft-restart-${task.name}").start()
+    new Thread(() => restartAfterEvolution(task), s"graft-restart-${task.name}").start()
+  }
+
+  /** The restart thread body: bounce the task (or its whole group), with
+    * bounded retries; a final failure is logged AND surfaced via
+    * [[Metrics]] — never swallowed (the reference Fatal-exits so a
+    * supervisor restarts it; a library can't exit the JVM, so visible +
+    * retried is the equivalent).
+    */
+  private def restartAfterEvolution(task: TaskConfig): Unit = {
+    import scala.jdk.CollectionConverters._
+    val group = taskConfigs.values.asScala
+      .filter(_.consumerGroup == task.consumerGroup).toSeq.sortBy(_.name)
+    val targets = if (group.size > 1) group else Seq(task)
+    targets.foreach { t =>
+      Option(queries.get(t.name)).foreach { q =>
+        try q.stop() catch { case _: Exception => () }
+      }
+    }
+    targets.foreach { t =>
+      var attempt = 0
+      var started = false
+      var lastErr: Throwable = null
+      while (!started && attempt <= restartRetries) {
+        try {
+          startTask(t, schemas.get(t.name))
+          started = true
+          metrics.foreach(_.recordRestartSuccess(t.name))
+        } catch {
+          case e: Exception =>
+            lastErr = e
+            attempt += 1
+            metrics.foreach(_.recordRestartFailure(t.name,
+              Option(e.getMessage).getOrElse(e.getClass.getName)))
+            if (attempt <= restartRetries) Thread.sleep(restartRetryDelayMs)
+        }
+      }
+      if (!started)
+        System.err.println(s"[graft] task ${t.name} failed to restart after " +
+          s"$restartRetries retries: ${lastErr.getMessage}")
+    }
   }
 
   def awaitAllProcessed(): Unit =
@@ -97,6 +148,7 @@ final class SinkerApp(
       // dimsFor — startTask's putIfAbsent would otherwise pin the OLD
       // config's dims onto the restarted query
       schemas.remove(n)
+      taskConfigs.remove(n)
     }
     (plan.startTasks ++ plan.restartTasks).foreach { n =>
       byName.get(n).foreach(t => startTask(t, dimsFor(t)))

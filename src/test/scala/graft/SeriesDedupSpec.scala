@@ -66,6 +66,53 @@ class SeriesDedupSpec extends AnyFunSuite {
     assert(rows === Seq((2L, 21L), (3L, 30L)))
   }
 
+  test("periodic re-seed: a sid written by another instance stops re-emitting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeriesRow]
+    val out = SeriesDedup.dedup(input.toDS(), new WriteQuota(16384, 10000))
+    val q = out.writeStream.format("memory").queryName("series_reseed")
+      .outputMode("append").start()
+
+    input.addData(SeriesRow(1L, 10L, "{}"))
+    q.processAllAvailable()
+    assert(spark.table("series_reseed").count() === 1)
+
+    // the re-seed tick: ANOTHER instance wrote sid 99 -> the fresh
+    // ClickHouse snapshot (restricted to ActiveSeriesRange) carries it;
+    // seedRows turns the snapshot into no-emit state updates
+    val snapshot = spark.createDataFrame(Seq((99L, 5L)))
+      .toDF("__series_id__", "__mgmt_id__")
+    SeriesDedup.seedRows(snapshot).collect().foreach(r => input.addData(r))
+    q.processAllAvailable()
+    // the seed row itself emits NOTHING
+    assert(spark.table("series_reseed").count() === 1)
+
+    input.addData(
+      SeriesRow(99L, 5L, "{}"),  // already written elsewhere -> dropped
+      SeriesRow(99L, 6L, "{}"),  // mid CHANGED vs the seed -> rewritten
+      SeriesRow(7L, 70L, "{}"))  // genuinely new -> emitted
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("series_reseed").as[SeriesRow].collect()
+      .map(r => (r.sid, r.mid)).sorted.toSeq
+    assert(rows === Seq((1L, 10L), (7L, 70L), (99L, 6L)))
+  }
+
+  test("re-seed ticker fires repeatedly and survives tick failures") {
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new SeriesDedup.Reseeder(50L)(() => {
+      if (ticks.incrementAndGet() == 1)
+        throw new RuntimeException("transient snapshot read failure")
+    })
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (ticks.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(ticks.get() >= 3, "ticker stopped after a failing tick")
+    } finally t.close()
+  }
+
   test("quota limits changed-series rewrites (16384/10s parity, small window)") {
     val quota = new WriteQuota(2, 60000)
     assert(quota.allow(1000))

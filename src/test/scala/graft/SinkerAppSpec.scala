@@ -136,6 +136,101 @@ class SinkerAppSpec extends AnyFunSuite {
     app.stopAll()
   }
 
+  test("restart failure is surfaced in metrics and the task recovers on retry") {
+    val inDir  = Files.createTempDirectory("rf_in")
+    val outDir = Files.createTempDirectory("rf_out").toString
+    val ckDir  = Files.createTempDirectory("rf_ck")
+    val metrics = new Metrics
+
+    val baseDims = Seq(
+      Dim("name", ChType.whichType("String")),
+      Dim("value", ChType.whichType("Float64")))
+    val task = TaskConfig(name = "rf", topic = "t", consumerGroup = "grf",
+      tableName = "default.rf", dynamicSchema = true,
+      bufferSize = 1000, flushInterval = 1)
+
+    // injected failure: the restart's startTask dies once (a bad DDL /
+    // checkpoint hiccup stand-in), then succeeds
+    val failRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
+    val app = new SinkerApp(
+      spark,
+      mkSource = t => {
+        if (failRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0)
+          throw new RuntimeException("injected restart failure")
+        Pipeline.fileSource(spark, inDir.toString, t.topic)
+      },
+      mkSink = (t, dims) => Pipeline.SinkSpec(1,
+        ChWriter.WriteConfig(1, retryTimes = 2, retryDelayMs = 5),
+        () => new ChWriter.JsonLinesWriter(outDir, dims.map(_.name))),
+      execDdl = _ => (),
+      checkpointRoot = ckDir.toString,
+      metrics = Some(metrics),
+      restartRetries = 5, restartRetryDelayMs = 100L)
+
+    Files.write(inDir.resolve("p0.txt"),
+      (1 to 20).map(i => s"""{"name":"n$i","value":$i}""").mkString("\n").getBytes)
+    val q0 = app.startTask(task, baseDims)
+    q0.processAllAvailable()
+
+    failRemaining.set(1)
+    Files.write(inDir.resolve("p1.txt"),
+      (21 to 40).map(i => s"""{"name":"n$i","value":$i,"nk":$i}""")
+        .mkString("\n").getBytes)
+    try q0.processAllAvailable() catch { case _: Exception => () }
+
+    // the injected failure was counted AND the retry recovered the task
+    assert(waitFor(60000)(metrics.restartFailures.sum() >= 1),
+      "restart failure was not surfaced in metrics")
+    assert(waitFor(60000)(app.query("rf").exists(_.isActive) &&
+      metrics.restartErrors.isEmpty),
+      "task did not recover after the injected failure")
+    app.stopAll()
+  }
+
+  test("schema evolution bounces the whole consumer group when it has >1 task") {
+    val inDir  = Files.createTempDirectory("grp_in")
+    val outDir = Files.createTempDirectory("grp_out").toString
+    val ckDir  = Files.createTempDirectory("grp_ck")
+
+    val dims = Seq(
+      Dim("name", ChType.whichType("String")),
+      Dim("value", ChType.whichType("Float64")))
+    def mk(name: String, dyn: Boolean) =
+      TaskConfig(name = name, topic = "t", consumerGroup = "shared",
+        tableName = s"default.$name", dynamicSchema = dyn,
+        bufferSize = 1000, flushInterval = 1)
+    val tA = mk("grp_a", dyn = true)
+    val tB = mk("grp_b", dyn = false)
+
+    val app = new SinkerApp(
+      spark,
+      mkSource = t => Pipeline.fileSource(spark, inDir.toString, t.topic),
+      mkSink = (t, ds) => Pipeline.SinkSpec(1,
+        ChWriter.WriteConfig(1, retryTimes = 2, retryDelayMs = 5),
+        () => new ChWriter.JsonLinesWriter(s"$outDir/${t.name}", ds.map(_.name))),
+      execDdl = _ => (),
+      checkpointRoot = ckDir.toString)
+
+    Files.write(inDir.resolve("p0.txt"),
+      (1 to 10).map(i => s"""{"name":"n$i","value":$i}""").mkString("\n").getBytes)
+    val qA = app.startTask(tA, dims)
+    val qB = app.startTask(tB, dims)
+    qA.processAllAvailable(); qB.processAllAvailable()
+
+    // evolution detected by task A must bounce sibling B too (the
+    // reference restarts the shared consumer — task/task.go:198-211)
+    Files.write(inDir.resolve("p1.txt"),
+      (11 to 20).map(i => s"""{"name":"n$i","value":$i,"nk":$i}""")
+        .mkString("\n").getBytes)
+    try qA.processAllAvailable() catch { case _: Exception => () }
+    assert(waitFor(60000)(app.restartCount("grp_a") === 1))
+    assert(waitFor(60000)(!qB.isActive),
+      "sibling task in the shared group was not stopped")
+    assert(waitFor(60000)(app.query("grp_b").exists(q => q.ne(qB) && q.isActive)),
+      "sibling task was not restarted")
+    app.stopAll()
+  }
+
   test("lazy (gjson-style) projection preserves JSON types and prunes") {
     val df = Seq(
       """{"a":123,"b":"123","unused":{"big":[1,2,3]},"t":"2009-07-13"}""",
