@@ -8,6 +8,59 @@ import graft.parse.Projector
 import graft.parse.Projector.Dim
 import graft.types.ChType
 
+/** The 10x-replicated second bench scale: generated once per base sf dir
+  * under `target/` (inside the repo), read like any other sf dir by the
+  * registry queries. Only the four tables the headline set touches are
+  * materialized.
+  */
+object BenchScale {
+  import org.apache.spark.sql.DataFrame
+
+  /** The shuffle-heavy headline queries re-run at 10x. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_parse_typed", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_lsh", "sim_topk_bruteforce",
+    "sim_topk_lsh", "sim_topk_ivf", "text_quality")
+
+  def ensure10x(spark: SparkSession, sfDir: String, cpus: Int): String = {
+    val dir = s"target/bench_10x_${new java.io.File(sfDir).getName}"
+    val marker = new java.io.File(s"$dir/_READY")
+    if (!marker.exists()) {
+      val t = Tables(spark, sfDir)
+      def write(df: DataFrame, name: String): Unit =
+        df.repartition(cpus).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+      // id shifts stay below the queries' +1000000 planted-twin offset
+      write((0 until 10).map(i => t.documents.select(
+        (col("doc_id") + lit(i.toLong * 100000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" r$i"))).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+        .reduce(_ union _), "documents")
+
+      write((0 until 10).map(i => t.embeddings.select(
+        (col("vec_id") + lit(i.toLong * 100000L)).as("vec_id"),
+        (if (i == 0) col("embedding").cast("array<double>")
+         else transform(col("embedding"), x =>
+           x.cast("double") + lit(0.001 * i))).as("embedding"),
+        col("label")))
+        .reduce(_ union _), "embeddings")
+
+      write((0 until 10).map(i => t.events.select(
+        (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"), col("props")))
+        .reduce(_ union _), "events")
+
+      write((0 until 10).map(i => t.lineitem.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 10000000L)))
+        .reduce(_ union _), "lineitem")
+
+      marker.createNewFile()
+    }
+    dir
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +131,27 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // ---- second scale: the same headline queries over a 10x corpus
+    // ("sf1" when driven at sf0.1) so shuffle-heavy queries produce
+    // non-noise numbers. Replicas are id-shifted and lightly perturbed
+    // (suffix token / +0.001*i on embeddings) so they are near- but not
+    // exact duplicates — a cluster-heavy dedup workload, the hard case.
+    val scale10 = try {
+      val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
+      Some(BenchScale.headline.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          errors(s"10x:$name") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      })
+    } catch { case e: Throwable =>
+      errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      None
+    }
+
     val qs = (results :+ ("ingest_json" -> ingest._2))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -87,7 +161,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
         .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps,"errors":$errJson}""")
+    val scaleJson = scale10 match {
+      case Some(r) =>
+        val m = r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""","queries_10x":$m,"total_10x":${r.map(_._2).sum}"""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson,"errors":$errJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

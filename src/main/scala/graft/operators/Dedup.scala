@@ -169,6 +169,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Corpus-wide embedding near-duplicate pairs — the dedup-suite entry
+    * for the embedding modality; see
+    * [[graft.operators.Similarity.nearDupPairsEmbedding]] (random-
+    * hyperplane band buckets, equi-self-join candidates, exact cosine
+    * verify — never an all-pairs product).
+    */
+  def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
+      nBits: Int = 16, bandBits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.nearDupPairsEmbedding(corpus, threshold, dims, nBits, bandBits,
+      idCol, vecCol)
+
   /** Exact n-gram Jaccard over ALL pairs (quadratic — the oracle/baseline
     * path for small data; production uses the LSH variant above).
     */

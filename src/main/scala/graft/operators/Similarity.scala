@@ -113,28 +113,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, dim):
-    * splitmix64 of the pair scaled to [-1, 1]. These are plan-time
-    * literals — the oracle SQL embeds the identical doubles.
+  /** Deterministic pseudo-random hyperplane component for (seed, dim) —
+    * the canonical derivation lives in
+    * [[graft.functions.RhpBandKeys.planeComponent]]; oracle SQL embeds
+    * the identical doubles.
     */
-  def planeComponent(seed: Int, dim: Int): Double = {
-    val h = {
-      var z = seed.toLong * 0x9E3779B97F4A7C15L + dim.toLong
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    (h.toDouble / Long.MaxValue.toDouble)
-  }
+  def planeComponent(seed: Int, dim: Int): Double =
+    graft.functions.RhpBandKeys.planeComponent(seed, dim)
 
-  /** nBits-bit random-hyperplane signature of a vector column. */
+  /** nBits-bit random-hyperplane signature of a vector column — the
+    * definitional (compositional) form; the operators below use the
+    * fused [[graft.functions.RhpBandKeys]] expression, which computes
+    * identical bits in one codegen'd pass.
+    */
   def rhpSignature(vec: Column, dims: Int, nBits: Int): Column =
     array((0 until nBits).map { b =>
       val plane = array((0 until dims).map(d => lit(planeComponent(b, d))): _*)
       when(dot(vec.cast(ArrayType(DoubleType)), plane) >= 0, lit(1L)).otherwise(lit(0L))
     }: _*)
 
-  /** Pack signature bits into band keys of `bandBits` each. */
+  /** Pack signature bits into band keys of `bandBits` each (definitional
+    * twin of the packing inside [[graft.functions.RhpBandKeys]]).
+    */
   private[graft] def bandKeys(sig: Column, nBits: Int, bandBits: Int): Column =
     array((0 until nBits / bandBits).map { band =>
       aggregate(slice(sig, band * bandBits + 1, bandBits),
@@ -150,7 +150,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def withBands(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        posexplode(bandKeys(rhpSignature(col(vecCol), dims, nBits), nBits, bandBits))
+        posexplode(graft.functions.RhpBandKeys.of(
+          col(vecCol).cast(ArrayType(DoubleType)), dims, nBits, bandBits))
           .as(Seq("band", "key")))
 
     val c = withBands(corpus, "nn_id", "nn_vec")
@@ -289,18 +290,25 @@ object Similarity {
     * Returns (a, b, cos) with a < b.
     *
     * Recall is the LSH band recall (pairs whose signatures share no band
-    * are missed — the standard trade; raise nBits/lower bandBits to
-    * trade cost for recall). Skewed buckets (a boilerplate embedding
-    * cluster) are handled by AQE skew-join splitting, same as the
-    * minhash path.
+    * are missed — the standard trade; more/narrower bands raise recall).
+    * Band WIDTH is the scale lever: the defaults (16 bands x 12 bits =
+    * 4096 buckets per band) keep buckets sparse so the self-join stays
+    * near-linear in the corpus — 4-bit keys (16 buckets/band) measured
+    * 70x slower + executor OOM at a mere 40K-vector corpus because every
+    * band collapsed into a handful of quadratic buckets, while 4x16-bit
+    * banding dropped recall below 0.5 for cos~0.96 twins. 16x12 measured
+    * recall 0.96 on +0.05-perturbed twins with ~n/4096 rows per bucket;
+    * grow bandBits with corpus size to hold bucket occupancy ~O(1).
+    * Residual skewed buckets (a boilerplate embedding cluster) are
+    * handled by AQE skew-join splitting, same as the minhash path.
     */
   def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
-      nBits: Int = 16, bandBits: Int = 4,
+      nBits: Int = 192, bandBits: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
     val banded = vecs.select(col("id"),
-      posexplode(bandKeys(rhpSignature(col("v"), dims, nBits), nBits, bandBits))
+      posexplode(graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits))
         .as(Seq("band", "key")))
 
     val candidates = banded.as("l").join(banded.as("r"),

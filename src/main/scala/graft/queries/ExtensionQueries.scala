@@ -333,25 +333,25 @@ object ExtensionQueries {
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Corpus-wide embedding near-dup recomputation: the 16 plane literals
-    * (same splitmix64 doubles as the Spark plan), 4x4-bit banding over
+  /** Corpus-wide embedding near-dup recomputation: the 192 plane literals
+    * (same splitmix64 doubles as the Spark plan), 16x12-bit banding over
     * the planted-twin corpus, band-equality candidate self-join, exact
     * cosine verify — mirrors [[Similarity.nearDupPairsEmbedding]] step
-    * for step.
+    * for step (incl. the scale-safe band width).
     */
   private def embeddingLshOracle: String = {
     def plane(b: Int): String =
       (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
         .mkString("[", ", ", "]")
-    val bitCols = (0 until 16).map(b =>
+    val bitCols = (0 until 192).map(b =>
       s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
       .mkString(",\n    ")
-    val keyCols = (0 until 4).map { band =>
-      val expr = (0 until 4).map(r => s"b${band * 4 + r}")
+    val keyCols = (0 until 16).map { band =>
+      val expr = (0 until 12).map(r => s"b${band * 12 + r}")
         .reduce((acc, b) => s"($acc * 2 + $b)")
       s"$expr AS k$band"
     }.mkString(",\n    ")
-    val bandEq = (0 until 4).map(b => s"l.k$b = r.k$b").mkString(" OR ")
+    val bandEq = (0 until 16).map(b => s"l.k$b = r.k$b").mkString(" OR ")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |e AS (
        |  SELECT vec_id, v FROM base

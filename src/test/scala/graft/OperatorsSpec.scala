@@ -62,6 +62,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found >= (total * 0.8).toLong, s"LSH recall too low: $found/$total")
   }
 
+  test("minhash survives a boilerplate cluster: AQE splits the hot bucket") {
+    // one boilerplate cluster (1000 identical docs) -> ALL its rows land
+    // in the same (band, key) buckets; at 100 TB that is the classic
+    // dedup straggler. AQE skew-join must split the hot bucket. The
+    // thresholds are lowered so the tiny test corpus actually qualifies
+    // as skewed; production keeps the defaults.
+    val skewConfs = Map(
+      // at 100 TB no side of the banding self-join broadcasts — force the
+      // shuffle join the production plan would have
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = skewConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val boiler = spark.range(1000).select(
+        (col("id") + 50000).as("doc_id"),
+        lit("exactly the same boilerplate legal disclaimer text repeated on every page").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).union(boiler)
+      val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+        n = 3, bands = 8, rows = 4, threshold = 0.9)
+      val rows = pairs.collect()
+      val clusterPairs = rows.count(r => r.getLong(0) >= 50000 && r.getLong(1) >= 50000)
+      assert(clusterPairs === 1000 * 999 / 2,
+        s"boilerplate cluster pairs missing: $clusterPairs")
+      // read the final adaptive plan: the hot bucket was split
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed bucket:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("simhash: identical docs at distance 0, perturbed docs nearby") {
     val sigs = docs.limit(50)
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("s1"),
@@ -75,6 +112,16 @@ class OperatorsSpec extends AnyFunSuite {
         Dedup.simhash64(col("text")), Dedup.simhash64(col("text"))).as("d"))
       .agg(max(col("d"))).head().getInt(0)
     assert(self === 0)
+  }
+
+  test("fused RhpBandKeys equals the compositional signature/banding form") {
+    val e = embs.limit(100).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val fused = e.select(col("vec_id"),
+      graft.functions.RhpBandKeys.of(col("v"), 64, 32, 8).as("k"))
+    val comp = e.select(col("vec_id"),
+      Similarity.bandKeys(Similarity.rhpSignature(col("v"), 64, 32), 32, 8).as("k"))
+    assert(fused.except(comp).isEmpty && comp.except(fused).isEmpty)
   }
 
   test("banded embedding near-dup recalls the exact pairs, no false positives") {
@@ -94,7 +141,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
     val recall = (exact & lsh).size.toDouble / exact.size
     // deterministic planes -> a fixed number; guards regressions
-    assert(recall >= 0.5, s"banded embedding dedup recall $recall")
+    // (measured 0.96 with the default 16x12-bit banding)
+    assert(recall >= 0.9, s"banded embedding dedup recall $recall")
     info(f"embedding near-dup recall $recall%.2f (${exact.size} true pairs)")
   }
 
