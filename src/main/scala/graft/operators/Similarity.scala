@@ -172,30 +172,30 @@ object Similarity {
   final case class Centroids(cells: Seq[(Int, Array[Double], Double)]) {
     def nCells: Int = cells.size
 
-    /** Inline argmax-by-(score DESC, cell ASC) as ONE projection — no
-      * join, no window, no shuffle. `cos(v, c) = dot(v,c)/(|v||c|)`; |v|
-      * is constant across cells so ranking uses `dot(v,c)/|c|`. A
-      * zero-norm (degenerate) centroid scores -Inf so it never wins the
-      * argmax — dividing by 0 would yield NaN, which sorts greatest and
-      * would swallow every assignment.
-      */
-    private def scoreStructs(vec: Column): Column =
-      array(cells.map { case (i, cvec, cnorm) =>
-        val cv = array(cvec.map(lit).toIndexedSeq: _*)
-        val s = if (cnorm == 0.0) lit(Double.NegativeInfinity)
-                else dot(vec, cv) / lit(cnorm)
-        struct(s.as("s"), lit(-i).as("negc"))
-      }: _*)
+    // cell ranking runs as ONE fused projection (no join, no window, no
+    // shuffle): rank by `dot(v,c)/|c|` (|v| is constant across cells),
+    // ties to the lower cell id, zero-norm centroids score -Inf so a
+    // degenerate cell never wins (a 0-division would yield NaN, which
+    // sorts greatest and would swallow every assignment). The
+    // [[graft.functions.CentroidProbes]] expression keeps the centroid
+    // matrix as one referenced double[][] — the literal-array struct-sort
+    // form fell out of whole-stage codegen at nCells x dims literals.
+    @transient private lazy val ordered = {
+      val o = cells.sortBy(_._1).toIndexedSeq
+      require(o.zipWithIndex.forall { case ((id, _, _), i) => id == i },
+        "cell ids must be dense 0..n-1")
+      o
+    }
+    @transient private lazy val cArr: Array[Array[Double]] = ordered.map(_._2).toArray
+    @transient private lazy val nArr: Array[Double] = ordered.map(_._3).toArray
 
     /** Nearest cell of each vector. */
     def assignCell(vec: Column): Column =
-      -array_max(scoreStructs(vec)).getField("negc")
+      element_at(graft.functions.CentroidProbes.of(vec, cArr, nArr, 1), 1)
 
     /** The `nprobe` nearest cells, best first. */
     def probeCells(vec: Column, nprobe: Int): Column =
-      transform(
-        slice(reverse(array_sort(scoreStructs(vec))), 1, nprobe),
-        x => -x.getField("negc"))
+      graft.functions.CentroidProbes.of(vec, cArr, nArr, nprobe)
   }
 
   /** Deterministic "k-means-lite": seeds are the nCells corpus vectors
