@@ -79,12 +79,13 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.of(text, n)
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val uni   = size(array_union(a, b)).cast(DoubleType)
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two shingle-array columns — a fused
+    * single-hash-build expression ([[graft.functions.SetJaccard]]); the
+    * `array_intersect`/`array_union` composition builds two hash sets
+    * per pair and was the dominant cost of the verify stages at
+    * millions of candidate pairs.
+    */
+  def jaccard(a: Column, b: Column): Column = graft.functions.SetJaccard.of(a, b)
 
   // ---- minhash + LSH --------------------------------------------------
 

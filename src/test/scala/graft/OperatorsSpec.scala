@@ -114,6 +114,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self === 0)
   }
 
+  test("fused SetJaccard equals the array_intersect/array_union composition") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),   // duplicate elements
+      (Seq.empty[String], Seq.empty[String]),      // empty union -> 0.0
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a b", "c"), Seq("a", "b c"))).toDF("a", "b")
+    val composed = {
+      val inter = size(array_intersect(col("a"), col("b"))).cast("double")
+      val uni = size(array_union(col("a"), col("b"))).cast("double")
+      when(uni === 0, lit(0.0)).otherwise(inter / uni)
+    }
+    val got = pairs.select(Dedup.jaccard(col("a"), col("b")).as("f"),
+      composed.as("c")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r.toString))
+  }
+
   test("fused RhpBandKeys equals the compositional signature/banding form") {
     val e = embs.limit(100).select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
