@@ -196,10 +196,11 @@ object Dedup {
 
   // ---- simhash --------------------------------------------------------
 
-  /** 64-bit simhash over word tokens, pure Catalyst: for each bit j,
-    * sum(sign of bit j of XXH64(token)) — positive -> bit set. Computed
-    * as a 64-element counter array folded with `aggregate`, then reduced
-    * to a long.
+  /** 64-bit simhash over word tokens — the definitional (compositional)
+    * Column form: for each bit j, sum(sign of bit j of md5(token)) —
+    * positive -> bit set. [[simhashDF]] computes identical signatures
+    * via the fused [[graft.functions.SimHash64]] expression (pinned by a
+    * parity test).
     */
   def simhash64(text: Column): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
@@ -223,23 +224,15 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Simhash via explode + codegen'd hash aggregate (same rationale as
-    * [[minhashSignatureDF]]): 64 conditional-sum columns per doc, folded
-    * into the signature long.
+  /** Per-document simhash signatures via the fused scan-local expression
+    * ([[graft.functions.SimHash64]]): no token explode, no shuffle — the
+    * signature computes where the document is scanned. (An earlier
+    * explode + 64-conditional-sum aggregate shuffled ~200 rows per
+    * document; the fused pass halved the corpus signature time.)
     */
-  def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
-      .withColumn("h", PortableHash.md5Lo(col("tok")))
-    val aggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$j"))
-    toks.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(j =>
-          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-  }
+  def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHash64.of(col(textCol)).as("sh"))
 
   /** Simhash near-dup pairs: block on 4 16-bit bands (a pair within
     * hamming distance<=3 of 64 bits shares at least one identical band by

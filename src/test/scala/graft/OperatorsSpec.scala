@@ -131,6 +131,16 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r.toString))
   }
 
+  test("fused SimHash64 equals the compositional signature form") {
+    val texts = docs.limit(50).select(col("text"))
+      .union(Seq("", "  ", "\tTab  separated\twords\t", "ONE word",
+        "ümlauts ÉTÉ straße").toDF("text"))
+    val got = texts.select(
+      graft.functions.SimHash64.of(col("text")).as("f"),
+      Dedup.simhash64(col("text")).as("c")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("fused RhpBandKeys equals the compositional signature/banding form") {
     val e = embs.limit(100).select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
