@@ -18,9 +18,11 @@ import graft.functions.{GoHash, PortableHash}
   *   - n-gram Jaccard: exact verify used standalone on candidate pairs
   *   - embedding cosine: see [[Similarity]]
   *
-  * All shingling/minhashing is pure Catalyst (higher-order functions +
-  * seeded XXH64), so signatures compute inside whole-stage codegen during
-  * the scan — no UDF, no RDD.
+  * All shingling/signature work runs as codegen'd Catalyst expressions
+  * ([[graft.functions.WordShingles]], [[graft.functions.MinHashSig]],
+  * [[graft.functions.SimHash64]], [[graft.functions.SetJaccard]]) so it
+  * computes scan-local inside whole-stage codegen — no explode shuffle
+  * for signatures, no UDF, no RDD.
   */
 object Dedup {
 
@@ -89,20 +91,28 @@ object Dedup {
 
   // ---- minhash + LSH --------------------------------------------------
 
-  /** Signature via explode + hash aggregate instead of per-row lambdas:
-    * higher-order functions are interpreted in Spark, but `min` columns in
-    * a HashAggregate are whole-stage-codegen'd — at corpus scale this is
-    * the difference between scan-speed and 10x slower. One shuffle on the
-    * doc id (which the downstream banding join needs anyway).
-    *
-    * Permutations use the standard two-hash construction
-    * h_i = h1 + i*h2 (Broder-style, as in Spark MLlib's MinHashLSH): one
-    * md5 per shingle instead of k hashes; h1/h2 are its two 64-bit
-    * halves ([[PortableHash]] — bit-identical to DuckDB's
+  /** Per-document minhash signatures via the fused scan-local expression
+    * ([[graft.functions.MinHashSig]]): one md5 per shingle, k wrapped
+    * `h1 + i*h2` permutation minima (Broder-style two-hash construction,
+    * as in Spark MLlib's MinHashLSH), computed where the document is
+    * scanned — no shingle explode, no shuffle. h1/h2 are the digest's
+    * 64-bit halves ([[PortableHash]] — bit-identical to DuckDB's
     * md5_number_lower/upper, so the oracle recomputes the signatures).
+    * Documents with empty/null shingle arrays are dropped, matching the
+    * explode form's inner-aggregation semantics.
     */
   def minhashSignatureDF(df: DataFrame, idCol: String, shinglesCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    df.filter(col(shinglesCol).isNotNull && size(col(shinglesCol)) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSig.of(col(shinglesCol), k).as("sig"))
+
+  /** The definitional (explode + k-min-column aggregate) twin of
+    * [[minhashSignatureDF]], kept for the parity test pinning the fused
+    * expression's values.
+    */
+  private[graft] def minhashSignatureExplodeDF(df: DataFrame, idCol: String,
+      shinglesCol: String, k: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(col(shinglesCol)).as("sh"))
       // ONE digest per shingle: Once pins the pair against CollapseProject

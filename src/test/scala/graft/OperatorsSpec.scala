@@ -131,6 +131,14 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r.toString))
   }
 
+  test("fused MinHashSig equals the explode-aggregate signature form") {
+    val shingled = docs.limit(100).select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val fused = Dedup.minhashSignatureDF(shingled, "doc_id", "sh", 32)
+    val comp = Dedup.minhashSignatureExplodeDF(shingled, "doc_id", "sh", 32)
+    assert(fused.except(comp).isEmpty && comp.except(fused).isEmpty)
+  }
+
   test("fused SimHash64 equals the compositional signature form") {
     val texts = docs.limit(50).select(col("text"))
       .union(Seq("", "  ", "\tTab  separated\twords\t", "ONE word",
