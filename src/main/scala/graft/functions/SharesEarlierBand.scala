@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.CatalystBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+
+/** True when two band-key arrays (`array<long>`) agree on ANY band
+  * strictly before `band` — the first-matching-band dedup predicate for
+  * LSH candidate joins: a pair that already matched in an earlier band
+  * is dropped here, so each candidate pair survives exactly once and
+  * the b-way-multiplied `distinct()` disappears.
+  *
+  * Exists as a dedicated expression because the compositional
+  * `exists(zip_with(slice…))` form runs interpreted per JOINED row
+  * (pre-pruning, the widest point of the whole plan) — measured 80x
+  * slower on a cluster-heavy corpus. Here it is a codegen'd loop over
+  * at most `band` longs.
+  */
+case class SharesEarlierBand(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "shares_earlier_band"
+
+  override def nullSafeEval(l: Any, r: Any, b: Any): Any = {
+    val lks = l.asInstanceOf[ArrayData]
+    val rks = r.asInstanceOf[ArrayData]
+    val band = b.asInstanceOf[Int]
+    var i = 0
+    var found = false
+    while (!found && i < band) {
+      found = lks.getLong(i) == rks.getLong(i)
+      i += 1
+    }
+    found
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r, b) => {
+      val i = ctx.freshName("i")
+      s"""
+         |${ev.value} = false;
+         |for (int $i = 0; !${ev.value} && $i < $b; $i++) {
+         |  ${ev.value} = $l.getLong($i) == $r.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SharesEarlierBand =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object SharesEarlierBand {
+  def of(lks: Column, rks: Column, band: Column): Column =
+    toColumn(SharesEarlierBand(toExpression(lks), toExpression(rks),
+      toExpression(band)))
+}

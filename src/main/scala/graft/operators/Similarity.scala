@@ -308,14 +308,19 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
     val banded = vecs.select(col("id"),
-      posexplode(graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits))
-        .as(Seq("band", "key")))
+      graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
+      .select(col("id"), col("ks"),
+        posexplode(col("ks")).as(Seq("band", "key")))
 
+    // first-matching-band emission: a pair joins in every shared band but
+    // survives only in its minimal one (codegen'd predicate), so each
+    // candidate appears exactly once — no b-way-multiplied distinct()
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
+      .filter(!graft.functions.SharesEarlierBand.of(
+        col("l.ks"), col("r.ks"), col("l.band")))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
 
     candidates
       .join(vecs.as("va"), col("a") === col("va.id"))
