@@ -314,7 +314,11 @@ object Similarity {
 
     // first-matching-band emission: a pair joins in every shared band but
     // survives only in its minimal one (codegen'd predicate), so each
-    // candidate appears exactly once — no b-way-multiplied distinct()
+    // candidate appears exactly once — no b-way-multiplied distinct().
+    // Measured worthwhile HERE (16 bands -> 16x pair multiplicity dwarfs
+    // the 16-long ks carry); the 4-band simhash/8-band minhash paths
+    // measured better keeping their distinct() (narrower multiplicity,
+    // payload carried through the join) — don't blanket-apply.
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
