@@ -314,7 +314,13 @@ object ExtensionQueries {
         .reduce((acc, b) => s"($acc * 2 + $b)")
       s"$expr AS k$band"
     }.mkString(",\n    ")
-    val bandEq = (0 until 4).map(b => s"q.k$b = c.k$b").mkString(" OR ")
+    // multi-probe: the corpus key matches the query key OR any 1-bit flip
+    // of it — the identical probe set the Spark side explodes
+    val bandEq = (0 until 4).map { b =>
+      val probes = (s"q.k$b" +: (0 until 4).map(r => s"xor(q.k$b, ${1 << r})"))
+        .mkString(", ")
+      s"c.k$b IN ($probes)"
+    }.mkString("\n      OR ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sg AS (SELECT vec_id, v,
        |    $bitCols
@@ -323,7 +329,7 @@ object ExtensionQueries {
        |    $keyCols
        |  FROM sg),
        |cd AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id, q.v AS qv, c.v AS cv
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id, q.v AS qv, c.v AS cv
        |  FROM bd q JOIN bd c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
        |    AND ($bandEq)),
        |sc AS (SELECT query_id, nn_id, $cosExpr AS cos0 FROM cd)
