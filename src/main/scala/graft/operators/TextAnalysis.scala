@@ -127,6 +127,34 @@ object TextAnalysis {
     }
   }
 
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** Deliberately dialect-portable patterns (no alternation, no
+    * backreferences, no lookaround) so Java regex (Spark) and RE2
+    * (DuckDB) match identically and the oracle recomputes the scrub
+    * verbatim.
+    */
+  val piiEmailRe: String   = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re: String    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiLongNumRe: String = "\\d{9,}"
+
+  /** Redact common PII shapes for training corpora: emails, dotted IPv4s
+    * and long (9+) digit runs (phone/account/id numbers), replaced by
+    * typed placeholder tokens. Applied email -> ip -> number so the
+    * narrower patterns never eat part of a wider match. Pure Catalyst
+    * regexp_replace — scan-speed, codegen'd.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiLongNumRe, "<NUM>")
+
+  /** Match count of one PII pattern over the original text. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

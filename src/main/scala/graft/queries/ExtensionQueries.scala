@@ -167,6 +167,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- PII scrubbing (planted emails/IPs/long numbers -> typed tokens;
+    //     oracle recomputes the scrub with the identical portable regexes) -
+    "text_pii_scrub" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" contact bob.smith+x@mail.example.org " +
+            "or 10.42.0.255 ref 9876543210123")).as("text")))
+      corpus.select(col("doc_id"),
+          TextAnalysis.piiCount(col("text"), TextAnalysis.piiEmailRe).as("n_emails"),
+          TextAnalysis.piiCount(col("text"), TextAnalysis.piiIpv4Re).as("n_ipv4"),
+          TextAnalysis.piiCount(col("text"), TextAnalysis.piiLongNumRe).as("n_longnums"),
+          TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- document fingerprinting ------------------------------------------
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -595,6 +611,26 @@ object ExtensionQueries {
         |  round(CASE WHEN n_words = 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) < 0.8 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val num = "\\d{9,}"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' contact bob.smith+x@mail.example.org or 10.42.0.255 ref 9876543210123' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_longnums,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ipv4', '<IP>', 'g'),
+         |    '$num', '<NUM>', 'g') AS scrubbed
+         |FROM corpus ORDER BY doc_id""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id,

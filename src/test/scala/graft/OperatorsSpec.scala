@@ -213,6 +213,19 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case (exp, act) => assert(act === exp, s"langid $exp -> $act") }
   }
 
+  test("PII scrub redacts emails, IPv4s and long digit runs, leaves prose") {
+    val r = Seq("mail a.b+c@x-y.co.uk, host 192.168.0.1, acct 123456789, " +
+      "short 12345 and v1.2 stay").toDF("text")
+      .select(TextAnalysis.scrubPii(col("text")).as("s"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiEmailRe).as("e"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiIpv4Re).as("i"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiLongNumRe).as("n"))
+      .head()
+    assert(r.getString(0) ===
+      "mail <EMAIL>, host <IP>, acct <NUM>, short 12345 and v1.2 stay")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
+  }
+
   test("token counts and quality are sane") {
     val r = Seq("The quick brown fox, and the lazy dog!").toDF("text")
       .select(
