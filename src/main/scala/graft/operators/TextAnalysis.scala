@@ -155,6 +155,28 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
 
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Benchmark decontamination: ids of corpus documents sharing at least
+    * one word n-gram (default 8 — the usual decontamination span) with
+    * the benchmark set. The benchmark side is deduped and expected to be
+    * small relative to the corpus, so Catalyst plans a broadcast
+    * left-semi join against the exploded corpus shingles — one pass over
+    * the corpus, no corpus x corpus work. At extreme benchmark sizes,
+    * swap the string shingle key for [[fingerprint64]] of the shingle to
+    * narrow the exchange.
+    */
+  def contaminatedDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val dsh = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("sg"))
+    val bsh = bench
+      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("sg"))
+      .distinct()
+    dsh.join(bsh, Seq("sg"), "left_semi").select(col("doc_id")).distinct()
+  }
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

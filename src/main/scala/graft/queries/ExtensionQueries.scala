@@ -167,6 +167,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- benchmark decontamination: docs sharing an 8-gram with the
+    //     benchmark set (benchmark = docs < 20; contamination planted by
+    //     appending a benchmark span to 100 shifted docs) ----------------
+    "text_decontaminate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val words = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val bench = d.filter(col("doc_id") < 20)
+      val spans = bench.select(col("doc_id").as("bid"),
+        concat_ws(" ", slice(words, 1, 8)).as("span"))
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans, "bid")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = d.union(planted)
+      TextAnalysis.contaminatedDocs(corpus, "doc_id", "text", bench, "text")
+        .orderBy(col("doc_id"))
+    },
+
     // --- PII scrubbing (planted emails/IPs/long numbers -> typed tokens;
     //     oracle recomputes the scrub with the identical portable regexes) -
     "text_pii_scrub" -> { (s, dir) =>
@@ -611,6 +630,30 @@ object ExtensionQueries {
         |  round(CASE WHEN n_words = 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) < 0.8 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" -> {
+      val words8 =
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+      val sh8 = """CASE WHEN len(words) < 8 THEN [array_to_string(words, ' ')]
+        |    ELSE list_transform(range(1, len(words) - 6),
+        |           i -> array_to_string(words[i:i+7], ' ')) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |w0 AS (SELECT doc_id, $words8 AS words FROM d),
+         |spans AS (SELECT doc_id AS bid, array_to_string(words[1:8], ' ') AS span
+         |  FROM w0 WHERE doc_id < 20),
+         |planted AS (
+         |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
+         |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
+         |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
+         |corpus AS (SELECT doc_id, text FROM d
+         |  UNION ALL SELECT doc_id, text FROM planted),
+         |cw AS (SELECT doc_id, $words8 AS words FROM corpus),
+         |csh AS (SELECT doc_id, unnest($sh8) AS sg FROM cw),
+         |bw AS (SELECT doc_id, $words8 AS words FROM d WHERE doc_id < 20),
+         |bsh AS (SELECT DISTINCT unnest($sh8) AS sg FROM bw)
+         |SELECT DISTINCT doc_id FROM csh WHERE sg IN (SELECT sg FROM bsh)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

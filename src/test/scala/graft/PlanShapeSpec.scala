@@ -116,6 +116,16 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("decontamination plans as a broadcast semi join against the benchmark") {
+    val d = Tables(spark, sf).documents
+    val p = plan(graft.operators.TextAnalysis.contaminatedDocs(
+      d, "doc_id", "text", d.filter(col("doc_id") < 20), "text"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val e = Tables(spark, sf).embeddings
     val p = plan(graft.operators.Similarity.bruteForceTopK(
