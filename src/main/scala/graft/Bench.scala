@@ -86,7 +86,7 @@ object Bench {
 
     // headline: the reference's benchmark shape — JSON messages through
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
-    // The event table is replicated 10x so the timed window is seconds,
+    // The event table is replicated 30x so the timed window is seconds,
     // not a sub-second blip dominated by scheduling noise.
     val ingest = {
       val events = Tables(spark, sfDir).events
@@ -97,7 +97,7 @@ object Bench {
         col("value").as("price"),
         col("user_id").as("uid"),
         col("event_id").as("id"))).as("value"))
-      val raw = (1 to 10).map(_ => one).reduce(_ union _)
+      val raw = (1 to 30).map(_ => one).reduce(_ union _)
         // mimic a Kafka source's partitioning (one partition per core)
         .repartition(cpus.toInt).persist()
       val n = raw.count()
