@@ -167,6 +167,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- the composed curation pipeline (capstone): exact-dedup the
+    //     corpus, drop low-quality docs, roll up by predicted language —
+    //     every stage individually oracle-proven, composed here ----------
+    "corpus_curate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dropExact(corpus, col("text"), col("doc_id"))
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
+        .orderBy(col("pred"))
+    },
+
     // --- benchmark decontamination: docs sharing an 8-gram with the
     //     benchmark set (benchmark = docs < 20; contamination planted by
     //     appending a benchmark span to 100 shifted docs) ----------------
@@ -630,6 +647,61 @@ object ExtensionQueries {
         |  round(CASE WHEN n_words = 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) < 0.8 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_curate" -> {
+      val stopHits = TextAnalysis.enStopwords.map { w =>
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      def hits(words: Seq[String]): String = words.map { w =>
+        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      val de = hits(Seq("der", "die", "und", "ist", "das"))
+      val en = hits(Seq("the", "and", "is", "of", "to"))
+      val es = hits(Seq("el", "la", "los", "es", "y"))
+      val fr = hits(Seq("le", "la", "les", "est", "et"))
+      val zh = hits(Seq("的", "是", "了", "在", "我"))
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |dedup AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM corpus)
+         |  WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    $stopHits AS stop_hits,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS praw
+         |  FROM dedup),
+         |q AS (
+         |  SELECT doc_id, text,
+         |    round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+         |        + LEAST(stop_hits / 3.0, 1.0) * 0.3
+         |        + GREATEST(0.0, 1.0 - praw * 5.0) * 0.3, 6) AS q
+         |  FROM t),
+         |f AS (SELECT doc_id, text, q FROM q WHERE q >= 0.5),
+         |s AS (
+         |  SELECT doc_id, q,
+         |    $de AS sde, $en AS sen, $es AS ses, $fr AS sfr, $zh AS szh
+         |  FROM f),
+         |p AS (
+         |  SELECT doc_id, q,
+         |    CASE WHEN GREATEST(sde, sen, ses, sfr, szh) = 0 THEN 'und'
+         |         WHEN sde = GREATEST(sde, sen, ses, sfr, szh) THEN 'de'
+         |         WHEN sen = GREATEST(sde, sen, ses, sfr, szh) THEN 'en'
+         |         WHEN ses = GREATEST(sde, sen, ses, sfr, szh) THEN 'es'
+         |         WHEN sfr = GREATEST(sde, sen, ses, sfr, szh) THEN 'fr'
+         |         ELSE 'zh' END AS pred
+         |  FROM s)
+         |SELECT pred, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+         |FROM p GROUP BY pred ORDER BY pred""".stripMargin
+    },
 
     "text_decontaminate" -> {
       val words8 =
