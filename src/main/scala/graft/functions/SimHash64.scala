@@ -37,6 +37,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Called from both eval and generated code. Tokenization mirrors
     * `split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")`
     * exactly — including the quirk that an empty canonical text yields
@@ -44,7 +46,7 @@ object SimHash64 {
     * `string_split` reproduces.
     */
   def compute(text: UTF8String): Long = {
-    val canonical = text.trim().toLowerCase.toString.replaceAll("\\s+", " ")
+    val canonical = Ws.matcher(text.trim().toLowerCase.toString).replaceAll(" ")
     val counters = new Array[Int](64)
     var start = 0
     var done = false

@@ -391,8 +391,8 @@ object ExtensionQueries {
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Corpus-wide embedding near-dup recomputation: the 192 plane literals
-    * (same splitmix64 doubles as the Spark plan), 16x12-bit banding over
+  /** Corpus-wide embedding near-dup recomputation: the 384 plane literals
+    * (same splitmix64 doubles as the Spark plan), 24x16-bit banding over
     * the planted-twin corpus, band-equality candidate self-join, exact
     * cosine verify — mirrors [[Similarity.nearDupPairsEmbedding]] step
     * for step (incl. the scale-safe band width).

@@ -27,6 +27,24 @@ final class OpsServer(
     live: () => Boolean = () => true) extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // A small pool so a slow /state render can't block /live (the liveness
+  // probe must answer even when the driver is busy); handlers respond 500
+  // on error instead of leaving the exchange unanswered until timeout.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-ops-http"); t.setDaemon(true); t
+    })
+  server.setExecutor(pool)
+
+  private def guarded(handle: HttpExchange => Unit)(ex: HttpExchange): Unit =
+    try handle(ex)
+    catch {
+      case e: Exception =>
+        try respond(ex, 500, "text/plain",
+          s"internal error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+        catch { case _: Exception => () } // headers already sent
+    }
+    finally ex.close()
 
   private def respond(ex: HttpExchange, code: Int, contentType: String,
       body: String): Unit = {
@@ -64,21 +82,21 @@ final class OpsServer(
       s""""rowsConsumed":${metrics.rowsConsumed.sum()}}"""
   }
 
-  server.createContext("/state", (ex: HttpExchange) =>
-    respond(ex, 200, "application/json", stateJson))
-  server.createContext("/metrics", (ex: HttpExchange) =>
-    respond(ex, 200, "text/plain; version=0.0.4", metrics.prometheus))
-  server.createContext("/ready", (ex: HttpExchange) =>
+  server.createContext("/state", guarded(ex =>
+    respond(ex, 200, "application/json", stateJson)) _)
+  server.createContext("/metrics", guarded(ex =>
+    respond(ex, 200, "text/plain; version=0.0.4", metrics.prometheus)) _)
+  server.createContext("/ready", guarded(ex =>
     if (ready()) respond(ex, 200, "text/plain", "ready\n")
-    else respond(ex, 503, "text/plain", "not ready\n"))
-  server.createContext("/live", (ex: HttpExchange) =>
+    else respond(ex, 503, "text/plain", "not ready\n")) _)
+  server.createContext("/live", guarded(ex =>
     if (live()) respond(ex, 200, "text/plain", "live\n")
-    else respond(ex, 503, "text/plain", "dead\n"))
+    else respond(ex, 503, "text/plain", "dead\n")) _)
 
   /** The actual bound port (after `port = 0` auto-assignment). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): OpsServer = { server.start(); this }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }

@@ -42,6 +42,19 @@ final class SinkerApp(
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val restarts = new ConcurrentHashMap[String, Integer]()
   private val taskConfigs = new ConcurrentHashMap[String, TaskConfig]()
+  /** All evolution restarts run on ONE thread: two tasks of a shared
+    * group evolving in the same window must not bounce the group
+    * concurrently (interleaved stop/start could leave a stale query
+    * writing beside its replacement). `pendingBounce` coalesces bounces
+    * queued for the same consumer group: the queued run reads the LATEST
+    * schemas when it executes, so a second evolution arriving before it
+    * starts needs no second bounce.
+    */
+  private val restartExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-evolution-restart"); t.setDaemon(true); t
+    })
+  private val pendingBounce = ConcurrentHashMap.newKeySet[String]()
 
   def currentDims(task: String): Seq[Dim] = schemas.get(task)
   def restartCount(task: String): Int =
@@ -82,9 +95,16 @@ final class SinkerApp(
     }
     schemas.put(task.name, newDims)
     restarts.merge(task.name, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
-    // restart asynchronously: stopping the query from inside its own
-    // foreachBatch would deadlock on the streaming lock
-    new Thread(() => restartAfterEvolution(task), s"graft-restart-${task.name}").start()
+    // restart asynchronously (stopping the query from inside its own
+    // foreachBatch would deadlock on the streaming lock), serialized on
+    // restartExec; skip if a bounce for this group is already queued
+    if (pendingBounce.add(task.consumerGroup))
+      restartExec.submit(new Runnable {
+        def run(): Unit = {
+          pendingBounce.remove(task.consumerGroup)
+          restartAfterEvolution(task)
+        }
+      })
   }
 
   /** The restart thread body: bounce the task (or its whole group), with
