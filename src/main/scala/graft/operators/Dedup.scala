@@ -234,6 +234,117 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- dedup clustering (connected components) ------------------------
+
+  /** Connected components over near-duplicate PAIRS — the step that turns
+    * pairwise dedup output into droppable duplicate CLUSTERS (pairs alone
+    * don't dedup a corpus: near-duplication is transitive through chains
+    * A~B~C where A!~C, and every doc of a cluster except one canonical
+    * survivor must drop).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the shape that
+    * survives 100 TB:
+    *
+    *   - converges in O(log n) rounds regardless of component diameter
+    *     (plain min-label propagation needs O(diameter) rounds — a
+    *     pathological chain of near-dup shards makes that unbounded);
+    *   - each round is a groupBy-min + an equi-join on the SAME key, so
+    *     the join reuses the aggregation's hash partitioning — two narrow
+    *     shuffles per round, never a collect_set (no giant neighbor
+    *     arrays on skewed hub nodes; AQE splits skewed reduce buckets);
+    *   - `localCheckpoint` truncates the iterative lineage each round so
+    *     the plan doesn't grow superlinearly.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = the minimum node id of the connected component — the
+    * canonical-survivor rule (keep `id == component`, drop the rest).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+
+    // canonical edge direction: u > v (larger node points to smaller)
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star: every node u links its LARGER neighbors to the minimum
+    // of its neighborhood (min over Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node u links its SMALLER neighbors (and itself)
+    // to the minimum of those
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val linked = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      linked.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // cheap fixed-point detector: (count, order-independent edge hash) —
+    // one pass, no except(); the star alternation is monotone so a stable
+    // checksum IS the fixed point (star forests map to themselves)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = canon(
+      pairs.select(col(aCol).cast(LongType).as("u"),
+        col(bCol).cast(LongType).as("v"))).localCheckpoint()
+    var cks = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCks = checksum(next)
+      converged = nextCks == cks
+      edges = next
+      cks = nextCks
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+
+    // converged star forest: non-roots point at their component min;
+    // roots appear only on the v side and map to themselves
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.union(roots)
+  }
+
+  /** Cluster assignment for a whole corpus: every doc gets a component
+    * (singletons map to themselves) plus the survivor decision — `keep`
+    * is true exactly for the minimum id of each cluster. The standard
+    * tail of a near-dup pipeline: `cluster(corpus, pairs).filter("keep")`
+    * is the deduplicated corpus.
+    */
+  def cluster(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    corpus.select(col(idCol).cast(LongType).as("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
+  }
+
   /** Per-document simhash signatures via the fused scan-local expression
     * ([[graft.functions.SimHash64]]): no token explode, no shuffle — the
     * signature computes where the document is scanned. (An earlier

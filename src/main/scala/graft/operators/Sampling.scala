@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines. Everything keys off a PORTABLE hash of a stable id — never
+  * `rand()` — so:
+  *
+  *   - assignment is reproducible across runs, engines and cluster sizes
+  *     (a re-run of a 100 TB split job lands every row in the same split;
+  *     `rand()` would reshuffle on every retry of a lost partition);
+  *   - membership is a scan-local projection — no shuffle, no sort, no
+  *     state; filters stay inside whole-stage codegen next to the scan;
+  *   - train/test leakage across derived tables is impossible: any table
+  *     carrying the same id hashes to the same split.
+  *
+  * The hash is [[PortableHash.md5Lo]] (== DuckDB `md5_number_lower`), so
+  * the correctness oracles recompute identical buckets in plain SQL.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a row key: top 63 bits of the
+    * md5-lower half (unsigned shift keeps it non-negative on both
+    * engines) mod the bucket count.
+    */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    shiftrightunsigned(PortableHash.md5Lo(key), 1) % buckets
+
+  /** Deterministic weighted split assignment (train/val/test and
+    * friends): `splits` are (name, weight) with weights summing to ~1;
+    * each row's bucket picks the split by cumulative threshold. Rows with
+    * the same key ALWAYS land in the same split.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    val b = hashBucket(key, buckets)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(w => math.round(w * buckets))
+    val assigned = splits.init.zip(thresholds.init)
+      .foldLeft(None: Option[Column]) { case (acc, ((name, _), t)) =>
+        Some(acc match {
+          case None    => when(b < t, lit(name))
+          case Some(c) => c.when(b < t, lit(name))
+        })
+      } match {
+        case Some(c) => c.otherwise(lit(splits.last._1))
+        case None    => lit(splits.last._1)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Keep a deterministic ~`fraction` sample: rows whose bucket falls
+    * below `fraction * buckets`. Scan-local — pushes down past the
+    * filter like any other predicate.
+    */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
+
+  /** Stratified deterministic sampling: per-stratum keep fractions (the
+    * standard corpus-mixing knob — e.g. downsample boilerplate-heavy
+    * sources, keep all rare-language docs). Strata not in `fractions`
+    * use `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double], defaultFraction: Double,
+      buckets: Int = 10000): DataFrame = {
+    val b = hashBucket(key, buckets)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(None: Option[Column]) { case (acc, (s, f)) =>
+        val t = lit(math.round(f * buckets))
+        Some(acc match {
+          case None    => when(stratum === s, t)
+          case Some(c) => c.when(stratum === s, t)
+        })
+      } match {
+        case Some(c) => c.otherwise(lit(math.round(defaultFraction * buckets)))
+        case None    => lit(math.round(defaultFraction * buckets))
+      }
+    df.filter(b < threshold)
+  }
+}

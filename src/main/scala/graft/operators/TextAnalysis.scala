@@ -177,6 +177,66 @@ object TextAnalysis {
     dsh.join(bsh, Seq("sg"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  // ---- vocabulary statistics ------------------------------------------
+
+  /** Corpus vocabulary statistics over canonical whitespace tokens:
+    * per-token total frequency (tf) and document frequency (df) — the
+    * input to stopword discovery, tokenizer training and tf-idf weighting.
+    *
+    * One explode + one hash aggregate: tf is a plain count; df counts
+    * each (token, doc) once by pre-distincting per document INSIDE the
+    * scan (array_distinct before the explode), so the aggregate never
+    * needs a count(distinct) — partial (map-side) aggregation applies to
+    * both counters, and the single shuffle carries token keys only. At
+    * 100 TB the token-key skew (the most common token appears in nearly
+    * every doc) stays bounded by map-side combine: each mapper emits one
+    * row per distinct token.
+    */
+  def vocabStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    df.select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(
+        df.select(col(idCol).as("id"),
+            explode(array_distinct(toks)).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("df")),
+        Seq("token"))
+  }
+
+  // ---- token-budget chunking ------------------------------------------
+
+  /** Split each document into consecutive chunks of at most `maxTokens`
+    * whitespace tokens — sequence packing for training (context-window
+    * budgeting). Returns (id, chunk_id, n_tokens, chunk) rows.
+    *
+    * Scan-local: tokenization, chunk slicing and the explode all happen
+    * in one projection over the document scan — no shuffle, no UDF; the
+    * output is immediately partition-parallel for downstream tokenizer
+    * work. Chunk boundaries are deterministic (pure arithmetic on token
+    * positions).
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        sequence(lit(0),
+          greatest(ceil(size(col("toks")).cast(DoubleType) / maxTokens)
+            .cast(IntegerType) - 1, lit(0))).as("idxs"))
+      .select(col("id"),
+        posexplode(transform(col("idxs"),
+          i => array_join(slice(col("toks"), i * maxTokens + 1, lit(maxTokens)), " ")))
+          .as(Seq("chunk_id", "chunk")),
+        size(col("toks")).as("total"))
+      .select(col("id"), col("chunk_id"),
+        least(lit(maxTokens),
+          col("total") - col("chunk_id") * maxTokens).cast(LongType).as("n_tokens"),
+        col("chunk"))
+  }
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Joins, Sampling, TextAnalysis}
+
+/** Behavior tests for the round-4 curation operators: dedup clustering
+  * (connected components), deterministic sampling/splits, vocabulary
+  * stats, token-budget chunking and the as-of join.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(8)
+  import spark.implicits._
+
+  // ---- connected components -------------------------------------------
+
+  test("connected components: mixed topologies resolve to min-id labels") {
+    // component 1: path 1-2-3-4 (propagation needed, not a direct edge)
+    // component 2: star 10<-{11,12,13}
+    // component 3: cycle 20-21-22-20
+    // component 4: two merged stars 30<-{31,32}, 33<-{34,35}, bridge 32-34
+    val pairs = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L),
+      (11L, 10L), (12L, 10L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L), (32L, 30L), (34L, 33L), (35L, 33L), (32L, 34L)
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L, 35L -> 30L)
+    assert(got === want)
+  }
+
+  test("connected components: long path converges within the round cap") {
+    // a 300-node path is the worst case for label propagation (diameter
+    // 299); star alternation must close it in O(log n) rounds
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+    assert(comp.count() === 300)
+    assert(comp.filter(col("component") =!= 1L).count() === 0)
+  }
+
+  test("cluster: singletons survive, exactly one keeper per component") {
+    val corpus = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (3L, 2L), (5L, 4L)).toDF("a", "b")
+    val c = Dedup.cluster(corpus, pairs)
+    assert(c.count() === 10)
+    assert(c.filter(col("keep")).count() === 7) // {1..3},{4,5},6,7,8,9,10
+    val kept = c.filter(col("keep")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 6L, 7L, 8L, 9L, 10L))
+    // every row's component is a kept id
+    assert(c.join(c.filter(col("keep")).select(col("id").as("component")),
+      Seq("component"), "left_anti").count() === 0)
+  }
+
+  // ---- sampling / splits ----------------------------------------------
+
+  test("hash split: total partition, deterministic, ~weights") {
+    val df = (1L to 10000L).toDF("id")
+    val split = Sampling.assignSplit(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(counts("train") > 7700 && counts("train") < 8300)
+    assert(counts("val") > 800 && counts("val") < 1200)
+    // deterministic: a re-run assigns identically
+    val again = Sampling.assignSplit(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() === 0)
+  }
+
+  test("stratified sample honors per-stratum fractions") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s = Sampling.stratifiedSample(df, col("id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.05), defaultFraction = 0.0)
+    val counts = s.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") > 850 && counts("en") < 1150)
+    assert(counts("de") > 50 && counts("de") < 150)
+    // sampling is a subset of the source, not a transformation
+    assert(s.exceptAll(df).count() === 0)
+  }
+
+  // ---- vocabulary stats -----------------------------------------------
+
+  test("vocabStats: exact tf/df on a known corpus") {
+    val df = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabStats(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("a", 3L, 2L), ("b", 1L, 1L), ("c", 4L, 2L)))
+  }
+
+  // ---- chunking -------------------------------------------------------
+
+  test("chunkByTokens: boundaries, counts, remainder and short docs") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens / 3 -> 3+3+1
+      (2L, "only two"),
+      (3L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text", maxTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0, 3L, "t1 t2 t3"), (1L, 1, 3L, "t4 t5 t6"), (1L, 2, 1L, "t7"),
+      (2L, 0, 2L, "only two"),
+      (3L, 0, 1L, "one")))
+    // reassembling the chunks reproduces every document's token stream
+    val glued = TextAnalysis.chunkByTokens(df, "doc_id", "text", 3)
+      .groupBy("id").agg(array_join(collect_list("chunk"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(glued(1L) === "t1 t2 t3 t4 t5 t6 t7")
+  }
+
+  // ---- as-of join -----------------------------------------------------
+
+  test("asOf: latest prior right row per key, ties and no-match nulls") {
+    val left = Seq(
+      (1L, 100L, 10L), // user 1 at t=10: latest right <= 10 is t=10
+      (2L, 101L, 5L),  // user 1 at t=5: right at t=3
+      (3L, 102L, 2L),  // user 1 at t=2: no prior right -> null
+      (4L, 103L, 50L)  // user 2 at t=50: right at t=20
+    ).map { case (id, eid, ts) =>
+      (eid, if (id <= 3) 1L else 2L, new java.sql.Timestamp(ts))
+    }.toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, 3L, 3.0),
+      (901L, 1L, 10L, 10.0),
+      (902L, 1L, 10L, 99.0), // same (key, ts): max event_id 902 wins
+      (903L, 2L, 20L, 20.0),
+      (904L, 2L, 60L, 60.0)  // after left ts -> never matched
+    ).map { case (eid, u, ts, v) =>
+      (eid, u, new java.sql.Timestamp(ts), v)
+    }.toDF("b_event_id", "user_id", "ts", "b_value")
+
+    val got = Joins.asOf(left, right, Seq("user_id"), "ts",
+        rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (100L, 902L, 99.0),
+      (101L, 900L, 3.0),
+      (102L, -1L, -1.0),
+      (103L, 903L, 20.0)))
+  }
+}
