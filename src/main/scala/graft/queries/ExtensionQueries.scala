@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`
   * (builder-prompt scope beyond the reference): dedup family, similarity
@@ -251,6 +251,84 @@ object ExtensionQueries {
         .select(col("asset_id"), col("byte_len"),
           round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
         .orderBy(col("asset_id"))
+    },
+
+    // --- dedup clustering: connected components over near-dup pairs +
+    //     canonical-survivor selection. Edge topology mixes 3-node CHAINS
+    //     (transitivity — pairs alone can't dedup these) with hub STARS
+    //     merging many chains, so the star alternation must actually
+    //     propagate labels; the oracle recomputes components with a
+    //     recursive transitive closure ----------------------------------
+    "dedup_cluster" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id")).filter(col("doc_id") < 300)
+      val base = d.filter(col("doc_id") < 200)
+      val corpus = d
+        .union(base.select((col("doc_id") + 1000000).as("doc_id")))
+        .union(base.select((col("doc_id") + 2000000).as("doc_id")))
+      val pairs = base.select(col("doc_id").as("a"),
+          (col("doc_id") + 1000000).as("b"))
+        .union(base.select((col("doc_id") + 1000000).as("a"),
+          (col("doc_id") + 2000000).as("b")))
+        .union(d.filter(col("doc_id") < 50).select(col("doc_id").as("a"),
+          (lit(5000) + col("doc_id") % 10).as("b")))
+      Dedup.cluster(corpus, pairs).orderBy(col("id"))
+    },
+
+    // --- deterministic train/val/test split: md5-bucketed, reproducible
+    //     across engines — the oracle recomputes every bucket ------------
+    "sample_split" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.assignSplit(d, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+        .orderBy(col("split"))
+    },
+
+    // --- stratified deterministic sampling: per-language keep fractions
+    //     (the corpus-mixing knob) ---------------------------------------
+    "sample_stratified" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.1), defaultFraction = 0.25)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // --- corpus vocabulary statistics: token tf/df, top-100 -------------
+    "text_vocab" -> { (s, dir) =>
+      TextAnalysis.vocabStats(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    },
+
+    // --- token-budget chunking (sequence packing) ------------------------
+    "text_chunk" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
+      TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 32)
+        .orderBy(col("id"), col("chunk_id"))
+    },
+
+    // --- as-of join: each purchase event picks up the user's latest
+    //     click at-or-before it (point-in-time lookup; the oracle is
+    //     DuckDB's native ASOF JOIN) -------------------------------------
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val left = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("user_id"),
+          col("ts"), col("value").as("b_value"))
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id")
+        .select(col("event_id"), col("user_id"), col("b_event_id"),
+          round(col("b_value"), 6).as("b_value"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -759,6 +837,94 @@ object ExtensionQueries {
         |  upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    "mm_features" -> mmFeaturesOracle
+    "mm_features" -> mmFeaturesOracle,
+
+    // components via recursive transitive closure (min reachable id) —
+    // the same chain+hub edge construction as the Spark side
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |corpus AS (
+        |  SELECT doc_id AS id FROM base
+        |  UNION ALL SELECT doc_id + 1000000 FROM base WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 2000000 FROM base WHERE doc_id < 200),
+        |e AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM base WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM base WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id, 5000 + doc_id % 10 FROM base WHERE doc_id < 50),
+        |und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT c.id, coalesce(comp.component, c.id) AS component,
+        |  c.id = coalesce(comp.component, c.id) AS keep
+        |FROM corpus c LEFT JOIN comp ON c.id = comp.id
+        |ORDER BY c.id""".stripMargin,
+
+    "sample_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split FROM b)
+         |SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  min(doc_id) AS id_min, max(doc_id) AS id_max
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, $bucketExpr AS bucket FROM documents)
+         |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1000
+         |  ELSE 2500 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |tfx AS (SELECT token, count(*) AS tf
+        |  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+        |dfx AS (SELECT token, count(*) AS df
+        |  FROM (SELECT unnest(list_distinct(t)) AS token FROM toks) GROUP BY 1)
+        |SELECT tfx.token, tfx.tf, dfx.df
+        |FROM tfx JOIN dfx ON tfx.token = dfx.token
+        |ORDER BY tfx.tf DESC, tfx.token LIMIT 100""".stripMargin,
+
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,
+        |  CAST(least(32, len(t) - (i - 1) * 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[(i - 1) * 32 + 1 : (i - 1) * 32 + 32], ' ') AS chunk
+        |FROM w, unnest(generate_series(1,
+        |  greatest(CAST(ceil(len(t) / 32.0) AS BIGINT), 1))) AS g(i)
+        |ORDER BY id, chunk_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS b_event_id,
+        |    arg_max(value, event_id) AS b_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.b_event_id,
+        |  round(r.b_value, 6) AS b_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin
   )
+
+  /** Non-negative md5 bucket — mirrors [[Sampling.hashBucket]]: top 63
+    * bits of md5-lower (unsigned right shift) mod 10000.
+    */
+  private def bucketExpr: String =
+    "((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1) % 10000)"
 }
