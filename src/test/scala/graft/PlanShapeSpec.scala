@@ -189,4 +189,42 @@ class PlanShapeSpec extends AnyFunSuite {
         s"message must parse at most once on the dynamic-schema path:\n$p")
     } finally stage.unpersist()
   }
+
+  test("as-of join is one key shuffle + window, never a range cross product") {
+    val p = plan(SparkEntry.queries("q_asof_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a nested-loop range join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"expected the carry-forward window:\n$p")
+    // the only hash exchanges are the union sides partitioning by user_id
+    // for the window — no join exchange at all
+    assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("hash sampling is scan-local (a pure pushed filter, no exchange)") {
+    import graft.operators.Sampling
+    val d = Tables(spark, sf).documents
+    val p = plan(Sampling.sampleByHash(d, col("doc_id"), 0.1))
+    assert(!p.contains("Exchange"),
+      s"deterministic sampling must not shuffle:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("token chunking is scan-local (projection + generator, no hash exchange)") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.chunkByTokens(d, "doc_id", "text", 32))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode generator:\n$p")
+  }
+
+  test("vocab stats aggregate partially before the token shuffle") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.vocabStats(d, "doc_id", "text"))
+    // tf and df sides each get a partial+final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected map-side combine on both tf and df:\n$p")
+  }
 }
