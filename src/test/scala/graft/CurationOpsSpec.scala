@@ -122,6 +122,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(glued(1L) === "t1 t2 t3 t4 t5 t6 t7")
   }
 
+  // ---- int8 quantization ----------------------------------------------
+
+  test("quantizeInt8: known values, zero vectors, dequant error bound") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df).orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 1.0 / 127.0)
+    assert(rows(0).getSeq[Int](2) === Seq(127, -63, 0))
+    assert(rows(1).getDouble(1) === 0.0)
+    assert(rows(1).getSeq[Int](2) === Seq(0, 0, 0))
+    // dequantization error is bounded by scale/2 on real vectors
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qd = Similarity.quantizeInt8(e, "vec_id", "v")
+    val bad = e.join(qd, e("vec_id") === qd("id"))
+      .select(col("scale"),
+        array_max(zip_with(col("v"), col("q"),
+          (x, qi) => abs(x - qi.cast("double") * col("scale")))).as("err"))
+      .filter(col("err") > col("scale") / 2 + 1e-12)
+    assert(bad.count() === 0)
+  }
+
   // ---- as-of join -----------------------------------------------------
 
   test("asOf: latest prior right row per key, ties and no-match nulls") {
