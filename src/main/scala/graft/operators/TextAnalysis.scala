@@ -86,7 +86,18 @@ object TextAnalysis {
   /** Stopword hit count over a fixed English stopword list. */
   val enStopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
+  /** Fused single-pass form ([[graft.functions.WordHits]]): one padded
+    * copy + one indexOf scan per word, instead of one padded copy + one
+    * replace() pass per word. Identical counts (FusedParitySpec).
+    */
   def stopwordHits(text: Column, words: Seq[String] = enStopwords): Column =
+    graft.functions.WordHits.totalOf(text, words)
+
+  /** The definitional per-word replace-trick composition, kept as the
+    * parity pin for the fused kernel.
+    */
+  private[graft] def stopwordHitsCompositional(text: Column,
+      words: Seq[String] = enStopwords): Column =
     words.map(wordHits(text, _)).reduce(_ + _)
 
   /** Composite quality score in [0,1] — the usual corpus-filter shape:
@@ -117,9 +128,22 @@ object TextAnalysis {
   def langScore(text: Column, lang: String): Column =
     stopwordHits(lower(text), langMarkers(lang))
 
-  def langId(text: Column): Column = {
+  /** Fused single-pass form: one lowercase + one padded copy per doc,
+    * all 25 marker scans over it ([[graft.functions.WordHits.bestLang]]).
+    * Tie/zero semantics identical to the compositional argmax
+    * (FusedParitySpec).
+    */
+  def langId(text: Column): Column =
+    graft.functions.WordHits.langIdOf(text,
+      langMarkers.keys.toSeq.sorted.map(l => l -> langMarkers(l)))
+
+  /** The definitional when-chain argmax, kept as the parity pin (built
+    * entirely from the compositional word counter).
+    */
+  private[graft] def langIdCompositional(text: Column): Column = {
     val langs  = langMarkers.keys.toSeq.sorted
-    val scores = langs.map(l => langScore(text, l))
+    val scores = langs.map(l =>
+      stopwordHitsCompositional(lower(text), langMarkers(l)))
     val best   = scores.reduce((a, b) => greatest(a, b))
     // first language (in sorted order) reaching the max score
     langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>

@@ -96,4 +96,25 @@ class FusedParitySpec extends AnyFunSuite {
       graft.functions.CentroidProbes.of(col("v"), centroids, norms, 3).as("p"))
     assert(fused.except(comp).isEmpty && comp.except(fused).isEmpty)
   }
+
+  test("WordHits fused == replace-trick on random texts and real docs") {
+    import graft.operators.TextAnalysis
+    // random texts salted with actual stopwords/markers so hits exist
+    val salted = Seq.fill(300) {
+      val extra = Seq("the", "and", "der", "la", "est", "的", "a a a", "it")
+      randText() + " " + extra(rnd.nextInt(extra.length)) + " " + randText()
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text")).as[String].collect().toSeq
+    val df = (salted ++ docs).toDF("text")
+    val got = df.select(
+      TextAnalysis.stopwordHits(col("text")).as("f"),
+      TextAnalysis.stopwordHitsCompositional(col("text")).as("c"),
+      TextAnalysis.langId(col("text")).as("fl"),
+      TextAnalysis.langIdCompositional(col("text")).as("cl")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getString(2) === r.getString(3))
+    }
+  }
 }
