@@ -275,6 +275,19 @@ object ExtensionQueries {
       Dedup.cluster(corpus, pairs).orderBy(col("id"))
     },
 
+    // --- END-TO-END dedup: minhash near-dup pairs closed into clusters
+    //     with canonical-survivor selection — the composed production
+    //     pipeline (pairs alone don't dedup); oracle recomputes pairs AND
+    //     the transitive closure -----------------------------------------
+    "dedup_cluster_minhash" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+        n = 3, bands = 8, rows = 4, threshold = 0.9)
+      Dedup.cluster(corpus.select(col("doc_id")), pairs).orderBy(col("id"))
+    },
+
     // --- deterministic train/val/test split: md5-bucketed, reproducible
     //     across engines — the oracle recomputes every bucket ------------
     "sample_split" -> { (s, dir) =>
@@ -383,12 +396,16 @@ object ExtensionQueries {
   /** Full minhash-LSH recomputation: md5-half permutations, 8 bands of 4,
     * band-equality candidates, exact-Jaccard verify.
     */
-  private def minhashOracle: String = {
+  /** The shared minhash-pair CTE chain (corpus -> shingles -> md5-half
+    * permutation signatures -> band-equality candidates -> exact
+    * Jaccard), ending in `jac(a, b, j)`.
+    */
+  private def minhashPairsCtes: String = {
     val sigCols = (0 until 32).map(i => s"MIN(${wrappedPerm(i)}) AS m$i").mkString(",\n    ")
     val bandEq = (0 until 8).map { b =>
       (0 until 4).map(r => s"x.m${b * 4 + r} = y.m${b * 4 + r}").mkString("(", " AND ", ")")
     }.mkString("\n      OR ")
-    s"""WITH $corpusCte,
+    s"""$corpusCte,
        |${shinglesCtes("corpus")},
        |hs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
        |hv AS (SELECT doc_id,
@@ -403,10 +420,32 @@ object ExtensionQueries {
        |    AND ($bandEq)),
        |jac AS (
        |  SELECT c.a, c.b, $jaccardExpr AS j
-       |  FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
+       |  FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashPairsCtes
        |SELECT a, b, round(j, 6) AS jaccard FROM jac
        |WHERE j >= 0.9 ORDER BY a, b""".stripMargin
-  }
+
+  /** End-to-end dedup: the minhash pair set closed into components with
+    * a recursive transitive closure, then the canonical-survivor rule —
+    * the oracle twin of `nearDupPairsMinhash |> cluster`.
+    */
+  private def minhashClusterOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |p AS (SELECT a, b FROM jac WHERE j >= 0.9),
+       |und AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM und
+       |  UNION
+       |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |ids AS (SELECT doc_id AS id FROM corpus)
+       |SELECT i.id, coalesce(comp.component, i.id) AS component,
+       |  i.id = coalesce(comp.component, i.id) AS keep
+       |FROM ids i LEFT JOIN comp ON i.id = comp.id
+       |ORDER BY i.id""".stripMargin
 
   /** Full simhash recomputation: md5-lower token hashes, 64 sign
     * counters, 4x16-bit banding, hamming verify.
@@ -638,6 +677,8 @@ object ExtensionQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_cluster_minhash" -> minhashClusterOracle,
 
     "dedup_simhash" -> simhashOracle,
 
