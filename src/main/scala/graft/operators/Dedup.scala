@@ -71,6 +71,37 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
+  /** Chunk-granularity exact-substring dedup (the distributable form of
+    * suffix-array substring dedup a la "Deduplicating Training Data
+    * Makes Language Models Better"): cut each document into consecutive
+    * `maxTokens`-token chunks ([[TextAnalysis.chunkByTokens]]), keep only
+    * the corpus-wide FIRST occurrence of each chunk (order = (id,
+    * chunk_id) — deterministic), and reassemble the survivors. Documents
+    * whose every chunk duplicates earlier content drop entirely.
+    *
+    * Returns (id, n_chunks_kept, text_dedup). Two shuffles at any scale:
+    * one on the chunk fingerprint (first-occurrence selection; chunk
+    * TEXT never enters that exchange beyond the group it wins), one on
+    * id for reassembly. The reassembled text is the canonical
+    * (lowercased, space-collapsed) form, chunks rejoined by ' '.
+    */
+  def dropDupChunks(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkByTokens(df, idCol, textCol, maxTokens)
+    val w = Window.partitionBy(col("fp")).orderBy(col("id"), col("chunk_id"))
+    chunks
+      .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("text_dedup"))
+  }
+
   // ---- shingling ------------------------------------------------------
 
   /** Distinct word n-gram shingles of the canonical text — a codegen'd

@@ -61,6 +61,36 @@ object Sampling {
       buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
 
+  /** Cap the number of rows kept per group at `maxN`, selecting the
+    * survivors deterministically by hash order (bucket asc, then id asc)
+    * — the per-domain document cap of web-corpus pipelines (bound the
+    * contribution of any single site/source without biasing toward
+    * ingestion order).
+    *
+    * Implemented as a bounded-heap partial aggregate (the
+    * [[Similarity.TopKAgg]] machinery), NOT a window: map-side partials
+    * mean the shuffle carries at most |groups| x maxN rows, and a hot
+    * group (one domain with millions of docs) never materializes or
+    * sorts its full row set on one reducer — the difference between
+    * |corpus| and |groups|*maxN exchange volume at 100 TB.
+    *
+    * Returns (group, id) for the kept rows; join back on id for payload
+    * columns.
+    */
+  def capPerGroup(df: DataFrame, id: Column, group: Column, maxN: Int,
+      buckets: Int = 10000): DataFrame = {
+    require(maxN > 0, "maxN must be positive")
+    val agg = org.apache.spark.sql.functions.udaf(new Similarity.TopKAgg(maxN))
+    // TopKAgg keeps top-k by (score DESC, id ASC); negating the bucket
+    // turns that into (bucket ASC, id ASC) — the hash order above
+    df.select(group.as("group"), id.as("id"),
+        (-hashBucket(id, buckets)).cast("double").as("nb"))
+      .groupBy(col("group"))
+      .agg(agg(col("nb"), col("id")).as("top"))
+      .select(col("group"), explode(col("top")).as("kept"))
+      .select(col("group"), col("kept").getField("nn_id").as("id"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep fractions (the
     * standard corpus-mixing knob — e.g. downsample boilerplate-heavy
     * sources, keep all rare-language docs). Strata not in `fractions`

@@ -351,6 +351,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style within-cluster near-duplicate pairs (Abbas et al.
+    * 2023): partition the corpus into `nCells` k-means cells (the same
+    * deterministic trainer as [[ivfTopK]] — hash-sampled seeds + one
+    * Lloyd step), then compare ONLY vectors sharing a cell, keeping
+    * pairs with cosine >= `threshold`. Returns (a, b, cell, cos), a < b.
+    *
+    * Scale shape: cell assignment is a single projection argmax (no
+    * join); the pair stage is an equi-self-join on the cell id, so total
+    * work is sum over cells of |cell|^2 — the SemDeDup trade. `nCells`
+    * is the lever: it should grow with corpus size (sqrt(n) cells keeps
+    * per-cell cost flat); a skewed hot cell splits under AQE like any
+    * other skewed join bucket.
+    */
+  def withinCellNearDupPairs(corpus: DataFrame, nCells: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("cell", centroids.assignCell(col("v")))
+    c.as("l").join(c.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.cell").as("cell"),
+        cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Full SemDeDup: within-cell cosine near-dup pairs closed into
+    * clusters with canonical-survivor selection
+    * ([[Dedup.cluster]] — alternating-star connected components).
+    * Returns (id, component, keep) for every corpus vector;
+    * `.filter("keep")` is the semantically deduplicated corpus.
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = withinCellNearDupPairs(corpus, nCells, threshold, idCol, vecCol)
+      .select(col("a"), col("b"))
+    Dedup.cluster(corpus.select(col(idCol)), pairs, idCol)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store compression step (4x smaller than float32, 8x smaller
     * than the double intermediate): per-vector scale = max|x| / 127,

@@ -201,6 +201,53 @@ object TextAnalysis {
     dsh.join(bsh, Seq("sg"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  // ---- lexical relevance search (BM25) --------------------------------
+
+  /** Okapi BM25 top-k document retrieval for a fixed bag of query terms —
+    * the lexical complement to the vector-search tier in [[Similarity]].
+    *
+    * Because the query is a handful of LITERAL terms, per-document term
+    * frequencies come from the [[wordHits]] literal-scan counter (no
+    * tokenize-explode, no inverted index, no shuffle of token rows): the
+    * whole scoring pass is corpus-scan-local. Corpus statistics (N,
+    * total length, per-term document frequency) reduce to ONE tiny
+    * aggregate row that is broadcast back; the final top-k is a global
+    * `TakeOrderedAndProject` (never a full sort).
+    *
+    * Term contributions are summed in the fixed argument order, so the
+    * doubles are bit-reproducible and a SQL oracle recomputes them
+    * exactly. Documents containing no query term (score 0) are omitted.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val canon = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = docs.select(col(idCol).as("id"), canon.as("t"))
+      .select(col("id"), col("t"), wsTokenCount(col("t")).as("dl"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (term, i)) =>
+      d.withColumn(s"tf$i", wordHits(col("t"), term))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("tl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("tl").cast(DoubleType) / col("n").cast(DoubleType)
+    val score = terms.indices.map { i =>
+      val tf  = col(s"tf$i").cast(DoubleType)
+      val dfq = col(s"df$i").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("n").cast(DoubleType) - dfq + 0.5) / (dfq + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast(DoubleType) / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   // ---- vocabulary statistics ------------------------------------------
 
   /** Corpus vocabulary statistics over canonical whitespace tokens:

@@ -355,8 +355,58 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"), col("b_event_id"),
           round(col("b_value"), 6).as("b_value"))
         .orderBy(col("event_id"))
+    },
+
+    // --- SemDeDup: k-means cells (deterministic trainer) -> within-cell
+    //     cosine pairs -> clusters + canonical survivors; the oracle
+    //     re-trains the identical centroids AND recomputes the closure --
+    "sim_semdedup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val corpus = e.union(
+        e.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+      Similarity.semanticDedup(corpus, nCells = 16, threshold = 0.75)
+        .orderBy(col("id"))
+    },
+
+    // --- chunk-granularity exact-substring dedup: corpus-wide first
+    //     occurrence of each 16-token chunk survives, documents are
+    //     reassembled from surviving chunks (twins vanish entirely) ------
+    "text_chunk_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dropDupChunks(corpus, "doc_id", "text", maxTokens = 16)
+        .orderBy(col("id"))
+    },
+
+    // --- per-source document cap (hash-ordered survivors, bounded-heap
+    //     partial aggregate — never a window over the corpus) ------------
+    "sample_source_cap" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.capPerGroup(d, col("doc_id"), col("source"), maxN = 15)
+        .select(col("group").as("source"), col("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+        .orderBy(col("source"))
+    },
+
+    // --- BM25 lexical top-k (scan-local literal-term scoring; corpus
+    //     stats reduce to one broadcast row) -----------------------------
+    "text_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+          terms = bm25Terms, k = 20)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("id"))
     }
   )
+
+  /** The fixed query bag for the BM25 entry (all present in the synthetic
+    * vocabulary with distinct document frequencies).
+    */
+  private val bm25Terms = Seq("spark", "join", "window", "vector")
 
   // ==== oracle SQL ======================================================
 
@@ -639,6 +689,110 @@ object ExtensionQueries {
        |  round(CAST(CAST(CASE WHEN byte_len = 0 THEN 0.0
        |    ELSE s0 / (255.0 * stripe) END AS REAL) AS DOUBLE), 6) AS f0
        |FROM s ORDER BY asset_id""".stripMargin
+  }
+
+  /** SemDeDup recomputation: re-trains the identical 16 centroids over
+    * the planted-twin corpus (hash-sampled seeds + one Lloyd step, as in
+    * [[ivfOracle]]), assigns cells, emits within-cell cosine pairs and
+    * closes them into components with a recursive transitive closure.
+    */
+  private def semdedupOracle: String = {
+    val meanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS m$d")
+      .mkString(",\n    ")
+    val centList = (0 until 64).map(d => s"coalesce(m.m$d, round(s.v[${d + 1}], 3))")
+      .mkString("[", ", ", "]")
+    val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
+      "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(v, x -> x + 0.05) AS v FROM base),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY $hSigned, vec_id) - 1 AS cell, v
+       |  FROM e
+       |  ORDER BY $hSigned, vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, s.cell,
+       |    list_dot_product(e.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
+       |  FROM e CROSS JOIN seeds s),
+       |b0 AS (
+       |  SELECT vec_id, v, cell FROM a0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |m AS (SELECT cell,
+       |    $meanCols
+       |  FROM b0 GROUP BY cell),
+       |cent AS (
+       |  SELECT s.cell, $centList AS cv
+       |  FROM seeds s LEFT JOIN m ON s.cell = m.cell),
+       |ac AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+       |  FROM e CROSS JOIN cent c),
+       |cellof AS (
+       |  SELECT vec_id, v, cell FROM ac
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |pr AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b, l.v AS qv, r.v AS cv
+       |  FROM cellof l JOIN cellof r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+       |p AS (
+       |  SELECT a, b FROM (SELECT a, b, $cosExpr AS cos0 FROM pr)
+       |  WHERE cos0 >= 0.75),
+       |und AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM und
+       |  UNION
+       |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |ids AS (SELECT vec_id AS id FROM e)
+       |SELECT i.id, coalesce(comp.component, i.id) AS component,
+       |  i.id = coalesce(comp.component, i.id) AS keep
+       |FROM ids i LEFT JOIN comp ON i.id = comp.id
+       |ORDER BY i.id""".stripMargin
+  }
+
+  /** BM25 recomputation: identical literal-scan term frequencies (the
+    * replace-length trick), one stats row, the same fixed-order float
+    * arithmetic (constants embedded as the exact runtime doubles).
+    */
+  private def bm25Oracle(terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def tf(tm: String) =
+      s"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' $tm ', ''))) // ${tm.length + 2} AS BIGINT)"
+    val tfCols = terms.zipWithIndex.map { case (tm, i) => s"${tf(tm)} AS tf$i" }
+      .mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val avgdl = "(CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val score = terms.indices.map { i =>
+      val tfD = s"CAST(tf$i AS DOUBLE)"
+      val dfD = s"CAST(df$i AS DOUBLE)"
+      s"ln(1.0 + (CAST(n AS DOUBLE) - $dfD + 0.5) / ($dfD + 0.5)) * " +
+        s"($tfD * ${k1 + 1.0}) / ($tfD + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / $avgdl))"
+    }.mkString("\n    + ")
+    s"""WITH c AS (
+       |  SELECT doc_id AS id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |tfs AS (
+       |  SELECT id, t,
+       |    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS dl,
+       |    $tfCols
+       |  FROM c),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS tl,
+       |    $dfCols
+       |  FROM tfs),
+       |scored AS (
+       |  SELECT id,
+       |    $score AS score
+       |  FROM tfs CROSS JOIN stats),
+       |topk AS (
+       |  SELECT id, score FROM scored WHERE score > 0
+       |  ORDER BY score DESC, id LIMIT $k)
+       |SELECT id, round(score, 6) AS score FROM topk ORDER BY id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -975,6 +1129,42 @@ object ExtensionQueries {
         |  CAST(list_min(q) AS INT) AS q_min,
         |  CAST(list_max(q) AS INT) AS q_max
         |FROM q ORDER BY id""".stripMargin,
+
+    "sim_semdedup" -> semdedupOracle,
+
+    "text_bm25" -> bm25Oracle(bm25Terms, 20),
+
+    "text_chunk_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM corpus),
+        |ch AS (
+        |  SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,
+        |    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 16], ' ') AS chunk
+        |  FROM w, unnest(generate_series(1,
+        |    greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS g(i)),
+        |k AS (
+        |  SELECT id, chunk_id, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT id, count(*) AS n_chunks_kept,
+        |  string_agg(chunk, ' ' ORDER BY chunk_id) AS text_dedup
+        |FROM k WHERE rn = 1 GROUP BY id ORDER BY id""".stripMargin,
+
+    "sample_source_cap" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $bucketExpr AS bucket FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+         |  FROM b)
+         |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  min(doc_id) AS id_min, max(doc_id) AS id_max
+         |FROM r WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (

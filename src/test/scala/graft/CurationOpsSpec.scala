@@ -146,6 +146,92 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  // ---- chunk-level exact-substring dedup ------------------------------
+
+  test("dropDupChunks: first occurrence survives, fully-duplicated docs drop") {
+    val df = Seq(
+      (1L, "a b c d e f"),      // both chunks novel
+      (2L, "a b c x y z"),      // first chunk duplicates doc 1's
+      (3L, "a b c d e f")       // exact twin: every chunk duplicated
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupChunks(df, "doc_id", "text", maxTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      1L -> ((2L, "a b c d e f")),
+      2L -> ((1L, "x y z"))))
+  }
+
+  test("dropDupChunks: intra-document repeats dedup too, order preserved") {
+    val df = Seq((7L, "p q r p q r s t u")).toDF("doc_id", "text")
+    val got = Dedup.dropDupChunks(df, "doc_id", "text", maxTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq((7L, 2L, "p q r s t u")))
+  }
+
+  // ---- per-group cap --------------------------------------------------
+
+  test("capPerGroup: caps bind, survivors are the hash-order minima") {
+    val df = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("id", "src")
+    val kept = Sampling.capPerGroup(df, col("id"), col("src"), maxN = 10)
+    val counts = kept.groupBy("group").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "small" -> 10L))
+    // survivors of the capped group are exactly the 10 smallest by
+    // (bucket, id) — the deterministic hash order
+    val expected = df.filter(col("src") === "big")
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .orderBy(col("b"), col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val gotBig = kept.filter(col("group") === "big")
+      .collect().map(_.getLong(1)).toSet
+    assert(gotBig === expected)
+    // idempotent re-run (no rand() anywhere)
+    val again = Sampling.capPerGroup(df, col("id"), col("src"), 10)
+    assert(kept.exceptAll(again).count() === 0)
+  }
+
+  // ---- BM25 -----------------------------------------------------------
+
+  test("bm25TopK: exact scores on a known corpus, zero-score docs omitted") {
+    val df = Seq((1L, "x y x"), (2L, "x z"), (3L, "w q")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("x"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bm25(tf: Double, dl: Double, n: Double, dfq: Double, avgdl: Double) = {
+      val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    }
+    val avgdl = 7.0 / 3.0
+    assert(got.keySet === Set(1L, 2L))
+    assert(math.abs(got(1L) - bm25(2, 3, 3, 2, avgdl)) < 1e-12)
+    assert(math.abs(got(2L) - bm25(1, 2, 3, 2, avgdl)) < 1e-12)
+  }
+
+  // ---- SemDeDup -------------------------------------------------------
+
+  test("semanticDedup: components are cell-local cosine cliques-closures; " +
+      "planted twins mostly collapse") {
+    import graft.operators.Similarity
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // +0.01 twins: unambiguous semantic duplicates (cos > 0.99) that
+    // still perturb every coordinate — the SemDeDup recall trade is cell
+    // co-assignment, and a small perturbation keeps the argmax stable
+    val corpus = e.union(
+      e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.01)).as("embedding")))
+    val out = Similarity.semanticDedup(corpus, nCells = 16, threshold = 0.75)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === 1000)
+    // keep <=> id is its component's label; labels are component minima
+    assert(rows.forall { case (id, comp, keep) => keep === (id == comp) })
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.forall { case (comp, members) => members.map(_._1).min == comp })
+    // twin recall: near-identical twins share a cell and collapse
+    val collapsed = rows.filter { case (id, comp, _) => id >= 1000000 && comp < 1000000 }
+    assert(collapsed.length >= 425, s"only ${collapsed.length} twins collapsed")
+  }
+
   // ---- as-of join -----------------------------------------------------
 
   test("asOf: latest prior right row per key, ties and no-match nulls") {

@@ -227,4 +227,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       s"expected map-side combine on both tf and df:\n$p")
   }
+
+  test("semdedup pair stage is an equi-join on the cell id (no products)") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val p = plan(Similarity.withinCellNearDupPairs(e, nCells = 8, threshold = 0.75))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must equi-join on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // cell assignment is the same projection argmax as IVF — no join, no
+    // window upstream of the pair join
+    assert(!p.contains("Window"), s"cell assign must not be a window:\n$p")
+  }
+
+  test("per-group cap is a bounded partial aggregate, not a window") {
+    import graft.operators.Sampling
+    val d = Tables(spark, sf).documents
+    val p = plan(Sampling.capPerGroup(d, col("doc_id"), col("source"), 15))
+    assert(!p.contains("Window"),
+      s"cap must not sort whole groups through a window:\n$p")
+    // partial + final ObjectHashAggregate pair: the shuffle carries at
+    // most |groups| x maxN rows
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected map-side bounded-heap partials:\n$p")
+  }
+
+  test("bm25 scoring is scan-local: stats broadcast back, global top-k " +
+      "is TakeOrdered, no hash exchange") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.bm25TopK(d, "doc_id", "text",
+      Seq("spark", "join"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 must not shuffle the corpus:\n$p")
+  }
+
+  test("chunk dedup shuffles exactly twice (fingerprint, then doc id)") {
+    import graft.operators.Dedup
+    val d = Tables(spark, sf).documents
+    val p = plan(Dedup.dropDupChunks(d, "doc_id", "text", 16))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected one exchange for first-occurrence, one for reassembly:\n$p")
+  }
 }
