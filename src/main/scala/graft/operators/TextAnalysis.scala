@@ -70,6 +70,36 @@ object TextAnalysis {
         n.cast(DoubleType))
   }
 
+  /** Fraction of whitespace tokens containing at least one letter — the
+    * Gopher-style "alpha word" ratio (pages of markup, tables or numeric
+    * noise score low). 0 for empty text.
+    */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    when(trim(text) === "", lit(0.0))
+      .otherwise(size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) /
+        size(toks).cast(DoubleType))
+  }
+
+  /** Gopher-style rule-battery keep decision (Rae et al. 2021 §A1.1,
+    * adapted to the signals available at scan speed): word count within
+    * bounds, mean token length within bounds, enough alpha words, at
+    * least `minStopHits` stopword occurrences. Every input is an
+    * existing scan-local metric, so the verdict is a pure codegen'd
+    * projection — and SQL-recomputable for the oracle.
+    */
+  def gopherKeep(text: Column,
+      minWords: Long = 20, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaWordRatio: Double = 0.8, minStopHits: Long = 2): Column = {
+    val n = wsTokenCount(text)
+    val m = meanTokenLen(text)
+    n >= minWords && n <= maxWords &&
+      m >= minMeanLen && m <= maxMeanLen &&
+      alphaWordRatio(text) >= minAlphaWordRatio &&
+      stopwordHits(text) >= minStopHits
+  }
+
   /** Occurrences of a literal word surrounded by spaces, via the
     * replace-length trick — identical semantics in any SQL engine, no
     * regex dialect to match.

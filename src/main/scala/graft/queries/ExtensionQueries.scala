@@ -393,6 +393,19 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // --- Gopher rule battery: word-count / mean-length / alpha-word /
+    //     stopword bounds -> keep verdict (scan-local projection) --------
+    "text_gopher" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+          round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_word_len"),
+          round(TextAnalysis.alphaWordRatio(col("text")), 6).as("alpha_word_ratio"),
+          TextAnalysis.stopwordHits(col("text")).as("stop_hits"),
+          TextAnalysis.gopherKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- BM25 lexical top-k (scan-local literal-term scoring; corpus
     //     stats reduce to one broadcast row) -----------------------------
     "text_bm25" -> { (s, dir) =>
@@ -1131,6 +1144,32 @@ object ExtensionQueries {
         |FROM q ORDER BY id""".stripMargin,
 
     "sim_semdedup" -> semdedupOracle,
+
+    "text_gopher" -> {
+      val stopHits = TextAnalysis.enStopwords.map { w =>
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         |    $stopHits AS stop_hits,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_words, stop_hits,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_words END AS mwl,
+         |    CASE WHEN trim(text) = '' THEN 0.0
+         |      ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) END AS awr
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(awr, 6) AS alpha_word_ratio, stop_hits,
+         |  (n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+         |   AND awr >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "text_bm25" -> bm25Oracle(bm25Terms, 20),
 

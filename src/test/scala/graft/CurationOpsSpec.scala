@@ -207,6 +207,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - bm25(1, 2, 3, 2, avgdl)) < 1e-12)
   }
 
+  // ---- Gopher rule battery --------------------------------------------
+
+  test("gopherKeep: each rule independently vetoes") {
+    val good = ("word " * 10 + "the of and is " +
+      "alpha beta gamma delta epsilon zeta").trim // 20 words, stopwords, alpha
+    val df = Seq(
+      (1L, good),
+      (2L, "the of and is"),                       // too few words
+      (3L, good.replace("alpha", "1234567")),      // still >=80% alpha words
+      (4L, ("11111 22222 33333 44444 55555 66666 77777 88888 99999 10101 " * 2
+        + "the of and is").trim),                  // alpha-word ratio 4/24 only
+      (5L, good.replace("the of and is", "th of nd si")) // 1 stopword hit < 2
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.operators.TextAnalysis.gopherKeep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+    val awr = df.filter(col("doc_id") === 4L)
+      .select(graft.operators.TextAnalysis.alphaWordRatio(col("text")))
+      .head().getDouble(0)
+    assert(awr < 0.8 && awr > 0.0)
+  }
+
   // ---- SemDeDup -------------------------------------------------------
 
   test("semanticDedup: components are cell-local cosine cliques-closures; " +

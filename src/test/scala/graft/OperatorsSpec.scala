@@ -49,6 +49,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.length === 3 && ids.last === 5L)
   }
 
+  test("curation ops compose in a streaming pipeline (filter -> scrub -> dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the curation stages are stateless projections, so they lift into
+    // Structured Streaming unchanged; only the dedup tail holds state
+    val out = Dedup.dropExactStreaming(
+      input.toDS().toDF("doc_id", "text")
+        .filter(TextAnalysis.wordRepetitionRatio(col("text")) < 0.8)
+        .withColumn("text", TextAnalysis.scrubPii(col("text"))),
+      col("text"))
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "reach me at bob@example.com for the data"),
+      (2L, "spam spam spam spam spam"), // dup-word ratio 0.8 -> dropped
+      (3L, "reach me at alice@sample.org for the data")) // scrubs to doc 1's text
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curate_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq === Seq(1L))
+    assert(rows.head._2 === "reach me at <EMAIL> for the data")
+  }
+
   test("minhash LSH recalls planted near-duplicates") {
     // perturb one word out of each doc: jaccard stays >= ~0.9
     val perturbed = docs.select((col("doc_id") + 10000).as("doc_id"),
