@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.CatalystBridge.{toColumn, toResolvableExpression => toExpression}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+
+/** SQL surface for the engine: registers the custom expressions and the
+  * composed scalar operators in the session FunctionRegistry, so a pure
+  * `spark.sql(...)` user (or a JDBC/Thrift client) reaches the whole
+  * scalar operator suite without touching the Scala API.
+  *
+  * Wire up with either
+  * `--conf spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  * (GraftSession / Verify / Bench register it by default, so every
+  * oracle query and test session also proves the registration path.)
+  *
+  * Every builder delegates to the exact Column-API implementation —
+  * registration adds names, never a second code path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registerAll(ext)
+}
+
+object GraftExtensions {
+
+  private def c(e: Expression) = toColumn(e)
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $e")
+  }
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: expected a string literal argument, got $e")
+  }
+
+  /** name -> (builder, usage) — arity/literal checks live in the builder. */
+  val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_fingerprint",
+      args => toExpression(TextAnalysis.fingerprint(c(args.head))),
+      "graft_fingerprint(text) - canonical-form md5 content fingerprint"),
+    ("graft_fingerprint64",
+      args => toExpression(TextAnalysis.fingerprint64(c(args.head))),
+      "graft_fingerprint64(text) - canonical-form xxh64 fingerprint"),
+    ("graft_lang_id",
+      args => toExpression(TextAnalysis.langId(c(args.head))),
+      "graft_lang_id(text) - stopword-marker language id (en/de/es/fr/zh/und)"),
+    ("graft_quality_score",
+      args => toExpression(TextAnalysis.qualityScore(c(args.head))),
+      "graft_quality_score(text) - [0,1] corpus quality score"),
+    ("graft_gopher_keep",
+      args => toExpression(TextAnalysis.gopherKeep(c(args.head))),
+      "graft_gopher_keep(text) - Gopher rule-battery keep verdict"),
+    ("graft_scrub_pii",
+      args => toExpression(TextAnalysis.scrubPii(c(args.head))),
+      "graft_scrub_pii(text) - redact emails/IPv4s/long digit runs"),
+    ("graft_token_count",
+      args => toExpression(TextAnalysis.wsTokenCount(c(args.head))),
+      "graft_token_count(text) - whitespace token count"),
+    ("graft_repetition_ratio",
+      args => toExpression(TextAnalysis.wordRepetitionRatio(c(args.head))),
+      "graft_repetition_ratio(text) - 1 - distinct/total words"),
+    ("graft_word_shingles",
+      args => graft.functions.WordShingles(args.head, intLit(args(1), "graft_word_shingles")),
+      "graft_word_shingles(text, n) - distinct canonical word n-grams"),
+    ("graft_minhash_sig",
+      args => graft.functions.MinHashSig(args.head, intLit(args(1), "graft_minhash_sig")),
+      "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
+    ("graft_simhash64",
+      args => graft.functions.SimHash64(args.head),
+      "graft_simhash64(text) - 64-bit simhash over word tokens"),
+    ("graft_set_jaccard",
+      args => graft.functions.SetJaccard(args.head, args(1)),
+      "graft_set_jaccard(a, b) - exact Jaccard of two string arrays"),
+    ("graft_vec_dot",
+      args => graft.functions.VecDot(args.head, args(1)),
+      "graft_vec_dot(a, b) - dense double-array dot product"),
+    ("graft_cosine",
+      args => toExpression(Similarity.cosine(c(args.head), c(args(1)))),
+      "graft_cosine(a, b) - cosine similarity of two double arrays"),
+    ("graft_auto_timestamp",
+      args => graft.functions.AutoTimestamp(args.head,
+        if (args.lengthCompare(1) > 0) strLit(args(1), "graft_auto_timestamp")
+        else "UTC"),
+      "graft_auto_timestamp(s[, zone]) - 27-layout auto-detected timestamp"),
+    ("graft_xxhash64_go",
+      args => toExpression(graft.functions.GoHash.goXxHash64(c(args.head))),
+      "graft_xxhash64_go(s) - Go cespare/xxhash-parity XXH64 (seed 0)"),
+    ("graft_md5_lo",
+      args => toExpression(graft.functions.PortableHash.md5Lo(c(args.head))),
+      "graft_md5_lo(s) - little-endian low half of md5 (== duckdb md5_number_lower)"),
+    ("graft_md5_hi",
+      args => toExpression(graft.functions.PortableHash.md5Hi(c(args.head))),
+      "graft_md5_hi(s) - little-endian high half of md5 (== duckdb md5_number_upper)"),
+    ("graft_hash_bucket",
+      args => toExpression(Sampling.hashBucket(c(args.head),
+        if (args.lengthCompare(1) > 0) intLit(args(1), "graft_hash_bucket") else 10000)),
+      "graft_hash_bucket(key[, buckets]) - deterministic sampling bucket")
+  )
+
+  def registerAll(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+        (args: Seq[Expression]) => builder(args)))
+    }
+}

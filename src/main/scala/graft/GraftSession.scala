@@ -16,6 +16,8 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // SQL-callable operator surface (see GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // The engine's cast semantics are tolerant/saturating (ClickHouse

@@ -61,6 +61,34 @@ object Sampling {
       buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
 
+  /** Deterministic corpus mixing toward target stratum weights — the
+    * "data mixing" knob of training pipelines (rebalance languages /
+    * sources / domains to a recipe): given target shares `weights`
+    * (ideally summing to <= 1), each stratum keeps the fraction
+    * `min(1, w_s * total / n_s)`, i.e. target counts proportional to the
+    * weights over the corpus size, downsampling over-represented strata
+    * and keeping under-represented ones whole. Strata absent from
+    * `weights` drop entirely.
+    *
+    * Two phases: ONE tiny per-stratum count aggregate collected to the
+    * driver (|strata| rows — the same legitimate driver-side shape as
+    * IVF centroid training), then the scan-local md5-bucket filter of
+    * [[stratifiedSample]]. Assignment stays reproducible across runs,
+    * engines and cluster sizes.
+    */
+  def mixToWeights(df: DataFrame, key: Column, stratum: Column,
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    val counts = df.groupBy(stratum.as("__s__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val fractions = counts.map { case (s, n) =>
+      s -> math.min(1.0, weights.getOrElse(s, 0.0) * total / n)
+    }.toMap
+    stratifiedSample(df, key, stratum, fractions, defaultFraction = 0.0, buckets)
+  }
+
   /** Cap the number of rows kept per group at `maxN`, selecting the
     * survivors deterministically by hash order (bucket asc, then id asc)
     * — the per-domain document cap of web-corpus pipelines (bound the

@@ -313,6 +313,18 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     },
 
+    // --- data mixing toward target language weights: over-represented
+    //     strata downsample (en), under-represented keep whole, strata
+    //     with no weight drop (es) --------------------------------------
+    "sample_mixture" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.mixToWeights(d, col("doc_id"), col("lang"),
+          Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
     // --- corpus vocabulary statistics: token tf/df, top-100 -------------
     "text_vocab" -> { (s, dir) =>
       TextAnalysis.vocabStats(Tables(s, dir).documents, "doc_id", "text")
@@ -1103,6 +1115,22 @@ object ExtensionQueries {
          |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1000
          |  ELSE 2500 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+         |th AS (SELECT lang,
+         |  CAST(floor(least(1.0,
+         |    (CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.25
+         |               WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.25
+         |               ELSE 0.0 END) * total / CAST(n AS DOUBLE))
+         |    * 10000 + 0.5) AS BIGINT) AS thr
+         |  FROM c, tt),
+         |b AS (SELECT doc_id, lang, $bucketExpr AS bucket FROM documents)
+         |SELECT b.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b JOIN th ON b.lang = th.lang
+         |WHERE b.bucket < th.thr
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     "text_vocab" ->
       """WITH toks AS (

@@ -89,6 +89,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(s.exceptAll(df).count() === 0)
   }
 
+  test("mixToWeights: over-represented strata downsample, absent weights drop") {
+    val df = (1L to 300L).map(i =>
+      (i, if (i <= 200) "en" else if (i <= 260) "de" else "es"))
+      .toDF("id", "lang")
+    val out = Sampling.mixToWeights(df, col("id"), col("lang"),
+      Map("en" -> 0.3, "de" -> 0.5))
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: keep min(1, .3*300/200)=0.45 -> ~90; de: min(1, .5*300/60)=1 ->
+    // all 60; es has no weight -> dropped
+    assert(!counts.contains("es"))
+    assert(counts("de") === 60L)
+    assert(counts("en") > 60 && counts("en") < 120)
+    assert(out.exceptAll(df).count() === 0)
+  }
+
   // ---- vocabulary stats -----------------------------------------------
 
   test("vocabStats: exact tf/df on a known corpus") {

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+
+/** The SQL-callable operator surface: every registered function resolves
+  * from `spark.sql`, and each computes exactly what its Column-API twin
+  * computes (registration adds names, never a second code path).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  private lazy val docsView: Unit =
+    Tables(spark, "/root/testdata/sf0.001").documents
+      .limit(50).createOrReplaceTempView("docs")
+  private lazy val embsView: Unit =
+    Tables(spark, "/root/testdata/sf0.001").embeddings
+      .limit(50).createOrReplaceTempView("embs")
+
+  test("every registered function resolves in SQL") {
+    docsView
+    val names = GraftExtensions.functions.map(_._1)
+    assert(names.distinct.size === names.size)
+    for (n <- names)
+      assert(spark.catalog.functionExists(n), s"$n not registered")
+  }
+
+  test("SQL text functions match their Column-API twins") {
+    docsView
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_lang_id(text) AS lang,
+        |  graft_quality_score(text) AS q,
+        |  graft_gopher_keep(text) AS keep,
+        |  graft_scrub_pii(text) AS scrubbed,
+        |  graft_token_count(text) AS n,
+        |  graft_simhash64(text) AS sh,
+        |  graft_set_jaccard(graft_word_shingles(text, 3),
+        |                    graft_word_shingles(text, 3)) AS self_jac,
+        |  graft_minhash_sig(graft_word_shingles(text, 3), 8) AS sig
+        |FROM docs""".stripMargin)
+    val api = spark.table("docs").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.gopherKeep(col("text")).as("keep"),
+      TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+      TextAnalysis.wsTokenCount(col("text")).as("n"),
+      graft.functions.SimHash64.of(col("text")).as("sh"),
+      graft.functions.SetJaccard.of(
+        graft.functions.WordShingles.of(col("text"), 3),
+        graft.functions.WordShingles.of(col("text"), 3)).as("self_jac"),
+      graft.functions.MinHashSig.of(
+        graft.functions.WordShingles.of(col("text"), 3), 8).as("sig"))
+    assert(sql.exceptAll(api).count() === 0)
+    assert(api.exceptAll(sql).count() === 0)
+  }
+
+  test("SQL hash/vector/timestamp functions match their twins") {
+    embsView
+    val sql = spark.sql(
+      """SELECT vec_id,
+        |  graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+        |               CAST(embedding AS ARRAY<DOUBLE>)) AS cos_self,
+        |  graft_vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                CAST(embedding AS ARRAY<DOUBLE>)) AS dot_self,
+        |  graft_md5_lo(CAST(vec_id AS STRING)) AS lo,
+        |  graft_md5_hi(CAST(vec_id AS STRING)) AS hi,
+        |  graft_xxhash64_go(CAST(vec_id AS STRING)) AS xx,
+        |  graft_hash_bucket(vec_id) AS bucket,
+        |  graft_hash_bucket(vec_id, 100) AS bucket100
+        |FROM embs""".stripMargin)
+    val v = col("embedding").cast("array<double>")
+    val api = spark.table("embs").select(col("vec_id"),
+      Similarity.cosine(v, v).as("cos_self"),
+      graft.functions.VecDot.of(v, v).as("dot_self"),
+      graft.functions.PortableHash.md5Lo(col("vec_id").cast("string")).as("lo"),
+      graft.functions.PortableHash.md5Hi(col("vec_id").cast("string")).as("hi"),
+      graft.functions.GoHash.goXxHash64(col("vec_id").cast("string")).as("xx"),
+      Sampling.hashBucket(col("vec_id")).as("bucket"),
+      Sampling.hashBucket(col("vec_id"), 100).as("bucket100"))
+    assert(sql.exceptAll(api).count() === 0)
+    assert(api.exceptAll(sql).count() === 0)
+  }
+
+  test("auto timestamp parses in SQL, honoring the zone argument") {
+    val r = spark.sql(
+      """SELECT graft_auto_timestamp('2019-12-16 12:10:30') AS utc,
+        |       graft_auto_timestamp('2019-12-16 12:10:30', 'Asia/Shanghai') AS cst,
+        |       graft_auto_timestamp('not a date') AS bad""".stripMargin).head()
+    assert(r.getTimestamp(0).toInstant.toString === "2019-12-16T12:10:30Z")
+    assert(r.getTimestamp(1).toInstant.toString === "2019-12-16T04:10:30Z")
+    assert(r.isNullAt(2))
+  }
+
+  test("non-literal arguments where literals are required fail loudly") {
+    docsView
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(text, doc_id) FROM docs").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
