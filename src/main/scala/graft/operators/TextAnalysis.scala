@@ -338,6 +338,82 @@ object TextAnalysis {
         col("chunk"))
   }
 
+  // ---- global sequence packing ----------------------------------------
+
+  /** Pack token chunks into fixed-size training sequences: every chunk
+    * (from [[chunkByTokens]]) gets its GLOBAL token offset in the
+    * (id, chunk_id)-ordered corpus concatenation, plus the derived
+    * sequence id / in-sequence position for a `tokensPerSeq` context
+    * window (`spans_next` marks chunks crossing a boundary — the
+    * standard GPT-style packing where documents may split).
+    *
+    * The global offset is a distributed prefix sum — the scale-correct
+    * shape, NOT a global window (a `Window.orderBy` with no partition
+    * spec funnels the corpus through one task):
+    *
+    *   1. ONE range exchange on (id, chunk_id) + in-partition sort;
+    *   2. per-partition token totals (p rows) to the driver, exclusive
+    *      prefix scan over the range-ordered partition index;
+    *   3. a per-partition running sum seeded by the broadcast prefix —
+    *      `mapPartitions`, the legitimate use: per-partition imperative
+    *      state no Catalyst construct expresses.
+    *
+    * Offsets are invariant to the partition count/boundaries (only the
+    * key order defines them), so output is deterministic and a plain
+    * SQL window recomputes it for the oracle.
+    */
+  def packSequences(chunks: org.apache.spark.sql.DataFrame, tokensPerSeq: Int,
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(tokensPerSeq > 0, "tokensPerSeq must be positive")
+    val spark = chunks.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    import spark.implicits._
+    // ONE materialized RDD below both passes: the totals job and the
+    // offset pass share the same ShuffleDependency, so the range shuffle
+    // (and everything under it) executes once. The prefix work MUST be
+    // mapPartitionsWithIndex at the RDD level: TaskContext.getPartitionId
+    // (and anything built on it, like spark_partition_id() or
+    // monotonically_increasing_id) reports the index within the RUNNING
+    // STAGE — a downstream union (e.g. the one exceptAll plans) shifts
+    // those indexes, silently corrupting every offset.
+    val sortedRdd = packStaged(chunks, p)
+      .select(col("id").as("_1"), col("chunk_id").as("_2"),
+        col("n_tokens").as("_3"))
+      .as[(Long, Int, Long)].rdd
+
+    val totals = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+    }.collect().toMap
+    // range partitions are key-ordered, so the exclusive prefix over the
+    // partition index is the partition's global token base
+    val prefix = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+
+    val t = tokensPerSeq.toLong
+    sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var offset = prefix(i)
+      it.map { case (id, chunkId, n) =>
+        val o = offset
+        offset += n
+        (id, chunkId, n, o, o / t, o % t, (o % t) + n > t)
+      }
+    }.toDF("id", "chunk_id", "n_tokens", "tok_offset",
+      "seq_id", "seq_pos", "spans_next")
+  }
+
+  /** The declarative stage under [[packSequences]]: one range exchange on
+    * (id, chunk_id) + in-partition sort (exposed for plan assertions).
+    */
+  private[graft] def packStaged(chunks: org.apache.spark.sql.DataFrame,
+      p: Int): org.apache.spark.sql.DataFrame =
+    chunks
+      .select(col("id").cast(LongType).as("id"),
+        col("chunk_id").cast(IntegerType).as("chunk_id"),
+        col("n_tokens").cast(LongType).as("n_tokens"))
+      .repartitionByRange(p, col("id"), col("chunk_id"))
+      .sortWithinPartitions(col("id"), col("chunk_id"))
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

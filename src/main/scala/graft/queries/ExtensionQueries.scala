@@ -339,6 +339,16 @@ object ExtensionQueries {
         .orderBy(col("id"), col("chunk_id"))
     },
 
+    // --- global sequence packing: every chunk's global token offset via
+    //     a distributed prefix sum (range exchange + per-partition
+    //     running sums — never a single-partition global window) --------
+    "text_pack" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val chunks = TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 32)
+      TextAnalysis.packSequences(chunks, tokensPerSeq = 512)
+        .orderBy(col("id"), col("chunk_id"))
+    },
+
     // --- int8 embedding quantization (vector-store compression): the
     //     oracle recomputes every quantized element, compared through
     //     exact integer aggregates --------------------------------------
@@ -1156,6 +1166,27 @@ object ExtensionQueries {
         |FROM w, unnest(generate_series(1,
         |  greatest(CAST(ceil(len(t) / 32.0) AS BIGINT), 1))) AS g(i)
         |ORDER BY id, chunk_id""".stripMargin,
+
+    "text_pack" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,
+        |    CAST(least(32, len(t) - (i - 1) * 32) AS BIGINT) AS n_tokens
+        |  FROM w, unnest(generate_series(1,
+        |    greatest(CAST(ceil(len(t) / 32.0) AS BIGINT), 1))) AS g(i)),
+        |o AS (
+        |  SELECT id, chunk_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM ch)
+        |SELECT id, chunk_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+        |  CAST(tok_offset % 512 AS BIGINT) AS seq_pos,
+        |  (tok_offset % 512) + n_tokens > 512 AS spans_next
+        |FROM o ORDER BY id, chunk_id""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

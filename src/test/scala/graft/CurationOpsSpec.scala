@@ -138,6 +138,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(glued(1L) === "t1 t2 t3 t4 t5 t6 t7")
   }
 
+  // ---- global sequence packing ----------------------------------------
+
+  test("packSequences: exact offsets and boundary spans on a known corpus") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // chunks of 3: 3+3+1
+      (2L, "h i j"),
+      (3L, "k l m n o")      // 3+2
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(df, "doc_id", "text", maxTokens = 3)
+    val got = TextAnalysis.packSequences(chunks, tokensPerSeq = 4)
+      .orderBy("id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq(
+      (1L, 0, 3L, 0L, 0L, 0L, false),
+      (1L, 1, 3L, 3L, 0L, 3L, true),
+      (1L, 2, 1L, 6L, 1L, 2L, false),
+      (2L, 0, 3L, 7L, 1L, 3L, true),
+      (3L, 0, 3L, 10L, 2L, 2L, true),
+      (3L, 1, 2L, 13L, 3L, 1L, false)))
+  }
+
+  test("packSequences: offsets are invariant to the partition count") {
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val chunks = TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 16)
+    val ref = TextAnalysis.packSequences(chunks, 512, numPartitions = 1)
+    for (p <- Seq(3, 8)) {
+      val got = TextAnalysis.packSequences(chunks, 512, numPartitions = p)
+      assert(got.exceptAll(ref).count() === 0, s"p=$p diverged")
+      assert(ref.exceptAll(got).count() === 0, s"p=$p diverged")
+    }
+    // the packed corpus is contiguous: offsets cover [0, total) exactly
+    val total = chunks.agg(sum("n_tokens")).head().getLong(0)
+    val last = ref.orderBy(col("tok_offset").desc).limit(1).head()
+    assert(last.getLong(3) + last.getLong(2) === total)
+  }
+
   // ---- int8 quantization ----------------------------------------------
 
   test("quantizeInt8: known values, zero vectors, dequant error bound") {

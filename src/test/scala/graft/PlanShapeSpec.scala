@@ -265,6 +265,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bm25 must not shuffle the corpus:\n$p")
   }
 
+  test("sequence packing is one range exchange + mapPartitions, no global window") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val chunks = TextAnalysis.chunkByTokens(d, "doc_id", "text", 32)
+    val ps = plan(TextAnalysis.packStaged(chunks, 8))
+    assert("Exchange rangepartitioning".r.findAllIn(ps).length === 1,
+      s"expected exactly one range exchange:\n$ps")
+    assert(!ps.contains("Exchange hashpartitioning"),
+      s"no hash exchange belongs in the packing path:\n$ps")
+    val p = plan(TextAnalysis.packSequences(chunks, 512))
+    assert(!p.contains("Window"),
+      s"global offsets must come from the prefix sum, not a window:\n$p")
+  }
+
   test("chunk dedup shuffles exactly twice (fingerprint, then doc id)") {
     import graft.operators.Dedup
     val d = Tables(spark, sf).documents
