@@ -15,7 +15,6 @@ run / fork := true
 // prefix): Bench/Verify print machine-parsed JSON lines — a decorated
 // prefix breaks any strict line parser reading them.
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -379,6 +379,29 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
+    // --- the FULL curation pipeline capstone: exact dedup -> Gopher rule
+    //     filter -> PII scrub -> per-source cap -> train/val split ->
+    //     per-(split, source) token accounting. Six oracle-proven stages
+    //     composed end-to-end — the 100 TB pre-training data job --------
+    "corpus_pipeline" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"), col("source"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("source")))
+      val scrubbed = Dedup.dropExact(corpus, col("text"), col("doc_id"))
+        .filter(TextAnalysis.gopherKeep(col("text")))
+        .withColumn("text", TextAnalysis.scrubPii(col("text")))
+      val capped = Sampling.capPerGroup(scrubbed, col("doc_id"), col("source"),
+          maxN = 20)
+        .select(col("id").as("doc_id"))
+      Sampling.assignSplit(scrubbed.join(capped, "doc_id"), col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("split"), col("source"))
+    },
+
     // --- SemDeDup: k-means cells (deterministic trainer) -> within-cell
     //     cosine pairs -> clusters + canonical survivors; the oracle
     //     re-trains the identical centroids AND recomputes the closure --
@@ -1203,6 +1226,63 @@ object ExtensionQueries {
         |FROM q ORDER BY id""".stripMargin,
 
     "sim_semdedup" -> semdedupOracle,
+
+    "corpus_pipeline" -> {
+      val stopHits = TextAnalysis.enStopwords.map { w =>
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      val email = TextAnalysis.piiEmailRe
+      val ipv4 = TextAnalysis.piiIpv4Re
+      val num = TextAnalysis.piiLongNumRe
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents),
+         |dedup AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM corpus)
+         |  WHERE rn = 1),
+         |gm AS (
+         |  SELECT doc_id, text, source,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         |    $stopHits AS stop_hits,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM dedup),
+         |g AS (
+         |  SELECT doc_id, text, source FROM gm
+         |  WHERE n_words >= 20 AND n_words <= 100000
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_words END) >= 3.0
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_words END) <= 10.0
+         |    AND (CASE WHEN trim(text) = '' THEN 0.0
+         |      ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) END) >= 0.8
+         |    AND stop_hits >= 2),
+         |scr AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ipv4', '<IP>', 'g'),
+         |      '$num', '<NUM>', 'g') AS text
+         |  FROM g),
+         |b AS (
+         |  SELECT doc_id, source, text, $bucketExpr AS bucket,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $bucketExpr, doc_id) AS rn
+         |  FROM scr),
+         |capped AS (SELECT doc_id, source, text, bucket FROM b WHERE rn <= 20),
+         |sp AS (
+         |  SELECT source, text,
+         |    CASE WHEN bucket < 9000 THEN 'train' ELSE 'val' END AS split
+         |  FROM capped)
+         |SELECT split, source, count(*) AS n,
+         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split, source ORDER BY split, source""".stripMargin
+    },
 
     "text_gopher" -> {
       val stopHits = TextAnalysis.enStopwords.map { w =>
