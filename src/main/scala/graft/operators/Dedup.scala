@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,12 +35,20 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n"))
 
-  /** Drop exact duplicates, keeping the min-id row per fingerprint. */
+  /** Drop exact duplicates, keeping the min-id row per fingerprint.
+    *
+    * A map-side-combined `min(struct(id, row...))` aggregate, not a
+    * window: a boilerplate document duplicated millions of times
+    * collapses to one candidate per mapper instead of sorting one giant
+    * window group on a single reducer. The id leads the struct so the
+    * comparison decides on it alone (ids are unique); the row's columns
+    * ride along and are re-projected in their original order.
+    */
   def dropExact(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(text)).orderBy(id)
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
-      .drop("__rn__")
+    val cols = df.columns
+    df.groupBy(TextAnalysis.fingerprint(text).as("__fp__"))
+      .agg(min(struct(id.as("__id__") +: cols.map(col): _*)).as("w"))
+      .select(cols.map(c => col("w").getField(c).as(c)): _*)
   }
 
   /** Streaming exact dedup for a CONTINUOUS corpus feed: first sight of a
@@ -88,11 +95,19 @@ object Dedup {
   def dropDupChunks(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int): DataFrame = {
     val chunks = TextAnalysis.chunkByTokens(df, idCol, textCol, maxTokens)
-    val w = Window.partitionBy(col("fp")).orderBy(col("id"), col("chunk_id"))
+    // first occurrence = min (id, chunk_id) per fingerprint, as a plain
+    // aggregate — NOT a window: min(struct) combines map-side, so a
+    // boilerplate chunk repeated millions of times collapses on the
+    // mappers instead of funneling one giant sorted window group through
+    // a single reducer (the classic dedup straggler). The struct's field
+    // order makes the comparison (id, chunk_id)-first; the chunk text
+    // rides along and never decides (keys are unique).
     chunks
       .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
-      .withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("chunk_id"), col("chunk"))).as("w"))
+      .select(col("w.id").as("id"), col("w.chunk_id").as("chunk_id"),
+        col("w.chunk").as("chunk"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks_kept"),
         array_join(

@@ -285,5 +285,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Dedup.dropDupChunks(d, "doc_id", "text", 16))
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
       s"expected one exchange for first-occurrence, one for reassembly:\n$p")
+    // first-occurrence is a map-side-combined aggregate, never a window
+    // (a hot boilerplate chunk would make one giant window group)
+    assert(!p.contains("Window"), s"chunk dedup must not window:\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 4,
+      s"expected partial+final pairs on both aggregates:\n$p")
   }
 }
