@@ -279,6 +279,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global offsets must come from the prefix sum, not a window:\n$p")
   }
 
+  test("capstone pipeline is fully window-free and product-free") {
+    // dedup, Gopher filter, scrub, per-source cap, split and the final
+    // rollup all plan as scans + aggregates (+ one broadcastable join
+    // back for the cap) — no window sort anywhere, nothing quadratic
+    val p = plan(SparkEntry.queries("corpus_pipeline")(spark, sf))
+    assert(!p.contains("Window"), s"capstone must stay window-free:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("chunk dedup shuffles exactly twice (fingerprint, then doc id)") {
     import graft.operators.Dedup
     val d = Tables(spark, sf).documents
