@@ -226,6 +226,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: minhash-LSH candidates of a FRESH
+    * batch against an existing REFERENCE corpus, verified with exact
+    * Jaccard — the ingestion-time shape. Only cross-corpus (reference,
+    * fresh) pairs are generated: the band join is two-sided, so neither
+    * reference x reference nor fresh x fresh work is ever re-done — the
+    * cost of admitting a batch scales with |fresh| x band-collision
+    * rate, not with the corpus. (In a standing pipeline the reference
+    * side's signatures are computed once and stored; this recomputes
+    * them in one scan-local pass.) Returns (ref_id, new_id, jaccard).
+    */
+  def nearDupsAgainstMinhash(reference: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val shingled = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("shingles"))
+      val banded = lshBands(
+        minhashSignatureDF(shingled, "id", "shingles", bands * rows),
+        col("id"), col("sig"), bands, rows)
+      (shingled, banded)
+    }
+    val (shRef, bRef) = prep(reference)
+    val (shNew, bNew) = prep(fresh)
+    val candidates = bRef.as("l").join(bNew.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.doc_id").as("ref_id"), col("r.doc_id").as("new_id"))
+      .distinct()
+    candidates
+      .join(shRef.as("sa"), col("ref_id") === col("sa.id"))
+      .join(shNew.as("sb"), col("new_id") === col("sb.id"))
+      .select(col("ref_id"), col("new_id"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Corpus-wide embedding near-duplicate pairs — the dedup-suite entry
     * for the embedding modality; see
     * [[graft.operators.Similarity.nearDupPairsEmbedding]] (random-

@@ -67,6 +67,23 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- incremental dedup: a FRESH batch checked against the existing
+    //     REFERENCE corpus only (no ref x ref or new x new re-pairing —
+    //     the ingestion-time shape); half the batch is exact twins, half
+    //     suffix-perturbed near-twins -----------------------------------
+    "dedup_minhash_incr" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val ref = d.select(col("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") < 250, col("text"))
+          .otherwise(concat(col("text"), lit(" zznew zztoken zzmark"))).as("text"))
+      Dedup.nearDupsAgainstMinhash(ref, fresh, "doc_id", "text",
+          n = 3, bands = 8, rows = 4, threshold = 0.5)
+        .select(col("ref_id"), col("new_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("ref_id"), col("new_id"))
+    },
+
     // --- simhash near-dups (oracle recomputes the 64-bit signatures) -----
     "dedup_simhash" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -536,6 +553,41 @@ object ExtensionQueries {
        |SELECT a, b, round(j, 6) AS jaccard FROM jac
        |WHERE j >= 0.9 ORDER BY a, b""".stripMargin
 
+  /** Incremental-dedup recomputation: signatures over reference + fresh,
+    * candidates restricted to cross-corpus band collisions (fresh ids
+    * carry the +1000000 offset), exact-Jaccard verify.
+    */
+  private def minhashIncrOracle: String = {
+    val sigCols = (0 until 32).map(i => s"MIN(${wrappedPerm(i)}) AS m$i").mkString(",\n    ")
+    val bandEq = (0 until 8).map { b =>
+      (0 until 4).map(r => s"x.m${b * 4 + r} = y.m${b * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    s"""WITH allc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+       |    CASE WHEN doc_id < 250 THEN text
+       |         ELSE text || ' zznew zztoken zzmark' END AS text
+       |  FROM documents),
+       |${shinglesCtes("allc")},
+       |hs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |hv AS (SELECT doc_id,
+       |    md5_number_lower(sg)::HUGEINT AS h1,
+       |    md5_number_upper(sg)::HUGEINT AS h2 FROM hs),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hv GROUP BY doc_id),
+       |cand AS (
+       |  SELECT x.doc_id AS ref_id, y.doc_id AS new_id
+       |  FROM sig x JOIN sig y ON x.doc_id < 1000000 AND y.doc_id >= 1000000
+       |    AND ($bandEq)),
+       |jac AS (
+       |  SELECT c.ref_id, c.new_id, $jaccardExpr AS j
+       |  FROM cand c JOIN sh sa ON c.ref_id = sa.doc_id
+       |    JOIN sh sb ON c.new_id = sb.doc_id)
+       |SELECT ref_id, new_id, round(j, 6) AS jaccard FROM jac
+       |WHERE j >= 0.5 ORDER BY ref_id, new_id""".stripMargin
+  }
+
   /** End-to-end dedup: the minhash pair set closed into components with
     * a recursive transitive closure, then the canonical-survivor rule —
     * the oracle twin of `nearDupPairsMinhash |> cluster`.
@@ -889,6 +941,8 @@ object ExtensionQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_minhash_incr" -> minhashIncrOracle,
 
     "dedup_cluster_minhash" -> minhashClusterOracle,
 

@@ -87,6 +87,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found >= (total * 0.8).toLong, s"LSH recall too low: $found/$total")
   }
 
+  test("incremental minhash dedup pairs fresh docs only against the reference") {
+    val ref = docs.select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzzz").as("text"))
+      .union(Seq((99999L,
+        "entirely novel content nothing shared qq ww ee rr tt yy uu ii"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupsAgainstMinhash(ref, fresh, "doc_id", "text",
+      threshold = 0.5)
+    // the novel doc shares no shingles -> no pair
+    assert(pairs.filter(col("new_id") === 99999L).count() === 0)
+    // perturbed twins are recalled against their own source doc
+    assert(pairs.filter(col("new_id") === col("ref_id") + 10000).count() >= 80)
+    // strictly cross-corpus: ref ids on the left, fresh ids on the right
+    assert(pairs.filter(col("ref_id") >= 10000).count() === 0)
+    assert(pairs.filter(col("new_id") < 10000).count() === 0)
+  }
+
   test("minhash survives a boilerplate cluster: AQE splits the hot bucket") {
     // one boilerplate cluster (1000 identical docs) -> ALL its rows land
     // in the same (band, key) buckets; at 100 TB that is the classic
