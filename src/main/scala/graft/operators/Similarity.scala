@@ -392,6 +392,42 @@ object Similarity {
     Dedup.cluster(corpus.select(col(idCol)), pairs, idCol)
   }
 
+  /** Incremental embedding near-dup detection: a FRESH batch of vectors
+    * banded against an existing REFERENCE corpus only (the embedding
+    * twin of [[Dedup.nearDupsAgainstMinhash]]) — the band join is
+    * two-sided, so no ref x ref or new x new pairs are ever generated
+    * and admitting a batch costs |fresh| x collision rate, not a corpus
+    * re-pair. Same signature/banding and first-matching-band emission as
+    * [[nearDupPairsEmbedding]]; exact cosine verify. Returns
+    * (ref_id, new_id, cos).
+    */
+  def nearDupsAgainstEmbedding(reference: DataFrame, fresh: DataFrame,
+      threshold: Double, dims: Int, nBits: Int = 384, bandBits: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val vecs = df.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      val banded = vecs.select(col("id"),
+        graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
+        .select(col("id"), col("ks"),
+          posexplode(col("ks")).as(Seq("band", "key")))
+      (vecs, banded)
+    }
+    val (vRef, bRef) = prep(reference)
+    val (vNew, bNew) = prep(fresh)
+    val candidates = bRef.as("l").join(bNew.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(!graft.functions.SharesEarlierBand.of(
+        col("l.ks"), col("r.ks"), col("l.band")))
+      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
+    candidates
+      .join(vRef.as("va"), col("ref_id") === col("va.id"))
+      .join(vNew.as("vb"), col("new_id") === col("vb.id"))
+      .select(col("ref_id"), col("new_id"),
+        cosine(col("va.v"), col("vb.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store compression step (4x smaller than float32, 8x smaller
     * than the double intermediate): per-vector scale = max|x| / 127,

@@ -120,6 +120,19 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- incremental embedding dedup: fresh vectors banded against the
+    //     reference corpus only (cross-corpus candidates, exact cosine
+    //     verify) --------------------------------------------------------
+    "dedup_embedding_incr" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val fresh = e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+      Similarity.nearDupsAgainstEmbedding(e, fresh, threshold = 0.75, dims = 64)
+        .select(col("ref_id"), col("new_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("ref_id"), col("new_id"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -722,6 +735,47 @@ object ExtensionQueries {
        |WHERE cos0 >= 0.75 ORDER BY a, b""".stripMargin
   }
 
+  /** Incremental embedding-dedup recomputation: identical plane-literal
+    * bands for reference (base ids) and fresh (+1000000 twins); the
+    * candidate join keeps only cross-corpus band collisions.
+    */
+  private def embeddingIncrOracle: String = {
+    def plane(b: Int): String =
+      (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
+        .mkString("[", ", ", "]")
+    val bitCols = (0 until 384).map(b =>
+      s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
+      .mkString(",\n    ")
+    val keyCols = (0 until 24).map { band =>
+      val expr = (0 until 16).map(r => s"b${band * 16 + r}")
+        .reduce((acc, b) => s"($acc * 2 + $b)")
+      s"$expr AS k$band"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 24).map(b => s"l.k$b = r.k$b").mkString(" OR ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(v, x -> x + 0.05) AS v FROM base),
+       |sg AS (SELECT vec_id, v,
+       |    $bitCols
+       |  FROM e),
+       |bd AS (SELECT vec_id,
+       |    $keyCols
+       |  FROM sg),
+       |cd AS (
+       |  SELECT DISTINCT l.vec_id AS ref_id, r.vec_id AS new_id
+       |  FROM bd l JOIN bd r ON l.vec_id < 1000000 AND r.vec_id >= 1000000
+       |    AND ($bandEq)),
+       |sc AS (
+       |  SELECT cd.ref_id, cd.new_id, va.v AS qv, vb.v AS cv
+       |  FROM cd JOIN e va ON cd.ref_id = va.vec_id
+       |    JOIN e vb ON cd.new_id = vb.vec_id),
+       |scored AS (SELECT ref_id, new_id, $cosExpr AS cos0 FROM sc)
+       |SELECT ref_id, new_id, round(cos0, 6) AS cos FROM scored
+       |WHERE cos0 >= 0.75 ORDER BY ref_id, new_id""".stripMargin
+  }
+
   /** IVF recomputation: re-trains the identical centroids in SQL —
     * md5-hash-sampled seeds, one Lloyd step with round(mean, 3) — then
     * assigns cells, probes 4, re-ranks.
@@ -964,6 +1018,8 @@ object ExtensionQueries {
         |ORDER BY a, b""".stripMargin,
 
     "dedup_embedding_lsh" -> embeddingLshOracle,
+
+    "dedup_embedding_incr" -> embeddingIncrOracle,
 
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
