@@ -21,7 +21,8 @@ object BenchScale {
     "q1_agg", "q_parse_typed", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "sim_topk_bruteforce",
     "sim_topk_lsh", "sim_topk_ivf", "text_quality", "q_asof_join",
-    "dedup_cluster_minhash", "text_chunk_dedup", "text_pack")
+    "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
+    "dedup_minhash_incr", "corpus_pipeline")
 
   def ensure10x(spark: SparkSession, sfDir: String, cpus: Int): String = {
     val dir = s"target/bench_10x_${new java.io.File(sfDir).getName}"
