@@ -76,6 +76,12 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, modality: String,
       byte_len: Long, features: Array[Float])
 
+  final case class AssetFrame(asset_id: Long, frame_id: Int, offset: Long,
+      frame_len: Long, frame_sum: Long)
+
+  final case class AssetThumb(asset_id: Long, byte_len: Long, stride: Long,
+      thumb_len: Long, thumb_sum: Long)
+
   /** The codec pass: mapPartitions over payload batches (one JVM-side
     * batch per partition, mirroring a Pandas-UDF's arrow-batch shape).
     */
@@ -90,6 +96,71 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](cIdx)
         AssetFeatures(r.getLong(idIdx), r.getString(modIdx),
           bytes.length.toLong, DecodeStub.decode(bytes))
+      }
+    }
+  }
+
+  /** Frame-sampling pass — the video analogue of [[extractFeatures]]:
+    * each payload is cut into `nFrames` contiguous byte windows at the
+    * deterministic seek offsets a real demuxer stub would use
+    * (`DecodeStub.frameOffsets`: offset_i = len*i/n, window i ends at
+    * offset_{i+1}, the last at EOF). Per frame we emit the window bounds
+    * plus an exact integer byte sum — a real deployment swaps the sum
+    * for a codec's frame decode; the iteration shape (mapPartitions over
+    * payload batches, frames exploded JVM-side, payloads never shuffled)
+    * stays identical.
+    *
+    * Output is |assets| x nFrames narrow rows — at 100 TB the frame rows
+    * (not the payloads) are what flows into downstream joins/dedup.
+    */
+  def sampleFrames(assets: DataFrame, nFrames: Int): Dataset[AssetFrame] = {
+    require(nFrames > 0, "nFrames must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx  = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.flatMap { r =>
+        val id    = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val len   = bytes.length.toLong
+        val offs  = DecodeStub.frameOffsets(len, nFrames) :+ len
+        (0 until nFrames).iterator.map { i =>
+          var s = 0L
+          var j = offs(i).toInt
+          val end = offs(i + 1).toInt
+          while (j < end) { s += (bytes(j) & 0xff); j += 1 }
+          AssetFrame(id, i, offs(i), offs(i + 1) - offs(i), s)
+        }
+      }
+    }
+  }
+
+  /** Resize/downsample pass — the image analogue of [[extractFeatures]]:
+    * a fixed-budget thumbnail built from every `stride`-th byte, where
+    * `stride = ceil(len / maxBytes)` so the thumb never exceeds
+    * `maxBytes` samples. Emits the thumb geometry plus an exact integer
+    * sum of the sampled bytes (the stub for the resampled pixels); a
+    * real deployment swaps the strided sampler for a bilinear resize,
+    * keeping the same batch iteration and output schema.
+    */
+  def resizeStub(assets: DataFrame, maxBytes: Int = 64): Dataset[AssetThumb] = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx  = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.map { r =>
+        val id     = r.getLong(idIdx)
+        val bytes  = r.getAs[Array[Byte]](cIdx)
+        val len    = bytes.length.toLong
+        val stride = if (len == 0) 1L else (len + maxBytes - 1) / maxBytes
+        var s = 0L
+        var n = 0L
+        var j = 0L
+        while (j < len) { s += (bytes(j.toInt) & 0xff); n += 1; j += stride }
+        AssetThumb(id, len, stride, n, s)
       }
     }
   }

@@ -414,6 +414,110 @@ object TextAnalysis {
       .repartitionByRange(p, col("id"), col("chunk_id"))
       .sortWithinPartitions(col("id"), col("chunk_id"))
 
+  // ---- hashed unigram LM quality scoring -------------------------------
+
+  /** Canonical whitespace tokens (shared by the LM / vocab / BPE ops). */
+  private[graft] def canonToks(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Hashed unigram language-model counts — the train pass of a
+    * CCNet-style LM quality filter. Tokens hash into `nBuckets` stable
+    * buckets ([[Sampling.hashBucket]], engine-portable md5), so the
+    * model table is BOUNDED (≤ nBuckets rows) no matter how large the
+    * corpus vocabulary grows: at 100 TB the counts table stays
+    * broadcastable while a literal-vocab table would not. One explode +
+    * one hash aggregate with map-side combine.
+    */
+  def unigramLmCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.select(explode(canonToks(col(textCol))).as("token"))
+      .select(Sampling.hashBucket(col("token"), nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score documents against a hashed unigram LM (the apply pass): each
+    * token contributes the QUANTIZED log-frequency of its bucket —
+    * floor(log2(count)) computed as `length(bin(count)) - 1`, which is
+    * exact integer/string arithmetic in every engine (no libm, no FP
+    * summation order), so the oracle recomputes scores bit-identically.
+    * High mean log-frequency ≈ fluent/common-word text; garbage and
+    * wrong-language docs score low — the standard perplexity-filter
+    * shape with a deterministic stand-in for the KenLM score.
+    *
+    * Plumbing: explode + BROADCAST join against the bounded counts
+    * table + per-doc integer-sum aggregate. The only shuffle carries one
+    * narrow row per document (map-side combine collapses each doc's
+    * tokens before the exchange).
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lm: org.apache.spark.sql.DataFrame,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(canonToks(col(textCol))).as("token"))
+      .select(col("id"), Sampling.hashBucket(col("token"), nBuckets).as("bucket"))
+    toks.join(broadcast(lm), Seq("bucket"), "left")
+      .select(col("id"),
+        (length(bin(coalesce(col("cnt"), lit(0L)))) - 1).cast(LongType).as("qlog"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qlog")).as("logq_sum"))
+      .withColumn("lm_score",
+        round(col("logq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+  }
+
+  // ---- BPE pair statistics (tokenizer-training prep) -------------------
+
+  /** Adjacent character-pair frequencies within canonical tokens — the
+    * inner statistic of byte-pair-encoding tokenizer training (each BPE
+    * merge step picks the argmax of exactly this table; a trainer loops
+    * this count over a re-symbolized corpus, driver-picking one merge
+    * per round). Pair generation is scan-local (a transform over token
+    * character positions inside the projection); the single shuffle
+    * carries pair keys only, and the key space is bounded by the symbol
+    * alphabet squared, so map-side combine collapses the corpus before
+    * the exchange — the 100 TB shape for any corpus size.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(canonToks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+
+  // ---- URL / domain extraction -----------------------------------------
+
+  /** Dialect-portable URL pattern (Java regex == RE2): scheme, host, and
+    * an optional path of unreserved characters.
+    */
+  val urlRe: String =
+    "https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[A-Za-z0-9/._~-]*)?"
+
+  /** All URLs appearing in a document. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Registrable host of a URL (the per-domain curation key: domain
+    * caps, blocklists, provenance stats all group on this).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)
+
+  /** Per-domain provenance rollup over the URLs found in the corpus:
+    * how many documents cite the domain and how many total hits — the
+    * input to domain blocklist filtering and per-domain caps
+    * ([[Sampling.capPerGroup]]). One explode + one aggregate; the
+    * shuffle carries (domain, doc) keys with map-side distinct-combine.
+    */
+  def domainStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(extractUrls(col(textCol))).as("url"))
+      .select(col("id"), urlDomain(col("url")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_hits"))
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

@@ -488,6 +488,64 @@ object ExtensionQueries {
           terms = bm25Terms, k = 20)
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("id"))
+    },
+
+    // --- hashed unigram LM quality scoring (CCNet shape): train pass
+    //     yields a bounded bucket table, apply pass scores each doc by
+    //     exact integer quantized log-frequency sums ---------------------
+    "text_lm_score" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val lm = TextAnalysis.unigramLmCounts(d, "text", nBuckets = 1024)
+      TextAnalysis.lmScore(d, "doc_id", "text", lm, nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("logq_sum"), col("lm_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- BPE pair statistics: top adjacent character pairs within
+    //     canonical tokens (one merge step of tokenizer training) --------
+    "text_bpe_pairs" -> { (s, dir) =>
+      TextAnalysis.bpePairStats(Tables(s, dir).documents, "text")
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    },
+
+    // --- URL/domain provenance rollup (URLs planted deterministically:
+    //     every third doc cites one of 7 sites, every 12th a second) ----
+    "text_domains" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://site"), col("doc_id") % 7,
+            lit(".example.org/p/"), col("doc_id"),
+            when(col("doc_id") % 12 === 0,
+              concat(lit(" and http://mirror.example.net/x"), col("doc_id")))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysis.domainStats(corpus, "doc_id", "text")
+        .orderBy(col("domain"))
+    },
+
+    // --- multimodal frame sampling: contiguous byte windows at the
+    //     demuxer-stub seek offsets, exact per-frame byte sums -----------
+    "mm_frames" -> { (s, dir) =>
+      val assets = Tables(s, dir).documents
+        .select(col("doc_id").as("asset_id"), lit("video").as("modality"),
+          lit("application/octet-stream").as("mime"),
+          col("text").cast(BinaryType).as("content"))
+      Multimodal.sampleFrames(assets, nFrames = 4).toDF()
+        .orderBy(col("asset_id"), col("frame_id"))
+    },
+
+    // --- multimodal resize stub: strided-byte thumbnail geometry +
+    //     exact sampled-byte sums ----------------------------------------
+    "mm_resize" -> { (s, dir) =>
+      val assets = Tables(s, dir).documents
+        .select(col("doc_id").as("asset_id"), lit("image").as("modality"),
+          lit("application/octet-stream").as("mime"),
+          col("text").cast(BinaryType).as("content"))
+      Multimodal.resizeStub(assets, maxBytes = 64).toDF()
+        .orderBy(col("asset_id"))
     }
   )
 
@@ -855,6 +913,55 @@ object ExtensionQueries {
        |FROM s ORDER BY asset_id""".stripMargin
   }
 
+  /** mm_frames: recompute the demuxer-stub byte windows (offset_i =
+    * len*i/4, window ends at offset_{i+1}) and their exact integer byte
+    * sums from the hex dump — same nibble-lookup trick as
+    * [[mmFeaturesOracle]].
+    */
+  private def mmFramesOracle: String = {
+    val nib = "strpos('0123456789ABCDEF', %s) - 1"
+    val hi = nib.format("substr(h, 2*CAST(j AS INT) + 1, 1)")
+    val lo = nib.format("substr(h, 2*CAST(j AS INT) + 2, 1)")
+    s"""WITH b AS (
+       |  SELECT doc_id AS asset_id,
+       |    octet_length(encode(text)) AS len,
+       |    hex(encode(text)) AS h
+       |  FROM documents),
+       |f AS (
+       |  SELECT asset_id, len, h, CAST(i AS INT) AS frame_id,
+       |    len * i // 4 AS o, len * (i + 1) // 4 AS e
+       |  FROM b, UNNEST(range(0, 4)) AS t(i))
+       |SELECT asset_id, frame_id, o AS "offset", e - o AS frame_len,
+       |  coalesce(list_sum(list_transform(range(o, e),
+       |    j -> ($hi) * 16 + ($lo))), 0) AS frame_sum
+       |FROM f ORDER BY asset_id, frame_id""".stripMargin
+  }
+
+  /** mm_resize: recompute the strided-byte thumbnail (stride =
+    * ceil(len/64), samples at range(0, len, stride)) and its exact
+    * sampled-byte sum from the hex dump.
+    */
+  private def mmResizeOracle: String = {
+    val nib = "strpos('0123456789ABCDEF', %s) - 1"
+    val hi = nib.format("substr(h, 2*CAST(j AS INT) + 1, 1)")
+    val lo = nib.format("substr(h, 2*CAST(j AS INT) + 2, 1)")
+    s"""WITH b AS (
+       |  SELECT doc_id AS asset_id,
+       |    octet_length(encode(text)) AS byte_len,
+       |    hex(encode(text)) AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT asset_id, byte_len, h,
+       |    CASE WHEN byte_len = 0 THEN 1
+       |         ELSE (byte_len + 63) // 64 END AS stride
+       |  FROM b)
+       |SELECT asset_id, byte_len, stride,
+       |  len(range(0, byte_len, stride)) AS thumb_len,
+       |  coalesce(list_sum(list_transform(range(0, byte_len, stride),
+       |    j -> ($hi) * 16 + ($lo))), 0) AS thumb_sum
+       |FROM s ORDER BY asset_id""".stripMargin
+  }
+
   /** SemDeDup recomputation: re-trains the identical 16 centroids over
     * the planted-twin corpus (hash-sampled seeds + one Lloyd step, as in
     * [[ivfOracle]]), assigns cells, emits within-cell cosine pairs and
@@ -1214,6 +1321,62 @@ object ExtensionQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "mm_features" -> mmFeaturesOracle,
+
+    "mm_frames" -> mmFramesOracle,
+
+    "mm_resize" -> mmResizeOracle,
+
+    // hashed unigram LM: identical md5 buckets, quantized log2 via the
+    // exact bin()-length trick on both engines
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, (md5_number_lower(token) >> 1) % 1024 AS bucket
+        |  FROM tok),
+        |lm AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(length(bin(cnt)) - 1) AS logq_sum
+        |  FROM b JOIN lm USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, logq_sum,
+        |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM toks, UNNEST(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "text_domains" -> {
+      val url = "https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[A-Za-z0-9/._~-]*)?"
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+         |      || CASE WHEN doc_id % 12 = 0
+         |         THEN ' and http://mirror.example.net/x' || CAST(doc_id AS VARCHAR)
+         |         ELSE '' END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$url', 0)) AS url
+         |  FROM corpus),
+         |d AS (
+         |  SELECT doc_id,
+         |    regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+         |  FROM u)
+         |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits
+         |FROM d GROUP BY 1 ORDER BY domain""".stripMargin
+    },
 
     // components via recursive transitive closure (min reachable id) —
     // the same chain+hub edge construction as the Spark side

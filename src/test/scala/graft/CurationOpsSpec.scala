@@ -107,6 +107,50 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---- vocabulary stats -----------------------------------------------
 
+  test("lmScore: exact quantized log-frequency sums on a known corpus") {
+    val df = Seq(
+      (1L, "a b a"), // a appears 3x in corpus, b 1x
+      (2L, "a c c")) // c 2x
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLmCounts(df, "text", nBuckets = 65536)
+    // guard the hand-computation: a/b/c must land in distinct buckets
+    assert(lm.count() === 3)
+    val got = TextAnalysis.lmScore(df, "doc_id", "text", lm, nBuckets = 65536)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toMap
+      .map { case (k, v) => k -> v }
+    val rows = TextAnalysis.lmScore(df, "doc_id", "text", lm, nBuckets = 65536)
+      .collect().sortBy(_.getLong(0))
+    // qlog: floor(log2(3))=1, floor(log2(1))=0, floor(log2(2))=1
+    // doc1 = [a,b,a] -> 1+0+1 = 2 over 3 tokens
+    // doc2 = [a,c,c] -> 1+1+1 = 3 over 3 tokens
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 2L), (2L, 3L, 3L)))
+    assert(rows(0).getDouble(3) === 0.666667)
+    assert(rows(1).getDouble(3) === 1.0)
+  }
+
+  test("bpePairStats: adjacent in-token pairs, single-char tokens skipped") {
+    val df = Seq((1L, "abc ab x"), (2L, "bc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(df, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // abc -> ab, bc; ab -> ab; bc -> bc; x contributes nothing
+    assert(got === Set(("ab", 2L), ("bc", 2L)))
+  }
+
+  test("URL extraction and per-domain rollup") {
+    val df = Seq(
+      (1L, "x https://a.example.org/p/1 y http://b.example.net z"),
+      (2L, "see https://a.example.org today"),
+      (3L, "no links here")).toDF("doc_id", "text")
+    val urls = df.select(explode(TextAnalysis.extractUrls(col("text"))).as("u"))
+      .collect().map(_.getString(0)).toSet
+    assert(urls === Set("https://a.example.org/p/1", "http://b.example.net",
+      "https://a.example.org"))
+    val got = TextAnalysis.domainStats(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("a.example.org", 2L, 2L), ("b.example.net", 1L, 1L)))
+  }
+
   test("vocabStats: exact tf/df on a known corpus") {
     val df = Seq(
       (1L, "a b a"),

@@ -294,4 +294,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
     assert(f1.forall(f => f.byte_len > 0))
   }
+
+  test("sampleFrames: exact windows and byte sums, frames tile the payload") {
+    import spark.implicits._
+    // "abcdefghij" = bytes 97..106, len 10, 4 frames:
+    //   offsets 0,2,5,7 -> windows [0,2) [2,5) [5,7) [7,10)
+    val assets = Seq((1L, "abcdefghij"), (2L, "")).toDF("asset_id", "t")
+      .select(col("asset_id"), lit("video").as("modality"),
+        lit("b").as("mime"), col("t").cast(BinaryType).as("content"))
+    val got = Multimodal.sampleFrames(assets, nFrames = 4).collect()
+      .sortBy(f => (f.asset_id, f.frame_id))
+    val a = got.filter(_.asset_id == 1L)
+    assert(a.map(f => (f.offset, f.frame_len)).toSeq ===
+      Seq((0L, 2L), (2L, 3L), (5L, 2L), (7L, 3L)))
+    assert(a.map(_.frame_sum).toSeq ===
+      Seq(97L + 98, 99L + 100 + 101, 102L + 103, 104L + 105 + 106))
+    // frames tile: sums re-add to the whole payload
+    assert(a.map(_.frame_sum).sum === (97 to 106).sum.toLong)
+    // empty payload: 4 zero-length frames at offset 0
+    val b = got.filter(_.asset_id == 2L)
+    assert(b.length === 4)
+    assert(b.forall(f => f.offset == 0L && f.frame_len == 0L && f.frame_sum == 0L))
+  }
+
+  test("resizeStub: stride budget holds, sampled sums exact") {
+    import spark.implicits._
+    val long = "x" * 130 // stride ceil(130/64)=3 -> samples 0,3,...,129 = 44
+    val assets = Seq((1L, "abcd"), (2L, long)).toDF("asset_id", "t")
+      .select(col("asset_id"), lit("image").as("modality"),
+        lit("b").as("mime"), col("t").cast(BinaryType).as("content"))
+    val got = Multimodal.resizeStub(assets, maxBytes = 64).collect()
+      .sortBy(_.asset_id)
+    val a = got(0) // len 4 < 64 -> stride 1, every byte sampled
+    assert((a.stride, a.thumb_len, a.thumb_sum) === ((1L, 4L, (97L + 98 + 99 + 100))))
+    val b = got(1)
+    assert(b.stride === 3L)
+    assert(b.thumb_len === 44L)
+    assert(b.thumb_len <= 64L)
+    assert(b.thumb_sum === 44L * 'x'.toLong)
+  }
 }
