@@ -16,9 +16,15 @@ import graft.types.ChType
 object BenchScale {
   import org.apache.spark.sql.DataFrame
 
-  /** The shuffle-heavy headline queries re-run at 10x. */
+  /** The shuffle-heavy headline queries re-run at 10x. The parse and
+    * scan-agg queries are here deliberately: at base sf0.1 they finish in
+    * ~1 s — scheduling-noise territory where a loaded machine can record
+    * phantom multi-x regressions — so their headline numbers are taken
+    * from this shuffle-real scale.
+    */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q_parse_typed", "dedup_exact", "dedup_minhash_lsh",
+    "q1_agg", "q_parse_typed", "q_parse_csv", "q_offsets_minmax",
+    "q_percentile", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "sim_topk_bruteforce",
     "sim_topk_lsh", "sim_topk_ivf", "text_quality", "q_asof_join",
     "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
@@ -126,13 +132,32 @@ object Bench {
     // a failing query must fail the bench LOUDLY — a swallowed crash
     // would score ~0s and *improve* the total
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // contention hardening: MEDIAN of `runs` timed executions per query (a
+    // single loaded-machine blip can otherwise record a phantom multi-x
+    // regression), plus the output row count so a silently-empty result
+    // can never score fast.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // (sec, rows); rows from an untimed count() that doubles as warm-up
+    def timed(errKey: String, mk: () => org.apache.spark.sql.DataFrame): (Double, Long) =
+      try {
+        val rows = mk().count()
+        val secs = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (median(secs), rows)
+      } catch {
+        case e: Throwable =>
+          errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          (0.0, -1L)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name, () => fn(spark, sfDir))
     }
 
     // ---- second scale: the same headline queries over a 10x corpus
@@ -143,22 +168,18 @@ object Bench {
     val scale10 = try {
       val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
       Some(BenchScale.headline.map { name =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          errors(s"10x:$name") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
       })
     } catch { case e: Throwable =>
       errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       None
     }
 
-    val qs = (results :+ ("ingest_json" -> ingest._2))
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    def qjson(rs: Seq[(String, (Double, Long))]): String = rs
+      .map { case (k, (sec, rows)) => "\"" + k + s"""":{"sec":$sec,"rows":$rows}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + ingest._2
+    val qs = qjson(results :+ ("ingest_json" -> (ingest._2, ingest._1)))
+    val total = results.map(_._2._1).sum + ingest._2
     val rps = (ingest._1 / ingest._2).toLong
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
@@ -166,8 +187,7 @@ object Bench {
       .mkString("{", ",", "}")
     val scaleJson = scale10 match {
       case Some(r) =>
-        val m = r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","queries_10x":$m,"total_10x":${r.map(_._2).sum}"""
+        s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}"""
       case None => ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson,"errors":$errJson}""")

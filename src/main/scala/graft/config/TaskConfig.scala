@@ -11,21 +11,67 @@ import graft.types.ChType
   * — the HJSON extensions the reference's configs actually use — are
   * enabled via Jackson's JSON read features.
   */
+/** GSSAPI (Kerberos) credentials, mirroring the reference's
+  * `Sasl.GSSAPI` block (`/root/reference/config/config.go:90-99`):
+  * authType 1 = user/password login, 2 = keytab
+  * (`input/kafka_franz.go:44,170-180`).
+  */
+final case class GssapiConfig(
+    serviceName: String = "kafka",
+    authType: Int = 1,                  // 1 KRB5_USER_AUTH, 2 KRB5_KEYTAB_AUTH
+    username: String = "",
+    realm: String = "",
+    keyTabPath: String = "",
+    krb5ConfigPath: String = "")
+
 final case class KafkaConfig(
     brokers: String,
     securityProtocol: Option[String] = None,
     saslMechanism: Option[String] = None,
     saslUsername: Option[String] = None,
-    saslPassword: Option[String] = None) {
+    saslPassword: Option[String] = None,
+    gssapi: Option[GssapiConfig] = None) {
 
-  /** Kafka source options (SURVEY S1 mapping). */
+  /** JAAS stanza per SASL mechanism, following the reference's mechanism
+    * switch (`/root/reference/input/kafka_franz.go:139-187`): PLAIN and
+    * SCRAM-SHA-256/512 are username/password against the matching login
+    * module; GSSAPI maps to Krb5LoginModule with keytab or ticket-cache
+    * auth per `authType`.
+    */
+  private def jaasConfig: Option[(String, String)] = saslMechanism.flatMap {
+    case "PLAIN" =>
+      for (u <- saslUsername; p <- saslPassword) yield
+        "kafka.sasl.jaas.config" ->
+          s"""org.apache.kafka.common.security.plain.PlainLoginModule required username="$u" password="$p";"""
+    case "SCRAM-SHA-256" | "SCRAM-SHA-512" =>
+      for (u <- saslUsername; p <- saslPassword) yield
+        "kafka.sasl.jaas.config" ->
+          s"""org.apache.kafka.common.security.scram.ScramLoginModule required username="$u" password="$p";"""
+    case "GSSAPI" =>
+      gssapi.map { g =>
+        val principal =
+          if (g.realm.nonEmpty) s"${g.username}@${g.realm}" else g.username
+        val auth =
+          if (g.authType == 2)
+            s"""useKeyTab=true storeKey=true keyTab="${g.keyTabPath}""""
+          else "useTicketCache=true"
+        "kafka.sasl.jaas.config" ->
+          s"""com.sun.security.auth.module.Krb5LoginModule required $auth principal="$principal";"""
+      }
+    case _ => None
+  }
+
+  /** Kafka source options (SURVEY S1 mapping; mechanisms per
+    * `input/kafka_franz.go:125-187`).
+    */
   def sourceOptions: Map[String, String] =
     Map("kafka.bootstrap.servers" -> brokers) ++
       securityProtocol.map("kafka.security.protocol" -> _) ++
       saslMechanism.map("kafka.sasl.mechanism" -> _) ++
-      (for (u <- saslUsername; p <- saslPassword) yield
-        "kafka.sasl.jaas.config" ->
-          s"""org.apache.kafka.common.security.plain.PlainLoginModule required username="$u" password="$p";""")
+      (if (saslMechanism.contains("GSSAPI"))
+        gssapi.map("kafka.sasl.kerberos.service.name" -> _.serviceName)
+      else None) ++
+      jaasConfig
 }
 
 final case class TaskConfig(

@@ -449,6 +449,14 @@ object TextAnalysis {
     * table + per-doc integer-sum aggregate. The only shuffle carries one
     * narrow row per document (map-side combine collapses each doc's
     * tokens before the exchange).
+    *
+    * Smoothing contract: the LEFT join scores an absent bucket as
+    * qlog = floor(log2(coalesce(cnt, 0) -> bin("0"))) = 0 — the same
+    * value as cnt = 1. This zero-floor smoothing is intentional (unseen
+    * ≈ hapax); note it makes scores comparable with the SQL oracle's
+    * inner join ONLY when the LM was trained on the scored corpus
+    * (every bucket present). Scoring against a foreign LM is supported
+    * but uses the zero-floor for out-of-model buckets.
     */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, lm: org.apache.spark.sql.DataFrame,

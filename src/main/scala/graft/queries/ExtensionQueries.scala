@@ -932,8 +932,8 @@ object ExtensionQueries {
        |    len * i // 4 AS o, len * (i + 1) // 4 AS e
        |  FROM b, UNNEST(range(0, 4)) AS t(i))
        |SELECT asset_id, frame_id, o AS "offset", e - o AS frame_len,
-       |  coalesce(list_sum(list_transform(range(o, e),
-       |    j -> ($hi) * 16 + ($lo))), 0) AS frame_sum
+       |  CAST(coalesce(list_sum(list_transform(range(o, e),
+       |    j -> ($hi) * 16 + ($lo))), 0) AS BIGINT) AS frame_sum
        |FROM f ORDER BY asset_id, frame_id""".stripMargin
   }
 
@@ -957,8 +957,8 @@ object ExtensionQueries {
        |  FROM b)
        |SELECT asset_id, byte_len, stride,
        |  len(range(0, byte_len, stride)) AS thumb_len,
-       |  coalesce(list_sum(list_transform(range(0, byte_len, stride),
-       |    j -> ($hi) * 16 + ($lo))), 0) AS thumb_sum
+       |  CAST(coalesce(list_sum(list_transform(range(0, byte_len, stride),
+       |    j -> ($hi) * 16 + ($lo))), 0) AS BIGINT) AS thumb_sum
        |FROM s ORDER BY asset_id""".stripMargin
   }
 
@@ -1339,7 +1339,7 @@ object ExtensionQueries {
         |lm AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
         |sc AS (
         |  SELECT doc_id, count(*) AS n_tokens,
-        |    sum(length(bin(cnt)) - 1) AS logq_sum
+        |    CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS logq_sum
         |  FROM b JOIN lm USING (bucket) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, logq_sum,
         |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score

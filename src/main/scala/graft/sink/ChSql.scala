@@ -49,6 +49,33 @@ object ChSql {
     s"SELECT shard_num, replica_num, host_name, host_address, port " +
       s"FROM system.clusters WHERE cluster = '$cluster' ORDER BY shard_num, replica_num"
 
+  /** S10/S13 — per-shard multi-replica JDBC URLs from the
+    * [[clusterQuery]] topology rows, mirroring the reference's per-shard
+    * replica lists (`pool/conn.go:140-201`: one ShardConn per shard, each
+    * holding every replica address of that shard, rotating to the next
+    * good replica on failure). The JDBC driver's multi-host URL form
+    * (`jdbc:clickhouse://h1:p1,h2:p2/db`) delegates the same failover to
+    * the driver; replicas stay in replica_num order so retry order is
+    * deterministic.
+    *
+    * @param topology rows of (shard_num, replica_num, host, port) as
+    *                 returned by [[clusterQuery]]
+    * @return shard_num -> multi-replica JDBC URL, one entry per shard
+    */
+  def shardJdbcUrls(topology: Seq[(Int, Int, String, Int)], db: String,
+      params: Map[String, String] = Map.empty): Map[Int, String] = {
+    val query =
+      if (params.isEmpty) ""
+      else params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("?", "&", "")
+    topology.groupBy(_._1).map { case (shard, replicas) =>
+      val hosts = replicas.sortBy(_._2)
+        .map { case (_, _, host, port) => s"$host:$port" }
+        .mkString(",")
+      shard -> s"jdbc:clickhouse://$hosts/$db$query"
+    }
+  }
+
   /** J2 — series-state bootstrap queries (task/sinker.go:42-47). */
   def countSeriesQuery(db: String, seriesTable: String, metricTable: String,
       activeSeconds: Long): String =

@@ -64,6 +64,23 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(d.currentHosts.size === 3)
   }
 
+  test("shardJdbcUrls builds per-shard multi-replica URLs (pool/conn.go:140-201)") {
+    import graft.sink.ChSql
+    // 3 shards x 2 replicas, rows deliberately out of order
+    val topology = Seq(
+      (2, 2, "ch2b", 8123), (1, 1, "ch1a", 8123), (3, 1, "ch3a", 8123),
+      (1, 2, "ch1b", 8123), (2, 1, "ch2a", 8123), (3, 2, "ch3b", 8123))
+    assert(ChSql.shardJdbcUrls(topology, "analytics") === Map(
+      1 -> "jdbc:clickhouse://ch1a:8123,ch1b:8123/analytics",
+      2 -> "jdbc:clickhouse://ch2a:8123,ch2b:8123/analytics",
+      3 -> "jdbc:clickhouse://ch3a:8123,ch3b:8123/analytics"))
+    // connection params render as a deterministic (sorted) query string
+    val withParams = ChSql.shardJdbcUrls(Seq((1, 1, "h", 9000)), "db",
+      Map("ssl" -> "true", "connect_timeout" -> "30"))
+    assert(withParams(1) === "jdbc:clickhouse://h:9000/db?connect_timeout=30&ssl=true")
+    assert(ChSql.shardJdbcUrls(Nil, "db") === Map.empty)
+  }
+
   private def task(name: String, group: String, topic: String,
       buf: Int = 1024): TaskConfig =
     TaskConfig(name = name, topic = topic, consumerGroup = group,

@@ -115,9 +115,6 @@ class CurationOpsSpec extends AnyFunSuite {
     val lm = TextAnalysis.unigramLmCounts(df, "text", nBuckets = 65536)
     // guard the hand-computation: a/b/c must land in distinct buckets
     assert(lm.count() === 3)
-    val got = TextAnalysis.lmScore(df, "doc_id", "text", lm, nBuckets = 65536)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toMap
-      .map { case (k, v) => k -> v }
     val rows = TextAnalysis.lmScore(df, "doc_id", "text", lm, nBuckets = 65536)
       .collect().sortBy(_.getLong(0))
     // qlog: floor(log2(3))=1, floor(log2(1))=0, floor(log2(2))=1

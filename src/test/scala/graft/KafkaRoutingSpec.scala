@@ -34,6 +34,51 @@ class KafkaRoutingSpec extends AnyFunSuite {
     assert(jaas.contains("username=\"svc\"") && jaas.endsWith(";"))
   }
 
+  test("SCRAM-SHA-256/512 select ScramLoginModule (kafka_franz.go:149-161)") {
+    for (mech <- Seq("SCRAM-SHA-256", "SCRAM-SHA-512")) {
+      val cfg = KafkaConfig(
+        brokers = "b:9092",
+        securityProtocol = Some("SASL_SSL"),
+        saslMechanism = Some(mech),
+        saslUsername = Some("svc"),
+        saslPassword = Some("pw"))
+      assert(cfg.sourceOptions === Map(
+        "kafka.bootstrap.servers" -> "b:9092",
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> mech,
+        "kafka.sasl.jaas.config" ->
+          """org.apache.kafka.common.security.scram.ScramLoginModule required username="svc" password="pw";"""))
+    }
+  }
+
+  test("GSSAPI maps to Krb5LoginModule + service name (kafka_franz.go:162-184)") {
+    import graft.config.GssapiConfig
+    // keytab auth (authType 2, KRB5_KEYTAB_AUTH)
+    val kt = KafkaConfig(
+      brokers = "b:9092",
+      securityProtocol = Some("SASL_PLAINTEXT"),
+      saslMechanism = Some("GSSAPI"),
+      gssapi = Some(GssapiConfig(serviceName = "kafka", authType = 2,
+        username = "svc", realm = "EXAMPLE.ORG", keyTabPath = "/etc/krb5.keytab")))
+    assert(kt.sourceOptions === Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> "kafka",
+      "kafka.sasl.jaas.config" ->
+        ("""com.sun.security.auth.module.Krb5LoginModule required """ +
+          """useKeyTab=true storeKey=true keyTab="/etc/krb5.keytab" """ +
+          """principal="svc@EXAMPLE.ORG";""")))
+    // user auth (authType 1, KRB5_USER_AUTH) -> ticket cache
+    val user = kt.copy(gssapi = kt.gssapi.map(_.copy(authType = 1)))
+    val jaas = user.sourceOptions("kafka.sasl.jaas.config")
+    assert(jaas.contains("useTicketCache=true") && !jaas.contains("keyTab"))
+    // GSSAPI without a gssapi block yields mechanism but no jaas (loud at
+    // connect time rather than a half-formed stanza)
+    val bare = kt.copy(gssapi = None)
+    assert(!bare.sourceOptions.contains("kafka.sasl.jaas.config"))
+  }
+
   test("__table_name header routes; missing header falls back to topic (FL7)") {
     import spark.implicits._
     val raw = Seq(
