@@ -46,7 +46,8 @@ object SimHash64 {
     * `string_split` reproduces.
     */
   def compute(text: UTF8String): Long = {
-    val canonical = Ws.matcher(text.trim().toLowerCase.toString).replaceAll(" ")
+    val canonical =
+      Ws.matcher(PortableCase.simpleLower(text.trim().toString)).replaceAll(" ")
     val counters = new Array[Int](64)
     var start = 0
     var done = false

@@ -46,11 +46,12 @@ object WordHits {
   /** Argmax language by marker-word hits over ONE lowercased padded
     * copy: first language (in the given order) with the strictly
     * greatest score wins; zero hits everywhere -> "und". Lowercasing via
-    * UTF8String keeps parity with Spark's `lower()`.
+    * [[PortableCase.simpleLower]] keeps parity with the DuckDB oracle's
+    * `lower()` on the Unicode divergence classes.
     */
   def bestLang(text: UTF8String, langs: Array[String],
       markers: Array[Array[String]]): UTF8String = {
-    val padded = " " + text.toLowerCase.toString + " "
+    val padded = " " + PortableCase.simpleLower(text.toString) + " "
     var best = 0L
     var bestLang = "und"
     var i = 0

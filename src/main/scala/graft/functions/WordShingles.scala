@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordShinglesOps {
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val toks = PortableCase.canonToksJvm(text.toString)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length < n) {
       out.add(toks.mkString(" "))

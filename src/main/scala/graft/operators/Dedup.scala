@@ -296,7 +296,7 @@ object Dedup {
     * parity test).
     */
   def simhash64(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val toks = TextAnalysis.canonToks(text)
     val hashes = transform(toks, t => PortableHash.md5Lo(t))
     // counters[j] = sum over tokens of (bit j set ? +1 : -1); single pass
     // over the token hashes, bit positions are compile-time literals

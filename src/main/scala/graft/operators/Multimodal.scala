@@ -27,6 +27,30 @@ object Multimodal {
     StructField("content", BinaryType, nullable = false),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
+  /** Deterministic REAL-binary fixture: payload bytes seeded by asset id
+    * (`byte_j = (id*31 + j*7) mod 256`, built hex-side and `unhex`ed so
+    * the byte stream is exact — never a UTF-8 re-encode of text), with
+    * lengths exercising every codec-stage edge: empty (id%17=0), shorter
+    * than a frame window (id%17=1 -> 0..3 bytes), larger than the 64x64
+    * resize budget (id%17=2 -> 5000 bytes), else a 5..997-byte spread.
+    * The same arithmetic is SQL-expressible, so oracles regenerate
+    * byte-identical payloads from the id column alone.
+    */
+  def syntheticAssets(ids: DataFrame, idCol: String = "asset_id",
+      modality: String = "binary"): DataFrame = {
+    val id = col(idCol)
+    val len = when(id % 17 === 0, lit(0L))
+      .when(id % 17 === 1, id % 4)
+      .when(id % 17 === 2, lit(5000L))
+      .otherwise((id * 137) % 997)
+    val hx = when(len === 0, lit(""))
+      .otherwise(concat_ws("", transform(sequence(lit(0L), len - 1),
+        j => lpad(hex((id * 31 + j * 7) % 256), 2, "0"))))
+    ids.select(id.as("asset_id"), lit(modality).as("modality"),
+      lit("application/octet-stream").as("mime"),
+      unhex(hx).as("content"))
+  }
+
   /** Cheap metadata extraction — pure Catalyst, no decode: sizes, digests,
     * magic-byte sniffing. This is the first pass a 100 TB pipeline runs to
     * partition/route assets before any codec work.

@@ -38,7 +38,7 @@ object TextAnalysis {
     * pages score high). 0 for empty text.
     */
   def wordRepetitionRatio(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val toks = canonToks(text)
     val n = size(toks).cast(DoubleType)
     when(trim(text) === "", lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / n)
@@ -75,7 +75,7 @@ object TextAnalysis {
     * noise score low). 0 for empty text.
     */
   def alphaWordRatio(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val toks = canonToks(text)
     when(trim(text) === "", lit(0.0))
       .otherwise(size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) /
         size(toks).cast(DoubleType))
@@ -156,7 +156,8 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   def langScore(text: Column, lang: String): Column =
-    stopwordHits(lower(text), langMarkers(lang))
+    stopwordHits(graft.functions.PortableCase.lowerPortable(text),
+      langMarkers(lang))
 
   /** Fused single-pass form: one lowercase + one padded copy per doc,
     * all 25 marker scans over it ([[graft.functions.WordHits.bestLang]]).
@@ -173,7 +174,8 @@ object TextAnalysis {
   private[graft] def langIdCompositional(text: Column): Column = {
     val langs  = langMarkers.keys.toSeq.sorted
     val scores = langs.map(l =>
-      stopwordHitsCompositional(lower(text), langMarkers(l)))
+      stopwordHitsCompositional(
+        graft.functions.PortableCase.lowerPortable(text), langMarkers(l)))
     val best   = scores.reduce((a, b) => greatest(a, b))
     // first language (in sorted order) reaching the max score
     langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
@@ -252,7 +254,7 @@ object TextAnalysis {
       textCol: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val canon = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val canon = canonStr(col(textCol))
     val base = docs.select(col(idCol).as("id"), canon.as("t"))
       .select(col("id"), col("t"), wsTokenCount(col("t")).as("dl"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (term, i)) =>
@@ -295,7 +297,7 @@ object TextAnalysis {
     */
   def vocabStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val toks = canonToks(col(textCol))
     df.select(explode(toks).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -321,7 +323,7 @@ object TextAnalysis {
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val toks = canonToks(col(textCol))
     df.select(col(idCol).as("id"), toks.as("toks"))
       .select(col("id"), col("toks"),
         sequence(lit(0),
@@ -417,8 +419,16 @@ object TextAnalysis {
   // ---- hashed unigram LM quality scoring -------------------------------
 
   /** Canonical whitespace tokens (shared by the LM / vocab / BPE ops). */
+  /** The canonical string every text operator keys on: trim, engine-
+    * portable lowercase ([[graft.functions.PortableCase.lowerPortable]]),
+    * whitespace collapse.
+    */
+  private[graft] def canonStr(text: Column): Column =
+    regexp_replace(graft.functions.PortableCase.lowerPortable(trim(text)),
+      "\\s+", " ")
+
   private[graft] def canonToks(text: Column): Column =
-    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    split(canonStr(text), " ")
 
   /** Hashed unigram language-model counts — the train pass of a
     * CCNet-style LM quality filter. Tokens hash into `nBuckets` stable
@@ -494,6 +504,72 @@ object TextAnalysis {
         i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
 
+  /** Bounded BPE trainer: `nMerges` rounds of (count adjacent symbol
+    * pairs weighted by word frequency -> pick argmax -> merge everywhere),
+    * returning the merge table (step, lhs, rhs, cnt) — the tokenizer-
+    * training composition over [[bpePairStats]]'s single-step statistic.
+    *
+    * Scale shape: the corpus is collapsed ONCE into a bounded word-
+    * frequency vocab (the only corpus-sized shuffle, map-side combined);
+    * every round then runs over the vocab table, whose size is
+    * independent of corpus row count. Words are carried as an "enclosed
+    * symbol" string (`␁s1␁␁s2␁…`), which makes the merge a codegen'd
+    * non-regex `replace` — string replace's left-to-right non-overlapping
+    * scan IS greedy BPE merge order — and lets the DuckDB oracle apply
+    * the identical operation. Per round: one bounded pair-stats shuffle +
+    * a ONE-row collect (the argmax; ties broken by pair string so both
+    * engines agree), with `localCheckpoint` truncating the growing
+    * lineage like the dedup-clustering loop. Symbols containing U+0001
+    * in source text would corrupt the encoding; corpus canonicalization
+    * never emits it.
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    val E = "\u0001"
+    var vocab = df.select(explode(canonToks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("sym", concat_ws("",
+        transform(filter(split(col("w"), ""), ch => ch =!= ""),
+          ch => concat(lit(E), ch, lit(E)))))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val syms = split(col("sym").substr(lit(2), length(col("sym")) - 2), E + E)
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(E), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = vocab.select(explode(pairs).as("pr"), col("c"))
+        .groupBy(col("pr")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pr = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(a, b) = pr.split(E, 2)
+        merges += ((step, a, b, cnt))
+        val prev = vocab
+        vocab = vocab.withColumn("sym",
+          regexp_replace(col("sym"),
+            lit(java.util.regex.Pattern.quote(E + a + E + E + b + E)),
+            lit(java.util.regex.Matcher.quoteReplacement(E + a + b + E))))
+          .localCheckpoint()
+        prev.unpersist()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    val out = merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+    vocab.unpersist()
+    out.orderBy(col("step"))
+  }
+
   // ---- URL / domain extraction -----------------------------------------
 
   /** Dialect-portable URL pattern (Java regex == RE2): scheme, host, and
@@ -532,12 +608,11 @@ object TextAnalysis {
     * md5. The exact-dedup key for noisy corpora.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+    md5(canonStr(text).cast(BinaryType))
 
   /** 64-bit rolling content hash (xxh64 of the canonical form) — cheaper
     * join key than the md5 hex string at shuffle time.
     */
   def fingerprint64(text: Column): Column =
-    graft.functions.GoHash.goXxHash64(
-      regexp_replace(lower(trim(text)), "\\s+", " "))
+    graft.functions.GoHash.goXxHash64(canonStr(text))
 }

@@ -219,7 +219,7 @@ object ExtensionQueries {
     //     appending a benchmark span to 100 shifted docs) ----------------
     "text_decontaminate" -> { (s, dir) =>
       val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      val words = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val words = graft.operators.TextAnalysis.canonToks(col("text"))
       val bench = d.filter(col("doc_id") < 20)
       val spans = bench.select(col("doc_id").as("bid"),
         concat_ws(" ", slice(words, 1, 8)).as("span"))
@@ -272,10 +272,8 @@ object ExtensionQueries {
     //     integer byte sums, so the oracle recomputes f0 from the same
     //     bytes (the real-codec swap point stays mapPartitions) -----------
     "mm_features" -> { (s, dir) =>
-      val assets = Tables(s, dir).documents
-        .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
-          lit("text/plain").as("mime"),
-          col("text").cast(BinaryType).as("content"))
+      val assets = Multimodal.syntheticAssets(
+        Tables(s, dir).documents.select(col("doc_id").as("asset_id")))
       val feats = Multimodal.extractFeatures(assets)
       feats.toDF()
         .select(col("asset_id"), col("byte_len"),
@@ -510,6 +508,12 @@ object ExtensionQueries {
         .limit(50)
     },
 
+    // --- BPE trainer: 3 driver-picked merge rounds over the corpus
+    //     vocab; output is the merge table --------------------------------
+    "text_bpe_train" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(Tables(s, dir).documents, "text", nMerges = 3)
+    },
+
     // --- URL/domain provenance rollup (URLs planted deterministically:
     //     every third doc cites one of 7 sites, every 12th a second) ----
     "text_domains" -> { (s, dir) =>
@@ -529,10 +533,9 @@ object ExtensionQueries {
     // --- multimodal frame sampling: contiguous byte windows at the
     //     demuxer-stub seek offsets, exact per-frame byte sums -----------
     "mm_frames" -> { (s, dir) =>
-      val assets = Tables(s, dir).documents
-        .select(col("doc_id").as("asset_id"), lit("video").as("modality"),
-          lit("application/octet-stream").as("mime"),
-          col("text").cast(BinaryType).as("content"))
+      val assets = Multimodal.syntheticAssets(
+        Tables(s, dir).documents.select(col("doc_id").as("asset_id")),
+        modality = "video")
       Multimodal.sampleFrames(assets, nFrames = 4).toDF()
         .orderBy(col("asset_id"), col("frame_id"))
     },
@@ -540,10 +543,9 @@ object ExtensionQueries {
     // --- multimodal resize stub: strided-byte thumbnail geometry +
     //     exact sampled-byte sums ----------------------------------------
     "mm_resize" -> { (s, dir) =>
-      val assets = Tables(s, dir).documents
-        .select(col("doc_id").as("asset_id"), lit("image").as("modality"),
-          lit("application/octet-stream").as("mime"),
-          col("text").cast(BinaryType).as("content"))
+      val assets = Multimodal.syntheticAssets(
+        Tables(s, dir).documents.select(col("doc_id").as("asset_id")),
+        modality = "image")
       Multimodal.resizeStub(assets, maxBytes = 64).toDF()
         .orderBy(col("asset_id"))
     }
@@ -887,19 +889,33 @@ object ExtensionQueries {
        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Regenerate [[graft.operators.Multimodal.syntheticAssets]]'s payload
+    * hex dump (and byte length) from the id column alone — the oracle
+    * twin of the REAL-binary fixture (same id-seeded byte arithmetic,
+    * same edge lengths: 0, sub-frame, over-budget).
+    */
+  private def assetBytesCte(lenCol: String): String =
+    s"""b AS (
+       |  SELECT asset_id, len AS $lenCol,
+       |    coalesce(list_aggregate(list_transform(range(0, len),
+       |      j -> lpad(hex((asset_id * 31 + j * 7) % 256), 2, '0')),
+       |      'string_agg', ''), '') AS h
+       |  FROM (SELECT asset_id,
+       |    CASE WHEN asset_id % 17 = 0 THEN 0
+       |         WHEN asset_id % 17 = 1 THEN asset_id % 4
+       |         WHEN asset_id % 17 = 2 THEN 5000
+       |         ELSE (asset_id * 137) % 997 END AS len
+       |    FROM (SELECT doc_id AS asset_id FROM documents)))""".stripMargin
+
   /** mm_features f0: exact integer byte sums over stride-8 positions of
-    * the UTF-8 bytes (via hex-nibble lookup), one double division, cast
+    * the fixture bytes (via hex-nibble lookup), one double division, cast
     * through REAL — bit-parity with DecodeStub.decode.
     */
   private def mmFeaturesOracle: String = {
     val nib = "strpos('0123456789ABCDEF', %s) - 1"
     val hi = nib.format("substr(h, 2*i + 1, 1)")
     val lo = nib.format("substr(h, 2*i + 2, 1)")
-    s"""WITH b AS (
-       |  SELECT doc_id AS asset_id,
-       |    octet_length(encode(text)) AS byte_len,
-       |    hex(encode(text)) AS h
-       |  FROM documents),
+    s"""WITH ${assetBytesCte("byte_len")},
        |s AS (
        |  SELECT asset_id, byte_len,
        |    coalesce(list_sum(list_transform(
@@ -922,11 +938,7 @@ object ExtensionQueries {
     val nib = "strpos('0123456789ABCDEF', %s) - 1"
     val hi = nib.format("substr(h, 2*CAST(j AS INT) + 1, 1)")
     val lo = nib.format("substr(h, 2*CAST(j AS INT) + 2, 1)")
-    s"""WITH b AS (
-       |  SELECT doc_id AS asset_id,
-       |    octet_length(encode(text)) AS len,
-       |    hex(encode(text)) AS h
-       |  FROM documents),
+    s"""WITH ${assetBytesCte("len")},
        |f AS (
        |  SELECT asset_id, len, h, CAST(i AS INT) AS frame_id,
        |    len * i // 4 AS o, len * (i + 1) // 4 AS e
@@ -937,6 +949,52 @@ object ExtensionQueries {
        |FROM f ORDER BY asset_id, frame_id""".stripMargin
   }
 
+  /** text_bpe_train oracle: unfold [[graft.operators.TextAnalysis
+    * .bpeTrain]]'s driver loop into `n` nested CTE stages. Each stage
+    * recomputes the weighted pair counts from the enclosed-symbol
+    * encoding (`␁s1␁␁s2␁…`), picks the same argmax (ties by pair
+    * string), and applies the identical non-regex `replace` merge.
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    // split the enclosed string back into its symbol list
+    def syms(src: String) =
+      s"string_split(substr(sym, 2, length(sym)-2), chr(1)||chr(1))"
+    def pick(step: Int, src: String) =
+      s"""p$step AS (
+         |  SELECT pr, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(sy)),
+         |      i -> sy[i] || chr(1) || sy[i+1])) AS pr, c
+         |    FROM (SELECT c, ${syms(src)} AS sy FROM $src))
+         |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin
+    def merge(step: Int, src: String) =
+      s"""enc$step AS (
+         |  SELECT c, replace(sym,
+         |    chr(1)||string_split((SELECT pr FROM p$step), chr(1))[1]||chr(1)||
+         |      chr(1)||string_split((SELECT pr FROM p$step), chr(1))[2]||chr(1),
+         |    chr(1)||replace((SELECT pr FROM p$step), chr(1), '')||chr(1)) AS sym
+         |  FROM $src)""".stripMargin
+    val stages = (1 to n).flatMap { i =>
+      val src = s"enc${i - 1}"
+      Seq(pick(i, src)) ++ (if (i < n) Seq(merge(i, src)) else Nil)
+    }
+    val unions = (1 to n).map { i =>
+      s"""SELECT $i AS step, string_split(pr, chr(1))[1] AS lhs,
+         |  string_split(pr, chr(1))[2] AS rhs, cnt FROM p$i""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w, count(*) AS c FROM tok
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |enc0 AS (SELECT c, list_aggregate(list_transform(
+       |    string_split(w, ''), ch -> chr(1)||ch||chr(1)),
+       |    'string_agg', '') AS sym FROM vocab),
+       |${stages.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
+
   /** mm_resize: recompute the strided-byte thumbnail (stride =
     * ceil(len/64), samples at range(0, len, stride)) and its exact
     * sampled-byte sum from the hex dump.
@@ -945,11 +1003,7 @@ object ExtensionQueries {
     val nib = "strpos('0123456789ABCDEF', %s) - 1"
     val hi = nib.format("substr(h, 2*CAST(j AS INT) + 1, 1)")
     val lo = nib.format("substr(h, 2*CAST(j AS INT) + 2, 1)")
-    s"""WITH b AS (
-       |  SELECT doc_id AS asset_id,
-       |    octet_length(encode(text)) AS byte_len,
-       |    hex(encode(text)) AS h
-       |  FROM documents),
+    s"""WITH ${assetBytesCte("byte_len")},
        |s AS (
        |  SELECT asset_id, byte_len, h,
        |    CASE WHEN byte_len = 0 THEN 1
@@ -1344,6 +1398,8 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, logq_sum,
         |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> bpeTrainOracle(3),
 
     "text_bpe_pairs" ->
       """WITH toks AS (

@@ -126,6 +126,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(3) === 1.0)
   }
 
+  test("bpeTrain: argmax merges with greedy non-overlapping apply") {
+    val df = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // vocab: aaab x2, ab x1
+    // r1: (a,a)=4 (overlapping adjacents in aaab, weighted), (a,b)=3 -> merge aa
+    // r2: aaab=[aa,a,b]: (aa,a)=2,(a,b)=2; ab: (a,b)=1 -> (a,b)=3 -> merge ab
+    // r3: aaab=[aa,ab]: (aa,ab)=2 -> merge aaab
+    val got = TextAnalysis.bpeTrain(df, "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeTrain: stops early when no pairs remain") {
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    // all tokens single-char: zero pairs -> empty merge table, no crash
+    assert(TextAnalysis.bpeTrain(df, "text", nMerges = 5).count() === 0)
+  }
+
   test("bpePairStats: adjacent in-token pairs, single-char tokens skipped") {
     val df = Seq((1L, "abc ab x"), (2L, "bc")).toDF("doc_id", "text")
     val got = TextAnalysis.bpePairStats(df, "text")

@@ -317,6 +317,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.forall(f => f.offset == 0L && f.frame_len == 0L && f.frame_sum == 0L))
   }
 
+  test("syntheticAssets: REAL binary payloads with the documented edge lengths") {
+    import spark.implicits._
+    // ids chosen to hit every branch: 0 -> empty; 18 (%17=1) -> 2 bytes;
+    // 2 (%17=2) -> 5000 bytes (> 64*64 resize budget); 40 -> (40*137)%997
+    val assets = Seq(0L, 18L, 2L, 40L).toDF("asset_id")
+    val rows = Multimodal.syntheticAssets(assets).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3)).toMap
+    assert(rows(0L).length === 0)
+    assert(rows(18L).length === 2)
+    assert(rows(2L).length === 5000)
+    assert(rows(40L).length === ((40 * 137) % 997))
+    // byte_j = (id*31 + j*7) mod 256, exact bytes (never a UTF-8 re-encode)
+    assert(rows(18L).map(_ & 0xff).toSeq === Seq((18 * 31) % 256, (18 * 31 + 7) % 256))
+    assert((rows(2L)(4999) & 0xff) === ((2 * 31 + 4999 * 7) % 256))
+    // the pipeline stages accept the fixture end-to-end at the edges
+    val fr = Multimodal.sampleFrames(Multimodal.syntheticAssets(assets), 4)
+      .collect()
+    assert(fr.length === 16)
+    assert(fr.filter(_.asset_id == 0L).forall(_.frame_len == 0L))
+    val th = Multimodal.resizeStub(Multimodal.syntheticAssets(assets), 64)
+      .collect().map(t => t.asset_id -> t).toMap
+    assert(th(2L).stride === 79L && th(2L).thumb_len <= 64L)
+  }
+
   test("resizeStub: stride budget holds, sampled sums exact") {
     import spark.implicits._
     val long = "x" * 130 // stride ceil(130/64)=3 -> samples 0,3,...,129 = 44
