@@ -240,16 +240,33 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    def prep(df: DataFrame): (DataFrame, DataFrame) = {
-      val shingled = df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("shingles"))
-      val banded = lshBands(
-        minhashSignatureDF(shingled, "id", "shingles", bands * rows),
-        col("id"), col("sig"), bands, rows)
-      (shingled, banded)
-    }
-    val (shRef, bRef) = prep(reference)
-    val (shNew, bNew) = prep(fresh)
+    val (shRef, bRef) = prepMinhash(reference, idCol, textCol, n, bands, rows)
+    val (shNew, bNew) = prepMinhash(fresh, idCol, textCol, n, bands, rows)
+    nearDupsPrepared(shRef, bRef, shNew, bNew, threshold)
+  }
+
+  /** One scan-local pass over a corpus side: (shingles table
+    * `(id, shingles)`, banded-signature table `(doc_id, band,
+    * band_hash)`). These two narrow tables ARE the dedup state a
+    * standing pipeline persists ([[graft.streaming.StreamingDedup]]) so
+    * reference signatures are computed once, not per batch.
+    */
+  def prepMinhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rows: Int = 4): (DataFrame, DataFrame) = {
+    val shingled = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+    val banded = lshBands(
+      minhashSignatureDF(shingled, "id", "shingles", bands * rows),
+      col("id"), col("sig"), bands, rows)
+    (shingled, banded)
+  }
+
+  /** The cross-corpus core of [[nearDupsAgainstMinhash]], over
+    * already-prepared sides (fresh from [[prepMinhash]] or loaded from
+    * persisted state). Strictly (reference, fresh) pairs.
+    */
+  def nearDupsPrepared(shRef: DataFrame, bRef: DataFrame,
+      shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame = {
     val candidates = bRef.as("l").join(bNew.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash"))

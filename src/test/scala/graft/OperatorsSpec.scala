@@ -283,6 +283,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("StreamingDedup: two-batch E2E, cross-batch pairs via persisted state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("sd_state").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("sd_pairs").toString
+    val ckDir    = java.nio.file.Files.createTempDirectory("sd_ck").toString
+    val sd = new StreamingDedup(spark, stateDir, "doc_id", "text")
+    sd.seed(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different reference text about spark streaming state"))
+      .toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = sd.attach(mem.toDF().toDF("doc_id", "text"), pairsDir, ckDir).start()
+    // batch 1: a dup of seeded doc 1 + a novel doc
+    mem.addData(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "novel batch one document about minhash banding and buckets"))
+    q.processAllAvailable()
+    // batch 2: a dup of BATCH-1's novel doc (cross-batch, only findable
+    // because admitted batches fold into the state) + another novel doc
+    mem.addData(
+      (201L, "novel batch one document about minhash banding and buckets"),
+      (202L, "another unrelated fresh document mentioning nothing shared here"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 101L), (102L, 201L)))
+    assert(pairs.forall(_._3 === 1.0)) // exact copies -> jaccard 1
+    // state now holds seed + both batches, deduped on id at read time
+    assert(spark.read.parquet(s"$stateDir/shingles")
+      .dropDuplicates("id").count() === 6)
+  }
+
   test("multimodal decode stub is deterministic with fixed width") {
     val assets = docs.limit(20)
       .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
