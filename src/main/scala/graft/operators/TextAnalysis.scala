@@ -570,6 +570,34 @@ object TextAnalysis {
     out.orderBy(col("step"))
   }
 
+  /** Apply trained BPE merges ([[bpeTrain]]'s output, in step order) to a
+    * corpus: per-document canonical tokens are enclosed-symbol encoded,
+    * each merge is one codegen'd non-regex replace over the whole
+    * document string (token boundaries are spaces, which the enclosed
+    * pattern `␁a␁␁b␁` can never straddle), and the piece count falls out
+    * of symbol-marker arithmetic — no explode, no shuffle, a pure
+    * scan-local projection. Returns (id, n_tokens, n_pieces): the
+    * before/after compression a tokenizer-training loop monitors.
+    */
+  def bpeApply(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val E = "\u0001"
+    val toks = canonToks(col(textCol))
+    val doc0 = concat_ws(" ", transform(toks, tok =>
+      when(tok === "", lit("")).otherwise(
+        concat_ws("", transform(filter(split(tok, ""), ch => ch =!= ""),
+          ch => concat(lit(E), ch, lit(E)))))))
+    val merged = merges.foldLeft(doc0) { case (acc, (a, b)) =>
+      regexp_replace(acc,
+        lit(java.util.regex.Pattern.quote(E + a + E + E + b + E)),
+        lit(java.util.regex.Matcher.quoteReplacement(E + a + b + E)))
+    }
+    df.select(col(idCol),
+      size(toks).cast(LongType).as("n_tokens"),
+      ((length(merged) - length(translate(merged, E, ""))) / 2)
+        .cast(LongType).as("n_pieces"))
+  }
+
   // ---- URL / domain extraction -----------------------------------------
 
   /** Dialect-portable URL pattern (Java regex == RE2): scheme, host, and

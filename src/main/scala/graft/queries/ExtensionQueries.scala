@@ -514,6 +514,16 @@ object ExtensionQueries {
       TextAnalysis.bpeTrain(Tables(s, dir).documents, "text", nMerges = 3)
     },
 
+    // --- BPE apply: encode the corpus with the 3 trained merges; the
+    //     merge table is a bounded driver-side collect (nMerges rows) ----
+    "text_bpe_encode" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val merges = TextAnalysis.bpeTrain(d, "text", nMerges = 3)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(d, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    },
+
     // --- URL/domain provenance rollup (URLs planted deterministically:
     //     every third doc cites one of 7 sites, every 12th a second) ----
     "text_domains" -> { (s, dir) =>
@@ -955,33 +965,39 @@ object ExtensionQueries {
     * encoding (`␁s1␁␁s2␁…`), picks the same argmax (ties by pair
     * string), and applies the identical non-regex `replace` merge.
     */
-  private def bpeTrainOracle(n: Int): String = {
-    // split the enclosed string back into its symbol list
-    def syms(src: String) =
-      s"string_split(substr(sym, 2, length(sym)-2), chr(1)||chr(1))"
+  // shared CTE builders for the bpe oracles ------------------------------
+
+  /** The chosen pair `pK`'s enclosed-pattern / merged-replacement pair. */
+  private def bpePat(step: Int): (String, String) = (
+    s"chr(1)||string_split((SELECT pr FROM p$step), chr(1))[1]||chr(1)||" +
+      s"chr(1)||string_split((SELECT pr FROM p$step), chr(1))[2]||chr(1)",
+    s"chr(1)||replace((SELECT pr FROM p$step), chr(1), '')||chr(1)")
+
+  /** WITH-stage stack shared by the bpe train/apply oracles: tokenize,
+    * vocab, enc0 encoding, then n rounds of argmax pick + merge (the
+    * final merge only when `mergeLast`).
+    */
+  private def bpeStages(n: Int, mergeLast: Boolean): String = {
     def pick(step: Int, src: String) =
       s"""p$step AS (
          |  SELECT pr, CAST(sum(c) AS BIGINT) AS cnt FROM (
          |    SELECT unnest(list_transform(range(1, len(sy)),
          |      i -> sy[i] || chr(1) || sy[i+1])) AS pr, c
-         |    FROM (SELECT c, ${syms(src)} AS sy FROM $src))
+         |    FROM (SELECT c, string_split(substr(sym, 2, length(sym)-2),
+         |      chr(1)||chr(1)) AS sy FROM $src))
          |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin
-    def merge(step: Int, src: String) =
+    def merge(step: Int, src: String) = {
+      val (pat, rep) = bpePat(step)
       s"""enc$step AS (
-         |  SELECT c, replace(sym,
-         |    chr(1)||string_split((SELECT pr FROM p$step), chr(1))[1]||chr(1)||
-         |      chr(1)||string_split((SELECT pr FROM p$step), chr(1))[2]||chr(1),
-         |    chr(1)||replace((SELECT pr FROM p$step), chr(1), '')||chr(1)) AS sym
+         |  SELECT c, replace(sym, $pat, $rep) AS sym
          |  FROM $src)""".stripMargin
+    }
     val stages = (1 to n).flatMap { i =>
       val src = s"enc${i - 1}"
-      Seq(pick(i, src)) ++ (if (i < n) Seq(merge(i, src)) else Nil)
+      Seq(pick(i, src)) ++
+        (if (i < n || mergeLast) Seq(merge(i, src)) else Nil)
     }
-    val unions = (1 to n).map { i =>
-      s"""SELECT $i AS step, string_split(pr, chr(1))[1] AS lhs,
-         |  string_split(pr, chr(1))[2] AS rhs, cnt FROM p$i""".stripMargin
-    }
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT unnest(string_split(
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
        |  FROM documents),
@@ -990,9 +1006,47 @@ object ExtensionQueries {
        |enc0 AS (SELECT c, list_aggregate(list_transform(
        |    string_split(w, ''), ch -> chr(1)||ch||chr(1)),
        |    'string_agg', '') AS sym FROM vocab),
-       |${stages.mkString(",\n")}
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeTrainOracle(n: Int): String = {
+    val unions = (1 to n).map { i =>
+      s"""SELECT $i AS step, string_split(pr, chr(1))[1] AS lhs,
+         |  string_split(pr, chr(1))[2] AS rhs, cnt FROM p$i""".stripMargin
+    }
+    s"""WITH ${bpeStages(n, mergeLast = false)}
        |${unions.mkString("\nUNION ALL\n")}
        |ORDER BY step""".stripMargin
+  }
+
+  /** text_bpe_encode oracle: re-derive the same n merges, then apply them
+    * in step order to every document's enclosed-symbol encoding (token
+    * boundaries are spaces, so the patterns cannot straddle tokens) and
+    * count pieces by symbol-marker arithmetic — the SQL twin of
+    * [[graft.operators.TextAnalysis.bpeApply]].
+    */
+  private def bpeApplyOracle(n: Int): String = {
+    val docStages = (1 to n).map { i =>
+      val (pat, rep) = bpePat(i)
+      s"""doc$i AS (
+         |  SELECT doc_id, n_tokens, replace(sym, $pat, $rep) AS sym
+         |  FROM doc${i - 1})""".stripMargin
+    }
+    s"""WITH ${bpeStages(n, mergeLast = false)},
+       |doc0 AS (
+       |  SELECT doc_id, len(string_split(canon, ' ')) AS n_tokens,
+       |    list_aggregate(list_transform(string_split(canon, ' '), t ->
+       |      CASE WHEN t = '' THEN '' ELSE
+       |        list_aggregate(list_transform(string_split(t, ''),
+       |          ch -> chr(1)||ch||chr(1)), 'string_agg', '') END),
+       |      'string_agg', ' ') AS sym
+       |  FROM (SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS canon
+       |    FROM documents)),
+       |${docStages.mkString(",\n")}
+       |SELECT doc_id, n_tokens,
+       |  (length(sym) - length(replace(sym, chr(1), ''))) // 2 AS n_pieces
+       |FROM doc$n ORDER BY doc_id""".stripMargin
   }
 
   /** mm_resize: recompute the strided-byte thumbnail (stride =
@@ -1400,6 +1454,8 @@ object ExtensionQueries {
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracle(3),
+
+    "text_bpe_encode" -> bpeApplyOracle(3),
 
     "text_bpe_pairs" ->
       """WITH toks AS (

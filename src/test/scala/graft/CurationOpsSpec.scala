@@ -137,6 +137,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("bpeApply: merges applied in order, piece counts exact") {
+    val df = Seq((1L, "aaab aaab"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    // merges from the bpeTrain test: aa, ab, aa+ab
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = TextAnalysis.bpeApply(df, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc1: aaab -> [aa,a,b] -> [aa,ab] -> [aaab] = 1 piece/token, 2 tokens
+    // doc2: ab -> [ab] = 1 piece
+    // doc3: empty canonical -> 1 empty token, 0 pieces
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 1L, 0L)))
+    // merge ORDER matters: without the aa merge first, aaab stays 3 pieces
+    val reordered = TextAnalysis.bpeApply(df, "doc_id", "text",
+      Seq(("aa", "ab"), ("a", "a"), ("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(reordered.head === ((1L, 4L))) // aaab never forms -> [aa,ab] x2 tokens -> 4
+  }
+
   test("bpeTrain: stops early when no pairs remain") {
     val df = Seq((1L, "x y z")).toDF("doc_id", "text")
     // all tokens single-char: zero pairs -> empty merge table, no crash
