@@ -598,6 +598,40 @@ object TextAnalysis {
         .cast(LongType).as("n_pieces"))
   }
 
+  /** Boilerplate line removal (the CCNet/RefinedWeb paragraph-dedup
+    * shape): a line appearing in >= `minDocs` DISTINCT documents is
+    * boilerplate (cookie banners, nav text, footers) and is dropped from
+    * every document; survivors reassemble in original line order.
+    * Returns (id, text) with the cleaned text ('' when every line was
+    * boilerplate).
+    *
+    * Scale shape: one hash aggregate over line fingerprints (map-side
+    * combined; the shuffle carries md5 keys, not lines), then a
+    * broadcast ANTI join — the frequent-line set is small BY DEFINITION
+    * (each entry repeats across >= minDocs docs), so it broadcasts even
+    * at 100 TB — and one per-doc reassembly aggregate. Line order is
+    * restored from the kept positions, never a window.
+    */
+  def stripBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("fp", md5(col("line").cast(BinaryType)))
+    val frequent = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("fp"))
+    val cleaned = lines.join(broadcast(frequent), Seq("fp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col("id"),
+        concat_ws("\n", transform(col("ls"), s => s.getField("line"))).as("text"))
+    // docs whose every line was boilerplate still come back (as '')
+    df.select(col(idCol).as("id")).join(cleaned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   // ---- URL / domain extraction -----------------------------------------
 
   /** Dialect-portable URL pattern (Java regex == RE2): scheme, host, and

@@ -524,6 +524,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- boilerplate line removal: planted repeated lines (newsletter on
+    //     every even doc, cookie banner on every fifth) vanish; per-doc
+    //     unique lines survive in original order -------------------------
+    "text_boilerplate" -> { (s, dir) =>
+      val corpus = Tables(s, dir).documents.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today"))
+            .otherwise(concat(lit("footer note "), col("doc_id"))),
+          when(col("doc_id") % 5 === 0, lit("cookie policy accept all"))
+            .otherwise(concat(lit("unique line "), col("doc_id")))).as("text"))
+      TextAnalysis.stripBoilerplateLines(corpus, "doc_id", "text", minDocs = 50)
+        .orderBy(col("id"))
+    },
+
     // --- URL/domain provenance rollup (URLs planted deterministically:
     //     every third doc cites one of 7 sites, every 12th a second) ----
     "text_domains" -> { (s, dir) =>
@@ -1456,6 +1470,28 @@ object ExtensionQueries {
     "text_bpe_train" -> bpeTrainOracle(3),
 
     "text_bpe_encode" -> bpeApplyOracle(3),
+
+    "text_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+        |         ELSE 'footer note ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'cookie policy accept all'
+        |         ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, ls[CAST(i AS INT) + 1] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+        |       UNNEST(range(0, len(ls))) AS t(i)),
+        |freq AS (SELECT line FROM lines
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM freq)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(a.text, '') AS text
+        |FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY id""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH toks AS (

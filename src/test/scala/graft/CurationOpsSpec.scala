@@ -137,6 +137,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("stripBoilerplateLines: frequent lines drop, order survives, empty docs return") {
+    val bp = "accept cookies"
+    val df = Seq(
+      (1L, s"alpha one\n$bp\nbeta one"),
+      (2L, s"$bp\ngamma two"),
+      (3L, s"delta three\n$bp"),
+      (4L, bp), // every line boilerplate -> comes back as ''
+      (5L, "only unique content here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "alpha one\nbeta one",
+      2L -> "gamma two",
+      3L -> "delta three",
+      4L -> "",
+      5L -> "only unique content here"))
+    // below the threshold nothing drops
+    val loose = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(4L) === bp)
+  }
+
   test("bpeApply: merges applied in order, piece counts exact") {
     val df = Seq((1L, "aaab aaab"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
     // merges from the bpeTrain test: aa, ab, aa+ab
