@@ -289,6 +289,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("boilerplate removal anti-joins via broadcast, never a window") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.stripBoilerplateLines(d, "doc_id", "text", 50))
+    // the frequent-line set is small by definition -> broadcast anti join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"frequent-line filter must be a broadcast anti join:\n$p")
+    assert(!p.contains("Window"), s"reassembly must aggregate, not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bpe apply is a scan-local projection (no exchange, no explode)") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.bpeApply(d, "doc_id", "text",
+      Seq(("e", "r"), ("i", "n"), ("o", "w"))))
+    assert(!p.contains("Exchange"),
+      s"encoding with fixed merges must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"no explode in the apply path:\n$p")
+  }
+
   test("chunk dedup shuffles exactly twice (fingerprint, then doc id)") {
     import graft.operators.Dedup
     val d = Tables(spark, sf).documents
