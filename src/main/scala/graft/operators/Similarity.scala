@@ -404,18 +404,37 @@ object Similarity {
   def nearDupsAgainstEmbedding(reference: DataFrame, fresh: DataFrame,
       threshold: Double, dims: Int, nBits: Int = 384, bandBits: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def prep(df: DataFrame): (DataFrame, DataFrame) = {
-      val vecs = df.select(col(idCol).as("id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      val banded = vecs.select(col("id"),
-        graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
-        .select(col("id"), col("ks"),
-          posexplode(col("ks")).as(Seq("band", "key")))
-      (vecs, banded)
-    }
-    val (vRef, bRef) = prep(reference)
-    val (vNew, bNew) = prep(fresh)
-    val candidates = bRef.as("l").join(bNew.as("r"),
+    val (vRef, kRef) = prepEmbedding(reference, dims, nBits, bandBits, idCol, vecCol)
+    val (vNew, kNew) = prepEmbedding(fresh, dims, nBits, bandBits, idCol, vecCol)
+    nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew, threshold)
+  }
+
+  /** One scan-local pass over a corpus side: (vectors `(id, v)`, band
+    * keys `(id, ks)`). These two narrow tables ARE the embedding dedup
+    * state a standing pipeline persists
+    * ([[graft.streaming.StreamingEmbeddingDedup]]) — `ks` is stored
+    * packed (one row per vector), re-exploded at join time.
+    */
+  def prepEmbedding(df: DataFrame, dims: Int, nBits: Int, bandBits: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val keys = vecs.select(col("id"),
+      graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
+    (vecs, keys)
+  }
+
+  /** The cross-corpus core of [[nearDupsAgainstEmbedding]] over prepared
+    * sides (fresh from [[prepEmbedding]] or loaded from persisted
+    * state). First-matching-band emission, exact cosine verify; strictly
+    * (reference, fresh) pairs.
+    */
+  def nearDupsPreparedEmbedding(vRef: DataFrame, kRef: DataFrame,
+      vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame = {
+    def explode(keys: DataFrame): DataFrame =
+      keys.select(col("id"), col("ks"),
+        posexplode(col("ks")).as(Seq("band", "key")))
+    val candidates = explode(kRef).as("l").join(explode(kNew).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
         col("l.ks"), col("r.ks"), col("l.band")))

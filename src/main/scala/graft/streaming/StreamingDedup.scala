@@ -70,3 +70,48 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
         ()
       }
 }
+
+/** The embedding twin of [[StreamingDedup]]: persisted state is the
+  * (id, vector) table plus packed RHP band keys (one row per vector,
+  * re-exploded at join time — never 16x materialized on disk). Same
+  * replay-safety: pairs localCheckpoint before the state append, state
+  * reads dedup on id.
+  */
+final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
+    idCol: String, vecCol: String, dims: Int,
+    nBits: Int = 384, bandBits: Int = 16,
+    threshold: Double = 0.99) extends Serializable {
+
+  import graft.operators.Similarity
+
+  private val vecsDir = s"$stateDir/vectors"
+  private val keysDir = s"$stateDir/keys"
+
+  def seed(reference: DataFrame): Unit = {
+    val (v, k) = Similarity.prepEmbedding(reference, dims, nBits, bandBits,
+      idCol, vecCol)
+    v.write.mode("overwrite").parquet(vecsDir)
+    k.write.mode("overwrite").parquet(keysDir)
+  }
+
+  def admit(batch: DataFrame): DataFrame = {
+    val (vNew, kNew) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
+      idCol, vecCol)
+    val vRef = spark.read.parquet(vecsDir).dropDuplicates("id")
+    val kRef = spark.read.parquet(keysDir).dropDuplicates("id")
+    val pairs = Similarity.nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew,
+      threshold).localCheckpoint()
+    vNew.write.mode("append").parquet(vecsDir)
+    kNew.write.mode("append").parquet(keysDir)
+    pairs
+  }
+
+  def attach(source: DataFrame, pairsDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admit(batch).write.mode("append").parquet(pairsDir)
+        ()
+      }
+}

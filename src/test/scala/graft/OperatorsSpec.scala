@@ -319,6 +319,33 @@ class OperatorsSpec extends AnyFunSuite {
       .dropDuplicates("id").count() === 6)
   }
 
+  test("StreamingEmbeddingDedup: two-batch E2E, cross-batch vector pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEmbeddingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("sed_state").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("sed_pairs").toString
+    val ckDir    = java.nio.file.Files.createTempDirectory("sed_ck").toString
+    def unit(axis: Int): Seq[Double] =
+      (0 until 8).map(i => if (i == axis) 1.0 else 0.0)
+    val sed = new StreamingEmbeddingDedup(spark, stateDir,
+      "vec_id", "embedding", dims = 8, nBits = 64, bandBits = 8)
+    sed.seed(Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = sed.attach(mem.toDF().toDF("vec_id", "embedding"), pairsDir, ckDir)
+      .start()
+    mem.addData((101L, unit(0)), (102L, unit(2))) // dup of seed 1 + novel
+    q.processAllAvailable()
+    mem.addData((201L, unit(2)), (202L, unit(3))) // dup of batch-1 novel
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 101L), (102L, 201L)))
+    assert(pairs.forall(_._3 >= 0.999)) // identical unit vectors
+  }
+
   test("multimodal decode stub is deterministic with fixed width") {
     val assets = docs.limit(20)
       .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
