@@ -113,7 +113,8 @@ object GraftExtensions {
     functions.foreach { case (name, builder, usage) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+        new ExpressionInfo("graft.GraftExtensions", null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         (args: Seq[Expression]) => builder(args)))
     }
 }

@@ -45,7 +45,7 @@ object Dedup {
     * ride along and are re-projected in their original order.
     */
   def dropExact(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(TextAnalysis.fingerprint(text).as("__fp__"))
       .agg(min(struct(id.as("__id__") +: cols.map(col): _*)).as("w"))
       .select(cols.map(c => col("w").getField(c).as(c)): _*)
