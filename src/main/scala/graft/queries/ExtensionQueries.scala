@@ -508,6 +508,14 @@ object ExtensionQueries {
         .limit(50)
     },
 
+    // --- Gopher duplicate/top n-gram signals (the §A1.1 repetition
+    //     battery beyond the distinct-word ratio) -------------------------
+    "text_rep_ngrams" -> { (s, dir) =>
+      TextAnalysis.repetitionNgramStats(
+          Tables(s, dir).documents, "doc_id", "text", topN = 2, dupN = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // --- BPE trainer: 3 driver-picked merge rounds over the corpus
     //     vocab; output is the merge table --------------------------------
     "text_bpe_train" -> { (s, dir) =>
@@ -1466,6 +1474,48 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, logq_sum,
         |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_rep_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |        i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' '))
+        |      ELSE [] END) AS gram FROM t)
+        |  GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, cnt * length(gram) AS topchars FROM (
+        |    SELECT doc_id, gram, cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |    FROM c2) WHERE rk = 1),
+        |tot2 AS (SELECT doc_id, sum(cnt * length(gram)) AS tot
+        |  FROM c2 GROUP BY 1),
+        |d5 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup,
+        |    sum(cnt * length(gram)) AS tot,
+        |    sum(cnt) AS m
+        |  FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM (
+        |      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        |        THEN list_transform(range(1, len(toks) - 3),
+        |          i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' '))
+        |        ELSE [] END) AS gram FROM t)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CASE WHEN coalesce(tot2.tot, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(top2.topchars AS DOUBLE) / tot2.tot, 6) END AS top2,
+        |  CASE WHEN coalesce(d5.m, 0) < 2 OR coalesce(d5.tot, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(d5.dup AS DOUBLE) / d5.tot, 6) END AS dup5
+        |FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
+        |  LEFT JOIN tot2 ON t.doc_id = tot2.doc_id
+        |  LEFT JOIN d5 ON t.doc_id = d5.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracle(3),
 

@@ -137,6 +137,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("dup/top n-gram char fractions: exact hand-computed values") {
+    val df = Seq(
+      (1L, "a b a b c"),   // 2-grams: "a b"x2, "b a", "b c"
+      (2L, "x y z"),       // all distinct
+      (3L, "w w w w"),     // "w w" x3
+      (4L, "q"),           // fewer than 2 tokens
+      (5L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionNgramStats(df, "doc_id", "text",
+        topN = 2, dupN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc1: grams [a b, b a, a b, b c] -> top "a b": 2*3/12=0.5; dup: 6/12=0.5
+    assert(m(1L) === ((0.5, 0.5)))
+    // doc2: [x y, y z] all unique -> top 3/6=0.5, dup 0
+    assert(m(2L) === ((0.5, 0.0)))
+    // doc3: [w w]x3 -> top 9/9=1, dup 1
+    assert(m(3L) === ((1.0, 1.0)))
+    assert(m(4L) === ((0.0, 0.0)))
+    assert(m(5L) === ((0.0, 0.0)))
+  }
+
   test("stripBoilerplateLines: frequent lines drop, order survives, empty docs return") {
     val bp = "accept cookies"
     val df = Seq(
