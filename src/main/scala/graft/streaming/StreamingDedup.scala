@@ -50,8 +50,11 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     val bRef  = spark.read.parquet(bandedDir)
     // localCheckpoint pins the result BEFORE the state grows: without it
     // a lazy consumer would re-plan the band join over state that now
-    // contains the batch itself
+    // contains the batch itself. The ref_id != new_id guard covers a
+    // crashed-and-replayed batch whose state append already landed — the
+    // replay would otherwise band every document against itself.
     val pairs = Dedup.nearDupsPrepared(shRef, bRef, shNew, bNew, threshold)
+      .filter(col("ref_id") =!= col("new_id"))
       .localCheckpoint()
     shNew.write.mode("append").parquet(shinglesDir)
     bNew.write.mode("append").parquet(bandedDir)
@@ -99,8 +102,9 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
       idCol, vecCol)
     val vRef = spark.read.parquet(vecsDir).dropDuplicates("id")
     val kRef = spark.read.parquet(keysDir).dropDuplicates("id")
+    // ref_id != new_id: replay safety, same as the minhash twin
     val pairs = Similarity.nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew,
-      threshold).localCheckpoint()
+      threshold).filter(col("ref_id") =!= col("new_id")).localCheckpoint()
     vNew.write.mode("append").parquet(vecsDir)
     kNew.write.mode("append").parquet(keysDir)
     pairs

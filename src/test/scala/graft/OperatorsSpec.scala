@@ -319,6 +319,24 @@ class OperatorsSpec extends AnyFunSuite {
       .dropDuplicates("id").count() === 6)
   }
 
+  test("StreamingDedup: a replayed batch produces no self-pairs") {
+    import graft.streaming.StreamingDedup
+    val stateDir = java.nio.file.Files.createTempDirectory("sd_rp").toString
+    val sd = new StreamingDedup(spark, stateDir, "doc_id", "text")
+    sd.seed(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    val batch = Seq((101L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val first = sd.admit(batch).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(first.toSeq === Seq((1L, 101L)))
+    // crash-after-state-append replay: the batch is already in the state;
+    // the guard keeps 101-vs-101 out, the 1-vs-101 pair re-emits
+    // (at-least-once on the pairs output, documented)
+    val replay = sd.admit(batch).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!replay.exists(p => p._1 == p._2), s"self-pairs leaked: ${replay.toSeq}")
+    assert(replay.toSeq === Seq((1L, 101L)))
+  }
+
   test("StreamingEmbeddingDedup: two-batch E2E, cross-batch vector pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingEmbeddingDedup
