@@ -460,11 +460,15 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // scale pins in its own projection: referenced from inside the
+    // per-element transform lambda, the array_max subtree would be
+    // copied and re-reduced per element (O(d^2) per vector)
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val absmax = array_max(transform(v, x => abs(x)))
-    val scale = absmax / 127.0
-    val q = when(absmax === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => floor(x / scale + 0.5).cast(IntegerType)))
-    df.select(col(idCol).as("id"), scale.as("scale"), q.as("q"))
+    val pinned = df.select(col(idCol).as("id"), v.as("__v"),
+      graft.functions.Once(array_max(transform(v, x => abs(x)))).as("__amax"))
+    val scale = col("__amax") / 127.0
+    val q = when(col("__amax") === 0.0, transform(col("__v"), _ => lit(0)))
+      .otherwise(transform(col("__v"), x => floor(x / scale + 0.5).cast(IntegerType)))
+    pinned.select(col("id"), scale.as("scale"), q.as("q"))
   }
 }

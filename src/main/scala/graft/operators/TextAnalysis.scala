@@ -630,12 +630,16 @@ object TextAnalysis {
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
-      val syms = split(col("sym").substr(lit(2), length(col("sym")) - 2), E + E)
+      // pin the symbol split in its own projection: referenced from the
+      // per-element lambda it would re-split the string per element
+      val withSyms = vocab.withColumn("__sy", graft.functions.Once(
+        split(col("sym").substr(lit(2), length(col("sym")) - 2), E + E)))
+      val syms = col("__sy")
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1),
           i => concat(element_at(syms, i), lit(E), element_at(syms, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val best = vocab.select(explode(pairs).as("pr"), col("c"))
+      val best = withSyms.select(explode(pairs).as("pr"), col("c"))
         .groupBy(col("pr")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
         .limit(1).collect()
