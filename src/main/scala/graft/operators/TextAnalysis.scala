@@ -73,6 +73,19 @@ object TextAnalysis {
   def repetitionNgramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int = 2, dupN: Int = 5): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),
+        graft.functions.NgramRepFractions.of(col(textCol), topN, dupN).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("top").as(s"top$topN"),
+        col("__r").getField("dup").as(s"dup$dupN"))
+
+  /** The definitional sorted-array + run-length composition, kept as the
+    * parity pin for the fused kernel (its interpreted per-element
+    * lambdas cost ~6 ms/doc — never use it on a real corpus).
+    */
+  private[graft] def repetitionNgramStatsCompositional(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int, dupN: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
         graft.functions.Once(array_sort(wordNgrams(col(textCol), topN))).as("__st"),
         graft.functions.Once(array_sort(wordNgrams(col(textCol), dupN))).as("__sd"))
       .select(col(idCol),

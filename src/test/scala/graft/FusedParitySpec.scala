@@ -97,6 +97,28 @@ class FusedParitySpec extends AnyFunSuite {
     assert(fused.except(comp).isEmpty && comp.except(fused).isEmpty)
   }
 
+  test("NgramRepFractions fused == sorted-run-length form on random and real docs") {
+    import graft.operators.TextAnalysis
+    // repetition-heavy randoms: duplicated spans force nonzero fractions
+    val reps = Seq.fill(200) {
+      val t = randText()
+      val span = t.split(" ").take(3).mkString(" ")
+      t + " " + span + " " + span + (if (rnd.nextBoolean()) " " + span else "")
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text")).as[String].collect().toSeq
+    val edge = Seq("", "q", "a b", "w w w w", "\tx\ty\t", "a  b   a  b")
+    val df = (reps ++ docs ++ edge).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((tn, dn) <- Seq((2, 5), (2, 2), (3, 4))) {
+      val fused = TextAnalysis.repetitionNgramStats(df, "id", "text", tn, dn)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val comp = TextAnalysis.repetitionNgramStatsCompositional(df, "id", "text", tn, dn)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(fused === comp, s"diverged at topN=$tn dupN=$dn")
+    }
+  }
+
   test("WordHits fused == replace-trick on random texts and real docs") {
     import graft.operators.TextAnalysis
     // random texts salted with actual stopwords/markers so hits exist
