@@ -106,7 +106,12 @@ object GraftExtensions {
     ("graft_hash_bucket",
       args => toExpression(Sampling.hashBucket(c(args.head),
         if (args.lengthCompare(1) > 0) intLit(args(1), "graft_hash_bucket") else 10000)),
-      "graft_hash_bucket(key[, buckets]) - deterministic sampling bucket")
+      "graft_hash_bucket(key[, buckets]) - deterministic sampling bucket"),
+    ("graft_ngram_rep",
+      args => toExpression(graft.functions.NgramRepFractions.of(c(args.head),
+        if (args.lengthCompare(1) > 0) intLit(args(1), "graft_ngram_rep") else 2,
+        if (args.lengthCompare(2) > 0) intLit(args(2), "graft_ngram_rep") else 5)),
+      "graft_ngram_rep(text[, topN, dupN]) - struct(top, dup) Gopher n-gram repetition fractions")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =
