@@ -74,6 +74,35 @@ class UnicodeParitySpec extends AnyFunSuite {
     assert(viaKernel.map(_.trim) === viaColumn.map(_.trim))
   }
 
+  test("JVM canonJvm == Spark canonStr on randomized Unicode (property sweep)") {
+    import spark.implicits._
+    // deterministic generator mixing ASCII, the divergence-prone ranges
+    // (Greek, Turkish-dotted, fullwidth), combining marks and whitespace
+    val rnd = new scala.util.Random(20260812L)
+    val pools: Array[Array[Char]] = Array(
+      ('a' to 'z').toArray ++ ('A' to 'Z') :+ ' ',
+      "ΑΒΓΔΣΩαβγδσςĞğİıŞş".toCharArray,
+      "ＡＢＣａｂｃ東京ﬁﬂß".toCharArray,
+      "\t\n ̇ ".toCharArray)
+    def randStr(): String = {
+      val n = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        val p = pools(rnd.nextInt(pools.length))
+        sb += p(rnd.nextInt(p.length))
+      }
+      sb.toString
+    }
+    val samples = Seq.fill(2000)(randStr()).filter(_ != null)
+    val viaSpark = samples.toDF("text")
+      .select(TextAnalysis.canonStr(col("text"))).as[String].collect().toSeq
+    val viaJvm = samples.map(PortableCase.canonJvm)
+    samples.lazyZip(viaSpark).lazyZip(viaJvm).foreach { (in, s, j) =>
+      assert(s === j,
+        s"divergence on ${in.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("fused simhash/shingle/langId kernels agree with compositional forms") {
     import spark.implicits._
     val df = golden.map(_._1).toDF("text")
