@@ -259,15 +259,45 @@ object Similarity {
     })
   }
 
+  /** Persist / reload a trained centroid set, so a standing deployment
+    * trains the IVF index ONCE and every later query run (or incremental
+    * ingest assigning cells to fresh vectors) loads it — the index
+    * lifecycle twin of [[graft.streaming.StreamingDedup]]'s persisted
+    * state. The table is nCells rows (bounded by construction), so the
+    * load-side collect is legitimate.
+    */
+  object IvfIndex {
+    def save(c: Centroids, spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = {
+      import spark.implicits._
+      c.cells.map { case (i, v, _) => (i, v.toSeq) }
+        .toDF("cell", "v").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): Centroids =
+      Centroids(spark.read.parquet(dir).collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getInt(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.sortBy(_._1).toIndexedSeq)
+  }
+
   /** IVF top-k: assign each corpus vector to its nearest centroid (one
     * narrow projection pass), probe each query's `nprobe` nearest cells,
     * exact re-rank inside the probed cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWithIndex(corpus, queries, k,
+      trainCentroids(corpus, nCells, idCol, vecCol), nprobe, idCol, vecCol)
 
+  /** The no-train query path against an existing index (trained here or
+    * loaded via [[IvfIndex.load]]).
+    */
+  def ivfTopKWithIndex(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Centroids, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("cell", centroids.assignCell(col("nn_vec")))

@@ -319,6 +319,21 @@ class OperatorsSpec extends AnyFunSuite {
       .dropDuplicates("id").count() === 6)
   }
 
+  test("IvfIndex: saved + reloaded index answers identically to the trained one") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val trained = Similarity.trainCentroids(embs, nCells = 8)
+    Similarity.IvfIndex.save(trained, spark, dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    assert(loaded.cells.map(c => (c._1, c._2.toSeq)) ===
+      trained.cells.map(c => (c._1, c._2.toSeq)))
+    val queries = embs.limit(5)
+    def res(c: Similarity.Centroids) =
+      Similarity.ivfTopKWithIndex(embs, queries, k = 10, c, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res(loaded) === res(trained))
+    assert(res(loaded).nonEmpty)
+  }
+
   test("StreamingDedup: a replayed batch produces no self-pairs") {
     import graft.streaming.StreamingDedup
     val stateDir = java.nio.file.Files.createTempDirectory("sd_rp").toString
