@@ -34,9 +34,16 @@ object Joins {
     * `rightCols` (must include `ordCol`, must not collide with left
     * column names) are the right-side payload columns carried into the
     * output.
+    *
+    * `toleranceSec` (pandas `merge_asof` tolerance / kdb wj semantics):
+    * when set, a match older than `left.ts - tolerance` yields nulls
+    * instead — the matched right timestamp rides the same carry-forward
+    * window, so the bound costs one extra window column, never a range
+    * join.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, rightCols: Seq[String], ordCol: String): DataFrame = {
+      tsCol: String, rightCols: Seq[String], ordCol: String,
+      toleranceSec: Option[Double] = None): DataFrame = {
     require(rightCols.contains(ordCol), "rightCols must include ordCol")
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
@@ -45,19 +52,24 @@ object Joins {
     val payload = rightCols.filterNot(_ == ordCol)
     val aggs = max(col(ordCol)).as(ordCol) +:
       payload.map(c => max_by(col(c), col(ordCol)).as(c))
-    val rightDedup = right.groupBy((keyCols :+ tsCol).map(col): _*)
+    val rightDedup0 = right.groupBy((keyCols :+ tsCol).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // with a tolerance the matched right ts must survive the carry
+    val rightDedup =
+      if (toleranceSec.isDefined) rightDedup0.withColumn("__asof_ts", col(tsCol))
+      else rightDedup0
+    val carry = rightCols ++ (if (toleranceSec.isDefined) Seq("__asof_ts") else Nil)
 
     val lTagged = left.select(
       leftCols.map(col) ++
-        rightCols.map(c =>
+        carry.map(c =>
           lit(null).cast(rightDedup.schema(c).dataType).as(s"__r_$c")) :+
         lit(1).as("__side"): _*)
     val rTagged = rightDedup.select(
       leftCols.map(c =>
         if (keyCols.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) :+
+        carry.map(c => col(c).as(s"__r_$c")) :+
         lit(0).as("__side"): _*)
 
     // right rows sort BEFORE left rows at the same ts (`<=` semantics)
@@ -65,11 +77,18 @@ object Joins {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    def matched(c: String): Column =
+      last(col(s"__r_$c"), ignoreNulls = true).over(w)
+    val outCols = toleranceSec match {
+      case None => rightCols.map(c => matched(c).as(c))
+      case Some(tol) =>
+        val within =
+          col(tsCol).cast("double") - matched("__asof_ts").cast("double") <= tol
+        rightCols.map(c => when(within, matched(c)).as(c))
+    }
+
     lTagged.unionByName(rTagged)
-      .select(leftCols.map(col) ++
-        rightCols.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)) :+
-        col("__side"): _*)
+      .select(leftCols.map(col) ++ outCols :+ col("__side"): _*)
       .filter(col("__side") === 1)
       .drop("__side")
   }

@@ -411,6 +411,23 @@ object ExtensionQueries {
     //     filter -> PII scrub -> per-source cap -> train/val split ->
     //     per-(split, source) token accounting. Six oracle-proven stages
     //     composed end-to-end — the 100 TB pre-training data job --------
+    // --- as-of with tolerance: matches staler than 10 min nullify
+    //     (pandas merge_asof tolerance semantics) -------------------------
+    "q_asof_tolerance" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val left = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("user_id"),
+          col("ts"), col("value").as("b_value"))
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          toleranceSec = Some(600.0))
+        .select(col("event_id"), col("user_id"), col("b_event_id"),
+          round(col("b_value"), 6).as("b_value"))
+        .orderBy(col("event_id"))
+    },
+
     "corpus_pipeline" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val corpus = d.select(col("doc_id"), col("text"), col("source"))
@@ -1824,6 +1841,24 @@ object ExtensionQueries {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, r.b_event_id,
         |  round(r.b_value, 6) AS b_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // the matched right ts is selectable from an ASOF join, so the
+    // tolerance nullify is a plain CASE over it
+    "q_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS b_event_id,
+        |    arg_max(value, event_id) AS b_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 600 SECOND
+        |    THEN r.b_event_id END AS b_event_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 600 SECOND
+        |    THEN round(r.b_value, 6) END AS b_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin

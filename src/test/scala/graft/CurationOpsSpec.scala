@@ -459,5 +459,16 @@ class CurationOpsSpec extends AnyFunSuite {
       (101L, 900L, 3.0),
       (102L, -1L, -1.0),
       (103L, 903L, 20.0)))
+
+    // tolerance 20 ms: user-2's 30 ms-stale match nullifies, exact-ts and
+    // 2 ms-stale matches survive
+    val tol = Joins.asOf(left, right, Seq("user_id"), "ts",
+        rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+        toleranceSec = Some(0.02))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(tol.toSeq === Seq(
+      (100L, 902L), (101L, 900L), (102L, -1L), (103L, -1L)))
   }
 }
