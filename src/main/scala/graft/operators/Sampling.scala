@@ -89,6 +89,38 @@ object Sampling {
     stratifiedSample(df, key, stratum, fractions, defaultFraction = 0.0, buckets)
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-sampling
+    * standard, XLM-style): target shares `w_s ∝ n_s^(1/T)` — T = 1
+    * keeps natural proportions, T > 1 flattens toward uniform
+    * (up-samples rare strata), T < 1 sharpens. Composes the derived
+    * weights into [[mixToWeights]]'s min(1, w*total/n) keep fractions.
+    *
+    * No SQL oracle for this entry point by design: `pow` is not a
+    * correctly-rounded IEEE operation, so cross-engine bit-parity of the
+    * derived thresholds is not guaranteed — the unit test pins exact
+    * keep-counts computed from the same formula instead. (The bucket
+    * assignment underneath remains the engine-portable md5 filter.)
+    */
+  def mixToTemperature(df: DataFrame, key: Column, stratum: Column,
+      temperature: Double, buckets: Int = 10000): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(stratum.as("__s__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // defined summation order
+    val powed = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, 1.0 / temperature)
+    }
+    val z = powed.map(_._2).sum
+    val weights = powed.map { case (s, p) => s -> p / z }.toMap
+    val total = counts.map(_._2).sum
+    val fractions = counts.map { case (s, n) =>
+      s -> math.min(1.0, weights(s) * total / n)
+    }.toMap
+    stratifiedSample(df, key, stratum, fractions, defaultFraction = 0.0, buckets)
+  }
+
   /** Cap the number of rows kept per group at `maxN`, selecting the
     * survivors deterministically by hash order (bucket asc, then id asc)
     * — the per-domain document cap of web-corpus pipelines (bound the

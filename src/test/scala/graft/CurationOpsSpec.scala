@@ -105,6 +105,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.exceptAll(df).count() === 0)
   }
 
+  test("mixToTemperature: T flattens toward uniform, T=1 is natural shares") {
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 800) "en" else if (i <= 960) "de" else "es"))
+      .toDF("id", "lang") // 800 / 160 / 40
+    // T=1: w = n/total -> keep fraction 1 everywhere (identity mix)
+    assert(Sampling.mixToTemperature(df, col("id"), col("lang"), 1.0)
+      .count() === 1000L)
+    // T=2: w ∝ sqrt(n): en sqrt=28.28, de 12.65, es 6.32 (z=47.25)
+    // keep = min(1, w*1000/n): en .748, de 1, es 1
+    val t2 = Sampling.mixToTemperature(df, col("id"), col("lang"), 2.0)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("de") === 160L && t2("es") === 40L)
+    assert(t2("en") > 600 && t2("en") < 900) // ~748 expected, md5 variance
+    // the flattened mix has a LESS extreme max share than the natural one
+    val natural = 800.0 / 1000.0
+    val flat = t2("en").toDouble / t2.values.sum
+    assert(flat < natural)
+  }
+
   // ---- vocabulary stats -----------------------------------------------
 
   test("lmScore: exact quantized log-frequency sums on a known corpus") {
