@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Registry consistency: the driver's correctness gate only checks
+  * queries that ALSO have an oracle entry — a query silently missing its
+  * oracle gets the weaker rows-only check, and an oracle without a query
+  * checks nothing. Pin the two maps to each other so drift fails CI
+  * loudly instead of quietly weakening the gate.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = Registry.queries.keySet
+    val o = Registry.oracle.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names are unique across the groups (no silent overwrite)") {
+    import graft.queries.{ExtensionQueries, ParityQueries}
+    val dup = ParityQueries.queries.keySet intersect ExtensionQueries.queries.keySet
+    assert(dup.isEmpty, s"duplicated query names: ${dup.toSeq.sorted}")
+  }
+
+  test("oracle SQL strings are non-empty") {
+    Registry.oracle.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+    }
+  }
+}
