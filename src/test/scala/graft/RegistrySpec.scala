@@ -25,6 +25,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(dup.isEmpty, s"duplicated query names: ${dup.toSeq.sorted}")
   }
 
+  test("bench 10x headline names all resolve to registered queries") {
+    val missing = BenchScale.headline.filterNot(Registry.queries.contains)
+    assert(missing.isEmpty, s"headline entries without queries: $missing")
+  }
+
   test("oracle SQL strings are non-empty") {
     Registry.oracle.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
