@@ -74,6 +74,69 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
       }
 }
 
+/** Streaming SemDeDup: semantic near-dup admission against a persisted
+  * cell-partitioned corpus. `seed` trains the deterministic IVF
+  * centroids ONCE ([[graft.operators.Similarity.trainCentroids]]),
+  * persists them ([[graft.operators.Similarity.IvfIndex]]) beside the
+  * cell-assigned corpus vectors; each batch then assigns its vectors to
+  * cells with the SAME loaded centroids (a scan-local argmax — the cell
+  * structure never drifts between batches) and compares ONLY within
+  * shared cells — the SemDeDup trade at ingestion time: per-batch cost
+  * is |batch| x mean cell occupancy, never |batch| x corpus.
+  */
+final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
+    idCol: String, vecCol: String, nCells: Int,
+    threshold: Double = 0.99) extends Serializable {
+
+  import graft.operators.Similarity
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private val vecsDir  = s"$stateDir/vectors"
+  private val indexDir = s"$stateDir/index"
+
+  /** Train centroids on the reference corpus, persist index + assigned
+    * vectors.
+    */
+  def seed(reference: DataFrame): Unit = {
+    val centroids = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
+    Similarity.IvfIndex.save(centroids, spark, indexDir)
+    reference.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("cell", centroids.assignCell(col("v")))
+      .write.mode("overwrite").parquet(vecsDir)
+  }
+
+  /** Admit one batch: (ref_id, new_id, cell, cos) pairs within shared
+    * cells vs everything seeded or admitted so far, then fold the batch
+    * into the state. Same replay safety as the LSH twins.
+    */
+  def admit(batch: DataFrame): DataFrame = {
+    val centroids = Similarity.IvfIndex.load(spark, indexDir)
+    val fresh = batch.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("cell", centroids.assignCell(col("v")))
+    val ref = spark.read.parquet(vecsDir).dropDuplicates("id")
+    val pairs = ref.as("l").join(fresh.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
+        col("l.cell").as("cell"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .localCheckpoint()
+    fresh.write.mode("append").parquet(vecsDir)
+    pairs
+  }
+
+  def attach(source: DataFrame, pairsDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admit(batch).write.mode("append").parquet(pairsDir)
+        ()
+      }
+}
+
 /** The embedding twin of [[StreamingDedup]]: persisted state is the
   * (id, vector) table plus packed RHP band keys (one row per vector,
   * re-exploded at join time — never 16x materialized on disk). Same

@@ -379,6 +379,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.999)) // identical unit vectors
   }
 
+  test("StreamingSemanticDedup: cell-scoped admission against persisted state") {
+    import graft.streaming.StreamingSemanticDedup
+    val stateDir = java.nio.file.Files.createTempDirectory("ssd").toString
+    val ssd = new StreamingSemanticDedup(spark, stateDir,
+      "vec_id", "embedding", nCells = 4, threshold = 0.999)
+    // seed on the real embeddings table so centroid training is realistic
+    ssd.seed(embs)
+    // batch 1: near-copy of corpus vector 0 (same direction, scaled) +
+    // a far vector
+    val v0 = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Double](1).toArray
+    val batch1 = Seq(
+      (900001L, v0.map(_ * 2.0).toSeq),
+      (900002L, v0.map(x => -x).toSeq)) // anti-parallel: cos = -1
+      .toDF("vec_id", "embedding")
+    val p1 = ssd.admit(batch1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.contains((0L, 900001L)), s"scaled twin not found: $p1")
+    assert(!p1.exists(_._2 == 900002L), "anti-parallel vector matched")
+    // batch 2: a copy of batch-1's own vector -> cross-batch pair via the
+    // folded state
+    val batch2 = Seq((900003L, v0.map(_ * 2.0).toSeq)).toDF("vec_id", "embedding")
+    val p2 = ssd.admit(batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((900001L, 900003L)), s"cross-batch pair missing: $p2")
+  }
+
   test("multimodal decode stub is deterministic with fixed width") {
     val assets = docs.limit(20)
       .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
