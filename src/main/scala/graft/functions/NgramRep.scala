@@ -50,6 +50,30 @@ object NgramRepFractions {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Code-POINT length — Spark `length()` and DuckDB `length()` count
+    * codepoints; Java String.length counts UTF-16 units and would
+    * overweight supplementary-plane grams 2x.
+    */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Code-point lexicographic compare == UTF-8 byte order == the order
+    * Spark's binary string sort and DuckDB `ORDER BY gram` use for the
+    * argmax tie-break; Java compareTo (UTF-16 units) sorts
+    * supplementary-plane grams BEFORE U+E000..U+FFFF ones.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** (gram -> count) over the token window joins; one map per n. */
   private def gramCounts(toks: Array[String], n: Int): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
@@ -86,14 +110,14 @@ object NgramRepFractions {
       while (it.hasNext) {
         val e = it.next()
         val cnt = e.getValue.intValue()
-        tot += cnt.toLong * e.getKey.length
+        tot += cnt.toLong * cpLen(e.getKey)
         if (cnt > bestCnt ||
-            (cnt == bestCnt && (bestGram == null || e.getKey.compareTo(bestGram) < 0))) {
+            (cnt == bestCnt && (bestGram == null || cpCompare(e.getKey, bestGram) < 0))) {
           bestCnt = cnt
           bestGram = e.getKey
         }
       }
-      if (tot > 0) topFrac = round6(bestCnt.toLong * bestGram.length / tot.toDouble)
+      if (tot > 0) topFrac = round6(bestCnt.toLong * cpLen(bestGram) / tot.toDouble)
     }
 
     // dup fraction: chars of occurrences with count >= 2 / all gram chars
@@ -106,9 +130,10 @@ object NgramRepFractions {
     while (it.hasNext) {
       val e = it.next()
       val cnt = e.getValue.intValue()
+      val len = cpLen(e.getKey)
       m += cnt
-      tot += cnt.toLong * e.getKey.length
-      if (cnt >= 2) dup += cnt.toLong * e.getKey.length
+      tot += cnt.toLong * len
+      if (cnt >= 2) dup += cnt.toLong * len
     }
     if (m >= 2 && tot > 0) dupFrac = round6(dup / tot.toDouble)
 

@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions.{lower, regexp_replace, translate}
   * oracle) apply the simple per-codepoint mapping (`Σ -> σ` U+03C3
   * everywhere; `İ -> i`). Those are the ONLY two lowercase divergence
   * classes in SpecialCasing.txt outside locale-specific (lt/tr/az)
-  * tailorings, so normalizing them after the JVM lowercase makes the
-  * canonical form byte-identical across engines; everything else (NBSP
-  * non-splitting, CJK, ß, compatibility ligatures) already agrees and is
-  * pinned by UnicodeParitySpec.
+  * tailorings.
+  *
+  * The canonical form is therefore defined as lowercase + FOLD of those
+  * two classes (`ς -> σ`, `i+U+0307 -> i` — the Unicode case-folding
+  * direction), applied on BOTH sides: here after the JVM/Spark
+  * lowercase, and in every oracle's SQL as
+  * `replace(replace(lower(...), 'ς', 'σ'), 'i' || chr(775), 'i')`.
+  * Folding both sides is what makes PRE-EXISTING `ς` / `i+dot` in
+  * already-lowercase text (ordinary Greek prose ends words with ς)
+  * canonicalize identically too — folding only the JVM side would fix
+  * uppercase input while silently breaking lowercase input. Everything
+  * else (NBSP non-splitting, CJK, ß, compatibility ligatures) already
+  * agrees. All of it is pinned by UnicodeParitySpec (goldens + a
+  * randomized property sweep).
   */
 object PortableCase {
 

@@ -52,24 +52,28 @@ object Joins {
     val payload = rightCols.filterNot(_ == ordCol)
     val aggs = max(col(ordCol)).as(ordCol) +:
       payload.map(c => max_by(col(c), col(ordCol)).as(c))
-    val rightDedup0 = right.groupBy((keyCols :+ tsCol).map(col): _*)
+    val rightDedup = right.groupBy((keyCols :+ tsCol).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    // with a tolerance the matched right ts must survive the carry
-    val rightDedup =
-      if (toleranceSec.isDefined) rightDedup0.withColumn("__asof_ts", col(tsCol))
-      else rightDedup0
-    val carry = rightCols ++ (if (toleranceSec.isDefined) Seq("__asof_ts") else Nil)
+
+    // the matched right row carries as ONE struct (never null for right
+    // rows, even when every payload value is null), so the carry-forward
+    // picks whole rows atomically — per-column last(ignoreNulls) would
+    // stitch values from DIFFERENT right rows whenever the newest match
+    // has a null payload column, which both engines' native ASOF
+    // semantics (and pandas merge_asof) forbid
+    val rowStruct = struct(
+      (rightCols.map(col) :+ col(tsCol).as("__asof_ts")): _*)
+    val structType = rightDedup.select(rowStruct.as("s")).schema("s").dataType
 
     val lTagged = left.select(
-      leftCols.map(col) ++
-        carry.map(c =>
-          lit(null).cast(rightDedup.schema(c).dataType).as(s"__r_$c")) :+
+      leftCols.map(col) :+
+        lit(null).cast(structType).as("__r") :+
         lit(1).as("__side"): _*)
     val rTagged = rightDedup.select(
       leftCols.map(c =>
         if (keyCols.contains(c) || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"__r_$c")) :+
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rowStruct.as("__r") :+
         lit(0).as("__side"): _*)
 
     // right rows sort BEFORE left rows at the same ts (`<=` semantics)
@@ -77,18 +81,18 @@ object Joins {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def matched(c: String): Column =
-      last(col(s"__r_$c"), ignoreNulls = true).over(w)
-    val outCols = toleranceSec match {
-      case None => rightCols.map(c => matched(c).as(c))
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val kept = toleranceSec match {
+      case None => matched
       case Some(tol) =>
-        val within =
-          col(tsCol).cast("double") - matched("__asof_ts").cast("double") <= tol
-        rightCols.map(c => when(within, matched(c)).as(c))
+        when(col(tsCol).cast("double") -
+          matched.getField("__asof_ts").cast("double") <= tol, matched)
     }
 
     lTagged.unionByName(rTagged)
-      .select(leftCols.map(col) ++ outCols :+ col("__side"): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => kept.getField(c).as(c)) :+
+        col("__side"): _*)
       .filter(col("__side") === 1)
       .drop("__side")
   }

@@ -77,12 +77,25 @@ object Sampling {
     * engines and cluster sizes.
     */
   def mixToWeights(df: DataFrame, key: Column, stratum: Column,
-      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame =
+    mixWithCounts(df, key, stratum, buckets)((counts, _) =>
+      counts.map { case (s, _) => s -> weights.getOrElse(s, 0.0) }.toMap)
+
+  /** Shared mixing core: ONE per-stratum count collect (|strata| rows),
+    * weights derived by `deriveWeights(counts, total)`, applied as
+    * min(1, w*total/n) keep fractions over the portable buckets.
+    */
+  private def mixWithCounts(df: DataFrame, key: Column, stratum: Column,
+      buckets: Int)(
+      deriveWeights: (Seq[(String, Long)], Long) => Map[String, Double]): DataFrame = {
     val counts = df.groupBy(stratum.as("__s__"))
       .agg(count(lit(1)).as("__n__"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // defined iteration/summation order
+      .toSeq
     val total = counts.map(_._2).sum
+    val weights = deriveWeights(counts, total)
     val fractions = counts.map { case (s, n) =>
       s -> math.min(1.0, weights.getOrElse(s, 0.0) * total / n)
     }.toMap
@@ -104,21 +117,13 @@ object Sampling {
   def mixToTemperature(df: DataFrame, key: Column, stratum: Column,
       temperature: Double, buckets: Int = 10000): DataFrame = {
     require(temperature > 0, "temperature must be positive")
-    val counts = df.groupBy(stratum.as("__s__"))
-      .agg(count(lit(1)).as("__n__"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1) // defined summation order
-    val powed = counts.map { case (s, n) =>
-      s -> math.pow(n.toDouble, 1.0 / temperature)
+    mixWithCounts(df, key, stratum, buckets) { (counts, _) =>
+      val powed = counts.map { case (s, n) =>
+        s -> math.pow(n.toDouble, 1.0 / temperature)
+      }
+      val z = powed.map(_._2).sum
+      powed.map { case (s, p) => s -> p / z }.toMap
     }
-    val z = powed.map(_._2).sum
-    val weights = powed.map { case (s, p) => s -> p / z }.toMap
-    val total = counts.map(_._2).sum
-    val fractions = counts.map { case (s, n) =>
-      s -> math.min(1.0, weights(s) * total / n)
-    }.toMap
-    stratifiedSample(df, key, stratum, fractions, defaultFraction = 0.0, buckets)
   }
 
   /** Cap the number of rows kept per group at `maxN`, selecting the

@@ -407,10 +407,6 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
-    // --- the FULL curation pipeline capstone: exact dedup -> Gopher rule
-    //     filter -> PII scrub -> per-source cap -> train/val split ->
-    //     per-(split, source) token accounting. Six oracle-proven stages
-    //     composed end-to-end — the 100 TB pre-training data job --------
     // --- as-of with tolerance: matches staler than 10 min nullify
     //     (pandas merge_asof tolerance semantics) -------------------------
     "q_asof_tolerance" -> { (s, dir) =>
@@ -428,6 +424,10 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
+    // --- the FULL curation pipeline capstone: exact dedup -> Gopher rule
+    //     filter -> PII scrub -> per-source cap -> train/val split ->
+    //     per-(split, source) token accounting. Six oracle-proven stages
+    //     composed end-to-end — the 100 TB pre-training data job --------
     "corpus_pipeline" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val corpus = d.select(col("doc_id"), col("text"), col("source"))
@@ -617,7 +617,7 @@ object ExtensionQueries {
   private def shinglesCtes(src: String): String =
     s"""w AS (
        |  SELECT doc_id,
-       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+       |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ') AS words
        |  FROM $src),
        |sh AS (
        |  SELECT doc_id,
@@ -743,7 +743,7 @@ object ExtensionQueries {
       .mkString("\n      OR ")
     s"""WITH $corpusCte,
        |tk AS (SELECT doc_id,
-       |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |    unnest(string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')) AS tok
        |  FROM corpus),
        |hv AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tk),
        |cnt AS (SELECT doc_id,
@@ -1038,7 +1038,7 @@ object ExtensionQueries {
     }
     s"""tok AS (
        |  SELECT unnest(string_split(
-       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')) AS w
        |  FROM documents),
        |vocab AS (SELECT w, count(*) AS c FROM tok
        |  WHERE length(w) >= 1 GROUP BY w),
@@ -1080,7 +1080,7 @@ object ExtensionQueries {
        |          ch -> chr(1)||ch||chr(1)), 'string_agg', '') END),
        |      'string_agg', ' ') AS sym
        |  FROM (SELECT doc_id,
-       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS canon
+       |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g') AS canon
        |    FROM documents)),
        |${docStages.mkString(",\n")}
        |SELECT doc_id, n_tokens,
@@ -1192,7 +1192,7 @@ object ExtensionQueries {
     }.mkString("\n    + ")
     s"""WITH c AS (
        |  SELECT doc_id AS id,
-       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g') AS t
        |  FROM documents),
        |tfs AS (
        |  SELECT id, t,
@@ -1218,7 +1218,7 @@ object ExtensionQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
-        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |SELECT md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
 
@@ -1243,7 +1243,7 @@ object ExtensionQueries {
         |SELECT doc_id FROM (
         |  SELECT doc_id,
         |    row_number() OVER (
-        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      PARTITION BY md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'))
         |      ORDER BY doc_id) AS rn
         |  FROM corpus)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
@@ -1294,7 +1294,7 @@ object ExtensionQueries {
 
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>
-        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+        s"CAST((length(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ') - length(replace(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
       }.mkString(" + ")
       val de = hits("de", Seq("der", "die", "und", "ist", "das"))
       val en = hits("en", Seq("the", "and", "is", "of", "to"))
@@ -1347,7 +1347,7 @@ object ExtensionQueries {
         |  SELECT doc_id,
         |    CASE WHEN trim(text) = '' THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents)
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         |  round(CASE WHEN n_words = 0 THEN 0.0
@@ -1361,7 +1361,7 @@ object ExtensionQueries {
         s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
       }.mkString(" + ")
       def hits(words: Seq[String]): String = words.map { w =>
-        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+        s"CAST((length(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ') - length(replace(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
       }.mkString(" + ")
       val de = hits(Seq("der", "die", "und", "ist", "das"))
       val en = hits(Seq("the", "and", "is", "of", "to"))
@@ -1374,7 +1374,7 @@ object ExtensionQueries {
          |dedup AS (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text, row_number() OVER (
-         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      PARTITION BY md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'))
          |      ORDER BY doc_id) AS rn
          |    FROM corpus)
          |  WHERE rn = 1),
@@ -1413,7 +1413,7 @@ object ExtensionQueries {
 
     "text_decontaminate" -> {
       val words8 =
-        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+        "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
       val sh8 = """CASE WHEN len(words) < 8 THEN [array_to_string(words, ' ')]
         |    ELSE list_transform(range(1, len(words) - 6),
         |           i -> array_to_string(words[i:i+7], ' ')) END""".stripMargin
@@ -1457,7 +1457,7 @@ object ExtensionQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
@@ -1478,7 +1478,7 @@ object ExtensionQueries {
     "text_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ')) AS token
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, (md5_number_lower(token) >> 1) % 1024 AS bucket
@@ -1495,7 +1495,7 @@ object ExtensionQueries {
     "text_rep_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |c2 AS (
         |  SELECT doc_id, gram, count(*) AS cnt FROM (
@@ -1563,7 +1563,7 @@ object ExtensionQueries {
     "text_bpe_pairs" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ')) AS w
         |  FROM documents),
         |p AS (
         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
@@ -1656,7 +1656,7 @@ object ExtensionQueries {
     "text_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
         |tfx AS (SELECT token, count(*) AS tf
         |  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
@@ -1669,7 +1669,7 @@ object ExtensionQueries {
     "text_chunk" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,
         |  CAST(least(32, len(t) - (i - 1) * 32) AS BIGINT) AS n_tokens,
@@ -1681,7 +1681,7 @@ object ExtensionQueries {
     "text_pack" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
         |ch AS (
         |  SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,
@@ -1728,7 +1728,7 @@ object ExtensionQueries {
          |dedup AS (
          |  SELECT doc_id, text, source FROM (
          |    SELECT doc_id, text, source, row_number() OVER (
-         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      PARTITION BY md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'))
          |      ORDER BY doc_id) AS rn
          |    FROM corpus)
          |  WHERE rn = 1),
@@ -1737,7 +1737,7 @@ object ExtensionQueries {
          |    CASE WHEN trim(text) = '' THEN 0
          |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
          |    $stopHits AS stop_hits,
-         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ') AS w
          |  FROM dedup),
          |g AS (
          |  SELECT doc_id, text, source FROM gm
@@ -1781,7 +1781,7 @@ object ExtensionQueries {
          |    CASE WHEN trim(text) = '' THEN 0
          |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
          |    $stopHits AS stop_hits,
-         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ') AS w
          |  FROM documents),
          |m AS (
          |  SELECT doc_id, n_words, stop_hits,
@@ -1806,7 +1806,7 @@ object ExtensionQueries {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
         |w AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
         |  FROM corpus),
         |ch AS (
         |  SELECT doc_id AS id, CAST(i - 1 AS INT) AS chunk_id,

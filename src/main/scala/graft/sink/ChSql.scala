@@ -64,10 +64,12 @@ object ChSql {
     */
   def shardJdbcUrls(topology: Seq[(Int, Int, String, Int)], db: String,
       params: Map[String, String] = Map.empty): Map[Int, String] = {
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     val query =
       if (params.isEmpty) ""
       else params.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString("?", "&", "")
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("?", "&", "")
     topology.groupBy(_._1).map { case (shard, replicas) =>
       val hosts = replicas.sortBy(_._2)
         .map { case (_, _, host, port) => s"$host:$port" }

@@ -45,16 +45,21 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     */
   def admit(batch: DataFrame): DataFrame = {
     val (shNew, bNew) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
-    // state reads dedup defensively so a replayed append stays harmless
+    // replay safety: a crashed-and-replayed batch whose state append
+    // already landed must produce the SAME pairs as the clean run, so
+    // the state side excludes the batch's own ids (broadcast anti join)
+    // — otherwise the replay would emit batch-vs-batch pairs a clean run
+    // never produces. dropDuplicates covers the doubled state rows.
+    val freshIds = shNew.select(col("id"))
     val shRef = spark.read.parquet(shinglesDir).dropDuplicates("id")
+      .join(broadcast(freshIds), Seq("id"), "left_anti")
     val bRef  = spark.read.parquet(bandedDir)
+      .join(broadcast(freshIds.withColumnRenamed("id", "doc_id")),
+        Seq("doc_id"), "left_anti")
     // localCheckpoint pins the result BEFORE the state grows: without it
     // a lazy consumer would re-plan the band join over state that now
-    // contains the batch itself. The ref_id != new_id guard covers a
-    // crashed-and-replayed batch whose state append already landed — the
-    // replay would otherwise band every document against itself.
+    // contains the batch itself
     val pairs = Dedup.nearDupsPrepared(shRef, bRef, shNew, bNew, threshold)
-      .filter(col("ref_id") =!= col("new_id"))
       .localCheckpoint()
     shNew.write.mode("append").parquet(shinglesDir)
     bNew.write.mode("append").parquet(bandedDir)
@@ -94,15 +99,25 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
   private val vecsDir  = s"$stateDir/vectors"
   private val indexDir = s"$stateDir/index"
 
+  // the index is immutable after seed(): cache it instead of paying a
+  // parquet read + driver collect per micro-batch
+  @transient private var centroidsCache: Similarity.Centroids = _
+  private def centroids: Similarity.Centroids = {
+    if (centroidsCache == null)
+      centroidsCache = Similarity.IvfIndex.load(spark, indexDir)
+    centroidsCache
+  }
+
   /** Train centroids on the reference corpus, persist index + assigned
     * vectors.
     */
   def seed(reference: DataFrame): Unit = {
-    val centroids = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
-    Similarity.IvfIndex.save(centroids, spark, indexDir)
+    val trained = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
+    Similarity.IvfIndex.save(trained, spark, indexDir)
+    centroidsCache = trained
     reference.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("cell", centroids.assignCell(col("v")))
+      .withColumn("cell", trained.assignCell(col("v")))
       .write.mode("overwrite").parquet(vecsDir)
   }
 
@@ -111,11 +126,12 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     * into the state. Same replay safety as the LSH twins.
     */
   def admit(batch: DataFrame): DataFrame = {
-    val centroids = Similarity.IvfIndex.load(spark, indexDir)
     val fresh = batch.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("cell", centroids.assignCell(col("v")))
+    // replay safety: exclude the batch's own ids from the state side
     val ref = spark.read.parquet(vecsDir).dropDuplicates("id")
+      .join(broadcast(fresh.select(col("id"))), Seq("id"), "left_anti")
     val pairs = ref.as("l").join(fresh.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
@@ -163,11 +179,15 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   def admit(batch: DataFrame): DataFrame = {
     val (vNew, kNew) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
       idCol, vecCol)
+    // replay safety: exclude the batch's own ids from the state side,
+    // same as the minhash twin
+    val freshIds = vNew.select(col("id"))
     val vRef = spark.read.parquet(vecsDir).dropDuplicates("id")
+      .join(broadcast(freshIds), Seq("id"), "left_anti")
     val kRef = spark.read.parquet(keysDir).dropDuplicates("id")
-    // ref_id != new_id: replay safety, same as the minhash twin
+      .join(broadcast(freshIds), Seq("id"), "left_anti")
     val pairs = Similarity.nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew,
-      threshold).filter(col("ref_id") =!= col("new_id")).localCheckpoint()
+      threshold).localCheckpoint()
     vNew.write.mode("append").parquet(vecsDir)
     kNew.write.mode("append").parquet(keysDir)
     pairs

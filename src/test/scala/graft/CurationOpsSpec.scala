@@ -491,4 +491,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(tol.toSeq === Seq(
       (100L, 902L), (101L, 900L), (102L, -1L), (103L, -1L)))
   }
+
+  test("asOf: whole-row match — null payload in the matched row stays null") {
+    val left = Seq((100L, 1L, new java.sql.Timestamp(10L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, new java.sql.Timestamp(1L), Some(5.0)),
+      (901L, 1L, new java.sql.Timestamp(9L), None)) // newest match, null payload
+      .toDF("b_event_id", "user_id", "ts", "b_value")
+    val got = Joins.asOf(left, right, Seq("user_id"), "ts",
+        rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id")
+      .collect()(0)
+    // the ts=9 row matches as a WHOLE: its null b_value must NOT be
+    // stitched with the ts=1 row's 5.0
+    assert(got.getLong(3) === 901L)
+    assert(got.isNullAt(4), s"stitched payload from an older row: $got")
+  }
 }

@@ -107,7 +107,10 @@ class FusedParitySpec extends AnyFunSuite {
     }
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
       .select(col("text")).as[String].collect().toSeq
-    val edge = Seq("", "q", "a b", "w w w w", "\tx\ty\t", "a  b   a  b")
+    val edge = Seq("", "q", "a b", "w w w w", "\tx\ty\t", "a  b   a  b",
+      // supplementary plane: Java length/compareTo count UTF-16 units —
+      // the kernel must count codepoints and tie-break in codepoint order
+      "😀😀 a 😀😀 a", "𝕊 x 𝕊 x", "😀  😀   😀")
     val df = (reps ++ docs ++ edge).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for ((tn, dn) <- Seq((2, 5), (2, 2), (3, 4))) {

@@ -334,22 +334,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(loaded).nonEmpty)
   }
 
-  test("StreamingDedup: a replayed batch produces no self-pairs") {
+  test("StreamingDedup: a replayed batch emits exactly the clean run's pairs") {
     import graft.streaming.StreamingDedup
     val stateDir = java.nio.file.Files.createTempDirectory("sd_rp").toString
     val sd = new StreamingDedup(spark, stateDir, "doc_id", "text")
     sd.seed(Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text"))
-    val batch = Seq((101L, "the quick brown fox jumps over the lazy dog"))
+    // the batch contains TWO near-identical docs: a clean run emits no
+    // (101,103) pair (the band join is strictly state x fresh)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (103L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
-    val first = sd.admit(batch).collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(first.toSeq === Seq((1L, 101L)))
-    // crash-after-state-append replay: the batch is already in the state;
-    // the guard keeps 101-vs-101 out, the 1-vs-101 pair re-emits
-    // (at-least-once on the pairs output, documented)
-    val replay = sd.admit(batch).collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!replay.exists(p => p._1 == p._2), s"self-pairs leaked: ${replay.toSeq}")
-    assert(replay.toSeq === Seq((1L, 101L)))
+    val first = sd.admit(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(first.toSeq === Seq((1L, 101L), (1L, 103L)))
+    // crash-after-state-append replay: the batch ids are already in the
+    // state; the anti-join keeps them off the state side, so the replay
+    // reproduces the clean pairs — no self-pairs, no batch-vs-batch pairs
+    val replay = sd.admit(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(replay.toSeq === first.toSeq,
+      s"replay diverged: clean=${first.toSeq} replay=${replay.toSeq}")
   }
 
   test("StreamingEmbeddingDedup: two-batch E2E, cross-batch vector pairs") {

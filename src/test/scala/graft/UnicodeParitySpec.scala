@@ -47,7 +47,19 @@ class UnicodeParitySpec extends AnyFunSuite {
     ("\tΣΟΦΟΣ\n\nΣΟΦΙΑ\t",
       // trim strips only ' ' in BOTH engines; \t collapses to ' '
       " σοφοσ σοφια ",
-      "d6386c6e61e9ca4204896e032fe46fd5"))
+      "d6386c6e61e9ca4204896e032fe46fd5"),
+    // PRE-EXISTING final sigma / combining dot: the fold is applied on
+    // BOTH sides (oracles fold too), so already-lowercase Greek text
+    // canonicalizes identically — goldens from the folded DuckDB chain
+    ("σοφός καλός",
+      "σοφόσ καλόσ",
+      "4ed05c0493e0a13b4437eba10a475b54"),
+    ("i̇stanbul naïve", // literal i + U+0307 in the source text
+      "istanbul naïve",
+      "151337536046a5e42a5b5643c94aabb5"),
+    ("Ἀθηναῖος καὶ Ὀδυσσεύς", // polytonic Greek, pre-lowercase ς twice
+      "ἀθηναῖοσ καὶ ὀδυσσεύσ",
+      "5588eb79a0ff852ab7ac0bbf4eaf99a2"))
 
   test("canonStr matches the DuckDB canonical form byte-for-byte") {
     import spark.implicits._
