@@ -289,6 +289,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("asOf is one key shuffle + one window — no range-join product") {
+    val p = plan(SparkEntry.queries("q_asof_tolerance")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asOf must never plan a product:\n$p")
+    // the union + carry-forward shape: exactly one Window operator
+    assert("Window".r.findAllIn(p).length === 1,
+      s"expected exactly one carry-forward window:\n$p")
+  }
+
   test("boilerplate removal anti-joins via broadcast, never a window") {
     import graft.operators.TextAnalysis
     val d = Tables(spark, sf).documents
