@@ -28,7 +28,8 @@ object BenchScale {
     "dedup_simhash", "dedup_embedding_lsh", "sim_topk_bruteforce",
     "sim_topk_lsh", "sim_topk_ivf", "text_quality", "q_asof_join",
     "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
-    "dedup_minhash_incr", "corpus_pipeline")
+    "dedup_minhash_incr", "corpus_pipeline", "text_rep_ngrams",
+    "text_boilerplate")
 
   def ensure10x(spark: SparkSession, sfDir: String, cpus: Int): String = {
     val dir = s"target/bench_10x_${new java.io.File(sfDir).getName}"
