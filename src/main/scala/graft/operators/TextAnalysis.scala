@@ -444,6 +444,38 @@ object TextAnalysis {
         col("chunk"))
   }
 
+  /** Sliding-window chunking: fixed-size token windows starting every
+    * `stride` tokens (stride < size overlaps — the RAG-retrieval /
+    * long-context training shape where chunk boundaries must not lose
+    * cross-boundary context). `stride == size` degenerates to
+    * [[chunkByTokens]]'s non-overlapping windows minus its short tail
+    * rule: here every window START < total emits (the final windows may
+    * be short), and an empty doc emits one empty chunk. Pure scan-local
+    * projection (sequence + slice inside the row), same as the
+    * non-overlapping form.
+    */
+  def chunkByTokensSliding(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride must be in [1, window]")
+    val toks = canonToks(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        sequence(lit(0),
+          greatest(ceil((size(col("toks")) - lit(window)).cast(DoubleType) / stride)
+            .cast(IntegerType), lit(0))).as("idxs"))
+      .select(col("id"),
+        posexplode(transform(col("idxs"),
+          i => array_join(slice(col("toks"), i * stride + 1, lit(window)), " ")))
+          .as(Seq("chunk_id", "chunk")),
+        size(col("toks")).as("total"))
+      .select(col("id"), col("chunk_id"),
+        (col("chunk_id") * stride).cast(LongType).as("start"),
+        least(lit(window), col("total") - col("chunk_id") * stride)
+          .cast(LongType).as("n_tokens"),
+        col("chunk"))
+  }
+
   // ---- global sequence packing ----------------------------------------
 
   /** Pack token chunks into fixed-size training sequences: every chunk

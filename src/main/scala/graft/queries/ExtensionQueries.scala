@@ -361,6 +361,14 @@ object ExtensionQueries {
     },
 
     // --- token-budget chunking (sequence packing) ------------------------
+    // --- sliding-window chunking: 32-token windows every 24 tokens ------
+    "text_chunk_sliding" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
+      TextAnalysis.chunkByTokensSliding(d, "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy(col("id"), col("chunk_id"))
+    },
+
     "text_chunk" -> { (s, dir) =>
       val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
       TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 32)
@@ -1676,6 +1684,19 @@ object ExtensionQueries {
         |  array_to_string(t[(i - 1) * 32 + 1 : (i - 1) * 32 + 32], ' ') AS chunk
         |FROM w, unnest(generate_series(1,
         |  greatest(CAST(ceil(len(t) / 32.0) AS BIGINT), 1))) AS g(i)
+        |ORDER BY id, chunk_id""".stripMargin,
+
+    "text_chunk_sliding" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS id, CAST(i AS INT) AS chunk_id,
+        |  CAST(i * 24 AS BIGINT) AS start,
+        |  CAST(least(32, len(t) - i * 24) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' ') AS chunk
+        |FROM w, unnest(range(0,
+        |  greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0) + 1)) AS g(i)
         |ORDER BY id, chunk_id""".stripMargin,
 
     "text_pack" ->

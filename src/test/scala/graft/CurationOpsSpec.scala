@@ -146,6 +146,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(3) === 1.0)
   }
 
+  test("chunkByTokensSliding: overlap, short tails, degenerate cases") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than window
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokensSliding(df, "doc_id", "text",
+        window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(p => (p._1, p._2))
+    // doc1: starts 0,3,6 -> [t1..t4][t4..t7][t7..t10]; last start 9 not
+    // needed (ceil((10-4)/3)=2)
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2, 6L, 4L, "t7 t8 t9 t10")))
+    // consecutive windows share window-stride=1 token (the overlap)
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0L, 1L, "")))
+  }
+
   test("bpeTrain: argmax merges with greedy non-overlapping apply") {
     val df = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
     // vocab: aaab x2, ab x1
