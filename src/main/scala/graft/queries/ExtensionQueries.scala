@@ -84,6 +84,26 @@ object ExtensionQueries {
         .orderBy(col("ref_id"), col("new_id"))
     },
 
+    // --- fuzzy decontamination: near-copies of benchmark docs (planted
+    //     with an id-salted suffix) flagged by cross-corpus minhash ------
+    "text_decontaminate_fuzzy" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
+          "bid")
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("btext"), lit(" zz"),
+            col("doc_id").cast("string")).as("text"))
+      val corpus = d.filter(col("doc_id") >= 20).union(planted)
+      Dedup.nearDupsAgainstMinhash(bench, corpus, "doc_id", "text",
+          n = 3, bands = 8, rows = 4, threshold = 0.5)
+        .select(col("ref_id"), col("new_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("ref_id"), col("new_id"))
+    },
+
     // --- simhash near-dups (oracle recomputes the 64-bit signatures) -----
     "dedup_simhash" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -683,21 +703,20 @@ object ExtensionQueries {
        |SELECT a, b, round(j, 6) AS jaccard FROM jac
        |WHERE j >= 0.9 ORDER BY a, b""".stripMargin
 
-  /** Incremental-dedup recomputation: signatures over reference + fresh,
-    * candidates restricted to cross-corpus band collisions (fresh ids
-    * carry the +1000000 offset), exact-Jaccard verify.
+  /** Cross-corpus minhash recomputation over a combined-corpus CTE
+    * (named `allc`): signatures for both sides, candidates restricted to
+    * (ref, fresh) band collisions per the id-space predicates, exact-
+    * Jaccard verify — the shared SQL twin of
+    * [[graft.operators.Dedup.nearDupsAgainstMinhash]].
     */
-  private def minhashIncrOracle: String = {
+  private def crossMinhashOracle(allcSql: String, refPred: String,
+      newPred: String, threshold: Double): String = {
     val sigCols = (0 until 32).map(i => s"MIN(${wrappedPerm(i)}) AS m$i").mkString(",\n    ")
     val bandEq = (0 until 8).map { b =>
       (0 until 4).map(r => s"x.m${b * 4 + r} = y.m${b * 4 + r}").mkString("(", " AND ", ")")
     }.mkString("\n      OR ")
     s"""WITH allc AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
-       |    CASE WHEN doc_id < 250 THEN text
-       |         ELSE text || ' zznew zztoken zzmark' END AS text
-       |  FROM documents),
+       |$allcSql),
        |${shinglesCtes("allc")},
        |hs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
        |hv AS (SELECT doc_id,
@@ -708,15 +727,42 @@ object ExtensionQueries {
        |  FROM hv GROUP BY doc_id),
        |cand AS (
        |  SELECT x.doc_id AS ref_id, y.doc_id AS new_id
-       |  FROM sig x JOIN sig y ON x.doc_id < 1000000 AND y.doc_id >= 1000000
+       |  FROM sig x JOIN sig y ON (${refPred.replace("doc_id", "x.doc_id")})
+       |    AND (${newPred.replace("doc_id", "y.doc_id")})
        |    AND ($bandEq)),
        |jac AS (
        |  SELECT c.ref_id, c.new_id, $jaccardExpr AS j
        |  FROM cand c JOIN sh sa ON c.ref_id = sa.doc_id
        |    JOIN sh sb ON c.new_id = sb.doc_id)
        |SELECT ref_id, new_id, round(j, 6) AS jaccard FROM jac
-       |WHERE j >= 0.5 ORDER BY ref_id, new_id""".stripMargin
+       |WHERE j >= $threshold ORDER BY ref_id, new_id""".stripMargin
   }
+
+  /** Incremental-dedup recomputation: fresh ids carry the +1000000
+    * offset.
+    */
+  private def minhashIncrOracle: String = crossMinhashOracle(
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |    CASE WHEN doc_id < 250 THEN text
+      |         ELSE text || ' zznew zztoken zzmark' END AS text
+      |  FROM documents""".stripMargin,
+    refPred = "doc_id < 1000000", newPred = "doc_id >= 1000000",
+    threshold = 0.5)
+
+  /** Fuzzy decontamination: near-copies of benchmark docs (planted at
+    * +2000000 with an id-salted suffix) flagged by cross-corpus minhash
+    * against the benchmark set (doc_id < 20).
+    */
+  private def decontaminateFuzzyOracle: String = crossMinhashOracle(
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT p.doc_id + 2000000 AS doc_id,
+      |    b.text || ' zz' || CAST(p.doc_id AS VARCHAR) AS text
+      |  FROM documents p JOIN documents b ON b.doc_id = p.doc_id % 20
+      |  WHERE p.doc_id >= 100 AND p.doc_id < 150""".stripMargin,
+    refPred = "doc_id < 20", newPred = "doc_id >= 20",
+    threshold = 0.5)
 
   /** End-to-end dedup: the minhash pair set closed into components with
     * a recursive transitive closure, then the canonical-survivor rule —
@@ -1259,6 +1305,8 @@ object ExtensionQueries {
     "dedup_minhash_lsh" -> minhashOracle,
 
     "dedup_minhash_incr" -> minhashIncrOracle,
+
+    "text_decontaminate_fuzzy" -> decontaminateFuzzyOracle,
 
     "dedup_cluster_minhash" -> minhashClusterOracle,
 
