@@ -425,34 +425,22 @@ object TextAnalysis {
     * positions).
     */
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
-    require(maxTokens > 0, "maxTokens must be positive")
-    val toks = canonToks(col(textCol))
-    df.select(col(idCol).as("id"), toks.as("toks"))
-      .select(col("id"), col("toks"),
-        sequence(lit(0),
-          greatest(ceil(size(col("toks")).cast(DoubleType) / maxTokens)
-            .cast(IntegerType) - 1, lit(0))).as("idxs"))
-      .select(col("id"),
-        posexplode(transform(col("idxs"),
-          i => array_join(slice(col("toks"), i * maxTokens + 1, lit(maxTokens)), " ")))
-          .as(Seq("chunk_id", "chunk")),
-        size(col("toks")).as("total"))
-      .select(col("id"), col("chunk_id"),
-        least(lit(maxTokens),
-          col("total") - col("chunk_id") * maxTokens).cast(LongType).as("n_tokens"),
-        col("chunk"))
-  }
+      textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame =
+    chunkByTokensSliding(df, idCol, textCol, maxTokens, maxTokens)
+      .drop("start")
 
   /** Sliding-window chunking: fixed-size token windows starting every
-    * `stride` tokens (stride < size overlaps — the RAG-retrieval /
+    * `stride` tokens (stride < window overlaps — the RAG-retrieval /
     * long-context training shape where chunk boundaries must not lose
-    * cross-boundary context). `stride == size` degenerates to
-    * [[chunkByTokens]]'s non-overlapping windows minus its short tail
-    * rule: here every window START < total emits (the final windows may
-    * be short), and an empty doc emits one empty chunk. Pure scan-local
-    * projection (sequence + slice inside the row), same as the
-    * non-overlapping form.
+    * cross-boundary context). Emission stops at the FIRST window whose
+    * end reaches the document end (`ceil((total-window)/stride) + 1`
+    * windows; later starts would only re-cover the tail), so only the
+    * last window may be short. `stride == window` emits exactly
+    * [[chunkByTokens]]'s non-overlapping windows (which delegates here).
+    * An empty doc emits one empty chunk with n_tokens = 1 — the
+    * canonical tokenization of '' is one empty token, the same contract
+    * as `chunkByTokens`/`string_split`. Pure scan-local projection
+    * (sequence + slice inside the row).
     */
   def chunkByTokensSliding(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {

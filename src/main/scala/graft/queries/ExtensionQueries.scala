@@ -381,17 +381,17 @@ object ExtensionQueries {
     },
 
     // --- token-budget chunking (sequence packing) ------------------------
+    "text_chunk" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
+      TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 32)
+        .orderBy(col("id"), col("chunk_id"))
+    },
+
     // --- sliding-window chunking: 32-token windows every 24 tokens ------
     "text_chunk_sliding" -> { (s, dir) =>
       val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
       TextAnalysis.chunkByTokensSliding(d, "doc_id", "text",
           window = 32, stride = 24)
-        .orderBy(col("id"), col("chunk_id"))
-    },
-
-    "text_chunk" -> { (s, dir) =>
-      val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
-      TextAnalysis.chunkByTokens(d, "doc_id", "text", maxTokens = 32)
         .orderBy(col("id"), col("chunk_id"))
     },
 
