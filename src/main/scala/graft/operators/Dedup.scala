@@ -266,19 +266,33 @@ object Dedup {
     * persisted state). Strictly (reference, fresh) pairs.
     */
   def nearDupsPrepared(shRef: DataFrame, bRef: DataFrame,
-      shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame = {
-    val candidates = bRef.as("l").join(bNew.as("r"),
+      shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(bandCandidates(bRef, bNew), shRef, shNew, threshold)
+
+  /** Stage 1 of [[nearDupsPrepared]]: distinct (ref_id, new_id)
+    * candidate pairs from the banded equi-join. Broken out so a standing
+    * pipeline ([[graft.streaming.StreamingDedup]]) can broadcast-hint
+    * the (small) fresh side, pin the candidates, and prune the shingle
+    * state it feeds to [[verifyJaccard]] by the candidates' id buckets.
+    */
+  def bandCandidates(bRef: DataFrame, bNew: DataFrame): DataFrame =
+    bRef.as("l").join(bNew.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash"))
       .select(col("l.doc_id").as("ref_id"), col("r.doc_id").as("new_id"))
       .distinct()
+
+  /** Stage 2 of [[nearDupsPrepared]]: exact-Jaccard verification of
+    * candidate pairs against the two shingle tables.
+    */
+  def verifyJaccard(candidates: DataFrame, shRef: DataFrame,
+      shNew: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(shRef.as("sa"), col("ref_id") === col("sa.id"))
       .join(shNew.as("sb"), col("new_id") === col("sb.id"))
       .select(col("ref_id"), col("new_id"),
         jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Corpus-wide embedding near-duplicate pairs — the dedup-suite entry
     * for the embedding modality; see

@@ -460,22 +460,37 @@ object Similarity {
     * (reference, fresh) pairs.
     */
   def nearDupsPreparedEmbedding(vRef: DataFrame, kRef: DataFrame,
-      vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame = {
-    def explode(keys: DataFrame): DataFrame =
+      vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame =
+    verifyCosine(bandCandidatesEmbedding(kRef, kNew), vRef, vNew, threshold)
+
+  /** Stage 1 of [[nearDupsPreparedEmbedding]]: (ref_id, new_id)
+    * candidates from the RHP band equi-join, first-matching-band
+    * emission (so no distinct is needed). Broken out so
+    * [[graft.streaming.StreamingEmbeddingDedup]] can broadcast-hint the
+    * fresh side and pin the candidates before verification.
+    */
+  def bandCandidatesEmbedding(kRef: DataFrame, kNew: DataFrame): DataFrame = {
+    def expl(keys: DataFrame): DataFrame =
       keys.select(col("id"), col("ks"),
         posexplode(col("ks")).as(Seq("band", "key")))
-    val candidates = explode(kRef).as("l").join(explode(kNew).as("r"),
+    expl(kRef).as("l").join(expl(kNew).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
         col("l.ks"), col("r.ks"), col("l.band")))
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
+  }
+
+  /** Stage 2 of [[nearDupsPreparedEmbedding]]: exact-cosine verification
+    * of candidate pairs against the two vector tables.
+    */
+  def verifyCosine(candidates: DataFrame, vRef: DataFrame,
+      vNew: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(vRef.as("va"), col("ref_id") === col("va.id"))
       .join(vNew.as("vb"), col("new_id") === col("vb.id"))
       .select(col("ref_id"), col("new_id"),
         cosine(col("va.v"), col("vb.v")).as("cos"))
       .filter(col("cos") >= threshold)
-  }
 
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store compression step (4x smaller than float32, 8x smaller

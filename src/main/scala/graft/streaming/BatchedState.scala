@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Micro-batch-versioned persisted state for standing dedup pipelines —
+  * the snapshot + delta layout that makes at-least-once `foreachBatch`
+  * appends idempotent WITHOUT any read-time dedup (the reference keeps
+  * its analogous series state bounded with quotas + periodic reloads:
+  * `task/sinker.go` series map; we need the same lifecycle story for
+  * dedup state at 100 TB).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   dir/snap=<S>/...    one compacted snapshot covering every batch <= S
+  *                       ("batch" kept as a DATA column per row)
+  *   dir/batch=<N>/...   one delta per admitted micro-batch (seed = -1)
+  * }}}
+  *
+  * Idempotency: [[append]] writes `dir/batch=<N>` with OVERWRITE
+  * semantics, so a crash-replayed batch overwrites its own half-landed
+  * delta instead of doubling rows — reads never need `dropDuplicates`,
+  * which on the old append-only layout was a corpus-wide hash aggregate
+  * per micro-batch.
+  *
+  * Determinism under replay: [[read]]`(before = N)` returns exactly the
+  * rows of batches `< N` (the snapshot's per-row `batch` column makes
+  * the bound hold through compaction), so a replay of batch N sees the
+  * SAME state the clean run saw even when the crashed attempt's state
+  * append already landed.
+  *
+  * Pruning: `partitionCols` (e.g. a band-key bucket) are written as
+  * directory partitions inside every delta and snapshot, so a reader
+  * filtering on them scans only the matching files.
+  *
+  * Lifecycle: [[compact]] folds all current deltas into one snapshot
+  * (written to a hidden temp dir, then atomically renamed — a crash
+  * mid-compaction leaves the old snapshot + deltas intact) and can
+  * evict aged rows (`keepFrom`) at the same time. Only call it for
+  * batches the stream's checkpoint has committed: a batch id may be
+  * replayed until its commit lands, and [[read]]`(before)` assumes ids
+  * at or below the snapshot bound are final.
+  */
+final class BatchedState(spark: SparkSession, dir: String,
+    partitionCols: Seq[String] = Nil) extends Serializable {
+
+  import BatchedState.SeedBatch
+
+  private def fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listIds(prefix: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** Ids of live (not yet compacted-away) delta batches. */
+  def deltaIds: Seq[Long] = listIds("batch=")
+
+  /** Bound of the newest snapshot, if any. */
+  def snapshotId: Option[Long] =
+    listIds("snap=").sorted.lastOption
+
+  /** Highest batch id present in snapshot or deltas. */
+  def maxBatchId: Option[Long] =
+    (deltaIds ++ snapshotId).sorted.lastOption
+
+  /** Write one micro-batch's state rows. OVERWRITES `dir/batch=<id>`,
+    * so a replayed batch replaces its own previous attempt.
+    */
+  def append(df: DataFrame, batchId: Long): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/batch=$batchId")
+  }
+
+  /** Write the initial reference state (batch id -1 — ordered before
+    * every Structured Streaming batch id). May be called with an empty
+    * frame to start a pipeline with no reference corpus.
+    */
+  def seed(df: DataFrame): Unit = append(df, SeedBatch)
+
+  /** All state rows from batches `< before`, with the originating
+    * `batch` id as a column. Listing happens eagerly on the driver, so
+    * the returned plan can never pick up files a concurrent [[append]]
+    * adds later — callers need no localCheckpoint fencing.
+    */
+  def read(before: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshotId
+    val deltas = deltaIds.filter(id => snap.forall(id > _) && id < before)
+      .map(id => s"$dir/batch=$id")
+    val parts = Seq.newBuilder[DataFrame]
+    snap.foreach { s =>
+      parts += spark.read.parquet(s"$dir/snap=$s")
+        .withColumn("batch", col("batch").cast("long"))
+        .filter(col("batch") < before)
+    }
+    if (deltas.nonEmpty)
+      parts += spark.read.option("basePath", dir).parquet(deltas: _*)
+        .withColumn("batch", col("batch").cast("long"))
+    val all = parts.result()
+    require(all.nonEmpty,
+      s"BatchedState at $dir is empty — seed() it before reading")
+    all.reduce(_.unionByName(_))
+  }
+
+  /** Fold everything currently present into one snapshot and delete the
+    * superseded deltas/snapshots. Rows from batches `< keepFrom` are
+    * evicted (age-based TTL: the `batch` id is the age axis). The new
+    * snapshot is staged in a hidden dir and renamed into place, so a
+    * crash at any point leaves a readable state (the one edge: when
+    * re-compacting to an id that already has a snapshot, the old
+    * snapshot dir is replaced with a delete + rename pair — a crash in
+    * that window needs the staged dir restored by hand).
+    */
+  def compact(keepFrom: Long = Long.MinValue): Unit = {
+    val upTo = maxBatchId.getOrElse(return)
+    val snapshot = read().filter(col("batch") >= keepFrom)
+    val staged = new Path(s"$dir/.staged-snap-$upTo")
+    val target = new Path(s"$dir/snap=$upTo")
+    val w = snapshot.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staged, target),
+      s"compaction rename $staged -> $target failed")
+    deltaIds.filter(_ <= upTo)
+      .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
+    listIds("snap=").filter(_ < upTo)
+      .foreach(s => fs.delete(new Path(s"$dir/snap=$s"), true))
+  }
+}
+
+object BatchedState {
+  /** Batch id used by [[BatchedState.seed]] — below every Structured
+    * Streaming batch id (those start at 0).
+    */
+  val SeedBatch: Long = -1L
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
@@ -10,71 +10,118 @@ import graft.operators.Dedup
 /** Standing incremental near-dup admission — the streaming lift of
   * [[graft.operators.Dedup.nearDupsAgainstMinhash]]: the reference
   * corpus's minhash state (shingle + banded-signature tables) is
-  * persisted ONCE; each arriving micro-batch computes its own signatures
-  * in one scan-local pass, band-joins against the persisted state, exact-
-  * Jaccard-verifies the candidates, and is then appended to the state so
-  * later batches also dedup against it. Admission cost per batch scales
-  * with |batch| x band-collision rate — never with corpus size, which is
-  * the only shape that survives a standing 100 TB corpus.
+  * persisted ONCE via [[BatchedState]]; each arriving micro-batch
+  * computes its own signatures in one scan-local pass, band-joins
+  * against the persisted state, exact-Jaccard-verifies the candidates,
+  * and is then folded into the state so later batches dedup against it.
   *
-  * Delivery: runs under `foreachBatch`, so a crashed batch is replayed
-  * (at-least-once). State appends are made idempotent at READ time —
-  * shingles dedup on id, band candidates are `distinct` — so a replayed
-  * append cannot duplicate pairs; the pairs output itself is
-  * `localCheckpoint`ed before the state append so the batch can never
-  * band against itself.
+  * Scale shape (what survives a standing 100 TB corpus):
+  *  - State is NEVER shuffled at admission. The batch side of both the
+  *    band join and the verify join carries an explicit broadcast hint,
+  *    so the persisted state streams through two BroadcastHashJoins —
+  *    per-batch shuffle volume is O(|batch| + |candidates|), not
+  *    O(corpus).
+  *  - State reads are partition-pruned. Banded state is bucketed by
+  *    band-key hash (`bb`), shingle state by doc-id hash (`ib`); a
+  *    batch collects its own (bounded, <= nBuckets) bucket sets and the
+  *    state scan skips every non-matching bucket directory — a trickle
+  *    batch touches a fraction of the state files. The residual
+  *    per-batch cost is the pruned state SCAN (I/O only, no shuffle);
+  *    [[compact]] keeps file counts and aged rows bounded.
+  *  - Appends are idempotent by OVERWRITE into `batch=<id>` dirs, so a
+  *    crash-replayed batch replaces its half-landed delta instead of
+  *    doubling rows — no read-time dedup anywhere.
+  *
+  * Delivery: runs under `foreachBatch` (at-least-once). A replayed
+  * batch N reads state strictly `< N` ([[BatchedState.read]]), so it
+  * sees exactly what the clean run saw even when the crashed attempt's
+  * state append already landed, and [[attach]] writes pairs to a
+  * per-batch dir with overwrite semantics — the pairs OUTPUT is
+  * idempotent too (exactly-once per batch dir).
   */
 final class StreamingDedup(spark: SparkSession, stateDir: String,
     idCol: String, textCol: String,
     n: Int = 3, bands: Int = 8, rows: Int = 4,
-    threshold: Double = 0.7) extends Serializable {
+    threshold: Double = 0.7, nBuckets: Int = 32) extends Serializable {
 
-  private val shinglesDir = s"$stateDir/shingles"
-  private val bandedDir   = s"$stateDir/banded"
+  private val shingles = new BatchedState(spark, s"$stateDir/shingles", Seq("ib"))
+  private val banded   = new BatchedState(spark, s"$stateDir/banded", Seq("bb"))
 
-  /** Seed the persisted reference state (signatures computed once). */
+  private def idBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(nBuckets)).cast("int")
+  private def bandBucket(band: Column, bandHash: Column): Column =
+    pmod(xxhash64(band, bandHash), lit(nBuckets)).cast("int")
+
+  /** Seed the persisted reference state. Signatures are computed once;
+    * the banded table is derived from the just-persisted shingle state
+    * (a narrow parquet scan) rather than re-shingling the corpus.
+    */
   def seed(reference: DataFrame): Unit = {
-    val (sh, banded) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
-    sh.write.mode("overwrite").parquet(shinglesDir)
-    banded.write.mode("overwrite").parquet(bandedDir)
+    val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
+    shingles.seed(sh.withColumn("ib", idBucket(col("id"))))
+    val persisted = shingles.read().select("id", "shingles")
+    val b = Dedup.lshBands(
+      Dedup.minhashSignatureDF(persisted, "id", "shingles", bands * rows),
+      col("id"), col("sig"), bands, rows)
+    banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
   }
 
-  /** Admit one batch: cross-corpus (ref_id, new_id, jaccard) pairs
-    * against everything seeded or admitted so far, then fold the batch
-    * into the state.
+  /** Admit micro-batch `batchId`: cross-corpus (ref_id, new_id, jaccard)
+    * pairs against everything seeded or admitted in batches < batchId,
+    * then fold the batch into the state. Calling twice with the same id
+    * (a crash replay) yields the same pairs and the same state.
     */
-  def admit(batch: DataFrame): DataFrame = {
-    val (shNew, bNew) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
-    // replay safety: a crashed-and-replayed batch whose state append
-    // already landed must produce the SAME pairs as the clean run, so
-    // the state side excludes the batch's own ids (broadcast anti join)
-    // — otherwise the replay would emit batch-vs-batch pairs a clean run
-    // never produces. dropDuplicates covers the doubled state rows.
-    val freshIds = shNew.select(col("id"))
-    val shRef = spark.read.parquet(shinglesDir).dropDuplicates("id")
-      .join(broadcast(freshIds), Seq("id"), "left_anti")
-    val bRef  = spark.read.parquet(bandedDir)
-      .join(broadcast(freshIds.withColumnRenamed("id", "doc_id")),
-        Seq("doc_id"), "left_anti")
-    // localCheckpoint pins the result BEFORE the state grows: without it
-    // a lazy consumer would re-plan the band join over state that now
-    // contains the batch itself
-    val pairs = Dedup.nearDupsPrepared(shRef, bRef, shNew, bNew, threshold)
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    val (shRaw, bRaw) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
+    // pin the batch-side prep (it feeds three consumers: prune-set
+    // collect, the joins, the state append) — |batch|-bounded
+    val shNew = shRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
+    val bNew = bRaw.withColumn("bb", bandBucket(col("band"), col("band_hash")))
       .localCheckpoint()
-    shNew.write.mode("append").parquet(shinglesDir)
-    bNew.write.mode("append").parquet(bandedDir)
+    // band-bucket prune set of THIS batch (<= nBuckets values)
+    val bbs = bNew.select("bb").distinct().collect().map(_.getInt(0))
+    val bRef = banded.read(before = batchId)
+      .where(col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
+    val candidates =
+      Dedup.bandCandidates(bRef, broadcast(bNew)).localCheckpoint()
+    // shingle state pruned to the candidates' ref-id buckets
+    val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
+      .distinct().collect().map(_.getInt(0))
+    val shRef = shingles.read(before = batchId)
+      .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
+    // ref_id =!= new_id: a doc id re-arriving in a later batch must not
+    // pair with its own earlier copy (the old anti-join's semantics)
+    val pairs = Dedup.verifyJaccard(broadcast(candidates), shRef, shNew,
+        threshold)
+      .filter(col("ref_id") =!= col("new_id"))
+    shingles.append(shNew, batchId)
+    banded.append(bNew, batchId)
     pairs
   }
 
-  /** Wire a streaming source into the standing pipeline: each micro-batch
-    * is admitted and its pairs appended to `pairsDir`.
+  /** Fold all current deltas into one snapshot and evict rows admitted
+    * before batch `keepFrom` (age-based TTL; the seed corpus is batch
+    * -1). Call only for batch ids the stream's checkpoint has committed
+    * — e.g. from a StreamingQueryListener, or with the stream stopped.
+    */
+  def compact(keepFrom: Long = Long.MinValue): Unit = {
+    shingles.compact(keepFrom)
+    banded.compact(keepFrom)
+  }
+
+  /** Wire a streaming source into the standing pipeline: each
+    * micro-batch is admitted and its pairs land in
+    * `pairsDir/batch=<id>` with overwrite semantics — replays rewrite
+    * the same dir, so downstream readers of `pairsDir` see each batch's
+    * pairs exactly once.
     */
   def attach(source: DataFrame, pairsDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admit(batch).write.mode("append").parquet(pairsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
         ()
       }
 }
@@ -86,8 +133,11 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
   * cell-assigned corpus vectors; each batch then assigns its vectors to
   * cells with the SAME loaded centroids (a scan-local argmax — the cell
   * structure never drifts between batches) and compares ONLY within
-  * shared cells — the SemDeDup trade at ingestion time: per-batch cost
-  * is |batch| x mean cell occupancy, never |batch| x corpus.
+  * shared cells — the SemDeDup trade at ingestion time. The state is
+  * directory-partitioned by `cell`, so the per-batch read scans ONLY
+  * the cells the batch touches, and the batch side is broadcast — state
+  * is never shuffled. Same [[BatchedState]] idempotency/replay story as
+  * [[StreamingDedup]].
   */
 final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     idCol: String, vecCol: String, nCells: Int,
@@ -96,7 +146,7 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
   import graft.operators.Similarity
   import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-  private val vecsDir  = s"$stateDir/vectors"
+  private val vecs = new BatchedState(spark, s"$stateDir/vectors", Seq("cell"))
   private val indexDir = s"$stateDir/index"
 
   // the index is immutable after seed(): cache it instead of paying a
@@ -115,90 +165,122 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     val trained = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
     Similarity.IvfIndex.save(trained, spark, indexDir)
     centroidsCache = trained
-    reference.select(col(idCol).as("id"),
+    vecs.seed(reference.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("cell", trained.assignCell(col("v")))
-      .write.mode("overwrite").parquet(vecsDir)
+      .withColumn("cell", trained.assignCell(col("v"))))
   }
 
   /** Admit one batch: (ref_id, new_id, cell, cos) pairs within shared
-    * cells vs everything seeded or admitted so far, then fold the batch
-    * into the state. Same replay safety as the LSH twins.
+    * cells vs everything seeded or admitted in batches < batchId, then
+    * fold the batch into the state. Replay-idempotent.
     */
-  def admit(batch: DataFrame): DataFrame = {
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val fresh = batch.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("cell", centroids.assignCell(col("v")))
-    // replay safety: exclude the batch's own ids from the state side
-    val ref = spark.read.parquet(vecsDir).dropDuplicates("id")
-      .join(broadcast(fresh.select(col("id"))), Seq("id"), "left_anti")
-    val pairs = ref.as("l").join(fresh.as("r"),
+      .localCheckpoint()
+    // the batch's cell set is bounded by min(|batch|, nCells): scan
+    // only those state partitions
+    val cells = fresh.select("cell").distinct().collect().map(_.getInt(0))
+    val ref = vecs.read(before = batchId)
+      .where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
+    val pairs = ref.as("l").join(broadcast(fresh).as("r"),
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
         col("l.cell").as("cell"),
         Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
-      .localCheckpoint()
-    fresh.write.mode("append").parquet(vecsDir)
+    vecs.append(fresh, batchId)
     pairs
   }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue): Unit = vecs.compact(keepFrom)
 
   def attach(source: DataFrame, pairsDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admit(batch).write.mode("append").parquet(pairsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
         ()
       }
 }
 
 /** The embedding twin of [[StreamingDedup]]: persisted state is the
   * (id, vector) table plus packed RHP band keys (one row per vector,
-  * re-exploded at join time — never 16x materialized on disk). Same
-  * replay-safety: pairs localCheckpoint before the state append, state
-  * reads dedup on id.
+  * re-exploded at join time — never 16x materialized on disk). The
+  * batch side of both joins is broadcast (state never shuffled) and the
+  * vector table is id-bucket-pruned for the verify join; the packed
+  * keys table cannot be band-bucketed (every row holds all bands), so
+  * the band join's state side is a full — but narrow, scan-only —
+  * read, bounded by [[compact]]. Same [[BatchedState]] idempotency and
+  * replay determinism as the minhash twin.
   */
 final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     idCol: String, vecCol: String, dims: Int,
     nBits: Int = 384, bandBits: Int = 16,
-    threshold: Double = 0.99) extends Serializable {
+    threshold: Double = 0.99, nBuckets: Int = 32) extends Serializable {
 
   import graft.operators.Similarity
 
-  private val vecsDir = s"$stateDir/vectors"
-  private val keysDir = s"$stateDir/keys"
+  private val vecs = new BatchedState(spark, s"$stateDir/vectors", Seq("ib"))
+  private val keys = new BatchedState(spark, s"$stateDir/keys", Seq("ib"))
+
+  private def idBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(nBuckets)).cast("int")
 
   def seed(reference: DataFrame): Unit = {
     val (v, k) = Similarity.prepEmbedding(reference, dims, nBits, bandBits,
       idCol, vecCol)
-    v.write.mode("overwrite").parquet(vecsDir)
-    k.write.mode("overwrite").parquet(keysDir)
+    vecs.seed(v.withColumn("ib", idBucket(col("id"))))
+    keys.seed(k.withColumn("ib", idBucket(col("id"))))
   }
 
-  def admit(batch: DataFrame): DataFrame = {
-    val (vNew, kNew) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    val (vRaw, kRaw) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
       idCol, vecCol)
-    // replay safety: exclude the batch's own ids from the state side,
-    // same as the minhash twin
-    val freshIds = vNew.select(col("id"))
-    val vRef = spark.read.parquet(vecsDir).dropDuplicates("id")
-      .join(broadcast(freshIds), Seq("id"), "left_anti")
-    val kRef = spark.read.parquet(keysDir).dropDuplicates("id")
-      .join(broadcast(freshIds), Seq("id"), "left_anti")
-    val pairs = Similarity.nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew,
-      threshold).localCheckpoint()
-    vNew.write.mode("append").parquet(vecsDir)
-    kNew.write.mode("append").parquet(keysDir)
+    val vNew = vRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
+    val kNew = kRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
+    // mirrors Similarity.bandCandidatesEmbedding, with the broadcast
+    // hint applied ABOVE the explode — below it the hint would have to
+    // propagate through Generate to reach the join
+    def expl(k: DataFrame): DataFrame =
+      k.select(col("id"), col("ks"),
+        posexplode(col("ks")).as(Seq("band", "key")))
+    val candidates = expl(keys.read(before = batchId)).as("l")
+      .join(broadcast(expl(kNew)).as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(!graft.functions.SharesEarlierBand.of(
+        col("l.ks"), col("r.ks"), col("l.band")))
+      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
+      .localCheckpoint()
+    val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
+      .distinct().collect().map(_.getInt(0))
+    val vRef = vecs.read(before = batchId)
+      .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
+    val pairs = Similarity.verifyCosine(broadcast(candidates), vRef, vNew,
+        threshold)
+      .filter(col("ref_id") =!= col("new_id"))
+    vecs.append(vNew, batchId)
+    keys.append(kNew, batchId)
     pairs
+  }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue): Unit = {
+    vecs.compact(keepFrom)
+    keys.compact(keepFrom)
   }
 
   def attach(source: DataFrame, pairsDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admit(batch).write.mode("append").parquet(pairsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
         ()
       }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.BatchedState
+
+/** The snapshot + delta state store under the streaming dedup twins:
+  * overwrite-idempotent appends, replay-deterministic `read(before)`,
+  * crash-safe compaction, age eviction, partition-pruned reads.
+  */
+class BatchedStateSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(st: BatchedState, before: Long = Long.MaxValue) =
+    st.read(before).select("id", "batch").as[(Long, Long)].collect().toSet
+
+  test("append is overwrite-idempotent: a replayed batch replaces itself") {
+    val st = new BatchedState(spark, tmp("bs_idem"))
+    st.seed(Seq(1L, 2L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    // crash replay of batch 0 with (say) different partitioning of the
+    // same logical rows: state must hold ONE copy, the latest
+    st.append(Seq(10L).toDF("id").repartition(3), 0L)
+    assert(rows(st) === Set((1L, -1L), (2L, -1L), (10L, 0L)))
+  }
+
+  test("read(before) returns exactly the batches below the bound") {
+    val st = new BatchedState(spark, tmp("bs_before"))
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.append(Seq(20L).toDF("id"), 1L)
+    assert(rows(st, before = 0L) === Set((1L, -1L)))
+    assert(rows(st, before = 1L) === Set((1L, -1L), (10L, 0L)))
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
+  }
+
+  test("compact folds deltas into one snapshot and keeps read(before) exact") {
+    val dir = tmp("bs_compact")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.append(Seq(20L).toDF("id"), 1L)
+    st.compact()
+    assert(st.deltaIds.isEmpty && st.snapshotId === Some(1L))
+    // the per-row batch column keeps the replay bound exact THROUGH the
+    // snapshot: a replay of batch 1 still sees only seed + batch 0
+    assert(rows(st, before = 1L) === Set((1L, -1L), (10L, 0L)))
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
+    // new deltas layer on top of the snapshot
+    st.append(Seq(30L).toDF("id"), 2L)
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L), (30L, 2L)))
+    st.compact()
+    assert(st.snapshotId === Some(2L) && st.deltaIds.isEmpty)
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L), (30L, 2L)))
+  }
+
+  test("compact(keepFrom) evicts aged rows (batch id is the age axis)") {
+    val st = new BatchedState(spark, tmp("bs_ttl"))
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.append(Seq(20L).toDF("id"), 1L)
+    st.compact(keepFrom = 0L) // evict the seed, keep batches >= 0
+    assert(rows(st) === Set((10L, 0L), (20L, 1L)))
+  }
+
+  test("partition columns prune the state scan") {
+    val st = new BatchedState(spark, tmp("bs_prune"), Seq("bk"))
+    st.seed(Seq((1L, 0), (2L, 1), (3L, 2)).toDF("id", "bk"))
+    st.append(Seq((10L, 1)).toDF("id", "bk"), 0L)
+    val pruned = st.read().where(col("bk") === 1)
+    assert(pruned.select("id").as[Long].collect().toSet === Set(2L, 10L))
+    // the pushed partition filter reaches the file scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bk"),
+      s"partition filter not pushed:\n$plan")
+  }
+
+  test("StreamingDedup: compaction mid-stream preserves cross-batch pairs") {
+    import graft.streaming.StreamingDedup
+    val sd = new StreamingDedup(spark, tmp("sd_compact"), "doc_id", "text")
+    sd.seed(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    val b0 = sd.admit(Seq(
+      (101L, "novel batch zero document about minhash banding and buckets"))
+      .toDF("doc_id", "text"), 0L)
+    assert(b0.count() === 0)
+    sd.compact() // fold seed + batch 0 into one snapshot
+    val b1 = sd.admit(Seq(
+      (201L, "the quick brown fox jumps over the lazy dog"), // dup of seed
+      (202L, "novel batch zero document about minhash banding and buckets"))
+      .toDF("doc_id", "text"), 1L)
+    val pairs = b1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 201L), (101L, 202L)),
+      s"post-compaction pairs wrong: $pairs")
+  }
+
+  test("StreamingDedup admission never shuffles state: broadcast joins + pruned scans") {
+    import graft.operators.Dedup
+    val dir = tmp("sd_plan")
+    val sd = new graft.streaming.StreamingDedup(spark, dir, "doc_id", "text")
+    sd.seed((1L to 50L).map(i => (i, s"seed document number $i about topic $i"))
+      .toDF("doc_id", "text"))
+    val st = new BatchedState(spark, s"$dir/banded", Seq("bb"))
+    val (_, bNew) = Dedup.prepMinhash(
+      Seq((101L, "seed document number 7 about topic 7")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 8, 4)
+    val cand = Dedup.bandCandidates(
+      st.read().where(col("bb").isin(0 to 31 map Int.box: _*)),
+      broadcast(bNew))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"band join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"state side shuffled:\n$plan")
+  }
+}

@@ -314,9 +314,9 @@ class OperatorsSpec extends AnyFunSuite {
       .sortBy(p => (p._1, p._2))
     assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 101L), (102L, 201L)))
     assert(pairs.forall(_._3 === 1.0)) // exact copies -> jaccard 1
-    // state now holds seed + both batches, deduped on id at read time
-    assert(spark.read.parquet(s"$stateDir/shingles")
-      .dropDuplicates("id").count() === 6)
+    // state now holds seed + both batches — one row per doc with NO
+    // read-time dedup (batch=<id> dirs are overwrite-idempotent)
+    assert(spark.read.parquet(s"$stateDir/shingles").count() === 6)
   }
 
   test("IvfIndex: saved + reloaded index answers identically to the trained one") {
@@ -346,16 +346,19 @@ class OperatorsSpec extends AnyFunSuite {
       (101L, "the quick brown fox jumps over the lazy dog"),
       (103L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
-    val first = sd.admit(batch).collect()
+    val first = sd.admit(batch, 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(first.toSeq === Seq((1L, 101L), (1L, 103L)))
-    // crash-after-state-append replay: the batch ids are already in the
-    // state; the anti-join keeps them off the state side, so the replay
-    // reproduces the clean pairs — no self-pairs, no batch-vs-batch pairs
-    val replay = sd.admit(batch).collect()
+    // crash-after-state-append replay: batch 0's delta already landed,
+    // but a replay of batch 0 reads state strictly < 0 (the seed) and
+    // OVERWRITES its own delta — so it reproduces the clean pairs (no
+    // self-pairs, no batch-vs-batch pairs) and the state has no doubled
+    // rows afterwards
+    val replay = sd.admit(batch, 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(replay.toSeq === first.toSeq,
       s"replay diverged: clean=${first.toSeq} replay=${replay.toSeq}")
+    assert(spark.read.parquet(s"$stateDir/shingles").count() === 3)
   }
 
   test("StreamingEmbeddingDedup: two-batch E2E, cross-batch vector pairs") {
@@ -401,14 +404,14 @@ class OperatorsSpec extends AnyFunSuite {
       (900001L, v0.map(_ * 2.0).toSeq),
       (900002L, v0.map(x => -x).toSeq)) // anti-parallel: cos = -1
       .toDF("vec_id", "embedding")
-    val p1 = ssd.admit(batch1).collect()
+    val p1 = ssd.admit(batch1, 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1.contains((0L, 900001L)), s"scaled twin not found: $p1")
     assert(!p1.exists(_._2 == 900002L), "anti-parallel vector matched")
     // batch 2: a copy of batch-1's own vector -> cross-batch pair via the
     // folded state
     val batch2 = Seq((900003L, v0.map(_ * 2.0).toSeq)).toDF("vec_id", "embedding")
-    val p2 = ssd.admit(batch2).collect()
+    val p2 = ssd.admit(batch2, 1L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2.contains((900001L, 900003L)), s"cross-batch pair missing: $p2")
   }
