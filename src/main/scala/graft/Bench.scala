@@ -94,6 +94,8 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+
     // headline: the reference's benchmark shape — JSON messages through
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
     // The event table is replicated 30x so the timed window is seconds,
@@ -120,42 +122,50 @@ object Bench {
         Dim("id", ChType.whichType("Int64")))
       val projected = Projector.projectJson(raw, dims, ParseOpts())
       projected.write.format("noop").mode("overwrite").save() // warm
-      // best of 2 timed runs: the measurement competes with GC/OS noise
-      val sec = (1 to 2).map { _ =>
+      // best of N timed runs: the measurement competes with GC/OS noise
+      val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         projected.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       raw.unpersist()
-      (n, sec)
+      (n, secs.min, secs)
     }
 
     // a failing query must fail the bench LOUDLY — a swallowed crash
     // would score ~0s and *improve* the total
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // contention hardening: MEDIAN of `runs` timed executions per query (a
-    // single loaded-machine blip can otherwise record a phantom multi-x
-    // regression), plus the output row count so a silently-empty result
-    // can never score fast.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    // contention hardening: MIN of `runs` timed executions per query —
+    // median-of-N cannot reject machine contention that spans the whole
+    // bench window (observed twice on the shared driver box), min is the
+    // standard contention-robust wall-time statistic. Per-run times are
+    // emitted alongside so outliers stay visible in the artifact, and
+    // the output row count (from an observation ON a timed run, so it
+    // can never come from a differently-planned execution) guards
+    // against a silently-empty result scoring fast.
+    // one execution of the EXACT measured plan: noop write with a
+    // row-count observation riding on it
+    def runOnce(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val df = mk().observe(obs, count(lit(1)).as("n"))
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, obs.get("n").asInstanceOf[Long])
     }
-    // (sec, rows); rows from an untimed count() that doubles as warm-up
-    def timed(errKey: String, mk: () => org.apache.spark.sql.DataFrame): (Double, Long) =
+    // (min sec, rows, per-run secs); the warm-up is runOnce too — the
+    // same plan as the timed runs, not a count() that could prune
+    // columns/projections and leave the first timed run cold
+    def timed(errKey: String,
+        mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Seq[Double]) =
       try {
-        val rows = mk().count()
-        val secs = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          mk().write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        (median(secs), rows)
+        runOnce(mk)
+        val rs = (1 to runs).map(_ => runOnce(mk))
+        (rs.map(_._1).min, rs.head._2, rs.map(_._1))
       } catch {
         case e: Throwable =>
           errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          (0.0, -1L)
+          (0.0, -1L, Nil)
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, () => fn(spark, sfDir))
@@ -176,10 +186,15 @@ object Bench {
       None
     }
 
-    def qjson(rs: Seq[(String, (Double, Long))]): String = rs
-      .map { case (k, (sec, rows)) => "\"" + k + s"""":{"sec":$sec,"rows":$rows}""" }
+    def qjson(rs: Seq[(String, (Double, Long, Seq[Double]))]): String = rs
+      .map { case (k, (sec, rows, all)) =>
+        val runsJson =
+          if (all.isEmpty) "" else all.mkString(""","runs":[""", ",", "]")
+        "\"" + k + s"""":{"sec":$sec,"rows":$rows$runsJson}"""
+      }
       .mkString("{", ",", "}")
-    val qs = qjson(results :+ ("ingest_json" -> (ingest._2, ingest._1)))
+    val qs = qjson(results :+
+      (("ingest_json", (ingest._2, ingest._1, ingest._3))))
     val total = results.map(_._2._1).sum + ingest._2
     val rps = (ingest._1 / ingest._2).toLong
     val errJson = errors

@@ -36,35 +36,62 @@ final case class KafkaConfig(
     * switch (`/root/reference/input/kafka_franz.go:139-187`): PLAIN and
     * SCRAM-SHA-256/512 are username/password against the matching login
     * module; GSSAPI maps to Krb5LoginModule with keytab or ticket-cache
-    * auth per `authType`.
+    * auth per `authType`. Interpolated values are JAAS-escaped — a
+    * password holding a double quote or backslash must not terminate the
+    * quoted string (which would both break the stanza and let a crafted
+    * value inject extra JAAS options).
     */
+  private def jaasEsc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def jaasConfig: Option[(String, String)] = saslMechanism.flatMap {
     case "PLAIN" =>
       for (u <- saslUsername; p <- saslPassword) yield
         "kafka.sasl.jaas.config" ->
-          s"""org.apache.kafka.common.security.plain.PlainLoginModule required username="$u" password="$p";"""
+          s"""org.apache.kafka.common.security.plain.PlainLoginModule required username="${jaasEsc(u)}" password="${jaasEsc(p)}";"""
     case "SCRAM-SHA-256" | "SCRAM-SHA-512" =>
       for (u <- saslUsername; p <- saslPassword) yield
         "kafka.sasl.jaas.config" ->
-          s"""org.apache.kafka.common.security.scram.ScramLoginModule required username="$u" password="$p";"""
+          s"""org.apache.kafka.common.security.scram.ScramLoginModule required username="${jaasEsc(u)}" password="${jaasEsc(p)}";"""
     case "GSSAPI" =>
       gssapi.map { g =>
         val principal =
           if (g.realm.nonEmpty) s"${g.username}@${g.realm}" else g.username
         val auth =
           if (g.authType == 2)
-            s"""useKeyTab=true storeKey=true keyTab="${g.keyTabPath}""""
+            s"""useKeyTab=true storeKey=true keyTab="${jaasEsc(g.keyTabPath)}""""
           else "useTicketCache=true"
         "kafka.sasl.jaas.config" ->
-          s"""com.sun.security.auth.module.Krb5LoginModule required $auth principal="$principal";"""
+          s"""com.sun.security.auth.module.Krb5LoginModule required $auth principal="${jaasEsc(principal)}";"""
       }
     case _ => None
   }
 
-  /** Kafka source options (SURVEY S1 mapping; mechanisms per
-    * `input/kafka_franz.go:125-187`).
+  /** Every string field passed through [[EncSecrets.resolve]] — the
+    * reference decrypts `ENC(...)` values across the whole config tree
+    * right after load (`util/gosypt.go:46-89` reflective walk); this is
+    * the same walk written out for this type.
     */
-  def sourceOptions: Map[String, String] =
+  def resolved: KafkaConfig = {
+    import EncSecrets.{resolve => r}
+    copy(brokers = r(brokers),
+      securityProtocol = securityProtocol.map(r),
+      saslMechanism = saslMechanism.map(r),
+      saslUsername = saslUsername.map(r),
+      saslPassword = saslPassword.map(r),
+      gssapi = gssapi.map(g => g.copy(serviceName = r(g.serviceName),
+        username = r(g.username), realm = r(g.realm),
+        keyTabPath = r(g.keyTabPath),
+        krb5ConfigPath = r(g.krb5ConfigPath))))
+  }
+
+  /** Kafka source options (SURVEY S1 mapping; mechanisms per
+    * `input/kafka_franz.go:125-187`). `ENC(...)` credentials are
+    * decrypted before the stanza is built (and before JAAS escaping).
+    */
+  def sourceOptions: Map[String, String] = resolved.rawSourceOptions
+
+  private def rawSourceOptions: Map[String, String] =
     Map("kafka.bootstrap.servers" -> brokers) ++
       securityProtocol.map("kafka.security.protocol" -> _) ++
       saslMechanism.map("kafka.sasl.mechanism" -> _) ++

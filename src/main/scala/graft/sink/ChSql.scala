@@ -64,8 +64,12 @@ object ChSql {
     */
   def shardJdbcUrls(topology: Seq[(Int, Int, String, Int)], db: String,
       params: Map[String, String] = Map.empty): Map[Int, String] = {
+    // URLEncoder does form encoding (space -> '+'); URL query components
+    // need percent encoding, or a driver that percent-decodes but does
+    // not form-decode reads a literal '+'
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+        .replace("+", "%20")
     val query =
       if (params.isEmpty) ""
       else params.toSeq.sortBy(_._1)

@@ -78,6 +78,12 @@ class ControlPlaneSpec extends AnyFunSuite {
     val withParams = ChSql.shardJdbcUrls(Seq((1, 1, "h", 9000)), "db",
       Map("ssl" -> "true", "connect_timeout" -> "30"))
     assert(withParams(1) === "jdbc:clickhouse://h:9000/db?connect_timeout=30&ssl=true")
+    // percent encoding, not form encoding: a space must be %20, never '+'
+    // (a driver that percent-decodes would read the literal '+')
+    val spaced = ChSql.shardJdbcUrls(Seq((1, 1, "h", 9000)), "db",
+      Map("custom_settings" -> "max_threads = 4"))
+    assert(spaced(1) ===
+      "jdbc:clickhouse://h:9000/db?custom_settings=max_threads%20%3D%204")
     assert(ChSql.shardJdbcUrls(Nil, "db") === Map.empty)
   }
 

@@ -32,6 +32,28 @@ class KafkaRoutingSpec extends AnyFunSuite {
     val jaas = opts("kafka.sasl.jaas.config")
     assert(jaas.startsWith("org.apache.kafka.common.security.plain.PlainLoginModule required"))
     assert(jaas.contains("username=\"svc\"") && jaas.endsWith(";"))
+    // the quote inside the password is escaped, not a string terminator
+    assert(jaas.contains("""password="p\"w""""))
+  }
+
+  test("JAAS stanza escapes quotes/backslashes in credentials and paths") {
+    import graft.config.GssapiConfig
+    // a password crafted to close the quoted string and smuggle an extra
+    // JAAS option must stay inert inside the quotes
+    val evil = KafkaConfig(brokers = "b:9092",
+      saslMechanism = Some("SCRAM-SHA-512"),
+      saslUsername = Some("""u\er"""),
+      saslPassword = Some("""x" debug="true"""))
+    val jaas = evil.sourceOptions("kafka.sasl.jaas.config")
+    assert(jaas ===
+      """org.apache.kafka.common.security.scram.ScramLoginModule required username="u\\er" password="x\" debug=\"true";""")
+    // windows-style keytab path: backslashes doubled, not swallowed
+    val kt = KafkaConfig(brokers = "b:9092",
+      saslMechanism = Some("GSSAPI"),
+      gssapi = Some(GssapiConfig(authType = 2, username = "svc",
+        keyTabPath = """C:\keytabs\svc.keytab""")))
+    assert(kt.sourceOptions("kafka.sasl.jaas.config")
+      .contains("""keyTab="C:\\keytabs\\svc.keytab""""))
   }
 
   test("SCRAM-SHA-256/512 select ScramLoginModule (kafka_franz.go:149-161)") {
