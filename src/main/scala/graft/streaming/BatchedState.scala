@@ -108,29 +108,34 @@ final class BatchedState(spark: SparkSession, dir: String,
     all.reduce(_.unionByName(_))
   }
 
-  /** Fold everything currently present into one snapshot and delete the
-    * superseded deltas/snapshots. Rows from batches `< keepFrom` are
-    * evicted (age-based TTL: the `batch` id is the age axis). The new
-    * snapshot is staged in a hidden dir and renamed into place, so a
-    * crash at any point leaves a readable state (the one edge: when
-    * re-compacting to an id that already has a snapshot, the old
-    * snapshot dir is replaced with a delete + rename pair — a crash in
-    * that window needs the staged dir restored by hand).
+  /** Fold the deltas with id `<= upTo` (default: all) into one snapshot
+    * and delete the superseded deltas/snapshots. Rows from batches
+    * `< keepFrom` are evicted (age-based TTL: the `batch` id is the age
+    * axis). Bound `upTo` to the last COMMITTED batch id when compacting
+    * while a stream runs — the in-flight batch's delta must stay a
+    * delta so its replay can overwrite it. The new snapshot is staged
+    * in a hidden dir and renamed into place, so a crash at any point
+    * leaves a readable state (the one edge: when re-compacting to an id
+    * that already has a snapshot, the old snapshot dir is replaced with
+    * a delete + rename pair — a crash in that window needs the staged
+    * dir restored by hand).
     */
-  def compact(keepFrom: Long = Long.MinValue): Unit = {
-    val upTo = maxBatchId.getOrElse(return)
-    val snapshot = read().filter(col("batch") >= keepFrom)
-    val staged = new Path(s"$dir/.staged-snap-$upTo")
-    val target = new Path(s"$dir/snap=$upTo")
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = {
+    val bound = (deltaIds ++ snapshotId).filter(_ <= upTo)
+      .maxOption.getOrElse(return)
+    val snapshot = read(before = bound + 1).filter(col("batch") >= keepFrom)
+    val staged = new Path(s"$dir/.staged-snap-$bound")
+    val target = new Path(s"$dir/snap=$bound")
     val w = snapshot.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staged.toString)
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(staged, target),
       s"compaction rename $staged -> $target failed")
-    deltaIds.filter(_ <= upTo)
+    deltaIds.filter(_ <= bound)
       .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
-    listIds("snap=").filter(_ < upTo)
+    listIds("snap=").filter(_ < bound)
       .foreach(s => fs.delete(new Path(s"$dir/snap=$s"), true))
   }
 }

@@ -99,29 +99,36 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     pairs
   }
 
-  /** Fold all current deltas into one snapshot and evict rows admitted
+  /** Fold deltas `<= upTo` into one snapshot and evict rows admitted
     * before batch `keepFrom` (age-based TTL; the seed corpus is batch
-    * -1). Call only for batch ids the stream's checkpoint has committed
-    * — e.g. from a StreamingQueryListener, or with the stream stopped.
+    * -1). Only fold batch ids the stream's checkpoint has committed —
+    * pass `upTo` when the stream is live ([[attach]]'s auto-compaction
+    * passes `batchId - 1`, which is committed by the time batch
+    * `batchId` runs), or call with the stream stopped.
     */
-  def compact(keepFrom: Long = Long.MinValue): Unit = {
-    shingles.compact(keepFrom)
-    banded.compact(keepFrom)
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = {
+    shingles.compact(keepFrom, upTo)
+    banded.compact(keepFrom, upTo)
   }
 
   /** Wire a streaming source into the standing pipeline: each
     * micro-batch is admitted and its pairs land in
     * `pairsDir/batch=<id>` with overwrite semantics — replays rewrite
     * the same dir, so downstream readers of `pairsDir` see each batch's
-    * pairs exactly once.
+    * pairs exactly once. `autoCompactEvery = K` folds state every K
+    * batches (bounded to the already-committed ids), keeping delta file
+    * counts flat over an unbounded run.
     */
   def attach(source: DataFrame, pairsDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admit(batch, batchId).write.mode("overwrite")
           .parquet(s"$pairsDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
         ()
       }
 }
@@ -195,15 +202,19 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
   }
 
   /** See [[StreamingDedup.compact]]. */
-  def compact(keepFrom: Long = Long.MinValue): Unit = vecs.compact(keepFrom)
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = vecs.compact(keepFrom, upTo)
 
+  /** See [[StreamingDedup.attach]]. */
   def attach(source: DataFrame, pairsDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admit(batch, batchId).write.mode("overwrite")
           .parquet(s"$pairsDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
         ()
       }
 }
@@ -269,18 +280,22 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   }
 
   /** See [[StreamingDedup.compact]]. */
-  def compact(keepFrom: Long = Long.MinValue): Unit = {
-    vecs.compact(keepFrom)
-    keys.compact(keepFrom)
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = {
+    vecs.compact(keepFrom, upTo)
+    keys.compact(keepFrom, upTo)
   }
 
+  /** See [[StreamingDedup.attach]]. */
   def attach(source: DataFrame, pairsDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admit(batch, batchId).write.mode("overwrite")
           .parquet(s"$pairsDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
         ()
       }
 }

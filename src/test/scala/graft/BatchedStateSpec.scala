@@ -59,6 +59,49 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L), (30L, 2L)))
   }
 
+  test("compact(upTo) folds only committed batches; later deltas stay deltas") {
+    val st = new BatchedState(spark, tmp("bs_upto"))
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.append(Seq(20L).toDF("id"), 1L) // in-flight: must stay a delta
+    st.compact(upTo = 0L)
+    assert(st.snapshotId === Some(0L) && st.deltaIds === Seq(1L))
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
+    // the in-flight batch can still overwrite itself (crash replay)
+    st.append(Seq(21L).toDF("id"), 1L)
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (21L, 1L)))
+  }
+
+  test("attach(autoCompactEvery): state folds mid-stream, pairs stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmp("sd_auto")
+    val pairsDir = tmp("sd_auto_pairs")
+    val sd = new StreamingDedup(spark, stateDir, "doc_id", "text")
+    sd.seed(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = sd.attach(mem.toDF().toDF("doc_id", "text"), pairsDir,
+      tmp("sd_auto_ck"), autoCompactEvery = 1).start()
+    mem.addData((101L, "novel doc about lsh banding written in batch zero"))
+    q.processAllAvailable()
+    mem.addData((201L, "the quick brown fox jumps over the lazy dog"), // dup of seed
+      (202L, "novel doc about lsh banding written in batch zero"))     // dup of b0
+    q.processAllAvailable()
+    mem.addData((301L, "novel doc about lsh banding written in batch zero"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsDir)
+      .select("ref_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 201L), (101L, 202L), (101L, 301L), (202L, 301L)),
+      s"pairs drifted under auto-compaction: $pairs")
+    // compaction actually ran: the shingle store has a snapshot
+    val sh = new BatchedState(spark, s"$stateDir/shingles", Seq("ib"))
+    assert(sh.snapshotId.nonEmpty, "no snapshot written by auto-compaction")
+  }
+
   test("compact(keepFrom) evicts aged rows (batch id is the age axis)") {
     val st = new BatchedState(spark, tmp("bs_ttl"))
     st.seed(Seq(1L).toDF("id"))
