@@ -144,12 +144,15 @@ object Bench {
     // can never come from a differently-planned execution) guards
     // against a silently-empty result scoring fast.
     // one execution of the EXACT measured plan: noop write with a
-    // row-count observation riding on it
+    // row-count observation riding on it. mk() runs INSIDE the timed
+    // window — iterative operators (connected components, BPE train)
+    // execute eager per-round jobs during construction, and timing only
+    // the final write would silently drop that work from the score.
     def runOnce(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val obs = org.apache.spark.sql.Observation()
-      val df = mk().observe(obs, count(lit(1)).as("n"))
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk().observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, obs.get("n").asInstanceOf[Long])
     }

@@ -792,6 +792,96 @@ object TextAnalysis {
       .groupBy(col("domain"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_hits"))
 
+  // ---- C4-style heuristic cleaning ------------------------------------
+
+  /** Number of non-empty whitespace-separated tokens in one line —
+    * written with split+filter primitives every SQL engine shares, so
+    * the oracle recomputes it verbatim.
+    */
+  private def lineWordCount(line: Column): Column =
+    size(filter(split(trim(line), "\\s+"), t => t =!= ""))
+
+  /** C4's line keep rule (Raffel et al. 2020 §2.2): a line survives iff
+    * it ends in terminal punctuation (. ! ? or a closing quote), has at
+    * least `minWordsPerLine` words, and does not mention javascript.
+    */
+  def c4LineKeep(line: Column, minWordsPerLine: Int = 5): Column =
+    trim(line).rlike("[.!?\"”]$") &&
+      lineWordCount(line) >= minWordsPerLine &&
+      !lower(line).contains("javascript")
+
+  /** The C4 heuristic-cleaning battery as one scan-local projection:
+    * per-document line filtering plus the page-level drop rules
+    * ("lorem ipsum", curly braces — source-code tells). Returns every
+    * signal plus the cleaned text and the keep verdict, so callers can
+    * either filter on `keep` or audit the reasons; everything is
+    * split/filter/array arithmetic inside codegen (no shuffle, no UDF)
+    * and SQL-recomputable for the oracle. The reference has no cleaning
+    * stage at all (it ships rows as-is); this is the training-data lift.
+    */
+  def c4Signals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWordsPerLine: Int = 5,
+      minLinesKept: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => c4LineKeep(l, minWordsPerLine))
+    df.select(
+      col(idCol).as("id"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_lines_kept"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+      col(textCol).contains("{").as("has_curly"),
+      array_join(kept, "\n").as("clean_text"))
+    .withColumn("keep",
+      col("n_lines_kept") >= minLinesKept &&
+        !col("has_lorem") && !col("has_curly"))
+  }
+
+  // ---- URL normalization + URL-keyed dedup ----------------------------
+
+  /** Canonical URL: lowercase scheme/host, `www.` and default ports
+    * stripped, fragment dropped, tracking params (`utm_*`, `gclid`,
+    * `fbclid`) removed and the surviving query params sorted, trailing
+    * path slashes trimmed. The standard crawl-curation key — page
+    * re-crawls differ only in tracking noise, and URL-keyed dedup wants
+    * all of them on one key. Pure string/array primitives (regexp
+    * extract/split/sort/join) so the oracle recomputes it byte-for-byte;
+    * a value with no `scheme://` passes through unchanged.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path+query with the fragment already excluded by [^#]*
+    val pathq = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val qPos = instr(pathq, "?")
+    val path = regexp_replace(
+      when(qPos > 0, split_part(pathq, lit("?"), lit(1))).otherwise(pathq),
+      "/+$", "")
+    val query = when(qPos > 0, pathq.substr(qPos + 1, length(pathq))).otherwise(lit(""))
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid)=")))
+    val queryPart = when(size(keptParams) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keptParams, "&")))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** URL-keyed exact dedup: group documents by normalized URL, keep the
+    * minimum id per key — the crawl-dedup twin of
+    * [[Dedup.exactGroups]], same map-side-combinable min/count
+    * aggregate (one narrow shuffle on the url key, no window).
+    */
+  def urlDedupGroups(df: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String): org.apache.spark.sql.DataFrame =
+    df.select(normalizeUrl(col(urlCol)).as("url_norm"), col(idCol).as("id"))
+      .groupBy(col("url_norm"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,

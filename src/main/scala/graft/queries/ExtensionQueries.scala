@@ -607,6 +607,52 @@ object ExtensionQueries {
         .orderBy(col("domain"))
     },
 
+    // --- C4 heuristic cleaning battery: lines planted so each rule has
+    //     survivors and victims (short / no-punct / javascript lines;
+    //     lorem-ipsum and curly-brace pages) ------------------------------
+    "text_c4_filters" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.filter(col("doc_id") < 500).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("too short."),                                  // < 5 words
+          lit("this line has plenty of words but no terminal mark"),
+          concat(lit("please enable javascript to view item "),
+            col("doc_id"), lit(".")),                         // js line
+          concat(lit("a perfectly fine closing sentence about document "),
+            col("doc_id"), lit("."))).as("text"))
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit("\nlorem ipsum dolor sit amet.")))
+          .when(col("doc_id") % 23 === 0,
+            concat(col("text"), lit("\nif (x) { return; }")))
+          .otherwise(col("text")))
+      TextAnalysis.c4Signals(corpus, "doc_id", "text").orderBy(col("id"))
+    },
+
+    // --- URL normalization + URL-keyed dedup: four noisy variants of
+    //     each planted URL (case, www, default port, tracking params,
+    //     fragment, trailing slash) must collapse to one key -------------
+    "text_url_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val g = (col("doc_id") / lit(4)).cast("long")
+      val site = concat(lit("site"), g % 7, lit(".example.org"))
+      val path = concat(lit("/p/"), g)
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://"), upper(site), lit(":443"), path,
+            lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), site, path, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www."), site, path, lit("/?b=2&a=1&gclid=z")))
+        .otherwise(
+          concat(lit("https://"), site, path, lit("?b=2&utm_medium=mail&a=1")))
+      TextAnalysis.urlDedupGroups(
+        d.filter(col("doc_id") < 1000).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .orderBy(col("url_norm"))
+    },
+
     // --- multimodal frame sampling: contiguous byte windows at the
     //     demuxer-stub seek offsets, exact per-frame byte sums -----------
     "mm_frames" -> { (s, dir) =>
@@ -1627,6 +1673,79 @@ object ExtensionQueries {
         |  WHERE length(w) >= 2)
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "text_c4_filters" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'too short.'
+        |      || chr(10) || 'this line has plenty of words but no terminal mark'
+        |      || chr(10) || 'please enable javascript to view item ' || CAST(doc_id AS VARCHAR) || '.'
+        |      || chr(10) || 'a perfectly fine closing sentence about document ' || CAST(doc_id AS VARCHAR) || '.'
+        |      || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+        |              WHEN doc_id % 23 = 0 THEN chr(10) || 'if (x) { return; }'
+        |              ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 500),
+        |sig AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"”]$')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), t -> t != '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_curly
+        |  FROM corpus)
+        |SELECT id, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  has_lorem, has_curly, array_to_string(kept, chr(10)) AS clean_text,
+        |  (len(kept) >= 3 AND NOT has_lorem AND NOT has_curly) AS keep
+        |FROM sig ORDER BY id""".stripMargin,
+
+    "text_url_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g
+        |  FROM documents WHERE doc_id < 1000),
+        |planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://' || upper('site' || CAST(g % 7 AS VARCHAR) || '.example.org')
+        |        || ':443/p/' || CAST(g AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://site' || CAST(g % 7 AS VARCHAR) || '.example.org/p/'
+        |        || CAST(g AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'https://www.site' || CAST(g % 7 AS VARCHAR) || '.example.org/p/'
+        |        || CAST(g AS VARCHAR) || '/?b=2&a=1&gclid=z'
+        |      ELSE 'https://site' || CAST(g % 7 AS VARCHAR) || '.example.org/p/'
+        |        || CAST(g AS VARCHAR) || '?b=2&utm_medium=mail&a=1'
+        |    END AS url
+        |  FROM base),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+        |  FROM planted),
+        |pieces AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN position('?' IN pathq) > 0 THEN split_part(pathq, '?', 1) ELSE pathq END AS path0,
+        |    CASE WHEN position('?' IN pathq) > 0 THEN substr(pathq, position('?' IN pathq) + 1) ELSE '' END AS query
+        |  FROM parts),
+        |normed AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE ':' || port END ||
+        |    regexp_replace(path0, '/+$', '') ||
+        |    CASE WHEN len(list_filter(string_split(query, '&'), p -> p != ''
+        |           AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))) = 0
+        |         THEN ''
+        |         ELSE '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |           p -> p != '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') END
+        |    AS url_norm
+        |  FROM pieces)
+        |SELECT url_norm, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+        |FROM normed GROUP BY 1 ORDER BY url_norm""".stripMargin,
 
     "text_domains" -> {
       val url = "https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[A-Za-z0-9/._~-]*)?"

@@ -513,6 +513,74 @@ class CurationOpsSpec extends AnyFunSuite {
       (100L, 902L), (101L, 900L), (102L, -1L), (103L, -1L)))
   }
 
+  test("c4Signals: each rule fires on its planted line, verdicts exact") {
+    val docs = Seq(
+      // 3 good lines -> keep
+      (1L, "the first full sentence has enough words here.\n" +
+        "a second proper sentence with several words too!\n" +
+        "does a third sentence with a question mark count?"),
+      // short line, no-punct line, javascript line all drop -> 1 kept -> drop
+      (2L, "one good closing sentence with enough words inside.\n" +
+        "too short.\nno terminal punctuation on this very long line here\n" +
+        "please enable JavaScript to continue reading this."),
+      // lorem-ipsum page drops even with enough clean lines
+      (3L, "the first full sentence has enough words here.\n" +
+        "a second proper sentence with several words too!\n" +
+        "a third proper sentence keeps the line count high.\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+      // curly brace page drops
+      (4L, "the first full sentence has enough words here.\n" +
+        "a second proper sentence with several words too!\n" +
+        "function f() { return 1; } is a code tell."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Signals(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got.map(_.getBoolean(6)).toSeq === Seq(true, false, false, false))
+    assert(got(0).getLong(2) === 3L) // all three lines survive
+    // doc 2: only the first line survives the line rules
+    assert(got(1).getLong(2) === 1L)
+    assert(got(1).getString(5) ===
+      "one good closing sentence with enough words inside.")
+    assert(got(2).getBoolean(3), "lorem not flagged")
+    assert(got(3).getBoolean(4), "curly not flagged")
+  }
+
+  test("normalizeUrl: canonical form across the noise axes") {
+    import graft.operators.TextAnalysis.normalizeUrl
+    val cases = Seq(
+      // default port + host case + utm + fragment
+      "HTTPS://Example.ORG:443/a/b?utm_source=x&z=1&a=2#frag" ->
+        "https://example.org/a/b?a=2&z=1",
+      // www + trailing slash + gclid; surviving params sorted
+      "https://www.example.org/a/b/?b=2&a=1&gclid=xyz" ->
+        "https://example.org/a/b?a=1&b=2",
+      // non-default port survives; http default port dropped
+      "http://example.org:8080/x" -> "http://example.org:8080/x",
+      "http://example.org:80/x" -> "http://example.org/x",
+      // bare host, root slash trimmed, empty query dropped
+      "https://example.org/" -> "https://example.org",
+      // no scheme -> untouched
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(normalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2), s"got $got")
+  }
+
+  test("urlDedupGroups collapses all variants onto one key, min-id keeper") {
+    val docs = Seq(
+      (10L, "https://example.org/p/1?a=1"),
+      (11L, "HTTPS://EXAMPLE.ORG:443/p/1?a=1&utm_source=x#f"),
+      (12L, "https://www.example.org/p/1/?a=1"),
+      (13L, "https://example.org/p/2"))
+      .toDF("doc_id", "url")
+    val got = TextAnalysis.urlDedupGroups(docs, "doc_id", "url")
+      .orderBy("url_norm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("https://example.org/p/1?a=1", 10L, 3L),
+      ("https://example.org/p/2", 13L, 1L)))
+  }
+
   test("asOf: whole-row match — null payload in the matched row stays null") {
     val left = Seq((100L, 1L, new java.sql.Timestamp(10L)))
       .toDF("event_id", "user_id", "ts")
