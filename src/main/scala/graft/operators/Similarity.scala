@@ -313,6 +313,110 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Trained PQ codebooks: `m` subspaces of `subDims` dims, one
+    * deterministic [[Centroids]] book per subspace — the same seed +
+    * one-Lloyd-step recipe as [[trainCentroids]] applied to each
+    * subvector slice, so an oracle re-derives every book in plain SQL.
+    * Seed SELECTION depends only on ids, so all books share seed rows.
+    */
+  final case class PqCodebooks(subDims: Int, books: IndexedSeq[Centroids])
+      extends Serializable {
+    def m: Int = books.size
+
+    /** Per-subspace code assignment: `array<int>` of length m — the
+      * quantized representation, `m*ceil(log2 k)` bits of information
+      * per vector vs `64*dims` for raw doubles. One fused projection
+      * per subspace, no shuffle.
+      */
+    def encode(vec: Column): Column = {
+      val v = vec.cast(ArrayType(DoubleType))
+      array(books.indices.map { s =>
+        books(s).assignCell(slice(v, s * subDims + 1, subDims))
+      }: _*)
+    }
+  }
+
+  /** Train PQ codebooks (Jegou et al. 2011's product quantizer, with
+    * this library's deterministic k-means-lite per subspace).
+    */
+  def trainPq(corpus: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebooks = {
+    val vecd = col(vecCol).cast(ArrayType(DoubleType))
+    val dims = corpus.select(size(vecd)).first().getInt(0)
+    require(dims % m == 0, s"pq: $dims dims not divisible into $m subspaces")
+    val subDims = dims / m
+    PqCodebooks(subDims, (0 until m).map { s =>
+      trainCentroids(corpus.select(col(idCol),
+        slice(vecd, s * subDims + 1, subDims).as("__sub")), k, idCol, "__sub")
+    }.toIndexedSeq)
+  }
+
+  /** PQ top-k with asymmetric-distance (ADC) candidate scoring: the
+    * corpus is scanned as CODES ONLY (m ints per vector — the scan that
+    * fits in memory at 100 TB of raw vectors), each query's
+    * per-subspace lookup table of `dot(q_s, centroid)` values is built
+    * once on the driver (m*k doubles — bounded), and the approximate
+    * score is m array lookups + adds per (query, vector) instead of a
+    * dims-wide dot product. The dot product decomposes exactly over
+    * subspaces, so ADC score == dot(q, reconstruction). Top
+    * `k * rerank` candidates per query come out of the bounded-heap
+    * [[TopKAgg]] (shuffle = \|q\| x k x rerank rows), then the winners
+    * alone are re-ranked by exact cosine against the true vectors.
+    * Deterministic end-to-end (fixed-order dots, id tie-breaks) — the
+    * oracle replays training, encoding, ADC and re-rank in SQL.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, kCodes: Int = 16, rerank: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWithBooks(corpus, queries, k, trainPq(corpus, m, kCodes, idCol, vecCol),
+      rerank, idCol, vecCol)
+
+  /** The no-train path against existing codebooks. */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: PqCodebooks, rerank: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecd = col(vecCol).cast(ArrayType(DoubleType))
+    val codes = corpus.select(col(idCol).as("nn_id"), books.encode(vecd).as("codes"))
+    // per-query ADC lookup tables, built driver-side from the bounded
+    // query set: lut(s)(j) = fixed-order dot(q_s, book_s[j])
+    val luts = queries.select(col(idCol).as("query_id"), vecd.as("q"))
+      .collect().toIndexedSeq.map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        val lut = books.books.indices.map { s =>
+          val qs = q.slice(s * books.subDims, (s + 1) * books.subDims)
+          books.books(s).cells.sortBy(_._1).map { case (_, c, _) =>
+            var acc = 0.0
+            var i = 0
+            while (i < qs.length) { acc += qs(i) * c(i); i += 1 }
+            acc
+          }
+        }
+        (qid, lut)
+      }.toDF("query_id", "lut")
+    val approx = codes.join(broadcast(luts), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        books.books.indices.map(s =>
+          element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _).as("cos")) // ADC score; named cos for TopKAgg
+    val candidates = topKPerQuery(approx, k * rerank)
+      .select(col("query_id"), col("nn_id"))
+    // exact re-rank of the bounded candidate set
+    val c = corpus.select(col(idCol).as("nn_id"), vecd.as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), vecd.as("q_vec"))
+    val exact = candidates
+      .join(c, Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
   /** Embedding near-duplicate pairs among a bounded query slice (exact
     * all-pairs vs the slice) — the small-query-set verify/oracle tier.
     * Corpus-wide dedup goes through [[nearDupPairsEmbedding]], which never

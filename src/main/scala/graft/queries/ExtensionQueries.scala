@@ -184,6 +184,19 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- PQ/ADC top-k (oracle re-trains all four subspace codebooks,
+    //     re-encodes, replays the ADC lookup scoring and the exact
+    //     re-rank in SQL) --------------------------------------------------
+    "sim_topk_pq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          m = 8, kCodes = 16, rerank = 8)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // --- language identification -----------------------------------------
     "text_langid" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -1038,6 +1051,76 @@ object ExtensionQueries {
        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ/ADC oracle: per-subspace codebook training (the ivfOracle
+    * recipe over each 16-dim slice — seed rows are id-selected, so all
+    * four subspaces share them), per-subspace code assignment, the ADC
+    * approximate score as a sum of subspace dot products against the
+    * coded centroids (exactly what the Spark side's per-query lookup
+    * tables compute), top-20 candidate cut, exact-cosine re-rank to 5.
+    */
+  private def pqOracle: String = {
+    val m = 8; val sub = 8; val kCodes = 16
+    val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
+      "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    val perSub = (0 until m).map { s =>
+      val meanCols = (0 until sub).map(d => s"round(avg(sv[${d + 1}]), 3) AS m$d")
+        .mkString(", ")
+      val centList = (0 until sub).map(d => s"coalesce(m.m$d, round(s.v[${lo(s) + d}], 3))")
+        .mkString("[", ", ", "]")
+      s"""a$s AS (
+         |  SELECT e.vec_id, e.v[${lo(s)}:${hi(s)}] AS sv, s.cell,
+         |    list_dot_product(e.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}]) /
+         |      sqrt(list_dot_product(s.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}])) AS score
+         |  FROM e CROSS JOIN seeds s),
+         |b$s AS (
+         |  SELECT vec_id, sv, cell FROM a$s
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+         |m$s AS (SELECT cell, $meanCols FROM b$s GROUP BY cell),
+         |cent$s AS (
+         |  SELECT s.cell, $centList AS cv
+         |  FROM seeds s LEFT JOIN m$s m ON s.cell = m.cell),
+         |code$s AS (
+         |  SELECT e.vec_id, c.cell AS code
+         |  FROM e CROSS JOIN cent$s c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    list_dot_product(e.v[${lo(s)}:${hi(s)}], c.cv) /
+         |      sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cell) = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcScore = (0 until m)
+      .map(s => s"list_dot_product(q.qv[${lo(s)}:${hi(s)}], c$s.cv)")
+      .mkString(" + ")
+    val codeJoins = (0 until m)
+      .map(s => s"JOIN code$s k$s ON k$s.vec_id = e.vec_id " +
+        s"JOIN cent$s c$s ON c$s.cell = k$s.code")
+      .mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY $hSigned, vec_id) - 1 AS cell, v
+       |  FROM e ORDER BY $hSigned, vec_id LIMIT $kCodes),
+       |$perSub,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |approx AS (
+       |  SELECT q.query_id, e.vec_id AS nn_id, ($adcScore) AS ascore
+       |  FROM q CROSS JOIN e
+       |  $codeJoins
+       |  WHERE e.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT query_id, nn_id FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, nn_id) <= 40),
+       |sc AS (
+       |  SELECT cand.query_id, cand.nn_id, q.qv, e.v AS cv
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |  JOIN e ON e.vec_id = cand.nn_id),
+       |scored AS (SELECT query_id, nn_id, $cosExpr AS cos0 FROM sc)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, nn_id) AS INT) AS rank,
+       |  nn_id, round(cos0, 6) AS cos
+       |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Regenerate [[graft.operators.Multimodal.syntheticAssets]]'s payload
     * hex dump (and byte length) from the id column alone — the oracle
     * twin of the REAL-binary fixture (same id-seeded byte arithmetic,
@@ -1393,6 +1476,8 @@ object ExtensionQueries {
     "sim_topk_lsh" -> lshOracle,
 
     "sim_topk_ivf" -> ivfOracle,
+
+    "sim_topk_pq" -> pqOracle,
 
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>

@@ -319,6 +319,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$stateDir/shingles").count() === 6)
   }
 
+  test("PQ: planted twin surfaces at rank 1; decent recall vs brute force") {
+    val corpus = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // plant an exact copy of vector 3 under a fresh id: ADC must keep it
+    // in the candidate set and the exact re-rank must put it at rank 1
+    val twin = corpus.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val c2 = corpus.union(twin)
+    val queries = c2.filter(col("vec_id") === 3L)
+    val pq = Similarity.pqTopK(c2, queries, k = 5).collect()
+      .sortBy(_.getInt(3))
+    assert(pq.head.getLong(1) === 900003L, s"twin not rank 1: ${pq.toSeq}")
+    assert(pq.head.getDouble(2) > 0.9999)
+    // recall@5 vs exact brute force over 20 queries
+    val q20 = corpus.filter(col("vec_id") < 20)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(corpus, q20, k = 5))
+    val approx = sets(Similarity.pqTopK(corpus, q20, k = 5))
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & approx(q)).size.toDouble / 5).sum / exact.size
+    assert(recall >= 0.5, s"pq recall@5 too low: $recall")
+    // trained books reused via the WithBooks path answer identically
+    val books = Similarity.trainPq(corpus, m = 8, k = 16)
+    val again = Similarity.pqTopKWithBooks(corpus, q20, 5, books).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === Similarity.pqTopK(corpus, q20, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("IvfIndex: saved + reloaded index answers identically to the trained one") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val trained = Similarity.trainCentroids(embs, nCells = 8)

@@ -219,6 +219,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected the posexplode generator:\n$p")
   }
 
+  test("c4 cleaning battery is scan-local (pure projection, no exchange)") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val p = plan(TextAnalysis.c4Signals(d, "doc_id", "text"))
+    assert(!p.contains("Exchange"),
+      s"c4 signals must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"c4 signals left codegen:\n$p")
+  }
+
+  test("url dedup is one narrow shuffle with map-side partial aggregation") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+      .select(col("doc_id"), concat(lit("https://example.org/p/"),
+        col("doc_id") % 100).as("url"))
+    val p = plan(TextAnalysis.urlDedupGroups(d, "doc_id", "url"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one shuffle on the url key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("vocab stats aggregate partially before the token shuffle") {
     import graft.operators.TextAnalysis
     val d = Tables(spark, sf).documents
@@ -226,6 +249,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // tf and df sides each get a partial+final HashAggregate pair
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       s"expected map-side combine on both tf and df:\n$p")
+  }
+
+  test("pq code scan carries m ints per vector, no full-vector join on the approx side") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val books = Similarity.trainPq(e, m = 8, k = 16)
+    val p = plan(Similarity.pqTopKWithBooks(e, e.filter(col("vec_id") < 20), 5, books))
+    // the ADC stage joins codes x broadcast(luts): broadcast on the
+    // query side only, never a shuffle of the corpus for scoring
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.contains("Window"), s"top-k must be the bounded aggregate:\n$p")
   }
 
   test("semdedup pair stage is an equi-join on the cell id (no products)") {
