@@ -89,6 +89,9 @@ object GraftExtensions {
     ("graft_cosine",
       args => toExpression(Similarity.cosine(c(args.head), c(args(1)))),
       "graft_cosine(a, b) - cosine similarity of two double arrays"),
+    ("graft_normalize_url",
+      args => toExpression(graft.operators.TextAnalysis.normalizeUrl(c(args.head))),
+      "graft_normalize_url(url) - canonical crawl-dedup URL key"),
     ("graft_auto_timestamp",
       args => graft.functions.AutoTimestamp(args.head,
         if (args.lengthCompare(1) > 0) strLit(args(1), "graft_auto_timestamp")

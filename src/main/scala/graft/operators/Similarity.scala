@@ -338,6 +338,35 @@ object Similarity {
     }
   }
 
+  /** Persist / reload trained PQ codebooks — train ONCE, encode and
+    * query forever after (the [[IvfIndex]] lifecycle for the product
+    * quantizer). The table is m*k rows (bounded by construction), so
+    * the load-side collect is legitimate.
+    */
+  object PqIndex {
+    def save(b: PqCodebooks, spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = {
+      import spark.implicits._
+      b.books.zipWithIndex.flatMap { case (book, s) =>
+        book.cells.map { case (i, v, _) => (s, b.subDims, i, v.toSeq) }
+      }.toDF("subspace", "sub_dims", "cell", "v").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqCodebooks = {
+      val rows = spark.read.parquet(dir).collect()
+      require(rows.nonEmpty, s"no PQ codebooks at $dir")
+      val subDims = rows.head.getInt(1)
+      val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        Centroids(rs.map { r =>
+          val v = r.getSeq[Double](3).toArray
+          (r.getInt(2), v, math.sqrt(v.map(x => x * x).sum))
+        }.sortBy(_._1).toIndexedSeq)
+      }
+      PqCodebooks(subDims, books.toIndexedSeq)
+    }
+  }
+
   /** Train PQ codebooks (Jegou et al. 2011's product quantizer, with
     * this library's deterministic k-means-lite per subspace).
     */

@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_simhash64(text) AS sh,
         |  graft_set_jaccard(graft_word_shingles(text, 3),
         |                    graft_word_shingles(text, 3)) AS self_jac,
-        |  graft_minhash_sig(graft_word_shingles(text, 3), 8) AS sig
+        |  graft_minhash_sig(graft_word_shingles(text, 3), 8) AS sig,
+        |  graft_normalize_url('HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f') AS nu
         |FROM docs""".stripMargin)
     val api = spark.table("docs").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -54,7 +55,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.functions.WordShingles.of(col("text"), 3),
         graft.functions.WordShingles.of(col("text"), 3)).as("self_jac"),
       graft.functions.MinHashSig.of(
-        graft.functions.WordShingles.of(col("text"), 3), 8).as("sig"))
+        graft.functions.WordShingles.of(col("text"), 3), 8).as("sig"),
+      TextAnalysis.normalizeUrl(
+        lit("HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f")).as("nu"))
     assert(sql.exceptAll(api).count() === 0)
     assert(api.exceptAll(sql).count() === 0)
   }

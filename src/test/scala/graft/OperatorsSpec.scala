@@ -350,6 +350,24 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("PqIndex: saved + reloaded codebooks answer identically") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val corpus = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val trained = Similarity.trainPq(corpus, m = 8, k = 16)
+    Similarity.PqIndex.save(trained, spark, dir)
+    val loaded = Similarity.PqIndex.load(spark, dir)
+    assert(loaded.subDims === trained.subDims && loaded.m === trained.m)
+    assert(loaded.books.map(_.cells.map(c => (c._1, c._2.toSeq))) ===
+      trained.books.map(_.cells.map(c => (c._1, c._2.toSeq))))
+    val q = corpus.filter(col("vec_id") < 5)
+    def res(b: Similarity.PqCodebooks) =
+      Similarity.pqTopKWithBooks(corpus, q, 5, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = res(loaded)
+    assert(r === res(trained) && r.nonEmpty)
+  }
+
   test("IvfIndex: saved + reloaded index answers identically to the trained one") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val trained = Similarity.trainCentroids(embs, nCells = 8)
