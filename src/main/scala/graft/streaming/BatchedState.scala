@@ -58,6 +58,16 @@ final class BatchedState(spark: SparkSession, dir: String,
       .map(_.getPath.getName.stripPrefix(prefix).toLong)
   }
 
+  private def hasDataFile(p: Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val n = it.next().getPath.getName
+      found = !n.startsWith("_") && !n.startsWith(".")
+    }
+    found
+  }
+
   /** Ids of live (not yet compacted-away) delta batches. */
   def deltaIds: Seq[Long] = listIds("batch=")
 
@@ -88,13 +98,37 @@ final class BatchedState(spark: SparkSession, dir: String,
     * `batch` id as a column. Listing happens eagerly on the driver, so
     * the returned plan can never pick up files a concurrent [[append]]
     * adds later — callers need no localCheckpoint fencing.
+    *
+    * `fallback`: the row schema to materialize an EMPTY state frame
+    * from. A zero-row partitioned write produces no parquet files at
+    * all (only `_SUCCESS`), so a pipeline seeded with an empty
+    * reference corpus has nothing to infer a schema from — callers that
+    * support the empty-start case pass the schema they are about to
+    * [[append]].
     */
-  def read(before: Long = Long.MaxValue): DataFrame = {
+  def read(before: Long = Long.MaxValue,
+      fallback: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def emptyState: DataFrame = fallback match {
+      case Some(sch) =>
+        val withBatch = org.apache.spark.sql.types.StructType(
+          sch.fields :+ org.apache.spark.sql.types.StructField(
+            "batch", org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
+      case None => throw new IllegalStateException(
+        s"BatchedState at $dir is empty — seed() it before reading, or " +
+          "pass a fallback schema for the empty-start case")
+    }
     val snap = snapshotId
-    val deltas = deltaIds.filter(id => snap.forall(id > _) && id < before)
-      .map(id => s"$dir/batch=$id")
+    val deltaPaths = deltaIds.filter(id => snap.forall(id > _) && id < before)
+      .map(id => new Path(s"$dir/batch=$id"))
+    // zero-row writes leave file-less dirs: only dirs that actually
+    // hold data files can feed the reader (and an all-empty state needs
+    // the fallback schema)
+    val deltas = deltaPaths.filter(hasDataFile).map(_.toString)
     val parts = Seq.newBuilder[DataFrame]
-    snap.foreach { s =>
+    snap.filter(s => hasDataFile(new Path(s"$dir/snap=$s"))).foreach { s =>
       parts += spark.read.parquet(s"$dir/snap=$s")
         .withColumn("batch", col("batch").cast("long"))
         .filter(col("batch") < before)
@@ -103,9 +137,8 @@ final class BatchedState(spark: SparkSession, dir: String,
       parts += spark.read.option("basePath", dir).parquet(deltas: _*)
         .withColumn("batch", col("batch").cast("long"))
     val all = parts.result()
-    require(all.nonEmpty,
-      s"BatchedState at $dir is empty — seed() it before reading")
-    all.reduce(_.unionByName(_))
+    if (all.isEmpty) emptyState
+    else all.reduce(_.unionByName(_))
   }
 
   /** Fold the deltas with id `<= upTo` (default: all) into one snapshot
@@ -124,6 +157,10 @@ final class BatchedState(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
     val bound = (deltaIds ++ snapshotId).filter(_ <= upTo)
       .maxOption.getOrElse(return)
+    // an empty-seeded state has dirs but no data files yet — nothing to fold
+    val live = deltaIds.filter(_ <= bound).map(id => new Path(s"$dir/batch=$id")) ++
+      snapshotId.map(s => new Path(s"$dir/snap=$s"))
+    if (!live.exists(hasDataFile)) return
     val snapshot = read(before = bound + 1).filter(col("batch") >= keepFrom)
     val staged = new Path(s"$dir/.staged-snap-$bound")
     val target = new Path(s"$dir/snap=$bound")

@@ -58,8 +58,10 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     */
   def seed(reference: DataFrame): Unit = {
     val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
-    shingles.seed(sh.withColumn("ib", idBucket(col("id"))))
-    val persisted = shingles.read().select("id", "shingles")
+    val shB = sh.withColumn("ib", idBucket(col("id")))
+    shingles.seed(shB)
+    val persisted = shingles.read(fallback = Some(shB.schema))
+      .select("id", "shingles")
     val b = Dedup.lshBands(
       Dedup.minhashSignatureDF(persisted, "id", "shingles", bands * rows),
       col("id"), col("sig"), bands, rows)
@@ -80,14 +82,14 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
       .localCheckpoint()
     // band-bucket prune set of THIS batch (<= nBuckets values)
     val bbs = bNew.select("bb").distinct().collect().map(_.getInt(0))
-    val bRef = banded.read(before = batchId)
+    val bRef = banded.read(before = batchId, fallback = Some(bNew.schema))
       .where(col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
     val candidates =
       Dedup.bandCandidates(bRef, broadcast(bNew)).localCheckpoint()
     // shingle state pruned to the candidates' ref-id buckets
     val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
       .distinct().collect().map(_.getInt(0))
-    val shRef = shingles.read(before = batchId)
+    val shRef = shingles.read(before = batchId, fallback = Some(shNew.schema))
       .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
     // ref_id =!= new_id: a doc id re-arriving in a later batch must not
     // pair with its own earlier copy (the old anti-join's semantics)
@@ -189,7 +191,7 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     // the batch's cell set is bounded by min(|batch|, nCells): scan
     // only those state partitions
     val cells = fresh.select("cell").distinct().collect().map(_.getInt(0))
-    val ref = vecs.read(before = batchId)
+    val ref = vecs.read(before = batchId, fallback = Some(fresh.schema))
       .where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
     val pairs = ref.as("l").join(broadcast(fresh).as("r"),
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
@@ -260,7 +262,8 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     def expl(k: DataFrame): DataFrame =
       k.select(col("id"), col("ks"),
         posexplode(col("ks")).as(Seq("band", "key")))
-    val candidates = expl(keys.read(before = batchId)).as("l")
+    val candidates = expl(keys.read(before = batchId,
+        fallback = Some(kNew.schema))).as("l")
       .join(broadcast(expl(kNew)).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
@@ -269,7 +272,7 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
       .localCheckpoint()
     val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
       .distinct().collect().map(_.getInt(0))
-    val vRef = vecs.read(before = batchId)
+    val vRef = vecs.read(before = batchId, fallback = Some(vNew.schema))
       .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
     val pairs = Similarity.verifyCosine(broadcast(candidates), vRef, vNew,
         threshold)

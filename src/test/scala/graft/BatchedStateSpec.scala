@@ -123,6 +123,30 @@ class BatchedStateSpec extends AnyFunSuite {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("empty-start: a pipeline seeded with no reference corpus works") {
+    import graft.streaming.StreamingDedup
+    val sd = new StreamingDedup(spark, tmp("sd_empty"), "doc_id", "text")
+    // zero-row partitioned writes produce no parquet files — the read
+    // path must fall back to the batch-side schema instead of failing
+    // schema inference
+    sd.seed(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val b0 = sd.admit(Seq(
+      (100L, "the very first document this empty pipeline ever admits"))
+      .toDF("doc_id", "text"), 0L)
+    assert(b0.count() === 0)
+    val b1 = sd.admit(Seq(
+      (200L, "the very first document this empty pipeline ever admits"))
+      .toDF("doc_id", "text"), 1L)
+    val pairs = b1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 200L)), s"cross-batch pair missing: $pairs")
+    // compaction on a sparsely-filled state also holds
+    sd.compact()
+    val b2 = sd.admit(Seq(
+      (300L, "the very first document this empty pipeline ever admits"))
+      .toDF("doc_id", "text"), 2L)
+    assert(b2.count() === 2)
+  }
+
   test("StreamingDedup: compaction mid-stream preserves cross-batch pairs") {
     import graft.streaming.StreamingDedup
     val sd = new StreamingDedup(spark, tmp("sd_compact"), "doc_id", "text")
