@@ -145,6 +145,13 @@ class BatchedStateSpec extends AnyFunSuite {
       (300L, "the very first document this empty pipeline ever admits"))
       .toDF("doc_id", "text"), 2L)
     assert(b2.count() === 2)
+    // an EMPTY micro-batch admits cleanly too (zero-row localCheckpoint,
+    // empty prune sets) and later batches still see correct state
+    assert(sd.admit(Seq.empty[(Long, String)].toDF("doc_id", "text"), 3L)
+      .count() === 0)
+    assert(sd.admit(Seq(
+      (400L, "the very first document this empty pipeline ever admits"))
+      .toDF("doc_id", "text"), 4L).count() === 3)
   }
 
   test("StreamingDedup: compaction mid-stream preserves cross-batch pairs") {
