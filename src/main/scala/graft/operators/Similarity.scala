@@ -602,11 +602,15 @@ object Similarity {
     * [[graft.streaming.StreamingEmbeddingDedup]] can broadcast-hint the
     * fresh side and pin the candidates before verification.
     */
-  def bandCandidatesEmbedding(kRef: DataFrame, kNew: DataFrame): DataFrame = {
+  def bandCandidatesEmbedding(kRef: DataFrame, kNew: DataFrame,
+      broadcastFresh: Boolean = false): DataFrame = {
     def expl(keys: DataFrame): DataFrame =
       keys.select(col("id"), col("ks"),
         posexplode(col("ks")).as(Seq("band", "key")))
-    expl(kRef).as("l").join(expl(kNew).as("r"),
+    // the hint goes ABOVE the explode: below it, it would have to
+    // propagate through Generate to reach the join
+    val fresh = if (broadcastFresh) broadcast(expl(kNew)) else expl(kNew)
+    expl(kRef).as("l").join(fresh.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
         col("l.ks"), col("r.ks"), col("l.band")))

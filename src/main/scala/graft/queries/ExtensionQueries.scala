@@ -184,7 +184,7 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // --- PQ/ADC top-k (oracle re-trains all four subspace codebooks,
+    // --- PQ/ADC top-k (oracle re-trains all eight subspace codebooks,
     //     re-encodes, replays the ADC lookup scoring and the exact
     //     re-rank in SQL) --------------------------------------------------
     "sim_topk_pq" -> { (s, dir) =>
@@ -1052,11 +1052,13 @@ object ExtensionQueries {
   }
 
   /** PQ/ADC oracle: per-subspace codebook training (the ivfOracle
-    * recipe over each 16-dim slice — seed rows are id-selected, so all
-    * four subspaces share them), per-subspace code assignment, the ADC
+    * recipe over each 8-dim slice — seed rows are id-selected, so all
+    * eight subspaces share them), per-subspace code assignment, the ADC
     * approximate score as a sum of subspace dot products against the
     * coded centroids (exactly what the Spark side's per-query lookup
-    * tables compute), top-20 candidate cut, exact-cosine re-rank to 5.
+    * tables compute), top-(k*rerank = 40) candidate cut, exact-cosine
+    * re-rank to 5. All sizes derive from the m/sub/kCodes vals below —
+    * keep them equal to the sim_topk_pq call's m/kCodes/rerank.
     */
   private def pqOracle: String = {
     val m = 8; val sub = 8; val kCodes = 16

@@ -109,16 +109,30 @@ final class BatchedState(spark: SparkSession, dir: String,
   def read(before: Long = Long.MaxValue,
       fallback: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    def emptyState: DataFrame = fallback match {
-      case Some(sch) =>
+    def emptyState: DataFrame = {
+      // hidden compaction dirs with data but NO visible data = an
+      // interrupted snapshot replace; returning an empty state here
+      // would silently admit everything as unique
+      val p = new Path(dir)
+      if (fs.exists(p) && fs.listStatus(p).exists(s => s.isDirectory &&
+          (s.getPath.getName.startsWith(".staged-snap-") ||
+            s.getPath.getName.startsWith(".trash-snap-")) &&
+          hasDataFile(s.getPath)))
+        throw new IllegalStateException(
+          s"BatchedState at $dir holds hidden compaction dirs but no " +
+            "visible data — an interrupted compaction; recover by renaming " +
+            ".staged-snap-<B> (or .trash-snap-<B>) back to snap=<B>")
+      fallback match {
+        case Some(sch) =>
         val withBatch = org.apache.spark.sql.types.StructType(
           sch.fields :+ org.apache.spark.sql.types.StructField(
             "batch", org.apache.spark.sql.types.LongType))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
-      case None => throw new IllegalStateException(
-        s"BatchedState at $dir is empty — seed() it before reading, or " +
-          "pass a fallback schema for the empty-start case")
+        case None => throw new IllegalStateException(
+          s"BatchedState at $dir is empty — seed() it before reading, or " +
+            "pass a fallback schema for the empty-start case")
+      }
     }
     val snap = snapshotId
     val deltaPaths = deltaIds.filter(id => snap.forall(id > _) && id < before)
@@ -141,35 +155,66 @@ final class BatchedState(spark: SparkSession, dir: String,
     else all.reduce(_.unionByName(_))
   }
 
+  /** Delete the whole state directory — the start of a fresh seed.
+    * Without it a re-[[seed]] would only overwrite `batch=-1` and leave
+    * every previously admitted batch in state.
+    */
+  def reset(): Unit = {
+    val p = new Path(dir)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Fold the deltas with id `<= upTo` (default: all) into one snapshot
     * and delete the superseded deltas/snapshots. Rows from batches
     * `< keepFrom` are evicted (age-based TTL: the `batch` id is the age
     * axis). Bound `upTo` to the last COMMITTED batch id when compacting
     * while a stream runs — the in-flight batch's delta must stay a
-    * delta so its replay can overwrite it. The new snapshot is staged
-    * in a hidden dir and renamed into place, so a crash at any point
-    * leaves a readable state (the one edge: when re-compacting to an id
-    * that already has a snapshot, the old snapshot dir is replaced with
-    * a delete + rename pair — a crash in that window needs the staged
-    * dir restored by hand).
+    * delta so its replay can overwrite it.
+    *
+    * Folding rewrites the covered state (one read + one write of every
+    * surviving row), so pace calls to amortize it — compaction is the
+    * lifecycle lever, not a per-batch operation. A call with nothing
+    * new to fold (the current snapshot is already the bound and no
+    * data-bearing deltas are at or below it) is a no-op unless it
+    * evicts (`keepFrom`).
+    *
+    * Crash safety: the new snapshot is staged in a hidden dir and
+    * renamed into place. When an existing snapshot at the same bound is
+    * replaced (an eviction rewrite), it is first renamed aside to a
+    * hidden trash dir and deleted only after the staged dir lands — a
+    * crash between the two renames leaves the state recoverable from
+    * the hidden dirs, and [[read]] fails LOUDLY (rather than returning
+    * an empty state) when it finds hidden snapshot dirs but no visible
+    * data.
     */
   def compact(keepFrom: Long = Long.MinValue,
       upTo: Long = Long.MaxValue): Unit = {
     val bound = (deltaIds ++ snapshotId).filter(_ <= upTo)
       .maxOption.getOrElse(return)
     // an empty-seeded state has dirs but no data files yet — nothing to fold
-    val live = deltaIds.filter(_ <= bound).map(id => new Path(s"$dir/batch=$id")) ++
-      snapshotId.map(s => new Path(s"$dir/snap=$s"))
-    if (!live.exists(hasDataFile)) return
+    val liveDeltas = deltaIds.filter(_ <= bound)
+      .map(id => new Path(s"$dir/batch=$id")).filter(hasDataFile)
+    val snapIsBound = snapshotId.contains(bound)
+    if (liveDeltas.isEmpty && !snapshotId.exists(s =>
+        hasDataFile(new Path(s"$dir/snap=$s")))) return
+    // nothing new to fold and nothing to evict -> avoid the rewrite AND
+    // the replace window entirely
+    if (liveDeltas.isEmpty && snapIsBound && keepFrom == Long.MinValue) return
     val snapshot = read(before = bound + 1).filter(col("batch") >= keepFrom)
     val staged = new Path(s"$dir/.staged-snap-$bound")
     val target = new Path(s"$dir/snap=$bound")
+    val trash = new Path(s"$dir/.trash-snap-$bound")
     val w = snapshot.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staged.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(target)) {
+      if (fs.exists(trash)) fs.delete(trash, true)
+      require(fs.rename(target, trash),
+        s"compaction rename-aside $target -> $trash failed")
+    }
     require(fs.rename(staged, target),
       s"compaction rename $staged -> $target failed")
+    fs.delete(trash, true)
     deltaIds.filter(_ <= bound)
       .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
     listIds("snap=").filter(_ < bound)
@@ -182,4 +227,47 @@ object BatchedState {
     * Streaming batch id (those start at 0).
     */
   val SeedBatch: Long = -1L
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist the derivation parameters beside the state (one `k=v` line
+    * per entry). Bucket counts and band geometry bake into the stored
+    * rows — a restart with different values would silently prune real
+    * state rows and admit duplicates as unique, so the twins write this
+    * at seed time and [[validateParams]] on first admission.
+    */
+  def writeParams(spark: SparkSession, stateDir: String,
+      params: Map[String, String]): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val out = fs.create(new Path(s"$stateDir/_params"), true)
+    try out.write(params.toSeq.sorted
+      .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fail loudly when persisted parameters disagree with the caller's.
+    * Missing file (a pre-parameter state dir) passes.
+    */
+  def validateParams(spark: SparkSession, stateDir: String,
+      params: Map[String, String]): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val p = new Path(s"$stateDir/_params")
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      finally in.close()
+    val drift = params.collect {
+      case (k, v) if stored.get(k).exists(_ != v) =>
+        s"$k: stored=${stored(k)} caller=$v"
+    }
+    require(drift.isEmpty,
+      s"state at $stateDir was built with different parameters — " +
+        s"${drift.mkString("; ")}. Re-seed (reset) or restore the " +
+        "original values.")
+  }
 }

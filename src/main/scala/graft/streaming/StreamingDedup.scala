@@ -7,6 +7,16 @@ import org.apache.spark.sql.Row
 
 import graft.operators.Dedup
 
+/** Bucket derivations shared by the dedup twins — one definition so the
+  * batch side and the persisted state can never disagree.
+  */
+private[streaming] object StateBuckets {
+  def idBucket(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets)).cast("int")
+  def bandBucket(band: Column, bandHash: Column, nBuckets: Int): Column =
+    pmod(xxhash64(band, bandHash), lit(nBuckets)).cast("int")
+}
+
 /** Standing incremental near-dup admission — the streaming lift of
   * [[graft.operators.Dedup.nearDupsAgainstMinhash]]: the reference
   * corpus's minhash state (shingle + banded-signature tables) is
@@ -47,16 +57,31 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
   private val shingles = new BatchedState(spark, s"$stateDir/shingles", Seq("ib"))
   private val banded   = new BatchedState(spark, s"$stateDir/banded", Seq("bb"))
 
-  private def idBucket(id: Column): Column =
-    pmod(xxhash64(id), lit(nBuckets)).cast("int")
+  private def idBucket(id: Column): Column = StateBuckets.idBucket(id, nBuckets)
   private def bandBucket(band: Column, bandHash: Column): Column =
-    pmod(xxhash64(band, bandHash), lit(nBuckets)).cast("int")
+    StateBuckets.bandBucket(band, bandHash, nBuckets)
 
-  /** Seed the persisted reference state. Signatures are computed once;
-    * the banded table is derived from the just-persisted shingle state
-    * (a narrow parquet scan) rather than re-shingling the corpus.
+  // signature/bucket geometry bakes into the stored rows: persisted at
+  // seed time, validated before the first admission of each run
+  private val stateParams = Map("n" -> n.toString, "bands" -> bands.toString,
+    "rows" -> rows.toString, "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureParams(): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Seed the persisted reference state, REPLACING any previous state
+    * under `stateDir` (re-seeding starts a fresh corpus — stale admitted
+    * batches must not survive into the new one). Signatures are computed
+    * once; the banded table is derived from the just-persisted shingle
+    * state (a narrow parquet scan) rather than re-shingling the corpus.
     */
   def seed(reference: DataFrame): Unit = {
+    shingles.reset()
+    banded.reset()
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
     val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
     val shB = sh.withColumn("ib", idBucket(col("id")))
     shingles.seed(shB)
@@ -74,6 +99,7 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     * (a crash replay) yields the same pairs and the same state.
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureParams()
     val (shRaw, bRaw) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
     // pin the batch-side prep (it feeds three consumers: prune-set
     // collect, the joins, the state append) — |batch|-bounded
@@ -92,10 +118,17 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     val shRef = shingles.read(before = batchId, fallback = Some(shNew.schema))
       .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
     // ref_id =!= new_id: a doc id re-arriving in a later batch must not
-    // pair with its own earlier copy (the old anti-join's semantics)
+    // pair with its own earlier copy. The max-aggregate collapses the
+    // one-row-per-stored-version fan-out a re-arrived id leaves in
+    // state (each version is a state row; emit ONE pair, best score).
+    // localCheckpoint pins the result so a later compact() cannot
+    // invalidate an unconsumed plan's file references.
     val pairs = Dedup.verifyJaccard(broadcast(candidates), shRef, shNew,
         threshold)
       .filter(col("ref_id") =!= col("new_id"))
+      .groupBy(col("ref_id"), col("new_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .localCheckpoint()
     shingles.append(shNew, batchId)
     banded.append(bNew, batchId)
     pairs
@@ -120,7 +153,10 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     * the same dir, so downstream readers of `pairsDir` see each batch's
     * pairs exactly once. `autoCompactEvery = K` folds state every K
     * batches (bounded to the already-committed ids), keeping delta file
-    * counts flat over an unbounded run.
+    * counts flat over an unbounded run — each fold rewrites the covered
+    * state, so pick K (or run [[compact]] out-of-band with a `keepFrom`
+    * TTL) to amortize that O(corpus/K) cost against the admission
+    * path's O(batch) shape.
     */
   def attach(source: DataFrame, pairsDir: String,
       checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
@@ -158,6 +194,13 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
   private val vecs = new BatchedState(spark, s"$stateDir/vectors", Seq("cell"))
   private val indexDir = s"$stateDir/index"
 
+  private val stateParams = Map("nCells" -> nCells.toString)
+  @transient private var paramsChecked = false
+  private def ensureParams(): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
   // the index is immutable after seed(): cache it instead of paying a
   // parquet read + driver collect per micro-batch
   @transient private var centroidsCache: Similarity.Centroids = _
@@ -168,9 +211,14 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
   }
 
   /** Train centroids on the reference corpus, persist index + assigned
-    * vectors.
+    * vectors — REPLACING any previous state (retrained centroids assign
+    * different cell ids, so stale rows would be compared in the wrong
+    * cells).
     */
   def seed(reference: DataFrame): Unit = {
+    vecs.reset()
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
     val trained = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
     Similarity.IvfIndex.save(trained, spark, indexDir)
     centroidsCache = trained
@@ -184,6 +232,7 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     * fold the batch into the state. Replay-idempotent.
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureParams()
     val fresh = batch.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("cell", centroids.assignCell(col("v")))
@@ -193,12 +242,19 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     val cells = fresh.select("cell").distinct().collect().map(_.getInt(0))
     val ref = vecs.read(before = batchId, fallback = Some(fresh.schema))
       .where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
+    // max-aggregate: a re-arrived id leaves one state row per version —
+    // emit ONE pair (best cos, its cell); pinned against later compact()
     val pairs = ref.as("l").join(broadcast(fresh).as("r"),
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
         col("l.cell").as("cell"),
         Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy(col("ref_id"), col("new_id"))
+      .agg(max(struct(col("cos"), col("cell"))).as("m"))
+      .select(col("ref_id"), col("new_id"),
+        col("m.cell").as("cell"), col("m.cos").as("cos"))
+      .localCheckpoint()
     vecs.append(fresh, batchId)
     pairs
   }
@@ -241,10 +297,25 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   private val vecs = new BatchedState(spark, s"$stateDir/vectors", Seq("ib"))
   private val keys = new BatchedState(spark, s"$stateDir/keys", Seq("ib"))
 
-  private def idBucket(id: Column): Column =
-    pmod(xxhash64(id), lit(nBuckets)).cast("int")
+  private def idBucket(id: Column): Column = StateBuckets.idBucket(id, nBuckets)
 
+  private val stateParams = Map("dims" -> dims.toString,
+    "nBits" -> nBits.toString, "bandBits" -> bandBits.toString,
+    "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureParams(): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Seed the persisted reference state, REPLACING any previous state
+    * under `stateDir`.
+    */
   def seed(reference: DataFrame): Unit = {
+    vecs.reset()
+    keys.reset()
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
     val (v, k) = Similarity.prepEmbedding(reference, dims, nBits, bandBits,
       idCol, vecCol)
     vecs.seed(v.withColumn("ib", idBucket(col("id"))))
@@ -252,31 +323,27 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   }
 
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureParams()
     val (vRaw, kRaw) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
       idCol, vecCol)
     val vNew = vRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
     val kNew = kRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
-    // mirrors Similarity.bandCandidatesEmbedding, with the broadcast
-    // hint applied ABOVE the explode — below it the hint would have to
-    // propagate through Generate to reach the join
-    def expl(k: DataFrame): DataFrame =
-      k.select(col("id"), col("ks"),
-        posexplode(col("ks")).as(Seq("band", "key")))
-    val candidates = expl(keys.read(before = batchId,
-        fallback = Some(kNew.schema))).as("l")
-      .join(broadcast(expl(kNew)).as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
-      .filter(!graft.functions.SharesEarlierBand.of(
-        col("l.ks"), col("r.ks"), col("l.band")))
-      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
+    val candidates = Similarity.bandCandidatesEmbedding(
+        keys.read(before = batchId, fallback = Some(kNew.schema)), kNew,
+        broadcastFresh = true)
       .localCheckpoint()
     val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
       .distinct().collect().map(_.getInt(0))
     val vRef = vecs.read(before = batchId, fallback = Some(vNew.schema))
       .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
+    // max-aggregate: one pair per (ref, new) even when a re-arrived id
+    // left several state versions; pinned against later compact()
     val pairs = Similarity.verifyCosine(broadcast(candidates), vRef, vNew,
         threshold)
       .filter(col("ref_id") =!= col("new_id"))
+      .groupBy(col("ref_id"), col("new_id"))
+      .agg(max(col("cos")).as("cos"))
+      .localCheckpoint()
     vecs.append(vNew, batchId)
     keys.append(kNew, batchId)
     pairs

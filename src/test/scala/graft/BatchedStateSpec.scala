@@ -154,6 +154,58 @@ class BatchedStateSpec extends AnyFunSuite {
       .toDF("doc_id", "text"), 4L).count() === 3)
   }
 
+  test("re-seed replaces the whole state (stale admitted batches vanish)") {
+    import graft.streaming.StreamingDedup
+    val dir = tmp("sd_reseed")
+    val sd = new StreamingDedup(spark, dir, "doc_id", "text")
+    sd.seed(Seq((1L, "old reference corpus document about archived topics"))
+      .toDF("doc_id", "text"))
+    sd.admit(Seq((100L, "an admitted doc that must not survive re-seeding"))
+      .toDF("doc_id", "text"), 0L)
+    // new corpus, fresh start: neither the old seed nor batch 0 remain
+    sd.seed(Seq((2L, "brand new reference corpus document about fresh topics"))
+      .toDF("doc_id", "text"))
+    val pairs = sd.admit(Seq(
+      (200L, "an admitted doc that must not survive re-seeding"), // vs stale b0
+      (201L, "brand new reference corpus document about fresh topics"))
+      .toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2L, 201L)), s"stale state leaked into pairs: $pairs")
+  }
+
+  test("restarting with different state parameters fails loudly") {
+    import graft.streaming.StreamingDedup
+    val dir = tmp("sd_params")
+    new StreamingDedup(spark, dir, "doc_id", "text", nBuckets = 32)
+      .seed(Seq((1L, "seed doc")).toDF("doc_id", "text"))
+    // a restart with a different bucket count would silently prune most
+    // state rows from every bucket-filtered read — must refuse instead
+    val drifted = new StreamingDedup(spark, dir, "doc_id", "text", nBuckets = 16)
+    val e = intercept[IllegalArgumentException](
+      drifted.admit(Seq((2L, "x")).toDF("doc_id", "text"), 0L))
+    assert(e.getMessage.contains("nBuckets"), e.getMessage)
+    // same parameters resume fine
+    new StreamingDedup(spark, dir, "doc_id", "text", nBuckets = 32)
+      .admit(Seq((2L, "other text entirely")).toDF("doc_id", "text"), 0L)
+      .count()
+  }
+
+  test("a re-arrived doc id yields ONE pair per neighbor, not one per version") {
+    import graft.streaming.StreamingDedup
+    val sd = new StreamingDedup(spark, tmp("sd_rearrive"), "doc_id", "text")
+    sd.seed(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val text = "the same document body arriving again in a later micro batch"
+    sd.admit(Seq((7L, text)).toDF("doc_id", "text"), 0L)
+    // id 7 re-arrives: state now holds TWO rows for id 7 (batch 0 + 1);
+    // the self-pair is suppressed
+    assert(sd.admit(Seq((7L, text)).toDF("doc_id", "text"), 1L).count() === 0)
+    // a near-dup of 7 must emit exactly ONE (7, 900) pair
+    val pairs = sd.admit(Seq((900L, text)).toDF("doc_id", "text"), 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((7L, 900L)),
+      s"duplicate pairs from the re-arrived id's state versions: ${pairs.toSeq}")
+  }
+
   test("StreamingDedup: compaction mid-stream preserves cross-batch pairs") {
     import graft.streaming.StreamingDedup
     val sd = new StreamingDedup(spark, tmp("sd_compact"), "doc_id", "text")
