@@ -89,6 +89,9 @@ object GraftExtensions {
     ("graft_cosine",
       args => toExpression(Similarity.cosine(c(args.head), c(args(1)))),
       "graft_cosine(a, b) - cosine similarity of two double arrays"),
+    ("graft_nfc",
+      args => graft.functions.NfcNormalize(args.head),
+      "graft_nfc(s) - Unicode NFC normalization"),
     ("graft_normalize_url",
       args => toExpression(graft.operators.TextAnalysis.normalizeUrl(c(args.head))),
       "graft_normalize_url(url) - canonical crawl-dedup URL key"),

@@ -792,6 +792,15 @@ object TextAnalysis {
       .groupBy(col("domain"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_hits"))
 
+  // ---- Unicode NFC normalization --------------------------------------
+
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]] — a
+    * codegen'd native expression): composed/decomposed sequences
+    * canonicalize before fingerprinting/shingling, so `e`+U+0301 and
+    * precomposed `é` dedup as the same text.
+    */
+  def nfc(text: Column): Column = graft.functions.NfcNormalize.of(text)
+
   // ---- C4-style heuristic cleaning ------------------------------------
 
   /** Number of non-empty whitespace-separated tokens in one line —

@@ -620,6 +620,19 @@ object ExtensionQueries {
         .orderBy(col("domain"))
     },
 
+    // --- Unicode NFC normalization: decomposed accents + Hangul jamo
+    //     planted; oracle is DuckDB's utf8proc nfc_normalize ------------
+    "text_nfc" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.filter(col("doc_id") < 500).select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 \u1100\u1161")).as("text"))
+      corpus.select(col("doc_id"),
+          TextAnalysis.nfc(col("text")).as("nfc_text"),
+          (TextAnalysis.nfc(col("text")) =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- C4 heuristic cleaning battery: lines planted so each rule has
     //     survivors and victims (short / no-punct / javascript lines;
     //     lorem-ipsum and curly-brace pages) ------------------------------
@@ -1760,6 +1773,15 @@ object ExtensionQueries {
         |  WHERE length(w) >= 2)
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "text_nfc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(4352) || chr(4449) AS text
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  (nfc_normalize(text) != text) AS changed
+        |FROM corpus ORDER BY doc_id""".stripMargin,
 
     "text_c4_filters" ->
       """WITH corpus AS (

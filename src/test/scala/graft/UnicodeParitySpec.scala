@@ -134,4 +134,28 @@ class UnicodeParitySpec extends AnyFunSuite {
         "shingles diverged")
     }
   }
+
+  test("NFC normalization: composition cases, idempotence, SQL twin") {
+    import spark.implicits._
+    val nfc = (c: org.apache.spark.sql.Column) => graft.functions.NfcNormalize.of(c)
+    val cases = Seq(
+      // decomposed e + combining acute -> precomposed
+      ("cafe\u0301", "caf\u00e9"),
+      // Hangul jamo pair -> precomposed syllable
+      ("\u1100\u1161", "\uac00"),
+      // compatibility ligature is NOT decomposed by NFC (that is NFKC)
+      ("\ufb01le", "\ufb01le"),
+      // already-NFC ASCII passes through
+      ("plain ascii", "plain ascii"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("s").select(nfc(col("s"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2), s"nfc diverged: ${got.toSeq}")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = cases.map(_._1).toDF("s")
+      .select((nfc(nfc(col("s"))) === nfc(col("s"))).as("ok")).as[Boolean].collect()
+    assert(twice.forall(identity))
+    // SQL registration matches the Column API
+    val viaSql = spark.sql("SELECT graft_nfc('cafe\u0301')").as[String].head()
+    assert(viaSql === "caf\u00e9")
+  }
 }
