@@ -110,18 +110,6 @@ final class BatchedState(spark: SparkSession, dir: String,
       fallback: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     def emptyState: DataFrame = {
-      // hidden compaction dirs with data but NO visible data = an
-      // interrupted snapshot replace; returning an empty state here
-      // would silently admit everything as unique
-      val p = new Path(dir)
-      if (fs.exists(p) && fs.listStatus(p).exists(s => s.isDirectory &&
-          (s.getPath.getName.startsWith(".staged-snap-") ||
-            s.getPath.getName.startsWith(".trash-snap-")) &&
-          hasDataFile(s.getPath)))
-        throw new IllegalStateException(
-          s"BatchedState at $dir holds hidden compaction dirs but no " +
-            "visible data — an interrupted compaction; recover by renaming " +
-            ".staged-snap-<B> (or .trash-snap-<B>) back to snap=<B>")
       fallback match {
         case Some(sch) =>
         val withBatch = org.apache.spark.sql.types.StructType(
@@ -135,6 +123,21 @@ final class BatchedState(spark: SparkSession, dir: String,
       }
     }
     val snap = snapshotId
+    // a data-bearing trash dir with NO visible snapshot = a compaction
+    // crashed between rename-aside and rename-in; whatever deltas remain
+    // do NOT cover the trashed snapshot, so reading on would silently
+    // drop the compacted corpus and admit its duplicates as unique
+    if (snap.isEmpty) {
+      val root = new Path(dir)
+      if (fs.exists(root) && fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith(".trash-snap-") &&
+          hasDataFile(st.getPath)))
+        throw new IllegalStateException(
+          s"BatchedState at $dir holds a hidden .trash-snap dir but no " +
+            "visible snapshot — an interrupted compaction replace; recover " +
+            "by renaming .trash-snap-<B> (the pre-replace snapshot) or " +
+            ".staged-snap-<B> (the replacement) back to snap=<B>")
+    }
     val deltaPaths = deltaIds.filter(id => snap.forall(id > _) && id < before)
       .map(id => new Path(s"$dir/batch=$id"))
     // zero-row writes leave file-less dirs: only dirs that actually
@@ -189,11 +192,18 @@ final class BatchedState(spark: SparkSession, dir: String,
     */
   def compact(keepFrom: Long = Long.MinValue,
       upTo: Long = Long.MaxValue): Unit = {
-    val bound = (deltaIds ++ snapshotId).filter(_ <= upTo)
+    // file-less delta dirs (empty micro-batches) carry no rows: they are
+    // dropped from the fold bound (an idle stream must not trigger a
+    // full-corpus rewrite every interval) and their committed dirs are
+    // garbage-collected here
+    val dataDeltaIds = deltaIds.filter(id => id <= upTo &&
+      hasDataFile(new Path(s"$dir/batch=$id")))
+    val bound = (dataDeltaIds ++ snapshotId.filter(_ <= upTo))
       .maxOption.getOrElse(return)
-    // an empty-seeded state has dirs but no data files yet — nothing to fold
-    val liveDeltas = deltaIds.filter(_ <= bound)
-      .map(id => new Path(s"$dir/batch=$id")).filter(hasDataFile)
+    deltaIds.filter(id => id <= upTo && !dataDeltaIds.contains(id) &&
+        id != bound)
+      .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
+    val liveDeltas = dataDeltaIds.filter(_ <= bound)
     val snapIsBound = snapshotId.contains(bound)
     if (liveDeltas.isEmpty && !snapshotId.exists(s =>
         hasDataFile(new Path(s"$dir/snap=$s")))) return
@@ -246,14 +256,31 @@ object BatchedState {
     finally out.close()
   }
 
-  /** Fail loudly when persisted parameters disagree with the caller's.
-    * Missing file (a pre-parameter state dir) passes.
+  /** Remove the parameter marker — the FIRST step of a re-seed, so a
+    * crash mid-seed leaves a state that [[validateParams]] refuses
+    * loudly instead of one that silently dedups against nothing.
+    */
+  def clearParams(spark: SparkSession, stateDir: String): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val p = new Path(s"$stateDir/_params")
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Fail loudly when persisted parameters disagree with the caller's —
+    * or when the marker is missing entirely: `_params` is written as
+    * the LAST step of a successful seed, so its absence means the
+    * stateDir was never seeded, points at the wrong path, or a re-seed
+    * crashed midway. Every case must refuse rather than silently admit
+    * all documents as unique against an empty state.
     */
   def validateParams(spark: SparkSession, stateDir: String,
       params: Map[String, String]): Unit = {
     val fs = fsOf(spark, stateDir)
     val p = new Path(s"$stateDir/_params")
-    if (!fs.exists(p)) return
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no _params marker at $stateDir — not a (fully) seeded state dir: " +
+        "seed() it, or check the path; a marker-less dir with state files " +
+        "means a re-seed crashed midway")
     val in = fs.open(p)
     val stored =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()

@@ -78,10 +78,12 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     * state (a narrow parquet scan) rather than re-shingling the corpus.
     */
   def seed(reference: DataFrame): Unit = {
+    // marker off first, on last: a crash anywhere between leaves a
+    // state that admit() refuses loudly (validateParams) instead of a
+    // silently empty one
+    BatchedState.clearParams(spark, stateDir)
     shingles.reset()
     banded.reset()
-    BatchedState.writeParams(spark, stateDir, stateParams)
-    paramsChecked = true
     val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
     val shB = sh.withColumn("ib", idBucket(col("id")))
     shingles.seed(shB)
@@ -91,6 +93,8 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
       Dedup.minhashSignatureDF(persisted, "id", "shingles", bands * rows),
       col("id"), col("sig"), bands, rows)
     banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
   }
 
   /** Admit micro-batch `batchId`: cross-corpus (ref_id, new_id, jaccard)
@@ -216,15 +220,16 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     * cells).
     */
   def seed(reference: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
     vecs.reset()
-    BatchedState.writeParams(spark, stateDir, stateParams)
-    paramsChecked = true
     val trained = Similarity.trainCentroids(reference, nCells, idCol, vecCol)
     Similarity.IvfIndex.save(trained, spark, indexDir)
     centroidsCache = trained
     vecs.seed(reference.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("cell", trained.assignCell(col("v"))))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
   }
 
   /** Admit one batch: (ref_id, new_id, cell, cos) pairs within shared
@@ -312,14 +317,15 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     * under `stateDir`.
     */
   def seed(reference: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
     vecs.reset()
     keys.reset()
-    BatchedState.writeParams(spark, stateDir, stateParams)
-    paramsChecked = true
     val (v, k) = Similarity.prepEmbedding(reference, dims, nBits, bandBits,
       idCol, vecCol)
     vecs.seed(v.withColumn("ib", idBucket(col("id"))))
     keys.seed(k.withColumn("ib", idBucket(col("id"))))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
   }
 
   def admit(batch: DataFrame, batchId: Long): DataFrame = {

@@ -190,6 +190,62 @@ class BatchedStateSpec extends AnyFunSuite {
       .count()
   }
 
+  test("admitting against an unseeded (or wrong) state dir refuses loudly") {
+    import graft.streaming.StreamingDedup
+    val sd = new StreamingDedup(spark, tmp("sd_unseeded"), "doc_id", "text")
+    // no seed() ever ran here: a missing _params marker must refuse
+    // rather than silently dedup against an empty state
+    val e = intercept[IllegalStateException](
+      sd.admit(Seq((1L, "x")).toDF("doc_id", "text"), 0L))
+    assert(e.getMessage.contains("_params"), e.getMessage)
+  }
+
+  test("an interrupted snapshot replace fails reads loudly, not silently empty") {
+    val dir = tmp("bs_trash")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.compact()
+    // simulate a crash between rename-aside and rename-in: the snapshot
+    // is in the hidden trash dir, nothing visible remains
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/snap=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-0")))
+    val e = intercept[IllegalStateException](st.read())
+    assert(e.getMessage.contains("interrupted compaction"), e.getMessage)
+    // ...even when later deltas survive (they do not cover the snapshot)
+    st.append(Seq(20L).toDF("id"), 1L)
+    intercept[IllegalStateException](st.read())
+    // operator recovery: rename the trash back -> reads work again
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-0"),
+      new org.apache.hadoop.fs.Path(s"$dir/snap=0")))
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
+  }
+
+  test("idle stream: file-less deltas neither trigger a refold nor accumulate") {
+    // partitioned like every twin's state: a zero-row partitionBy write
+    // produces a FILE-LESS delta dir (only _SUCCESS)
+    val dir = tmp("bs_idle")
+    val st = new BatchedState(spark, dir, Seq("pc"))
+    st.seed(Seq((1L, 0)).toDF("id", "pc"))
+    st.append(Seq((10L, 0)).toDF("id", "pc"), 0L)
+    st.compact()
+    assert(st.snapshotId === Some(0L))
+    val snapPath = new java.io.File(s"$dir/snap=0")
+    val before = snapPath.lastModified()
+    Thread.sleep(1100)
+    st.append(Seq.empty[(Long, Int)].toDF("id", "pc"), 1L)
+    st.append(Seq.empty[(Long, Int)].toDF("id", "pc"), 2L)
+    st.compact()
+    // no refold: the snapshot dir was not rewritten; empty dirs are GC'd
+    assert(st.snapshotId === Some(0L), "bound moved onto a file-less delta")
+    assert(snapPath.lastModified() === before, "idle compact rewrote the snapshot")
+    assert(st.deltaIds.forall(_ > 0L))
+    assert(st.read().select("id", "batch").as[(Long, Long)].collect().toSet ===
+      Set((1L, -1L), (10L, 0L)))
+  }
+
   test("a re-arrived doc id yields ONE pair per neighbor, not one per version") {
     import graft.streaming.StreamingDedup
     val sd = new StreamingDedup(spark, tmp("sd_rearrive"), "doc_id", "text")
