@@ -92,6 +92,9 @@ object GraftExtensions {
     ("graft_nfc",
       args => graft.functions.NfcNormalize(args.head),
       "graft_nfc(s) - Unicode NFC normalization"),
+    ("graft_nfkc",
+      args => graft.functions.NfkcNormalize(args.head),
+      "graft_nfkc(s) - Unicode NFKC normalization (compatibility folding)"),
     ("graft_normalize_url",
       args => toExpression(graft.operators.TextAnalysis.normalizeUrl(c(args.head))),
       "graft_normalize_url(url) - canonical crawl-dedup URL key"),

@@ -47,3 +47,39 @@ object NfcNormalize {
 
   def of(c: Column): Column = toColumn(NfcNormalize(toExpression(c)))
 }
+
+/** NFKC — the tokenizer-preprocessing sibling of [[NfcNormalize]]:
+  * compatibility decomposition additionally folds ligatures (`ﬁ` →
+  * `fi`), fullwidth forms (`Ａ` → `A`) and super/subscripts before
+  * recomposition, which is what BERT-style normalizers apply ahead of
+  * tokenization. Unit-only BY DESIGN: the oracle engine has no NFKC
+  * function (utf8proc exposes only `nfc_normalize` through DuckDB), so
+  * parity is pinned by JVM-side known-answer tests instead.
+  */
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfkcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfkcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+}
+
+object NfkcNormalize {
+
+  /** Called from both eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
+  def of(c: Column): Column = toColumn(NfkcNormalize(toExpression(c)))
+}

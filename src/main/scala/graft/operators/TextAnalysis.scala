@@ -801,6 +801,13 @@ object TextAnalysis {
     */
   def nfc(text: Column): Column = graft.functions.NfcNormalize.of(text)
 
+  /** NFKC ([[graft.functions.NfkcNormalize]]): compatibility folding of
+    * ligatures/fullwidth/super-subscripts before recomposition — the
+    * BERT-style pre-tokenization normalizer. Unit-only (no DuckDB NFKC
+    * to oracle against; see the expression's scaladoc).
+    */
+  def nfkc(text: Column): Column = graft.functions.NfkcNormalize.of(text)
+
   // ---- C4-style heuristic cleaning ------------------------------------
 
   /** Number of non-empty whitespace-separated tokens in one line —

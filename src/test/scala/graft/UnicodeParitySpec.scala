@@ -158,4 +158,21 @@ class UnicodeParitySpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT graft_nfc('cafe\u0301')").as[String].head()
     assert(viaSql === "caf\u00e9")
   }
+
+  test("NFKC: compatibility folding known answers, idempotence, SQL twin") {
+    import spark.implicits._
+    val nfkc = (c: org.apache.spark.sql.Column) => graft.functions.NfkcNormalize.of(c)
+    val cases = Seq(
+      ("\ufb01le", "file"),            // ligature folds (NFC keeps it)
+      ("\uff21\uff22", "AB"),         // fullwidth A B
+      ("x\u00b2", "x2"),               // superscript two
+      ("cafe\u0301", "caf\u00e9"),    // canonical composition still applies
+      ("plain", "plain"))
+    val got = cases.map(_._1).toDF("s").select(nfkc(col("s"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2), s"nfkc diverged: ${got.toSeq}")
+    val twice = cases.map(_._1).toDF("s")
+      .select((nfkc(nfkc(col("s"))) === nfkc(col("s"))).as("ok")).as[Boolean].collect()
+    assert(twice.forall(identity))
+    assert(spark.sql("SELECT graft_nfkc('\ufb01le')").as[String].head() === "file")
+  }
 }
