@@ -411,8 +411,11 @@ object Similarity {
     val vecd = col(vecCol).cast(ArrayType(DoubleType))
     val codes = corpus.select(col(idCol).as("nn_id"), books.encode(vecd).as("codes"))
     // per-query ADC lookup tables, built driver-side from the bounded
-    // query set: lut(s)(j) = fixed-order dot(q_s, book_s[j])
-    val luts = queries.select(col(idCol).as("query_id"), vecd.as("q"))
+    // query set: lut(s)(j) = fixed-order dot(q_s, book_s[j]). The id is
+    // cast to long BEFORE the collect so an int id column (the rest of
+    // the library handles ids generically) doesn't ClassCastException
+    // on getLong.
+    val luts = queries.select(col(idCol).cast(LongType).as("query_id"), vecd.as("q"))
       .collect().toIndexedSeq.map { r =>
         val qid = r.getLong(0)
         val q = r.getSeq[Double](1).toArray
@@ -435,9 +438,10 @@ object Similarity {
           .reduce(_ + _).as("cos")) // ADC score; named cos for TopKAgg
     val candidates = topKPerQuery(approx, k * rerank)
       .select(col("query_id"), col("nn_id"))
-    // exact re-rank of the bounded candidate set
+    // exact re-rank of the bounded candidate set (query_id stays long —
+    // it joins against the lut-derived candidates)
     val c = corpus.select(col(idCol).as("nn_id"), vecd.as("nn_vec"))
-    val q = queries.select(col(idCol).as("query_id"), vecd.as("q_vec"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"), vecd.as("q_vec"))
     val exact = candidates
       .join(c, Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))

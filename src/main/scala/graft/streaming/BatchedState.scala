@@ -68,6 +68,18 @@ final class BatchedState(spark: SparkSession, dir: String,
     found
   }
 
+  /** Bounds of data-bearing hidden snapshot dirs (`.trash-snap-` /
+    * `.staged-snap-`) — crash leftovers of [[compact]]'s replace dance.
+    */
+  private def hiddenIds(prefix: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        hasDataFile(s.getPath))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
   /** Ids of live (not yet compacted-away) delta batches. */
   def deltaIds: Seq[Long] = listIds("batch=")
 
@@ -123,20 +135,37 @@ final class BatchedState(spark: SparkSession, dir: String,
       }
     }
     val snap = snapshotId
-    // a data-bearing trash dir with NO visible snapshot = a compaction
-    // crashed between rename-aside and rename-in; whatever deltas remain
-    // do NOT cover the trashed snapshot, so reading on would silently
-    // drop the compacted corpus and admit its duplicates as unique
-    if (snap.isEmpty) {
-      val root = new Path(dir)
-      if (fs.exists(root) && fs.listStatus(root).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith(".trash-snap-") &&
-          hasDataFile(st.getPath)))
+    // a data-bearing trash dir ABOVE the newest visible snapshot (which
+    // includes "no snapshot visible at all") = a compaction crashed
+    // between rename-aside and rename-in. The trashed snapshot holds
+    // compacted batches nothing visible covers — its deltas were deleted
+    // when it first landed — so reading on would silently serve stale
+    // state (e.g. a stale older snap=<A> left by a prior interrupted
+    // cleanup) and admit the compacted corpus's duplicates as unique.
+    val staleTrash = hiddenIds(".trash-snap-").filter(b => snap.forall(b > _))
+    if (staleTrash.nonEmpty)
+      throw new IllegalStateException(
+        s"BatchedState at $dir holds hidden .trash-snap dir(s) at bound(s) " +
+          s"${staleTrash.sorted.mkString(",")} above the newest visible " +
+          s"snapshot (${snap.fold("none")(_.toString)}) — an interrupted " +
+          "compaction replace; recover by renaming .trash-snap-<B> (the " +
+          "pre-replace snapshot) or .staged-snap-<B> (the replacement) " +
+          "back to snap=<B>")
+    // a staged snapshot above the visible bound is safe only while the
+    // deltas it folded still exist (a crash BEFORE rename-in leaves them
+    // intact); with no newer delta in sight, the staged dir is the SOLE
+    // holder of those rows and reading on would drop them
+    val newerDeltaExists = deltaIds.exists(id => snap.forall(id > _) &&
+      hasDataFile(new Path(s"$dir/batch=$id")))
+    if (!newerDeltaExists) {
+      val staleStaged = hiddenIds(".staged-snap-").filter(b => snap.forall(b > _))
+      if (staleStaged.nonEmpty)
         throw new IllegalStateException(
-          s"BatchedState at $dir holds a hidden .trash-snap dir but no " +
-            "visible snapshot — an interrupted compaction replace; recover " +
-            "by renaming .trash-snap-<B> (the pre-replace snapshot) or " +
-            ".staged-snap-<B> (the replacement) back to snap=<B>")
+          s"BatchedState at $dir holds hidden .staged-snap dir(s) at " +
+            s"bound(s) ${staleStaged.sorted.mkString(",")} above the newest " +
+            s"visible snapshot (${snap.fold("none")(_.toString)}) with no " +
+            "surviving deltas — an interrupted compaction replace; recover " +
+            "by renaming .staged-snap-<B> back to snap=<B>")
     }
     val deltaPaths = deltaIds.filter(id => snap.forall(id > _) && id < before)
       .map(id => new Path(s"$dir/batch=$id"))
@@ -229,6 +258,17 @@ final class BatchedState(spark: SparkSession, dir: String,
       .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
     listIds("snap=").filter(_ < bound)
       .foreach(s => fs.delete(new Path(s"$dir/snap=$s"), true))
+    // GC hidden staged/trash dirs orphaned by compacts that crashed at
+    // OLDER bounds: a later compact never lands on their bound again, so
+    // without this sweep a long-lived state dir leaks them forever (the
+    // just-landed snapshot at `bound` supersedes everything below it)
+    Seq(".staged-snap-", ".trash-snap-").foreach { prefix =>
+      val root = new Path(dir)
+      if (fs.exists(root)) fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+          s.getPath.getName.stripPrefix(prefix).toLong < bound)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 }
 
@@ -265,6 +305,27 @@ object BatchedState {
     val p = new Path(s"$stateDir/_params")
     if (fs.exists(p)) fs.delete(p, false)
   }
+
+  /** Refuse a batch id BELOW the state's current head. An admission must
+    * carry either the next id or a crash replay of the current head —
+    * anything lower means the stream's checkpoint and the state dir
+    * disagree (the classic case: a FRESH checkpointDir restarting batch
+    * ids at 0 over an existing stateDir). Continuing would be silently
+    * wrong twice over: `read(before = 0)` hides every previously
+    * admitted batch, and the old run's stale higher-id deltas resurface
+    * once the restarted ids pass them. [[validateParams]] cannot catch
+    * this (the parameters match) — only the id head can.
+    */
+  def requireMonotonicBatchId(batchId: Long, states: Seq[BatchedState],
+      stateDir: String): Unit =
+    states.flatMap(_.maxBatchId).maxOption.filter(_ > batchId).foreach { h =>
+      throw new IllegalStateException(
+        s"batch id $batchId is below the state head $h at $stateDir — the " +
+          "stream checkpoint and the state dir disagree (a fresh " +
+          "checkpointDir over an existing stateDir restarts ids at 0 and " +
+          "silently dedups against hidden state); restart with the " +
+          "original checkpoint or re-seed (reset) the state")
+    }
 
   /** Fail loudly when persisted parameters disagree with the caller's —
     * or when the marker is missing entirely: `_params` is written as

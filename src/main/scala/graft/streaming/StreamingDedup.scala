@@ -66,8 +66,9 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
   private val stateParams = Map("n" -> n.toString, "bands" -> bands.toString,
     "rows" -> rows.toString, "nBuckets" -> nBuckets.toString)
   @transient private var paramsChecked = false
-  private def ensureParams(): Unit = if (!paramsChecked) {
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(shingles, banded), stateDir)
     paramsChecked = true
   }
 
@@ -103,7 +104,7 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     * (a crash replay) yields the same pairs and the same state.
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
-    ensureParams()
+    ensureAdmissible(batchId)
     val (shRaw, bRaw) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
     // pin the batch-side prep (it feeds three consumers: prune-set
     // collect, the joins, the state append) — |batch|-bounded
@@ -200,8 +201,9 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
 
   private val stateParams = Map("nCells" -> nCells.toString)
   @transient private var paramsChecked = false
-  private def ensureParams(): Unit = if (!paramsChecked) {
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(vecs), stateDir)
     paramsChecked = true
   }
 
@@ -237,7 +239,7 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
     * fold the batch into the state. Replay-idempotent.
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
-    ensureParams()
+    ensureAdmissible(batchId)
     val fresh = batch.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("cell", centroids.assignCell(col("v")))
@@ -308,8 +310,9 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     "nBits" -> nBits.toString, "bandBits" -> bandBits.toString,
     "nBuckets" -> nBuckets.toString)
   @transient private var paramsChecked = false
-  private def ensureParams(): Unit = if (!paramsChecked) {
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(vecs, keys), stateDir)
     paramsChecked = true
   }
 
@@ -329,7 +332,7 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   }
 
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
-    ensureParams()
+    ensureAdmissible(batchId)
     val (vRaw, kRaw) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
       idCol, vecCol)
     val vNew = vRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()

@@ -223,6 +223,78 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
   }
 
+  test("a stale OLDER snapshot left visible by a crashed replace fails loudly") {
+    // the two-crash window: a prior compact crashed after rename-in but
+    // before deleting older snapshots (two snapshots visible); a later
+    // eviction-rewrite then crashed between rename-aside and rename-in,
+    // leaving the stale older snap=<A> as the only VISIBLE snapshot.
+    // read() must refuse — serving snap=<A> would silently admit the
+    // compacted corpus's duplicates as unique.
+    val dir = tmp("bs_stale_snap")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.compact(upTo = 0L) // snap=0
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // simulate: snapshot 1 (which superseded snap=0) renamed aside and
+    // never renamed back — a data-bearing .trash-snap-1 above snap=0
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/snap=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-1"), false, conf)
+    val e = intercept[IllegalStateException](st.read())
+    assert(e.getMessage.contains("interrupted compaction"), e.getMessage)
+    // recovery: rename the trash back to its snapshot bound
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-1"),
+      new org.apache.hadoop.fs.Path(s"$dir/snap=1")))
+    st.read().count() // reads work again (snap=1 is now the newest)
+  }
+
+  test("compact GCs staged/trash orphans from crashes at older bounds") {
+    val dir = tmp("bs_gc")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    st.compact(upTo = 0L) // snap=0
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // a .staged-snap-0 orphaned by a crash before rename-in: later
+    // compacts land at newer bounds and would never overwrite it
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/snap=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/.staged-snap-0"), false, conf)
+    // an orphaned staged dir at/below the visible bound must not trip
+    // the loud read check (the visible snapshot covers it)
+    st.read().count()
+    st.append(Seq(20L).toDF("id"), 1L)
+    st.compact() // lands snap=1 -> sweeps the bound-0 orphan
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.staged-snap-0")),
+      "stale staged snapshot leaked past a newer-bound compact")
+    assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
+  }
+
+  test("a restart that rewinds batch ids (fresh checkpoint, old state) refuses") {
+    import graft.streaming.StreamingDedup
+    val dir = tmp("sd_rewind")
+    val sd = new StreamingDedup(spark, dir, "doc_id", "text")
+    sd.seed(Seq((1L, "reference doc about checkpoint state agreement"))
+      .toDF("doc_id", "text"))
+    sd.admit(Seq((100L, "batch zero doc")).toDF("doc_id", "text"), 0L)
+    sd.admit(Seq((101L, "batch one doc")).toDF("doc_id", "text"), 1L)
+    // a fresh checkpointDir over the same stateDir restarts ids at 0:
+    // admit would read state before=0 (hiding batches 0-1) while their
+    // stale deltas resurface later — must refuse loudly instead
+    val restarted = new StreamingDedup(spark, dir, "doc_id", "text")
+    val e = intercept[IllegalStateException](
+      restarted.admit(Seq((200L, "x")).toDF("doc_id", "text"), 0L))
+    assert(e.getMessage.contains("below the state head"), e.getMessage)
+    // a replay of the current head — and the next id — both resume fine
+    new StreamingDedup(spark, dir, "doc_id", "text")
+      .admit(Seq((101L, "batch one doc")).toDF("doc_id", "text"), 1L).count()
+    new StreamingDedup(spark, dir, "doc_id", "text")
+      .admit(Seq((102L, "batch two doc")).toDF("doc_id", "text"), 2L).count()
+  }
+
   test("idle stream: file-less deltas neither trigger a refold nor accumulate") {
     // partitioned like every twin's state: a zero-row partitionBy write
     // produces a FILE-LESS delta dir (only _SUCCESS)

@@ -368,6 +368,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r === res(trained) && r.nonEmpty)
   }
 
+  test("pqTopKWithBooks accepts a non-long id column (cast before LUT collect)") {
+    // an int id column must not ClassCastException on the driver-side
+    // getLong when the per-query LUTs are built
+    val corpus = embs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val books = Similarity.trainPq(corpus, m = 8, k = 16)
+    val out = Similarity.pqTopKWithBooks(corpus,
+      corpus.filter(col("vec_id") < 3), 5, books).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) < 3))
+  }
+
   test("IvfIndex: saved + reloaded index answers identically to the trained one") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val trained = Similarity.trainCentroids(embs, nCells = 8)
