@@ -153,6 +153,41 @@ object ExtensionQueries {
         .orderBy(col("ref_id"), col("new_id"))
     },
 
+    // --- standing streaming dedup, replayed under oracle: seed the
+    //     persisted minhash state from 1/5 of the corpus, admit K=3
+    //     deterministic batches derived from the same base docs (half
+    //     exact twins, half suffix-perturbed — every batch pairs with
+    //     the seed AND with every earlier batch, so the oracle is green
+    //     only if state genuinely ACCUMULATES across admissions), with a
+    //     compaction after batch 0 so the fold is exercised under the
+    //     oracle too. The oracle recomputes each batch's cross-corpus
+    //     pairs against exactly the ids admitted before it -------------
+    "stream_dedup_replay" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val base = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      def batchDf(k: Int) = base.select(
+        (col("doc_id") + lit((k + 1) * 1000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zzre zzplay zzmark")))
+          .as("text"))
+      val stateDir =
+        s"target/stream_replay_${new java.io.File(dir).getName}"
+      val sd = new graft.streaming.StreamingDedup(s, stateDir,
+        "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.5)
+      sd.seed(base)
+      val pairs = (0 until 3).map { k =>
+        val p = sd.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        // fold seed + batch 0 into one snapshot mid-replay: batches 1-2
+        // must see identical state through the compaction
+        if (k == 0) sd.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+      pairs.select(col("batch"), col("ref_id"), col("new_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch"), col("ref_id"), col("new_id"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -822,6 +857,54 @@ object ExtensionQueries {
     refPred = "doc_id < 1000000", newPred = "doc_id >= 1000000",
     threshold = 0.5)
 
+  /** The streaming-replay oracle: ONE signature computation over seed +
+    * all three batches (seed at base ids, batch k at +(k+1)e6), then per
+    * batch a candidate join restricted to (everything admitted before
+    * it) x (the batch) — ids below the batch's offset ARE the prior
+    * state, so the three bounds replay [[graft.streaming.StreamingDedup]]
+    * exactly — exact-Jaccard verify, UNION ALL with the batch id.
+    */
+  private def streamReplayOracle: String = {
+    val sigCols = (0 until 32).map(i => s"MIN(${wrappedPerm(i)}) AS m$i")
+      .mkString(",\n    ")
+    val bandEq = (0 until 8).map { b =>
+      (0 until 4).map(r => s"x.m${b * 4 + r} = y.m${b * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val perturbed =
+      "CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zzre zzplay zzmark' END"
+    val batchArms = (1 to 3).map(k =>
+      s"  UNION ALL SELECT doc_id + ${k}000000 AS doc_id, $perturbed AS text FROM base")
+      .mkString("\n")
+    val perBatch = (0 until 3).map { k =>
+      val lo = (k + 1) * 1000000L
+      val hi = (k + 2) * 1000000L
+      s"""  SELECT $k AS batch, c.ref_id, c.new_id, $jaccardExpr AS j
+         |  FROM (SELECT x.doc_id AS ref_id, y.doc_id AS new_id
+         |    FROM sig x JOIN sig y ON x.doc_id < $lo
+         |      AND y.doc_id >= $lo AND y.doc_id < $hi
+         |      AND ($bandEq)) c
+         |  JOIN sh sa ON c.ref_id = sa.doc_id
+         |  JOIN sh sb ON c.new_id = sb.doc_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |allc AS (
+       |  SELECT doc_id, text FROM base
+       |$batchArms),
+       |${shinglesCtes("allc")},
+       |hs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |hv AS (SELECT doc_id,
+       |    md5_number_lower(sg)::HUGEINT AS h1,
+       |    md5_number_upper(sg)::HUGEINT AS h2 FROM hs),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hv GROUP BY doc_id),
+       |pairs AS (
+       |$perBatch)
+       |SELECT batch, ref_id, new_id, round(j, 6) AS jaccard FROM pairs
+       |WHERE j >= 0.5 ORDER BY batch, ref_id, new_id""".stripMargin
+  }
+
   /** Fuzzy decontamination: near-copies of benchmark docs (planted at
     * +2000000 with an id-salted suffix) flagged by cross-corpus minhash
     * against the benchmark set (doc_id < 20).
@@ -1449,6 +1532,8 @@ object ExtensionQueries {
     "dedup_minhash_lsh" -> minhashOracle,
 
     "dedup_minhash_incr" -> minhashIncrOracle,
+
+    "stream_dedup_replay" -> streamReplayOracle,
 
     "text_decontaminate_fuzzy" -> decontaminateFuzzyOracle,
 
