@@ -36,14 +36,28 @@ object Joins {
     * output.
     *
     * `toleranceSec` (pandas `merge_asof` tolerance / kdb wj semantics):
-    * when set, a match older than `left.ts - tolerance` yields nulls
-    * instead — the matched right timestamp rides the same carry-forward
-    * window, so the bound costs one extra window column, never a range
-    * join.
+    * when set, a match farther than `tolerance` from `left.ts` (in the
+    * direction searched) yields nulls instead — the matched right
+    * timestamp rides the same carry-forward window, so the bound costs
+    * one extra window column, never a range join.
+    *
+    * `direction` (pandas merge_asof directions):
+    *   - `"backward"` (default): latest right row with `r.ts <= l.ts`.
+    *   - `"forward"`: earliest right row with `r.ts >= l.ts` — the same
+    *     union-and-carry pattern with the window REVERSED (ts desc), so
+    *     the cost is identical: one shuffle on the key, no range join.
+    *   - `"nearest"`: whichever of the two candidates is closer in
+    *     absolute time; an exact tie prefers the backward match. Both
+    *     candidates ride the SAME union/exchange (two window sorts over
+    *     one shuffle), and the tolerance bound applies to each side
+    *     before the choice — a candidate beyond tolerance never wins.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightCols: Seq[String], ordCol: String,
-      toleranceSec: Option[Double] = None): DataFrame = {
+      toleranceSec: Option[Double] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(rightCols.contains(ordCol), "rightCols must include ordCol")
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
@@ -76,17 +90,41 @@ object Joins {
         rowStruct.as("__r") :+
         lit(0).as("__side"): _*)
 
-    // right rows sort BEFORE left rows at the same ts (`<=` semantics)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = last(col("__r"), ignoreNulls = true).over(w)
-    val kept = toleranceSec match {
-      case None => matched
-      case Some(tol) =>
-        when(col(tsCol).cast("double") -
-          matched.getField("__asof_ts").cast("double") <= tol, matched)
+    // right rows sort BEFORE left rows at the same ts in BOTH directions
+    // (`<=`/`>=` inclusive semantics): ascending for the backward carry,
+    // descending for the forward carry — same partitioning, so nearest's
+    // two windows share one exchange (two sorts, no second shuffle)
+    def carried(forward: Boolean) = {
+      val order = if (forward) col(tsCol).desc else col(tsCol).asc
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(order, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = last(col("__r"), ignoreNulls = true).over(w)
+      toleranceSec match {
+        case None => m
+        case Some(tol) =>
+          val delta =
+            if (forward) m.getField("__asof_ts").cast("double") -
+              col(tsCol).cast("double")
+            else col(tsCol).cast("double") -
+              m.getField("__asof_ts").cast("double")
+          when(delta <= tol, m)
+      }
+    }
+    val kept = direction match {
+      case "backward" => carried(forward = false)
+      case "forward"  => carried(forward = true)
+      case "nearest" =>
+        val b = carried(forward = false)
+        val f = carried(forward = true)
+        // distances compared in the ts type's NATIVE subtraction
+        // (timestamps yield day-time intervals — exact micros, no
+        // double rounding that could flip an equidistant tie)
+        val dBack = col(tsCol) - b.getField("__asof_ts")
+        val dFwd = f.getField("__asof_ts") - col(tsCol)
+        // an exact tie prefers the backward match (documented tie rule)
+        when(b.isNull, f).when(f.isNull, b)
+          .when(dFwd < dBack, f).otherwise(b)
     }
 
     lTagged.unionByName(rTagged)

@@ -232,6 +232,38 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- the persisted-index SERVING paths under oracle: train once,
+    //     save, LOAD, and answer with the loaded index (ivfTopKWithIndex
+    //     / pqTopKWithBooks — no retraining on the query path). Training
+    //     is deterministic, so the oracle re-derives the exact persisted
+    //     centroids/codebooks from the base table and must match the
+    //     round-tripped index hash-for-hash ----------------------------
+    "sim_topk_ivf_indexed" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val idxDir = s"target/ivf_index_${new java.io.File(dir).getName}"
+      Similarity.IvfIndex.save(Similarity.trainCentroids(e, nCells = 16), s, idxDir)
+      val loaded = Similarity.IvfIndex.load(s, idxDir)
+      Similarity.ivfTopKWithIndex(e, e.filter(col("vec_id") < 20), k = 5,
+          loaded, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "sim_topk_pq_indexed" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val idxDir = s"target/pq_index_${new java.io.File(dir).getName}"
+      Similarity.PqIndex.save(Similarity.trainPq(e, m = 8, k = 16), s, idxDir)
+      val books = Similarity.PqIndex.load(s, idxDir)
+      Similarity.pqTopKWithBooks(e, e.filter(col("vec_id") < 20), k = 5,
+          books, rerank = 8)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // --- language identification -----------------------------------------
     "text_langid" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -421,6 +453,18 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     },
 
+    // --- temperature-based mixture reweighting (XLM-style): T=2 targets
+    //     shares ∝ sqrt(n_s) — sqrt is correctly-rounded IEEE in both
+    //     engines, so the derived thresholds recompute exactly in SQL --
+    "sample_mixture_temp" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.mixToTemperature(d, col("doc_id"), col("lang"),
+          temperature = 2.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
     // --- corpus vocabulary statistics: token tf/df, top-100 -------------
     "text_vocab" -> { (s, dir) =>
       TextAnalysis.vocabStats(Tables(s, dir).documents, "doc_id", "text")
@@ -495,6 +539,42 @@ object ExtensionQueries {
       Joins.asOf(left, right, Seq("user_id"), "ts",
           rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
           toleranceSec = Some(600.0))
+        .select(col("event_id"), col("user_id"), col("b_event_id"),
+          round(col("b_value"), 6).as("b_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- as-of, forward direction: each purchase picks up the user's
+    //     EARLIEST click at-or-after it (reversed carry window; oracle is
+    //     DuckDB ASOF with l.ts <= r.ts) --------------------------------
+    "q_asof_forward" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val left = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("user_id"),
+          col("ts"), col("value").as("b_value"))
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("b_event_id"),
+          round(col("b_value"), 6).as("b_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- as-of, nearest direction: closer of the backward/forward
+    //     candidates, ties to backward (oracle recombines two DuckDB
+    //     ASOF joins with the same interval-distance rule) --------------
+    "q_asof_nearest" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val left = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("user_id"),
+          col("ts"), col("value").as("b_value"))
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          direction = "nearest")
         .select(col("event_id"), col("user_id"), col("b_event_id"),
           round(col("b_value"), 6).as("b_value"))
         .orderBy(col("event_id"))
@@ -1579,6 +1659,12 @@ object ExtensionQueries {
 
     "sim_topk_pq" -> pqOracle,
 
+    // the indexed twins answer from the SAVED + RELOADED index; training
+    // is deterministic, so the oracle recomputation is the same SQL
+    "sim_topk_ivf_indexed" -> ivfOracle,
+
+    "sim_topk_pq_indexed" -> pqOracle,
+
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>
         s"CAST((length(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ') - length(replace(' ' || replace(replace(lower(text), 'ς', 'σ'), 'i' || chr(775), 'i') || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
@@ -2022,6 +2108,27 @@ object ExtensionQueries {
          |WHERE b.bucket < th.thr
          |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
+    // temperature mixture at T=2: thresholds from sqrt shares. The z
+    // normalizer sums the per-stratum sqrts in LANG ORDER via an ordered
+    // list aggregate — the Scala side folds the name-sorted counts, and
+    // FP addition is order-sensitive
+    "sample_mixture_temp" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |z AS (SELECT
+         |    list_aggregate(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), 'sum') AS z,
+         |    CAST(sum(n) AS DOUBLE) AS total
+         |  FROM c),
+         |th AS (SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      sqrt(CAST(n AS DOUBLE)) / z.z * z.total / CAST(n AS DOUBLE))
+         |      * 10000 + 0.5) AS BIGINT) AS thr
+         |  FROM c, z),
+         |b AS (SELECT doc_id, lang, $bucketExpr AS bucket FROM documents)
+         |SELECT b.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b JOIN th ON b.lang = th.lang
+         |WHERE b.bucket < th.thr
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
     "text_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2226,6 +2333,53 @@ object ExtensionQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // forward direction: DuckDB ASOF with the inequality reversed picks
+    // the EARLIEST right row at-or-after each left ts
+    "q_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS b_event_id,
+        |    arg_max(value, event_id) AS b_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.b_event_id,
+        |  round(r.b_value, 6) AS b_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // nearest: recombine the two ASOF directions with the identical
+    // interval-distance rule (exact timestamp arithmetic; ties prefer
+    // the backward match)
+    "q_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS b_event_id,
+        |    arg_max(value, event_id) AS b_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT l.event_id, l.user_id, l.ts,
+        |    r.ts AS m_ts, r.b_event_id AS m_id, r.b_value AS m_val
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |fw AS (
+        |  SELECT l.event_id, r.ts AS m_ts, r.b_event_id AS m_id,
+        |    r.b_value AS m_val
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+        |pick AS (
+        |  SELECT bk.event_id, bk.user_id,
+        |    CASE WHEN bk.m_ts IS NULL THEN fw.m_id
+        |         WHEN fw.m_ts IS NULL THEN bk.m_id
+        |         WHEN (fw.m_ts - bk.ts) < (bk.ts - bk.m_ts) THEN fw.m_id
+        |         ELSE bk.m_id END AS b_event_id,
+        |    CASE WHEN bk.m_ts IS NULL THEN fw.m_val
+        |         WHEN fw.m_ts IS NULL THEN bk.m_val
+        |         WHEN (fw.m_ts - bk.ts) < (bk.ts - bk.m_ts) THEN fw.m_val
+        |         ELSE bk.m_val END AS b_value
+        |  FROM bk JOIN fw USING (event_id))
+        |SELECT event_id, user_id, b_event_id, round(b_value, 6) AS b_value
+        |FROM pick ORDER BY event_id""".stripMargin,
 
     // the matched right ts is selectable from an ASOF join, so the
     // tolerance nullify is a plain CASE over it

@@ -513,6 +513,45 @@ class CurationOpsSpec extends AnyFunSuite {
       (100L, 902L), (101L, 900L), (102L, -1L), (103L, -1L)))
   }
 
+  test("asOf directions: forward picks next-at-or-after, nearest ties to backward") {
+    val left = Seq(
+      (100L, 1L, 10L), // fwd: right AT t=10 (inclusive); nearest: tie -> same
+      (101L, 1L, 12L), // back t=10 (d=2) vs fwd t=20 (d=8) -> backward
+      (102L, 1L, 25L), // fwd: none; nearest falls back to backward t=20
+      (103L, 2L, 50L), // back t=20 (d=30) vs fwd t=60 (d=10) -> forward
+      (104L, 2L, 40L)  // back t=20 and fwd t=60 both d=20: TIE -> backward
+    ).map { case (eid, u, ts) => (eid, u, new java.sql.Timestamp(ts)) }
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, 3L, 3.0),
+      (901L, 1L, 10L, 10.0),
+      (902L, 1L, 10L, 99.0), // same (key, ts): max ordCol wins in BOTH directions
+      (903L, 1L, 20L, 20.0),
+      (904L, 2L, 20L, 20.0),
+      (905L, 2L, 60L, 60.0))
+      .map { case (eid, u, ts, v) => (eid, u, new java.sql.Timestamp(ts), v) }
+      .toDF("b_event_id", "user_id", "ts", "b_value")
+    def run(dir: String, tol: Option[Double] = None) =
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          toleranceSec = tol, direction = dir)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(run("forward").toSeq === Seq(
+      (100L, 902L), (101L, 903L), (102L, -1L), (103L, 905L), (104L, 905L)))
+    assert(run("nearest").toSeq === Seq(
+      (100L, 902L), (101L, 902L), (102L, 903L), (103L, 905L), (104L, 904L)))
+    // forward tolerance: matches farther AHEAD than 5 ms nullify
+    assert(run("forward", tol = Some(0.005)).toSeq === Seq(
+      (100L, 902L), (101L, -1L), (102L, -1L), (103L, -1L), (104L, -1L)))
+    // nearest tolerance: each side is bounded BEFORE the choice — at
+    // t=50 the d=30 backward candidate is out of a 15 ms bound, so the
+    // d=10 forward one wins even where plain nearest would also pick it;
+    // at t=40 BOTH d=20 candidates are out -> null
+    assert(run("nearest", tol = Some(0.015)).toSeq === Seq(
+      (100L, 902L), (101L, 902L), (102L, 903L), (103L, 905L), (104L, -1L)))
+  }
+
   test("c4Signals: each rule fires on its planted line, verdicts exact") {
     val docs = Seq(
       // 3 good lines -> keep

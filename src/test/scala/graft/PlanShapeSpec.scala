@@ -335,6 +335,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one carry-forward window:\n$p")
   }
 
+  test("asOf nearest: both directions ride ONE union shuffle (two sorts)") {
+    val pNear = plan(SparkEntry.queries("q_asof_nearest")(spark, sf))
+    assert(!pNear.contains("CartesianProduct") &&
+      !pNear.contains("BroadcastNestedLoopJoin"),
+      s"nearest asOf must never plan a product:\n$pNear")
+    assert("Window".r.findAllIn(pNear).length === 2,
+      s"expected exactly two carry windows (back + forward):\n$pNear")
+    // the second direction must not add a shuffle: same exchange count
+    // as the single-direction plan (the windows share partitioning)
+    val pBack = plan(SparkEntry.queries("q_asof_join")(spark, sf))
+    assert("Exchange".r.findAllIn(pNear).length ===
+      "Exchange".r.findAllIn(pBack).length,
+      s"nearest added a shuffle:\nnearest:\n$pNear\nbackward:\n$pBack")
+  }
+
   test("boilerplate removal anti-joins via broadcast, never a window") {
     import graft.operators.TextAnalysis
     val d = Tables(spark, sf).documents
