@@ -621,6 +621,23 @@ object Similarity {
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
   }
 
+  /** The exploded-state twin of [[bandCandidatesEmbedding]]: both sides
+    * arrive one-row-per-(id, band, key) — the layout a standing pipeline
+    * persists bucketed by `bb = hash(band, key)` so the band join PRUNES
+    * the state scan to the batch's bucket set
+    * ([[graft.streaming.StreamingEmbeddingDedup]]). Without the packed
+    * `ks` arrays the first-matching-band emission can't apply, so pair
+    * multiplicity (one row per shared band) collapses via a distinct on
+    * the candidate set — bounded by the batch's collision count, the
+    * same shape as the minhash twin's [[Dedup.bandCandidates]].
+    */
+  def bandCandidatesEmbeddingExploded(eRef: DataFrame,
+      eNew: DataFrame): DataFrame =
+    eRef.as("l").join(eNew.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
+      .distinct()
+
   /** Stage 2 of [[nearDupsPreparedEmbedding]]: exact-cosine verification
     * of candidate pairs against the two vector tables.
     */

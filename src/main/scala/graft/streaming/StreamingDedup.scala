@@ -285,14 +285,19 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
 }
 
 /** The embedding twin of [[StreamingDedup]]: persisted state is the
-  * (id, vector) table plus packed RHP band keys (one row per vector,
-  * re-exploded at join time — never 16x materialized on disk). The
-  * batch side of both joins is broadcast (state never shuffled) and the
-  * vector table is id-bucket-pruned for the verify join; the packed
-  * keys table cannot be band-bucketed (every row holds all bands), so
-  * the band join's state side is a full — but narrow, scan-only —
-  * read, bounded by [[compact]]. Same [[BatchedState]] idempotency and
-  * replay determinism as the minhash twin.
+  * (id, vector) table (id-bucket-pruned for the verify join) plus the
+  * RHP band keys stored EXPLODED, one row per (id, band, key), bucketed
+  * by `bb = hash(band, key)` — the minhash twin's layout. A batch
+  * collects its own (bounded, <= nBuckets) bucket set and the band
+  * join's state scan skips every non-matching `bb=` directory, so a
+  * trickle batch touches a fraction of the keys files instead of the
+  * whole (compaction-bounded) table. The disk trade is deliberate:
+  * exploded keys cost x(nBits/bandBits) rows (x24 at the defaults)
+  * over the packed form — narrow rows of three numbers, bought back
+  * many times over by pruned per-batch scans on a standing corpus.
+  * The batch side of both joins is broadcast (state never shuffled).
+  * Same [[BatchedState]] idempotency and replay determinism as the
+  * minhash twin.
   */
 final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     idCol: String, vecCol: String, dims: Int,
@@ -302,13 +307,21 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   import graft.operators.Similarity
 
   private val vecs = new BatchedState(spark, s"$stateDir/vectors", Seq("ib"))
-  private val keys = new BatchedState(spark, s"$stateDir/keys", Seq("ib"))
+  private val keys = new BatchedState(spark, s"$stateDir/keys", Seq("bb"))
 
   private def idBucket(id: Column): Column = StateBuckets.idBucket(id, nBuckets)
 
+  /** Packed (id, ks) -> exploded (id, band, key, bb) state rows. */
+  private def explodeKeys(k: DataFrame): DataFrame =
+    k.select(col("id"), posexplode(col("ks")).as(Seq("band", "key")))
+      .withColumn("bb", StateBuckets.bandBucket(col("band"), col("key"), nBuckets))
+
+  // keysLayout guards the stored-row shape itself: a restart against a
+  // dir written with the old packed layout must refuse via param drift,
+  // not fail (or worse, mis-read) deep inside the band join
   private val stateParams = Map("dims" -> dims.toString,
     "nBits" -> nBits.toString, "bandBits" -> bandBits.toString,
-    "nBuckets" -> nBuckets.toString)
+    "nBuckets" -> nBuckets.toString, "keysLayout" -> "banded")
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
@@ -326,7 +339,7 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     val (v, k) = Similarity.prepEmbedding(reference, dims, nBits, bandBits,
       idCol, vecCol)
     vecs.seed(v.withColumn("ib", idBucket(col("id"))))
-    keys.seed(k.withColumn("ib", idBucket(col("id"))))
+    keys.seed(explodeKeys(k))
     BatchedState.writeParams(spark, stateDir, stateParams)
     paramsChecked = true
   }
@@ -336,11 +349,15 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
     val (vRaw, kRaw) = Similarity.prepEmbedding(batch, dims, nBits, bandBits,
       idCol, vecCol)
     val vNew = vRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
-    val kNew = kRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
-    val candidates = Similarity.bandCandidatesEmbedding(
-        keys.read(before = batchId, fallback = Some(kNew.schema)), kNew,
-        broadcastFresh = true)
-      .localCheckpoint()
+    val kNew = explodeKeys(kRaw).localCheckpoint()
+    // band-bucket prune set of THIS batch (<= nBuckets values): the keys
+    // state scan reads ONLY the matching bb= partitions
+    val bbs = kNew.select("bb").distinct().collect().map(_.getInt(0))
+    val kRef = keys.read(before = batchId, fallback = Some(kNew.schema))
+      .where(col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
+    val candidates =
+      Similarity.bandCandidatesEmbeddingExploded(kRef, broadcast(kNew))
+        .localCheckpoint()
     val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
       .distinct().collect().map(_.getInt(0))
     val vRef = vecs.read(before = batchId, fallback = Some(vNew.schema))

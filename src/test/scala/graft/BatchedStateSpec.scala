@@ -353,6 +353,39 @@ class BatchedStateSpec extends AnyFunSuite {
       s"post-compaction pairs wrong: $pairs")
   }
 
+  test("embedding admission prunes the keys state by band buckets (bb=)") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingEmbeddingDedup
+    val dir = tmp("sed_plan")
+    def unit(axis: Int): Seq[Double] =
+      (0 until 8).map(i => if (i == axis) 1.0 else 0.0)
+    val sed = new StreamingEmbeddingDedup(spark, dir, "vec_id", "embedding",
+      dims = 8, nBits = 64, bandBits = 8)
+    sed.seed((0 until 8).map(a => (a.toLong, unit(a)))
+      .toDF("vec_id", "embedding"))
+    // the exploded layout: one row per (id, band, key), x(nBits/bandBits)
+    // rows on disk — the deliberate disk-for-pruning trade
+    val keys = new BatchedState(spark, s"$dir/keys", Seq("bb"))
+    assert(keys.read().count() === 8L * 8L, "keys not exploded per band")
+    // a batch's bucket-set filter reaches the file scan as a partition
+    // filter: non-matching bb= directories are never read
+    val pruned = keys.read().where(col("bb").isin(Seq(1, 2).map(Int.box): _*))
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("bb"),
+      s"bb filter not pushed to the keys scan:\n$scanPlan")
+    // and the band join keeps the batch side broadcast: state never shuffled
+    val kNew = Similarity.prepEmbedding(
+        Seq((101L, unit(3))).toDF("vec_id", "embedding"),
+        8, 64, 8, "vec_id", "embedding")._2
+      .select(col("id"), posexplode(col("ks")).as(Seq("band", "key")))
+    val cand = Similarity.bandCandidatesEmbeddingExploded(
+      pruned, broadcast(kNew))
+    val joinPlan = cand.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"),
+      s"band join not broadcast:\n$joinPlan")
+    assert(!joinPlan.contains("SortMergeJoin"), s"state side shuffled:\n$joinPlan")
+  }
+
   test("StreamingDedup admission never shuffles state: broadcast joins + pruned scans") {
     import graft.operators.Dedup
     val dir = tmp("sd_plan")
