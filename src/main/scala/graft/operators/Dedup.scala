@@ -198,10 +198,10 @@ object Dedup {
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, composeNfc: Boolean = false): DataFrame = {
     val shingled = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("shingles"))
+      wordShingles(prepText(col(textCol), composeNfc), n).as("shingles"))
     // signature via explode + codegen'd min-aggregate; banding needs only
     // (id, sig) — the shingle arrays rejoin solely at the verify stage
     val withSig = minhashSignatureDF(shingled, "id", "shingles", bands * rows)
@@ -239,11 +239,21 @@ object Dedup {
   def nearDupsAgainstMinhash(reference: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val (shRef, bRef) = prepMinhash(reference, idCol, textCol, n, bands, rows)
-    val (shNew, bNew) = prepMinhash(fresh, idCol, textCol, n, bands, rows)
+      threshold: Double = 0.7, composeNfc: Boolean = false): DataFrame = {
+    val (shRef, bRef) =
+      prepMinhash(reference, idCol, textCol, n, bands, rows, composeNfc)
+    val (shNew, bNew) =
+      prepMinhash(fresh, idCol, textCol, n, bands, rows, composeNfc)
     nearDupsPrepared(shRef, bRef, shNew, bNew, threshold)
   }
+
+  /** Opt-in Unicode NFC composition before shingling (see
+    * [[TextAnalysis.fingerprintNfc]] — composed and decomposed encodings
+    * of the same text must shingle identically); defaults stay
+    * byte-stable.
+    */
+  private def prepText(text: Column, composeNfc: Boolean): Column =
+    if (composeNfc) TextAnalysis.nfc(text) else text
 
   /** One scan-local pass over a corpus side: (shingles table
     * `(id, shingles)`, banded-signature table `(doc_id, band,
@@ -252,9 +262,10 @@ object Dedup {
     * reference signatures are computed once, not per batch.
     */
   def prepMinhash(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rows: Int = 4): (DataFrame, DataFrame) = {
+      n: Int = 3, bands: Int = 8, rows: Int = 4,
+      composeNfc: Boolean = false): (DataFrame, DataFrame) = {
     val shingled = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("shingles"))
+      wordShingles(prepText(col(textCol), composeNfc), n).as("shingles"))
     val banded = lshBands(
       minhashSignatureDF(shingled, "id", "shingles", bands * rows),
       col("id"), col("sig"), bands, rows)

@@ -906,9 +906,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(canonStr(text).cast(BinaryType))
 
+  /** [[fingerprint]] with Unicode NFC composition FIRST: crawled corpora
+    * mix precomposed and decomposed encodings of identical text (`é` vs
+    * `e`+U+0301), which byte-level fingerprints treat as different
+    * documents. Composing before the canonical lowercase/collapse makes
+    * them ONE dedup key. Opt-in — the plain [[fingerprint]] stays
+    * byte-stable for corpora with upstream normalization.
+    */
+  def fingerprintNfc(text: Column): Column = fingerprint(nfc(text))
+
   /** 64-bit rolling content hash (xxh64 of the canonical form) — cheaper
     * join key than the md5 hex string at shuffle time.
     */
   def fingerprint64(text: Column): Column =
     graft.functions.GoHash.goXxHash64(canonStr(text))
+
+  /** NFC twin of [[fingerprint64]] (see [[fingerprintNfc]]). */
+  def fingerprint64Nfc(text: Column): Column = fingerprint64(nfc(text))
 }

@@ -356,6 +356,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- NFC-composed fingerprinting: every doc planted TWICE, once with
+    //     a precomposed suffix (é, 가) and once with its decomposed twin
+    //     (e+U+0301, jamo pair) — with NFC in the key both collapse onto
+    //     ONE fingerprint group (n=2 per group); the byte-level default
+    //     would keep them apart. Oracle: DuckDB nfc_normalize before the
+    //     canonical md5 -------------------------------------------------
+    "text_fingerprint_nfc" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9 \uac00")).as("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 \u1100\u1161")).as("text")))
+      corpus.select(TextAnalysis.fingerprintNfc(col("text")).as("fp"),
+          col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy(col("fp"))
+    },
+
     // --- multimodal byte-metadata pass (binary envelope plumbing) ---------
     "mm_meta" -> { (s, dir) =>
       val assets = Tables(s, dir).documents
@@ -1832,6 +1851,19 @@ object ExtensionQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // composed (é = chr(233), 가 = chr(44032)) and decomposed
+    // (e+chr(769), chr(4352)+chr(4449)) suffixes must land in ONE group
+    "text_fingerprint_nfc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) || ' ' || chr(44032) AS text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 1000000,
+        |    text || ' cafe' || chr(769) || ' ' || chr(4352) || chr(4449) AS text
+        |  FROM documents)
+        |SELECT md5(regexp_replace(replace(replace(lower(trim(nfc_normalize(text))), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n
+        |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS asset_id,

@@ -584,6 +584,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(4), "curly not flagged")
   }
 
+  test("minhash composeNfc: decomposed twin dedups only with NFC opted in") {
+    // identical text, one encoded precomposed and one decomposed: byte
+    // shingles differ, NFC shingles agree
+    val docs = Seq(
+      (1L, "the caf\u00e9 review praised the \uac00 menu and service"),
+      (2L, "the cafe\u0301 review praised the \u1100\u1161 menu and service"))
+      .toDF("doc_id", "text")
+    def pairs(nfc: Boolean) =
+      Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+          n = 3, bands = 8, rows = 4, threshold = 0.9, composeNfc = nfc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs(nfc = false).isEmpty,
+      "default must stay byte-stable (no NFC folding)")
+    assert(pairs(nfc = true) === Seq((1L, 2L, 1.0)),
+      s"NFC opt-in must collapse the encodings: ${pairs(nfc = true)}")
+    // the fingerprint twin collapses the same pair
+    val fps = docs.select(TextAnalysis.fingerprintNfc(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size === 1, "fingerprintNfc did not collapse the encodings")
+    assert(docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet.size === 2)
+  }
+
   test("normalizeUrl: canonical form across the noise axes") {
     import graft.operators.TextAnalysis.normalizeUrl
     val cases = Seq(
