@@ -188,6 +188,61 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("ref_id"), col("new_id"))
     },
 
+    // --- the embedding twin of stream_dedup_replay: same seed/3-batch/
+    //     compact-after-0 structure over the RHP-banded vector state;
+    //     every batch pairs with the seed and with earlier batches ------
+    "stream_embdedup_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val base = e.filter(col("vec_id") % 5 === 0)
+      def batchDf(k: Int) = base.select(
+        (col("vec_id") + lit((k + 1) * 1000000L)).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), x => x + lit(0.05)))
+          .as("embedding"))
+      val stateDir =
+        s"target/stream_embreplay_${new java.io.File(dir).getName}"
+      val sed = new graft.streaming.StreamingEmbeddingDedup(s, stateDir,
+        "vec_id", "embedding", dims = 64, threshold = 0.75)
+      sed.seed(base)
+      val pairs = (0 until 3).map { k =>
+        val p = sed.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        if (k == 0) sed.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+      pairs.select(col("batch"), col("ref_id"), col("new_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("batch"), col("ref_id"), col("new_id"))
+    },
+
+    // --- the semantic (SemDeDup) twin: centroids train on the SEED
+    //     corpus only (exactly what StreamingSemanticDedup.seed does),
+    //     batches assign cells with the loaded index and pair within
+    //     shared cells against everything admitted before -----------------
+    "stream_semdedup_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val base = e.filter(col("vec_id") % 5 === 0)
+      def batchDf(k: Int) = base.select(
+        (col("vec_id") + lit((k + 1) * 1000000L)).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), x => x + lit(0.05)))
+          .as("embedding"))
+      val stateDir =
+        s"target/stream_semreplay_${new java.io.File(dir).getName}"
+      val ssd = new graft.streaming.StreamingSemanticDedup(s, stateDir,
+        "vec_id", "embedding", nCells = 16, threshold = 0.75)
+      ssd.seed(base)
+      val pairs = (0 until 3).map { k =>
+        val p = ssd.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        if (k == 0) ssd.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+      pairs.select(col("batch"), col("ref_id"), col("new_id"), col("cell"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("batch"), col("ref_id"), col("new_id"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -1004,6 +1059,129 @@ object ExtensionQueries {
        |WHERE j >= 0.5 ORDER BY batch, ref_id, new_id""".stripMargin
   }
 
+  /** The embedding replay oracle: one RHP band-key computation (the
+    * exact plane literals the Spark plan embeds) over seed + batches,
+    * then per batch a candidate join bounded to (everything admitted
+    * before it) x (the batch), exact cosine verify, UNION ALL with the
+    * batch id — the SQL twin of
+    * [[graft.streaming.StreamingEmbeddingDedup]]'s admit sequence.
+    */
+  private def streamEmbReplayOracle: String = {
+    def plane(b: Int): String =
+      (0 until 64).map(d => Similarity.planeComponent(b, d).toString)
+        .mkString("[", ", ", "]")
+    val bitCols = (0 until 384).map(b =>
+      s"(CASE WHEN list_dot_product(v, ${plane(b)}) >= 0 THEN 1 ELSE 0 END) AS b$b")
+      .mkString(",\n    ")
+    val keyCols = (0 until 24).map { band =>
+      val expr = (0 until 16).map(r => s"b${band * 16 + r}")
+        .reduce((acc, b) => s"($acc * 2 + $b)")
+      s"$expr AS k$band"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 24).map(b => s"l.k$b = r.k$b").mkString(" OR ")
+    val perturbed =
+      "CASE WHEN vec_id % 2 = 0 THEN v ELSE list_transform(v, x -> x + 0.05) END"
+    val batchArms = (1 to 3).map(k =>
+      s"  UNION ALL SELECT vec_id + ${k}000000 AS vec_id, $perturbed AS v FROM base")
+      .mkString("\n")
+    val perBatch = (0 until 3).map { k =>
+      val lo = (k + 1) * 1000000L
+      val hi = (k + 2) * 1000000L
+      s"""  SELECT $k AS batch, sc.ref_id, sc.new_id, $cosExpr AS cos0 FROM (
+         |    SELECT cd.ref_id, cd.new_id, va.v AS qv, vb.v AS cv FROM (
+         |      SELECT DISTINCT l.vec_id AS ref_id, r.vec_id AS new_id
+         |      FROM bd l JOIN bd r ON l.vec_id < $lo
+         |        AND r.vec_id >= $lo AND r.vec_id < $hi
+         |        AND ($bandEq)) cd
+         |    JOIN e va ON cd.ref_id = va.vec_id
+         |    JOIN e vb ON cd.new_id = vb.vec_id) sc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id % 5 = 0),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |$batchArms),
+       |sg AS (SELECT vec_id, v,
+       |    $bitCols
+       |  FROM e),
+       |bd AS (SELECT vec_id,
+       |    $keyCols
+       |  FROM sg),
+       |pairs AS (
+       |$perBatch)
+       |SELECT batch, ref_id, new_id, round(cos0, 6) AS cos FROM pairs
+       |WHERE cos0 >= 0.75 ORDER BY batch, ref_id, new_id""".stripMargin
+  }
+
+  /** The semantic (SemDeDup) replay oracle: the deterministic centroid
+    * training ([[ivfOracle]] recipe) runs over the SEED corpus only —
+    * exactly what [[graft.streaming.StreamingSemanticDedup.seed]]
+    * persists — then every vector (seed + batches) assigns a cell with
+    * those centroids and each batch pairs within shared cells against
+    * the ids admitted before it.
+    */
+  private def streamSemReplayOracle: String = {
+    val meanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS m$d")
+      .mkString(",\n    ")
+    val centList = (0 until 64).map(d => s"coalesce(m.m$d, round(s.v[${d + 1}], 3))")
+      .mkString("[", ", ", "]")
+    val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
+      "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    val perturbed =
+      "CASE WHEN vec_id % 2 = 0 THEN v ELSE list_transform(v, x -> x + 0.05) END"
+    val batchArms = (1 to 3).map(k =>
+      s"  UNION ALL SELECT vec_id + ${k}000000 AS vec_id, $perturbed AS v FROM base")
+      .mkString("\n")
+    val perBatch = (0 until 3).map { k =>
+      val lo = (k + 1) * 1000000L
+      val hi = (k + 2) * 1000000L
+      s"""  SELECT $k AS batch, sc.ref_id, sc.new_id, sc.cell, $cosExpr AS cos0 FROM (
+         |    SELECT l.vec_id AS ref_id, r.vec_id AS new_id, l.cell,
+         |      l.v AS qv, r.v AS cv
+         |    FROM cellof l JOIN cellof r ON l.cell = r.cell
+         |      AND l.vec_id < $lo
+         |      AND r.vec_id >= $lo AND r.vec_id < $hi) sc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id % 5 = 0),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |$batchArms),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY $hSigned, vec_id) - 1 AS cell, v
+       |  FROM base
+       |  ORDER BY $hSigned, vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT b.vec_id, b.v, s.cell,
+       |    list_dot_product(b.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
+       |  FROM base b CROSS JOIN seeds s),
+       |b0 AS (
+       |  SELECT vec_id, v, cell FROM a0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |m AS (SELECT cell,
+       |    $meanCols
+       |  FROM b0 GROUP BY cell),
+       |cent AS (
+       |  SELECT s.cell, $centList AS cv
+       |  FROM seeds s LEFT JOIN m ON s.cell = m.cell),
+       |ac AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+       |  FROM e CROSS JOIN cent c),
+       |cellof AS (
+       |  SELECT vec_id, v, cell FROM ac
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |pairs AS (
+       |$perBatch)
+       |SELECT batch, ref_id, new_id, CAST(cell AS INT) AS cell,
+       |  round(cos0, 6) AS cos FROM pairs
+       |WHERE cos0 >= 0.75 ORDER BY batch, ref_id, new_id""".stripMargin
+  }
+
   /** Fuzzy decontamination: near-copies of benchmark docs (planted at
     * +2000000 with an id-salted suffix) flagged by cross-corpus minhash
     * against the benchmark set (doc_id < 20).
@@ -1633,6 +1811,10 @@ object ExtensionQueries {
     "dedup_minhash_incr" -> minhashIncrOracle,
 
     "stream_dedup_replay" -> streamReplayOracle,
+
+    "stream_embdedup_replay" -> streamEmbReplayOracle,
+
+    "stream_semdedup_replay" -> streamSemReplayOracle,
 
     "text_decontaminate_fuzzy" -> decontaminateFuzzyOracle,
 
