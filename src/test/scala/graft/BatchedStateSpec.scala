@@ -386,6 +386,32 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(!joinPlan.contains("SortMergeJoin"), s"state side shuffled:\n$joinPlan")
   }
 
+  test("semantic admission prunes the vectors state by cell partitions") {
+    import graft.streaming.StreamingSemanticDedup
+    val dir = tmp("ssd_plan")
+    def unit(axis: Int): Seq[Double] =
+      (0 until 8).map(i => if (i == axis) 1.0 else 0.0)
+    val ssd = new StreamingSemanticDedup(spark, dir, "vec_id", "embedding",
+      nCells = 4)
+    ssd.seed((0 until 8).map(a => (a.toLong, unit(a % 4)))
+      .toDF("vec_id", "embedding"))
+    val vecs = new BatchedState(spark, s"$dir/vectors", Seq("cell"))
+    // the batch's cell-set filter reaches the file scan as a partition
+    // filter — non-matching cell= directories are never read
+    val pruned = vecs.read().where(col("cell").isin(Seq(0, 1).map(Int.box): _*))
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("cell"),
+      s"cell filter not pushed to the vectors scan:\n$scanPlan")
+    // and the cell join keeps the (small) fresh side broadcast — the
+    // admit shape: state never shuffled
+    val fresh = broadcast(Seq((0, 900L), (1, 901L)).toDF("cell", "fresh_id"))
+    val joinPlan = pruned.join(fresh, "cell")
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"),
+      s"cell join not broadcast:\n$joinPlan")
+    assert(!joinPlan.contains("SortMergeJoin"), s"state side shuffled:\n$joinPlan")
+  }
+
   test("StreamingDedup admission never shuffles state: broadcast joins + pruned scans") {
     import graft.operators.Dedup
     val dir = tmp("sd_plan")
