@@ -337,6 +337,33 @@ object TextAnalysis {
     dsh.join(bsh, Seq("sg"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** Per-document contamination FRACTION: the share of a document's
+    * DISTINCT word n-grams present in the benchmark set — the standard
+    * contamination-REPORT metric (a doc quoting one benchmark span
+    * scores low, a verbatim benchmark copy scores ~1) where
+    * [[contaminatedDocs]] answers only membership. Same scale shape: the
+    * deduped benchmark shingle set stays small (Catalyst broadcasts it),
+    * one corpus pass, the shuffle carries one row per distinct doc
+    * shingle into a per-doc conditional count. Returns
+    * (doc_id, n_grams, n_contaminated, contamination).
+    */
+  def contaminationStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val dsh = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("sg"))
+    val bsh = bench
+      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("sg"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    dsh.join(bsh, Seq("sg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) / col("n_grams"))
+  }
+
   // ---- lexical relevance search (BM25) --------------------------------
 
   /** Okapi BM25 top-k document retrieval for a fixed bag of query terms —

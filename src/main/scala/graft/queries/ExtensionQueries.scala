@@ -388,6 +388,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- contamination fraction report: per-doc share of distinct
+    //     8-grams hitting the benchmark set (same planted corpus as
+    //     text_decontaminate — planted docs score low-but-nonzero,
+    //     benchmark members score 1.0) ----------------------------------
+    "text_contamination_frac" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val words = TextAnalysis.canonToks(col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val spans = bench.select(col("doc_id").as("bid"),
+        concat_ws(" ", slice(words, 1, 8)).as("span"))
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans, "bid")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = d.union(planted)
+      TextAnalysis.contaminationStats(corpus, "doc_id", "text", bench, "text")
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- PII scrubbing (planted emails/IPs/long numbers -> typed tokens;
     //     oracle recomputes the scrub with the identical portable regexes) -
     "text_pii_scrub" -> { (s, dir) =>
@@ -2007,6 +2029,38 @@ object ExtensionQueries {
          |bsh AS (SELECT DISTINCT unnest($sh8) AS sg FROM bw)
          |SELECT DISTINCT doc_id FROM csh WHERE sg IN (SELECT sg FROM bsh)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // per-doc DISTINCT 8-gram counts + benchmark-hit share; list_distinct
+    // mirrors WordShingles' distinct semantics
+    "text_contamination_frac" -> {
+      val words8 =
+        "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
+      val sh8 = """CASE WHEN len(words) < 8 THEN [array_to_string(words, ' ')]
+        |    ELSE list_transform(range(1, len(words) - 6),
+        |           i -> array_to_string(words[i:i+7], ' ')) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |w0 AS (SELECT doc_id, $words8 AS words FROM d),
+         |spans AS (SELECT doc_id AS bid, array_to_string(words[1:8], ' ') AS span
+         |  FROM w0 WHERE doc_id < 20),
+         |planted AS (
+         |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
+         |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
+         |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
+         |corpus AS (SELECT doc_id, text FROM d
+         |  UNION ALL SELECT doc_id, text FROM planted),
+         |cw AS (SELECT doc_id, $words8 AS words FROM corpus),
+         |csh AS (SELECT doc_id, unnest(list_distinct($sh8)) AS sg FROM cw),
+         |bw AS (SELECT doc_id, $words8 AS words FROM d WHERE doc_id < 20),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct($sh8)) AS sg FROM bw),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN sg IN (SELECT sg FROM bsh) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_contaminated
+         |  FROM csh GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_contaminated,
+         |  round(CAST(n_contaminated AS DOUBLE) / n_grams, 6) AS contamination
+         |FROM agg ORDER BY doc_id""".stripMargin
     },
 
     "text_pii_scrub" -> {

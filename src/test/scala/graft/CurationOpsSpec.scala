@@ -584,6 +584,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(4), "curly not flagged")
   }
 
+  test("contaminationStats: exact distinct-8-gram fractions per doc") {
+    // bench doc = 8 words -> exactly one 8-gram
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // verbatim benchmark copy: 1 of 1 grams contaminated
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // 10 words = 3 distinct 8-grams, the FIRST is the benchmark span
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // clean doc, same length: 0 of 3
+      (3L, "one two three four five six seven eight nine ten"),
+      // short doc (< 8 words): single whole-text shingle, no hit
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationStats(docs, "doc_id", "text",
+        bench, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 1.0),
+      (2L, 3L, 1L, 1.0 / 3),
+      (3L, 3L, 0L, 0.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
   test("minhash composeNfc: decomposed twin dedups only with NFC opted in") {
     // identical text, one encoded precomposed and one decomposed: byte
     // shingles differ, NFC shingles agree
