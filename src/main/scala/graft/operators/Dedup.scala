@@ -117,6 +117,40 @@ object Dedup {
           " ").as("text_dedup"))
   }
 
+  /** Paragraph-granularity exact dedup (the CCNet cleaning shape:
+    * duplicated paragraphs — boilerplate blocks, quoted reposts — keep
+    * only their corpus-wide FIRST occurrence, order = (id, pos)).
+    * Complements [[TextAnalysis.stripBoilerplateLines]] (which waits for
+    * `minDocs` distinct documents before a line drops): here a paragraph
+    * dedups at its SECOND occurrence. Same two-shuffle scale shape as
+    * [[dropDupChunks]]: min(struct) map-side first-occurrence aggregate
+    * on the paragraph's canonical fingerprint (NEVER a window — a
+    * boilerplate block repeated millions of times collapses on the
+    * mappers), then a reassembly aggregate on id. Survivors keep their
+    * ORIGINAL text and order, rejoined with newlines; documents whose
+    * every paragraph duplicates earlier content drop entirely. Returns
+    * (id, n_paras_kept, text_dedup).
+    */
+  def dropDupParagraphs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\n+")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+    paras
+      .withColumn("fp", TextAnalysis.fingerprint(col("para")))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"), col("para"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"),
+        col("w.para").as("para"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para")),
+          "\n").as("text_dedup"))
+  }
+
   // ---- shingling ------------------------------------------------------
 
   /** Distinct word n-gram shingles of the canonical text — a codegen'd

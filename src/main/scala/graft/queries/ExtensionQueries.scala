@@ -723,6 +723,22 @@ object ExtensionQueries {
         .orderBy(col("id"))
     },
 
+    // --- paragraph-level exact dedup: every doc carries a corpus-wide
+    //     shared boilerplate block (survives once, in the min doc), its
+    //     body text (dups in the +1e6 twin drop), and a unique tail
+    //     (twin tails are unique too, so twins survive with 1 para) ----
+    "text_para_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      def para3(idExpr: org.apache.spark.sql.Column) = concat_ws("\n",
+        lit("shared boilerplate paragraph on every doc"),
+        col("text"),
+        concat(lit("unique tail "), idExpr)).as("text")
+      val corpus = d.select(col("doc_id"), para3(col("doc_id")))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"),
+          para3(col("doc_id") + 1000000)))
+      Dedup.dropDupParagraphs(corpus, "doc_id", "text").orderBy(col("id"))
+    },
+
     // --- per-source document cap (hash-ordered survivors, bounded-heap
     //     partial aggregate — never a window over the corpus) ------------
     "sample_source_cap" -> { (s, dir) =>
@@ -2577,6 +2593,35 @@ object ExtensionQueries {
         |SELECT id, count(*) AS n_chunks_kept,
         |  string_agg(chunk, ' ' ORDER BY chunk_id) AS text_dedup
         |FROM k WHERE rn = 1 GROUP BY id ORDER BY id""".stripMargin,
+
+    // first occurrence per canonical paragraph fingerprint, original
+    // text + order preserved in the reassembly
+    "text_para_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'shared boilerplate paragraph on every doc' || chr(10) || text
+        |      || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 1000000,
+        |    'shared boilerplate paragraph on every doc' || chr(10) || text
+        |      || chr(10) || 'unique tail ' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+        |    paras[CAST(i AS INT)] AS para
+        |  FROM (SELECT doc_id, string_split_regex(text, '\n+') AS paras
+        |        FROM corpus),
+        |       UNNEST(generate_series(1, len(paras))) AS g(i)
+        |  WHERE trim(paras[CAST(i AS INT)]) != ''),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(replace(replace(lower(trim(para)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM p)
+        |SELECT doc_id AS id, count(*) AS n_paras_kept,
+        |  string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "sample_source_cap" ->
       s"""WITH b AS (

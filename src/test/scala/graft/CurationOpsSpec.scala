@@ -584,6 +584,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(4), "curly not flagged")
   }
 
+  test("dropDupParagraphs: corpus-wide first occurrence, original text + order") {
+    val docs = Seq(
+      // intra-doc near-copy (case differs) dups on the CANONICAL fp; the
+      // first occurrence keeps its ORIGINAL casing
+      (1L, "Shared Block\nunique one\nshared block"),
+      (2L, "shared block\nunique two"),
+      (3L, "SHARED BLOCK")) // every paragraph duplicates -> doc drops
+      .toDF("doc_id", "text")
+    val got = Dedup.dropDupParagraphs(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, "Shared Block\nunique one"),
+      (2L, 1L, "unique two")))
+  }
+
   test("contaminationStats: exact distinct-8-gram fractions per doc") {
     // bench doc = 8 words -> exactly one 8-gram
     val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
