@@ -287,6 +287,43 @@ object TextAnalysis {
     }
   }
 
+  // ---- Unicode script composition -------------------------------------
+
+  /** Explicit BMP block ranges per script — deliberately NOT
+    * `\p{script=...}` classes, whose membership shifts with each
+    * engine's Unicode table version; literal ranges match identically
+    * under Java regex and RE2, so the oracle recomputes every count.
+    */
+  private[graft] val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cjk" -> "㐀-䶿一-鿿",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ")
+
+  /** Per-document script-composition ratios — the RefinedWeb/mC4-style
+    * script gate ("keep mostly-Latin pages") complementing [[langId]]'s
+    * stopword argmax: fraction of NON-WHITESPACE codepoints falling in
+    * each script's blocks, plus the `other` remainder (digits,
+    * punctuation, unlisted scripts). Empty/whitespace-only docs score 0
+    * everywhere. A scan-local projection (one regex strip per script);
+    * counts are exact ints, so the ratios recompute bit-identically in
+    * SQL.
+    */
+  def scriptRatioCols(text: Column): Seq[(String, Column)] = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val counts = scriptRanges.map { case (name, r) =>
+      name -> length(regexp_replace(text, s"[^$r]", ""))
+    }
+    val listed = counts.map(_._2).reduce(_ + _)
+    val ratios = counts.map { case (name, c) =>
+      name -> when(nonSpace === 0, lit(0.0))
+        .otherwise(c.cast(DoubleType) / nonSpace)
+    }
+    ratios :+ ("other" -> when(nonSpace === 0, lit(0.0))
+      .otherwise((nonSpace - listed).cast(DoubleType) / nonSpace))
+  }
+
   // ---- PII scrubbing --------------------------------------------------
 
   /** Deliberately dialect-portable patterns (no alternation, no

@@ -327,6 +327,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- Unicode script composition (mostly-Latin gate): every fourth
+    //     doc gets a Greek / Cyrillic / Arabic suffix so each listed
+    //     script has non-zero mass; zh docs exercise the CJK block ------
+    "text_scripts" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.filter(col("doc_id") < 500).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" αβγ"))
+            .when(col("doc_id") % 4 === 1,
+              lit(" привет"))
+            .when(col("doc_id") % 4 === 2,
+              lit(" مرحبا"))
+            .otherwise(lit(""))).as("text"))
+      corpus.select(col("doc_id") +:
+          TextAnalysis.scriptRatioCols(col("text")).map { case (n, c) =>
+            round(c, 6).as(n)
+          }: _*)
+        .orderBy(col("doc_id"))
+    },
+
     // --- quality scoring ---------------------------------------------------
     "text_quality" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -1925,6 +1945,35 @@ object ExtensionQueries {
          |       WHEN sfr = GREATEST(sde, sen, ses, sfr, szh) THEN 'fr'
          |       ELSE 'zh' END AS predicted
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // script counts share the exact range literals with the Spark side
+    // (TextAnalysis.scriptRanges — explicit BMP blocks, not version-
+    // dependent \p{script} classes)
+    "text_scripts" -> {
+      val rangeCols = TextAnalysis.scriptRanges.map { case (n, r) =>
+        s"length(regexp_replace(text, '[^$r]', '', 'g')) AS c_$n"
+      }.mkString(",\n    ")
+      val sumListed = TextAnalysis.scriptRanges.map(p => s"c_${p._1}")
+        .mkString(" + ")
+      val ratioCols = TextAnalysis.scriptRanges.map { case (n, _) =>
+        s"round(CASE WHEN ns = 0 THEN 0.0 ELSE CAST(c_$n AS DOUBLE) / ns END, 6) AS $n"
+      }.mkString(",\n  ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4 WHEN 0 THEN ' αβγ' WHEN 1 THEN ' привет'
+         |         WHEN 2 THEN ' مرحبا' ELSE '' END AS text
+         |  FROM documents WHERE doc_id < 500),
+         |c AS (
+         |  SELECT doc_id,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS ns,
+         |    $rangeCols
+         |  FROM corpus)
+         |SELECT doc_id,
+         |  $ratioCols,
+         |  round(CASE WHEN ns = 0 THEN 0.0
+         |    ELSE CAST(ns - ($sumListed) AS DOUBLE) / ns END, 6) AS other
+         |FROM c ORDER BY doc_id""".stripMargin
     },
 
     "text_quality" -> {

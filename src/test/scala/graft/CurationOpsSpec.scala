@@ -584,6 +584,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(4), "curly not flagged")
   }
 
+  test("scriptRatioCols: exact composition on a known mixed-script string") {
+    // 4 latin + 2 cjk + 3 cyrillic + 2 greek + 2 arabic + 2 digits(other)
+    // = 15 non-space codepoints
+    val df = Seq(
+      (1L, "abcd 一二 мир αβ مر 42"),
+      (2L, " \t"), (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +:
+        TextAnalysis.scriptRatioCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert((1 to 6).map(r1.getDouble).toSeq ===
+      Seq(4.0 / 15, 2.0 / 15, 3.0 / 15, 2.0 / 15, 2.0 / 15, 2.0 / 15))
+    // whitespace-only and empty docs score 0 everywhere, never NaN
+    for (r <- Seq(got(1), got(2)); i <- 1 to 6) assert(r.getDouble(i) === 0.0)
+  }
+
   test("dropDupParagraphs: corpus-wide first occurrence, original text + order") {
     val docs = Seq(
       // intra-doc near-copy (case differs) dups on the CANONICAL fp; the
