@@ -188,6 +188,39 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("ref_id"), col("new_id"))
     },
 
+    // --- standing paragraph filter, replayed under oracle: seed state
+    //     from a 3-paragraph-per-doc corpus; every batch doc repeats the
+    //     seed's boilerplate + body (both drop) and carries a versioned
+    //     tail — batch 2's odd-doc tails repeat batch 0's, so they drop
+    //     ONLY if state accumulated across admissions -------------------
+    "stream_paradedup_replay" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val base = d.filter(col("doc_id") % 5 === 0)
+      val boiler = lit("shared boilerplate paragraph on every doc")
+      val seedCorpus = base.select(col("doc_id"),
+        concat_ws("\n", boiler, col("text"),
+          concat(lit("seed tail "), col("doc_id"))).as("text"))
+      def batchDf(k: Int) = base.select(
+        (col("doc_id") + lit((k + 1) * 1000000L)).as("doc_id"),
+        concat_ws("\n", boiler, col("text"),
+          concat(lit("tail "), col("doc_id"), lit(" v"),
+            when(col("doc_id") % 2 === 0, lit(k)).otherwise(lit(k % 2))))
+          .as("text"))
+      val stateDir =
+        s"target/stream_parareplay_${new java.io.File(dir).getName}"
+      val sd = new graft.streaming.StreamingParagraphDedup(s, stateDir,
+        "doc_id", "text")
+      sd.seed(seedCorpus)
+      val out = (0 until 3).map { k =>
+        val p = sd.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        if (k == 0) sd.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+      out.select(col("batch"), col("id"), col("n_paras_kept"),
+          col("text_dedup"))
+        .orderBy(col("batch"), col("id"))
+    },
+
     // --- the embedding twin of stream_dedup_replay: same seed/3-batch/
     //     compact-after-0 structure over the RHP-banded vector state;
     //     every batch pairs with the seed and with earlier batches ------
@@ -1869,6 +1902,45 @@ object ExtensionQueries {
     "dedup_minhash_incr" -> minhashIncrOracle,
 
     "stream_dedup_replay" -> streamReplayOracle,
+
+    // global first occurrence per canonical paragraph fp, ordered
+    // (batch, id, pos) with the seed at batch -1 — exactly the state the
+    // standing filter accumulates; output = batches >= 0 reassembled
+    "stream_paradedup_replay" -> {
+      // every embedded line must END with its || (a line STARTING with
+      // || would lose one pipe to the outer stripMargin)
+      val batchArms = (0 until 3).map { k =>
+        s"  UNION ALL SELECT $k AS batch, doc_id + ${k + 1}000000 AS doc_id,\n" +
+          "    'shared boilerplate paragraph on every doc' || chr(10) || text ||\n" +
+          "    chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) || ' v' ||\n" +
+          s"    CAST(CASE WHEN doc_id % 2 = 0 THEN $k ELSE ${k % 2} END AS VARCHAR) AS text\n" +
+          "  FROM base"
+      }.mkString("\n")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |docs AS (
+         |  SELECT -1 AS batch, doc_id,
+         |    'shared boilerplate paragraph on every doc' || chr(10) || text
+         |      || chr(10) || 'seed tail ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM base
+         |$batchArms),
+         |p AS (
+         |  SELECT batch, doc_id, CAST(i AS INT) - 1 AS pos,
+         |    paras[CAST(i AS INT)] AS para
+         |  FROM (SELECT batch, doc_id, string_split_regex(text, '\\n+') AS paras
+         |        FROM docs),
+         |       UNNEST(generate_series(1, len(paras))) AS g(i)
+         |  WHERE trim(paras[CAST(i AS INT)]) != ''),
+         |k AS (
+         |  SELECT batch, doc_id, pos, para,
+         |    row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(replace(replace(lower(trim(para)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'))
+         |      ORDER BY batch, doc_id, pos) AS rn
+         |  FROM p)
+         |SELECT batch, doc_id AS id, count(*) AS n_paras_kept,
+         |  string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+         |FROM k WHERE rn = 1 AND batch >= 0 GROUP BY batch, doc_id
+         |ORDER BY batch, id""".stripMargin
+    },
 
     "stream_embdedup_replay" -> streamEmbReplayOracle,
 

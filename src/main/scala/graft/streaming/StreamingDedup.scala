@@ -284,6 +284,120 @@ final class StreamingSemanticDedup(spark: SparkSession, stateDir: String,
       }
 }
 
+/** Standing paragraph-granularity exact dedup — the streaming lift of
+  * [[graft.operators.Dedup.dropDupParagraphs]] (the CCNet cleaning
+  * shape): the fingerprints of every paragraph ever seen persist in a
+  * [[BatchedState]]; each arriving micro-batch keeps only paragraphs
+  * whose canonical fingerprint is new (first within the batch AND
+  * absent from state) and emits the per-document cleaned text.
+  *
+  * Scale shape, same as the minhash twin: the fp state is
+  * directory-partitioned by `fb = hash(fp)` and PRUNED per batch by the
+  * batch's bucket set; membership runs as a left-semi join of the
+  * pruned state against the BROADCAST batch fingerprints (output
+  * bounded by the batch — state is never shuffled), and only NEW
+  * fingerprints append, so state rows stay unique without read-time
+  * dedup. Idempotent appends / replay-deterministic reads / compaction
+  * are [[BatchedState]]'s.
+  */
+final class StreamingParagraphDedup(spark: SparkSession, stateDir: String,
+    idCol: String, textCol: String, nBuckets: Int = 32) extends Serializable {
+
+  import graft.operators.TextAnalysis
+
+  private val fps = new BatchedState(spark, s"$stateDir/fps", Seq("fb"))
+
+  private def fpBucket(fp: Column): Column =
+    pmod(xxhash64(fp), lit(nBuckets)).cast("int")
+
+  private val stateParams = Map("nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(fps), stateDir)
+    paramsChecked = true
+  }
+
+  /** (id, pos, para, fp) for every non-blank paragraph of a corpus. */
+  private def paras(df: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\n+")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("fp", TextAnalysis.fingerprint(col("para")))
+
+  /** Seed the seen-paragraph state from a reference corpus, REPLACING
+    * any previous state under `stateDir`.
+    */
+  def seed(reference: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
+    fps.reset()
+    fps.seed(paras(reference).select(col("fp")).distinct()
+      .withColumn("fb", fpBucket(col("fp"))))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Admit micro-batch `batchId`: per-document cleaned text built from
+    * the paragraphs whose fingerprint is NEW (first occurrence within
+    * the batch by (id, pos), and unseen by batches < batchId), then
+    * fold the new fingerprints into the state. Documents whose every
+    * paragraph duplicates earlier content are absent from the output.
+    * Replay-idempotent. Returns (id, n_paras_kept, text_dedup).
+    */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureAdmissible(batchId)
+    // batch-internal first occurrence per fingerprint: min(struct) map-
+    // side aggregate (never a window), one row per distinct batch fp
+    val firstInBatch = paras(batch)
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"), col("para"))).as("w"))
+      .select(col("fp"), col("w.id").as("id"), col("w.pos").as("pos"),
+        col("w.para").as("para"))
+      .withColumn("fb", fpBucket(col("fp")))
+      .localCheckpoint()
+    val fbs = firstInBatch.select("fb").distinct().collect().map(_.getInt(0))
+    val ref = fps.read(before = batchId, fallback =
+        Some(firstInBatch.select(col("fp"), col("fb")).schema))
+      .where(col("fb").isin(fbs.toIndexedSeq.map(Int.box): _*))
+    // membership via state-side SEMI against the broadcast batch fps
+    // (output <= |batch| rows), then a bounded anti join — the pruned
+    // state streams through broadcast joins, never shuffles
+    val seen = ref.join(broadcast(firstInBatch.select(col("fp"))),
+      Seq("fp"), "left_semi")
+    val kept = firstInBatch.join(broadcast(seen.select(col("fp"))),
+        Seq("fp"), "left_anti")
+      .localCheckpoint()
+    val out = kept
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para")),
+          "\n").as("text_dedup"))
+      .localCheckpoint()
+    fps.append(kept.select(col("fp"), col("fb")), batchId)
+    out
+  }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = fps.compact(keepFrom, upTo)
+
+  /** See [[StreamingDedup.attach]]. */
+  def attach(source: DataFrame, outDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
+        ()
+      }
+}
+
 /** The embedding twin of [[StreamingDedup]]: persisted state is the
   * (id, vector) table (id-bucket-pruned for the verify join) plus the
   * RHP band keys stored EXPLODED, one row per (id, band, key), bucketed

@@ -386,6 +386,32 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(!joinPlan.contains("SortMergeJoin"), s"state side shuffled:\n$joinPlan")
   }
 
+  test("StreamingParagraphDedup: standing paragraph filter across batches") {
+    import graft.streaming.StreamingParagraphDedup
+    val sd = new StreamingParagraphDedup(spark, tmp("spd"), "doc_id", "text")
+    sd.seed(Seq((1L, "shared header\nseed body one")).toDF("doc_id", "text"))
+    val b0 = sd.admit(Seq(
+        (100L, "shared header\nfresh paragraph alpha"),
+        (101L, "fresh paragraph alpha\nfresh paragraph beta"))
+        .toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    // header seen (seed); alpha's first occurrence wins for doc 100, so
+    // doc 101 keeps only beta
+    assert(b0.toSeq === Seq(
+      (100L, 1L, "fresh paragraph alpha"),
+      (101L, 1L, "fresh paragraph beta")))
+    // batch 1: every paragraph already seen (seed + batch 0) -> no rows
+    assert(sd.admit(Seq((200L, "fresh paragraph beta\nshared header"))
+      .toDF("doc_id", "text"), 1L).count() === 0)
+    sd.compact()
+    // post-compaction the folded state still filters; new text passes
+    val b2 = sd.admit(Seq((300L, "shared header\nbrand new gamma"))
+      .toDF("doc_id", "text"), 2L).collect()
+    assert(b2.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((300L, "brand new gamma")))
+  }
+
   test("semantic admission prunes the vectors state by cell partitions") {
     import graft.streaming.StreamingSemanticDedup
     val dir = tmp("ssd_plan")
