@@ -384,4 +384,15 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).length >= 4,
       s"expected partial+final pairs on both aggregates:\n$p")
   }
+
+  test("paragraph dedup shuffles exactly twice (fingerprint, then doc id)") {
+    import graft.operators.Dedup
+    val d = Tables(spark, sf).documents
+    val p = plan(Dedup.dropDupParagraphs(d, "doc_id", "text"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected one exchange for first-occurrence, one for reassembly:\n$p")
+    // a corpus-wide boilerplate paragraph must collapse map-side, never
+    // funnel through one sorted window group
+    assert(!p.contains("Window"), s"paragraph dedup must not window:\n$p")
+  }
 }
