@@ -287,6 +287,34 @@ object TextAnalysis {
     }
   }
 
+  // ---- HTML-to-text extraction ----------------------------------------
+
+  /** Pragmatic HTML-to-text cleanup for raw-crawl corpora — the
+    * precursor to every text filter when the input is markup: drop
+    * `<script>`/`<style>` blocks and comments wholesale, strip the
+    * remaining tags, decode the basic entities (AFTER tag stripping, so
+    * a decoded `&lt;tag&gt;` can never re-inject markup; `&amp;` decodes
+    * LAST so `&amp;lt;` yields the literal `&lt;`), collapse whitespace.
+    * Deliberately regex-portable (inline-flag non-greedy dotall blocks,
+    * no lookaround, no backreferences) so Java and RE2 match identically
+    * and the oracle recomputes the cleanup verbatim. NOT an HTML5
+    * parser — malformed markup degrades gracefully to text, the
+    * C4-style extraction trade.
+    */
+  def stripHtml(html: Column): Column = {
+    val blocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---- Unicode script composition -------------------------------------
 
   /** Explicit BMP block ranges per script — deliberately NOT

@@ -360,6 +360,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- HTML-to-text extraction: docs wrapped in markup with script/
+    //     style blocks (holding tag-like text), comments, and entities —
+    //     the cleanup must recover exactly the text + decoded entities --
+    "text_strip_html" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val page = concat(
+        lit("<html><head><style>p { color: red; }</style>" +
+          "<script>if (x < 2) { alert(\"hi\"); }</script></head>" +
+          "<body><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden comment --><p>A &amp; B &lt;tag&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+      d.select(col("doc_id"),
+          TextAnalysis.stripHtml(page).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- Unicode script composition (mostly-Latin gate): every fourth
     //     doc gets a Greek / Cyrillic / Arabic suffix so each listed
     //     script has non-zero mass; zh docs exercise the CJK block ------
@@ -2018,6 +2035,32 @@ object ExtensionQueries {
          |       ELSE 'zh' END AS predicted
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    // identical strip/decode chain: blocks+comments, tags, entities
+    // (amp LAST), whitespace collapse
+    "text_strip_html" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style><script>if (x < 2) { alert("hi"); }</script></head><body><h1>Doc '
+        |      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |      || '</p><!-- hidden comment --><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>' AS h
+        |  FROM documents WHERE doc_id < 500),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(h,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS b
+        |  FROM page),
+        |t AS (SELECT doc_id, regexp_replace(b, '<[^>]+>', ' ', 'g') AS b FROM c),
+        |e AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g'),
+        |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS b
+        |  FROM t)
+        |SELECT doc_id, trim(regexp_replace(b, '\s+', ' ', 'g')) AS clean
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // script counts share the exact range literals with the Spark side
     // (TextAnalysis.scriptRanges — explicit BMP blocks, not version-

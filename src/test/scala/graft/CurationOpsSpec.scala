@@ -584,6 +584,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(4), "curly not flagged")
   }
 
+  test("stripHtml: blocks, tags, entity decode order, graceful degradation") {
+    val cases = Seq(
+      // script content (with tag-like text) vanishes; entities decode
+      "<p>A &amp; B</p><script>if (1 < 2) alert(\"x\");</script>done" ->
+        "A & B done",
+      // decode AFTER tag strip: &lt;b&gt; stays literal text, never markup
+      "x &lt;b&gt; y" -> "x <b> y",
+      // &amp;lt; decodes exactly one level (amp last)
+      "&amp;lt;" -> "&lt;",
+      "<style>p{a:1}</style><!-- c --><div>kept&nbsp;text</div>" ->
+        "kept text",
+      // malformed markup degrades to text, never throws
+      "<p unclosed attr  oops & text" -> "<p unclosed attr oops & text")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2), s"got $got")
+  }
+
   test("scriptRatioCols: exact composition on a known mixed-script string") {
     // 4 latin + 2 cjk + 3 cyrillic + 2 greek + 2 arabic + 2 digits(other)
     // = 15 non-space codepoints
