@@ -98,6 +98,12 @@ object GraftExtensions {
     ("graft_normalize_url",
       args => toExpression(graft.operators.TextAnalysis.normalizeUrl(c(args.head))),
       "graft_normalize_url(url) - canonical crawl-dedup URL key"),
+    ("graft_strip_html",
+      args => toExpression(TextAnalysis.stripHtml(c(args.head))),
+      "graft_strip_html(html) - blocks/tags stripped, entities decoded, whitespace collapsed"),
+    ("graft_fingerprint_nfc",
+      args => toExpression(TextAnalysis.fingerprintNfc(c(args.head))),
+      "graft_fingerprint_nfc(text) - NFC-composed canonical md5 fingerprint"),
     ("graft_auto_timestamp",
       args => graft.functions.AutoTimestamp(args.head,
         if (args.lengthCompare(1) > 0) strLit(args(1), "graft_auto_timestamp")

@@ -41,7 +41,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_set_jaccard(graft_word_shingles(text, 3),
         |                    graft_word_shingles(text, 3)) AS self_jac,
         |  graft_minhash_sig(graft_word_shingles(text, 3), 8) AS sig,
-        |  graft_normalize_url('HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f') AS nu
+        |  graft_normalize_url('HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f') AS nu,
+        |  graft_strip_html('<p>A &amp; B</p><script>x()</script>') AS sh2,
+        |  graft_fingerprint_nfc(text) AS fpn
         |FROM docs""".stripMargin)
     val api = spark.table("docs").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -57,7 +59,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.MinHashSig.of(
         graft.functions.WordShingles.of(col("text"), 3), 8).as("sig"),
       TextAnalysis.normalizeUrl(
-        lit("HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f")).as("nu"))
+        lit("HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f")).as("nu"),
+      TextAnalysis.stripHtml(
+        lit("<p>A &amp; B</p><script>x()</script>")).as("sh2"),
+      TextAnalysis.fingerprintNfc(col("text")).as("fpn"))
     assert(sql.exceptAll(api).count() === 0)
     assert(api.exceptAll(sql).count() === 0)
   }
