@@ -292,26 +292,36 @@ object TextAnalysis {
   /** Pragmatic HTML-to-text cleanup for raw-crawl corpora — the
     * precursor to every text filter when the input is markup: drop
     * `<script>`/`<style>` blocks and comments wholesale, strip the
-    * remaining tags, decode the basic entities (AFTER tag stripping, so
-    * a decoded `&lt;tag&gt;` can never re-inject markup; `&amp;` decodes
-    * LAST so `&amp;lt;` yields the literal `&lt;`), collapse whitespace.
-    * Deliberately regex-portable (inline-flag non-greedy dotall blocks,
-    * no lookaround, no backreferences) so Java and RE2 match identically
-    * and the oracle recomputes the cleanup verbatim. NOT an HTML5
-    * parser — malformed markup degrades gracefully to text, the
-    * C4-style extraction trade.
+    * remaining tags, decode entities (AFTER tag stripping, so a decoded
+    * `&lt;tag&gt;` or `&#60;tag&#62;` can never re-inject markup),
+    * collapse whitespace. Entity order: named first, then numeric
+    * references ([[graft.functions.HtmlEntities]] — `&#233;`/`&#xE9;`,
+    * codegen'd), then `&amp;` LAST so amp-escaped entities stay literal
+    * both ways: `&amp;lt;` yields the literal `&lt;`, `&amp;#65;` the
+    * literal `&#65;`, and `&#38;lt;` the literal `&lt;` (the numeric
+    * pass turns `&#38;` into a bare `&` only after the named pass has
+    * run). Deliberately regex-portable (inline-flag non-greedy dotall
+    * blocks, no lookaround, no backreferences) so Java and RE2 match
+    * identically and the oracle recomputes the cleanup verbatim — the
+    * numeric decode's oracle twin is a marker-split + chr() map with the
+    * same bounded-length/valid-scalar semantics. NOT an HTML5 parser —
+    * malformed markup degrades gracefully to text, the C4-style
+    * extraction trade.
     */
   def stripHtml(html: Column): Column = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge.{toColumn, toExpression}
     val blocks = regexp_replace(regexp_replace(regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", " "),
       "(?is)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(blocks, "<[^>]+>", " ")
-    val decoded = Seq(
+    val named = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
-      "&amp;" -> "&"
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " "
     ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val numeric = toColumn(
+      graft.functions.DecodeNumericEntities(toExpression(named)))
+    val decoded = regexp_replace(numeric, "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -321,9 +331,16 @@ object TextAnalysis {
     * `\p{script=...}` classes, whose membership shifts with each
     * engine's Unicode table version; literal ranges match identically
     * under Java regex and RE2, so the oracle recomputes every count.
+    *
+    * Latin spans the ASCII letters, Latin-1 letters (excluding the
+    * U+00D7 multiplication and U+00F7 division signs, which are math
+    * punctuation, not letters), Latin Extended-A/B + IPA through
+    * U+024F, and Latin Extended Additional (U+1E00–U+1EFF) — the block
+    * Vietnamese leans on (ặ=U+1EB7, ọ=U+1ECD): without it a
+    * mostly-Latin gate at 0.8 wrongly drops Vietnamese pages.
     */
   private[graft] val scriptRanges: Seq[(String, String)] = Seq(
-    "latin" -> "A-Za-zÀ-ɏ",
+    "latin" -> "A-Za-zÀ-ÖØ-öø-ɏḀ-ỿ",
     "cjk" -> "㐀-䶿一-鿿",
     "cyrillic" -> "Ѐ-ӿ",
     "greek" -> "Ͱ-Ͽ",

@@ -362,7 +362,9 @@ object ExtensionQueries {
 
     // --- HTML-to-text extraction: docs wrapped in markup with script/
     //     style blocks (holding tag-like text), comments, and entities —
-    //     the cleanup must recover exactly the text + decoded entities --
+    //     named + numeric (decimal/hex/leading-zero/supplementary) decode,
+    //     with overflow-length, surrogate, empty-payload, and amp-escaped
+    //     references left literal ---------------------------------------
     "text_strip_html" -> { (s, dir) =>
       val d = Tables(s, dir).documents.filter(col("doc_id") < 500)
       val page = concat(
@@ -371,7 +373,10 @@ object ExtensionQueries {
           "<body><h1>Doc "), col("doc_id"),
         lit("</h1><p>"), col("text"),
         lit("</p><!-- hidden comment --><p>A &amp; B &lt;tag&gt; " +
-          "&quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+          "&quot;q&quot; &#39;s&#39;&nbsp;" +
+          "caf&#233; h&#xE9;llo &#X41;&#0233; gr&#128512; " +
+          "bad&#12345678; sur&#55296; no&#x; esc&#38;lt; amp&amp;#65; " +
+          "end</p></body></html>"))
       d.select(col("doc_id"),
           TextAnalysis.stripHtml(page).as("clean"))
         .orderBy(col("doc_id"))
@@ -2036,14 +2041,16 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
-    // identical strip/decode chain: blocks+comments, tags, entities
-    // (amp LAST), whitespace collapse
+    // identical strip/decode chain: blocks+comments, tags, named
+    // entities, numeric references (marker-split + chr() map with the
+    // same bounded-length/valid-scalar guards as DecodeNumericEntities),
+    // amp LAST, whitespace collapse
     "text_strip_html" ->
       """WITH page AS (
         |  SELECT doc_id,
         |    '<html><head><style>p { color: red; }</style><script>if (x < 2) { alert("hi"); }</script></head><body><h1>Doc '
         |      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |      || '</p><!-- hidden comment --><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>' AS h
+        |      || '</p><!-- hidden comment --><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;caf&#233; h&#xE9;llo &#X41;&#0233; gr&#128512; bad&#12345678; sur&#55296; no&#x; esc&#38;lt; amp&amp;#65; end</p></body></html>' AS h
         |  FROM documents WHERE doc_id < 500),
         |c AS (
         |  SELECT doc_id,
@@ -2054,13 +2061,37 @@ object ExtensionQueries {
         |  FROM page),
         |t AS (SELECT doc_id, regexp_replace(b, '<[^>]+>', ' ', 'g') AS b FROM c),
         |e AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         |      '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g'),
-        |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS b
-        |  FROM t)
-        |SELECT doc_id, trim(regexp_replace(b, '\s+', ' ', 'g')) AS clean
-        |FROM e ORDER BY doc_id""".stripMargin,
+        |      '&nbsp;', ' ', 'g') AS b
+        |  FROM t),
+        |m AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(b,
+        |      '&#([xX][0-9a-fA-F]{1,6});', chr(1) || '\1' || chr(1), 'g'),
+        |      '&#([0-9]{1,7});', chr(1) || 'd\1' || chr(1), 'g') AS b
+        |  FROM e),
+        |tok AS (SELECT doc_id, unnest(string_split(b, chr(1))) AS s,
+        |    generate_subscripts(string_split(b, chr(1)), 1) AS i
+        |  FROM m),
+        |dec AS (SELECT doc_id, i,
+        |    CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN CASE WHEN s LIKE 'd%' THEN try_cast(substr(s, 2) AS INTEGER)
+        |                     ELSE try_cast('0x' || substr(s, 2) AS INTEGER) END
+        |                BETWEEN 1 AND 1114111
+        |            AND NOT (CASE WHEN s LIKE 'd%' THEN try_cast(substr(s, 2) AS INTEGER)
+        |                     ELSE try_cast('0x' || substr(s, 2) AS INTEGER) END
+        |                BETWEEN 55296 AND 57343)
+        |           THEN chr(CASE WHEN s LIKE 'd%' THEN try_cast(substr(s, 2) AS INTEGER)
+        |                     ELSE try_cast('0x' || substr(s, 2) AS INTEGER) END)
+        |           WHEN s LIKE 'd%' THEN '&#' || substr(s, 2) || ';'
+        |           ELSE '&#' || s || ';' END
+        |      ELSE s END AS o
+        |  FROM tok),
+        |g AS (SELECT doc_id, string_agg(o, '' ORDER BY i) AS b FROM dec GROUP BY doc_id)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(b, '&amp;', '&', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // script counts share the exact range literals with the Spark side
     // (TextAnalysis.scriptRanges — explicit BMP blocks, not version-

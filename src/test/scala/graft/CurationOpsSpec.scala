@@ -596,10 +596,38 @@ class CurationOpsSpec extends AnyFunSuite {
       "<style>p{a:1}</style><!-- c --><div>kept&nbsp;text</div>" ->
         "kept text",
       // malformed markup degrades to text, never throws
-      "<p unclosed attr  oops & text" -> "<p unclosed attr oops & text")
+      "<p unclosed attr  oops & text" -> "<p unclosed attr oops & text",
+      // numeric references: decimal, hex (either x case), leading zeros,
+      // supplementary plane via chr-equivalent surrogate pair
+      "caf&#233; h&#xE9;llo &#X41;&#0233; gr&#128512;" ->
+        "café héllo Aé gr😀",
+      // decoded &#60;tag&#62; is literal text (numeric runs after tag strip)
+      "x &#60;b&#62; y" -> "x <b> y",
+      // amp-escape keeps a numeric reference literal; &#38;lt; decodes to
+      // the literal entity exactly once (numeric after named, amp last)
+      "amp&amp;#65; esc&#38;lt;" -> "amp&#65; esc&lt;",
+      // invalid refs stay byte-for-byte: overflow length, surrogate,
+      // empty payload, missing semicolon, bare trailing &#
+      "a&#12345678; b&#55296; c&#x; d&#233 e&&#65; f&#" ->
+        "a&#12345678; b&#55296; c&#x; d&#233 e&A f&#")
     val got = cases.map(_._1).toDF("h")
       .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().toSeq
     assert(got === cases.map(_._2), s"got $got")
+  }
+
+  test("HtmlEntities.decodeNumeric: boundary values and scan restarts") {
+    import graft.functions.HtmlEntities.decodeNumeric
+    assert(decodeNumeric("&#1;") === "\u0001")          // min valid scalar
+    assert(decodeNumeric("&#0;") === "&#0;")            // NUL stays literal
+    assert(decodeNumeric("&#1114111;") === new String(Character.toChars(0x10FFFF)))
+    assert(decodeNumeric("&#1114112;") === "&#1114112;") // > max scalar
+    assert(decodeNumeric("&#xD7FF;&#xE000;") === "\ud7ff\ue000") // surrogate fence
+    assert(decodeNumeric("&#xD800;&#xDFFF;") === "&#xD800;&#xDFFF;")
+    assert(decodeNumeric("&#xFFFFFF;") === "&#xFFFFFF;") // 6 hex digits, > max
+    assert(decodeNumeric("&#x10FFFF;") === new String(Character.toChars(0x10FFFF)))
+    // a failed match never swallows a later '&'
+    assert(decodeNumeric("&&#65;") === "&A")
+    assert(decodeNumeric("&#&#65;") === "&#A")
   }
 
   test("scriptRatioCols: exact composition on a known mixed-script string") {
@@ -616,6 +644,23 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq(4.0 / 15, 2.0 / 15, 3.0 / 15, 2.0 / 15, 2.0 / 15, 2.0 / 15))
     // whitespace-only and empty docs score 0 everywhere, never NaN
     for (r <- Seq(got(1), got(2)); i <- 1 to 6) assert(r.getDouble(i) === 0.0)
+  }
+
+  test("scriptRatioCols: Vietnamese scores as latin (Latin Extended Additional)") {
+    // Heavy Latin Extended Additional usage (ặ=U+1EB7, ọ=U+1ECD, ờ=U+1EDD…);
+    // a mostly-latin gate at 0.8 must keep this page.
+    val vi = "Tiếng Việt là ngôn ngữ chính thức tại Việt Nam và " +
+      "được sử dụng bởi hơn chín mươi triệu người trên thế giới"
+    val df = Seq((1L, vi)).toDF("doc_id", "text")
+    val r = df.select(
+        TextAnalysis.scriptRatioCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getDouble(0) > 0.9, s"latin ratio ${r.getDouble(0)} should exceed 0.9")
+    // the multiplication/division signs are math punctuation, not latin letters
+    val sym = Seq((1L, "a×b÷c")).toDF("doc_id", "text")
+      .select(TextAnalysis.scriptRatioCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(sym.getDouble(0) === 3.0 / 5)
   }
 
   test("dropDupParagraphs: corpus-wide first occurrence, original text + order") {
