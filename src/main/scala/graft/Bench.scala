@@ -224,7 +224,15 @@ object Bench {
         s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}"""
       case None => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson,"errors":$errJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson,"errors":$errJson}"""
+    println(line)
+    // out-of-band copy: the driver's stdout tail has truncated this line
+    // before (losing the ingest headline); the file is the durable artifact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -51,11 +51,22 @@ object Joins {
     *     candidates ride the SAME union/exchange (two window sorts over
     *     one shuffle), and the tolerance bound applies to each side
     *     before the choice — a candidate beyond tolerance never wins.
+    *
+    * `allowExactMatches` (pandas `merge_asof` parity): when false, a
+    * right row at exactly `left.ts` no longer matches — backward takes
+    * the latest `r.ts < l.ts`, forward the earliest `r.ts > l.ts`.
+    * Implemented by flipping the left/right tiebreak in the carry sort
+    * (left rows sort BEFORE equal-ts right rows, so the running `last`
+    * hasn't seen them yet and naturally falls back to the previous
+    * strictly-earlier row) — a null-out guard on `__asof_ts = ts` would
+    * instead wrongly discard left rows that DO have an earlier match.
+    * Same plan either way: one shuffle, no range join.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightCols: Seq[String], ordCol: String,
       toleranceSec: Option[Double] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     require(rightCols.contains(ordCol), "rightCols must include ordCol")
@@ -93,11 +104,15 @@ object Joins {
     // right rows sort BEFORE left rows at the same ts in BOTH directions
     // (`<=`/`>=` inclusive semantics): ascending for the backward carry,
     // descending for the forward carry — same partitioning, so nearest's
-    // two windows share one exchange (two sorts, no second shuffle)
+    // two windows share one exchange (two sorts, no second shuffle).
+    // Strict mode (allowExactMatches=false) flips the tiebreak so
+    // equal-ts right rows sort AFTER the left row and are invisible to
+    // its running last()
     def carried(forward: Boolean) = {
       val order = if (forward) col(tsCol).desc else col(tsCol).asc
+      val side = if (allowExactMatches) col("__side").asc else col("__side").desc
       val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(order, col("__side").asc)
+        .orderBy(order, side)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val m = last(col("__r"), ignoreNulls = true).over(w)
       toleranceSec match {

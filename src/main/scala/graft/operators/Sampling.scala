@@ -108,19 +108,26 @@ object Sampling {
     * (up-samples rare strata), T < 1 sharpens. Composes the derived
     * weights into [[mixToWeights]]'s min(1, w*total/n) keep fractions.
     *
-    * No SQL oracle for this entry point by design: `pow` is not a
-    * correctly-rounded IEEE operation, so cross-engine bit-parity of the
-    * derived thresholds is not guaranteed — the unit test pins exact
-    * keep-counts computed from the same formula instead. (The bucket
-    * assignment underneath remains the engine-portable md5 filter.)
+    * Oracle coverage: exponents that reduce to sqrt chains route through
+    * `math.sqrt` — correctly rounded by IEEE 754, unlike `pow`, which the
+    * JLS only bounds to 1 ulp — so T = 2 (`sqrt(n)`) and T = 4
+    * (`sqrt(sqrt(n))`) recompute bit-identically in any engine whose
+    * sqrt is correctly rounded, and both carry CORRECTNESS oracles
+    * (`sample_mixture_temp`, `sample_mixture_temp4`). Other temperatures
+    * fall back to `pow` and stay unit-only: cross-engine bit-parity of a
+    * 1-ulp-bounded operation is not guaranteed. (The bucket assignment
+    * underneath remains the engine-portable md5 filter.)
     */
   def mixToTemperature(df: DataFrame, key: Column, stratum: Column,
       temperature: Double, buckets: Int = 10000): DataFrame = {
     require(temperature > 0, "temperature must be positive")
+    def share(n: Double): Double = temperature match {
+      case 2.0 => math.sqrt(n)
+      case 4.0 => math.sqrt(math.sqrt(n))
+      case t   => math.pow(n, 1.0 / t)
+    }
     mixWithCounts(df, key, stratum, buckets) { (counts, _) =>
-      val powed = counts.map { case (s, n) =>
-        s -> math.pow(n.toDouble, 1.0 / temperature)
-      }
+      val powed = counts.map { case (s, n) => s -> share(n.toDouble) }
       val z = powed.map(_._2).sum
       powed.map { case (s, p) => s -> p / z }.toMap
     }

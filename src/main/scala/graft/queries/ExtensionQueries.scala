@@ -22,6 +22,14 @@ import graft.operators.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnal
   */
 object ExtensionQueries {
 
+  /** Per-process scratch dir for queries that persist mutable state
+    * (streaming replay state, trained index round-trips). Keyed by PID so
+    * two harness processes on one checkout (bench and correctness running
+    * concurrently) can never race on seed/reset of the same dir.
+    */
+  private def scratchDir(kind: String, sfDir: String): String =
+    s"target/${kind}_${new java.io.File(sfDir).getName}_pid${ProcessHandle.current().pid()}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: fingerprint groups over a corpus with planted dups -
@@ -172,7 +180,7 @@ object ExtensionQueries {
           .otherwise(concat(col("text"), lit(" zzre zzplay zzmark")))
           .as("text"))
       val stateDir =
-        s"target/stream_replay_${new java.io.File(dir).getName}"
+        scratchDir("stream_replay", dir)
       val sd = new graft.streaming.StreamingDedup(s, stateDir,
         "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.5)
       sd.seed(base)
@@ -207,7 +215,7 @@ object ExtensionQueries {
             when(col("doc_id") % 2 === 0, lit(k)).otherwise(lit(k % 2))))
           .as("text"))
       val stateDir =
-        s"target/stream_parareplay_${new java.io.File(dir).getName}"
+        scratchDir("stream_parareplay", dir)
       val sd = new graft.streaming.StreamingParagraphDedup(s, stateDir,
         "doc_id", "text")
       sd.seed(seedCorpus)
@@ -234,7 +242,7 @@ object ExtensionQueries {
           .otherwise(transform(col("embedding"), x => x + lit(0.05)))
           .as("embedding"))
       val stateDir =
-        s"target/stream_embreplay_${new java.io.File(dir).getName}"
+        scratchDir("stream_embreplay", dir)
       val sed = new graft.streaming.StreamingEmbeddingDedup(s, stateDir,
         "vec_id", "embedding", dims = 64, threshold = 0.75)
       sed.seed(base)
@@ -262,7 +270,7 @@ object ExtensionQueries {
           .otherwise(transform(col("embedding"), x => x + lit(0.05)))
           .as("embedding"))
       val stateDir =
-        s"target/stream_semreplay_${new java.io.File(dir).getName}"
+        scratchDir("stream_semreplay", dir)
       val ssd = new graft.streaming.StreamingSemanticDedup(s, stateDir,
         "vec_id", "embedding", nCells = 16, threshold = 0.75)
       ssd.seed(base)
@@ -329,7 +337,7 @@ object ExtensionQueries {
     "sim_topk_ivf_indexed" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
-      val idxDir = s"target/ivf_index_${new java.io.File(dir).getName}"
+      val idxDir = scratchDir("ivf_index", dir)
       Similarity.IvfIndex.save(Similarity.trainCentroids(e, nCells = 16), s, idxDir)
       val loaded = Similarity.IvfIndex.load(s, idxDir)
       Similarity.ivfTopKWithIndex(e, e.filter(col("vec_id") < 20), k = 5,
@@ -342,7 +350,7 @@ object ExtensionQueries {
     "sim_topk_pq_indexed" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
-      val idxDir = s"target/pq_index_${new java.io.File(dir).getName}"
+      val idxDir = scratchDir("pq_index", dir)
       Similarity.PqIndex.save(Similarity.trainPq(e, m = 8, k = 16), s, idxDir)
       val books = Similarity.PqIndex.load(s, idxDir)
       Similarity.pqTopKWithBooks(e, e.filter(col("vec_id") < 20), k = 5,
@@ -636,6 +644,18 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     },
 
+    // --- temperature mixture at T=4: shares ∝ n^(1/4) = sqrt(sqrt(n)) —
+    //     the two-sqrt chain keeps the oracle on correctly-rounded IEEE
+    //     ops (pow's 1-ulp bound would not guarantee bit-parity) --------
+    "sample_mixture_temp4" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.mixToTemperature(d, col("doc_id"), col("lang"),
+          temperature = 4.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
     // --- corpus vocabulary statistics: token tf/df, top-100 -------------
     "text_vocab" -> { (s, dir) =>
       TextAnalysis.vocabStats(Tables(s, dir).documents, "doc_id", "text")
@@ -746,6 +766,24 @@ object ExtensionQueries {
       Joins.asOf(left, right, Seq("user_id"), "ts",
           rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
           direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("b_event_id"),
+          round(col("b_value"), 6).as("b_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- as-of, strict inequality (pandas allowExactMatches=false): a
+    //     click SELF-asof — every left row has an exact-ts match (itself)
+    //     that strict mode must skip, falling back to the user's PREVIOUS
+    //     click (oracle: DuckDB ASOF with l.ts > r.ts) ------------------
+    "q_asof_strict" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val clicks = e.filter(col("event_type") === "click")
+      val left = clicks.select(col("event_id"), col("user_id"), col("ts"))
+      val right = clicks.select(col("event_id").as("b_event_id"),
+        col("user_id"), col("ts"), col("value").as("b_value"))
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          allowExactMatches = false)
         .select(col("event_id"), col("user_id"), col("b_event_id"),
           round(col("b_value"), 6).as("b_value"))
         .orderBy(col("event_id"))
@@ -2608,6 +2646,24 @@ object ExtensionQueries {
          |WHERE b.bucket < th.thr
          |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
+    // T=4 twin: the identical two-sqrt chain evaluates in both engines
+    "sample_mixture_temp4" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |z AS (SELECT
+         |    list_aggregate(list(sqrt(sqrt(CAST(n AS DOUBLE))) ORDER BY lang), 'sum') AS z,
+         |    CAST(sum(n) AS DOUBLE) AS total
+         |  FROM c),
+         |th AS (SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      sqrt(sqrt(CAST(n AS DOUBLE))) / z.z * z.total / CAST(n AS DOUBLE))
+         |      * 10000 + 0.5) AS BIGINT) AS thr
+         |  FROM c, z),
+         |b AS (SELECT doc_id, lang, $bucketExpr AS bucket FROM documents)
+         |SELECT b.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b JOIN th ON b.lang = th.lang
+         |WHERE b.bucket < th.thr
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
     "text_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2888,6 +2944,22 @@ object ExtensionQueries {
         |  FROM bk JOIN fw USING (event_id))
         |SELECT event_id, user_id, b_event_id, round(b_value, 6) AS b_value
         |FROM pick ORDER BY event_id""".stripMargin,
+
+    // strict inequality: the self-match at l.ts = r.ts is skipped, the
+    // previous click wins (DuckDB ASOF supports the strict operator
+    // directly)
+    "q_asof_strict" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS b_event_id,
+        |    arg_max(value, event_id) AS b_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.b_event_id,
+        |  round(r.b_value, 6) AS b_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // the matched right ts is selectable from an ASOF join, so the
     // tolerance nullify is a plain CASE over it

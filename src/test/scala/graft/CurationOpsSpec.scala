@@ -550,6 +550,22 @@ class CurationOpsSpec extends AnyFunSuite {
     // at t=40 BOTH d=20 candidates are out -> null
     assert(run("nearest", tol = Some(0.015)).toSeq === Seq(
       (100L, 902L), (101L, 902L), (102L, 903L), (103L, 905L), (104L, -1L)))
+
+    // strict mode (allowExactMatches=false): the exact-ts rows at t=10
+    // no longer match — backward falls back to the strictly-earlier row,
+    // forward skips PAST the equal-ts rows, nearest still ties backward
+    def strict(dir: String) =
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          direction = dir, allowExactMatches = false)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(strict("backward").toSeq === Seq(
+      (100L, 900L), (101L, 902L), (102L, 903L), (103L, 904L), (104L, 904L)))
+    assert(strict("forward").toSeq === Seq(
+      (100L, 903L), (101L, 903L), (102L, -1L), (103L, 905L), (104L, 905L)))
+    assert(strict("nearest").toSeq === Seq(
+      (100L, 900L), (101L, 902L), (102L, 903L), (103L, 905L), (104L, 904L)))
   }
 
   test("c4Signals: each rule fires on its planted line, verdicts exact") {
