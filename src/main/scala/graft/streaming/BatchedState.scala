@@ -41,21 +41,52 @@ import org.apache.spark.sql.functions._
   * batches the stream's checkpoint has committed: a batch id may be
   * replayed until its commit lands, and [[read]]`(before)` assumes ids
   * at or below the snapshot bound are final.
+  *
+  * Writer lease: every mutating call ([[seed]]/[[append]]/[[compact]])
+  * stamps a `_lease` file with the PROCESS owner id + a heartbeat and
+  * refuses when another live process holds it — two streams pointed at
+  * one stateDir previously corrupted silently until the monotonic-id
+  * guard tripped after the fact. A heartbeat older than
+  * `leaseTimeoutMs` (default 10 min) is a crashed writer; the next
+  * writer takes the lease over. The lease is a corruption GUARD for a
+  * misconfiguration, not a coordination primitive — the residual
+  * read-check-write race (two processes adjudicating the same instant)
+  * is far narrower than the unguarded window it closes. Readers never
+  * need the lease.
   */
 final class BatchedState(spark: SparkSession, dir: String,
-    partitionCols: Seq[String] = Nil) extends Serializable {
+    partitionCols: Seq[String] = Nil,
+    leaseTimeoutMs: Long = BatchedState.DefaultLeaseTimeoutMs)
+    extends Serializable {
 
   import BatchedState.SeedBatch
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** `Some(id)` for a well-formed `<prefix><long>` dir name, `None` for
+    * a stray sibling (manual recovery attempt, editor backup) — those
+    * must never turn a listing into an opaque NumberFormatException.
+    */
+  private def numericSuffix(name: String, prefix: String): Option[Long] =
+    scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+
   private def listIds(prefix: String): Seq[Long] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    else {
+      val named = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName)
+      // a non-numeric batch=/snap= sibling LOOKS like state but can never
+      // be read as state — refuse loudly instead of silently skipping it
+      val stray = named.filter(numericSuffix(_, prefix).isEmpty)
+      if (stray.nonEmpty) throw new IllegalStateException(
+        s"BatchedState at $dir holds non-numeric state dir(s) " +
+          s"${stray.sorted.mkString(", ")} — not ${prefix}<id> form; rename " +
+          "or remove them (their rows are invisible to every read)")
+      named.flatMap(numericSuffix(_, prefix))
+    }
   }
 
   private def hasDataFile(p: Path): Boolean = {
@@ -74,10 +105,64 @@ final class BatchedState(spark: SparkSession, dir: String,
   private def hiddenIds(prefix: String): Seq[Long] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Nil
+    // non-numeric hidden siblings are manual artifacts, not compaction
+    // leftovers: ignore them (and never GC them) rather than crash
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
         hasDataFile(s.getPath))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .flatMap(s => numericSuffix(s.getPath.getName, prefix))
+  }
+
+  // ---- writer lease ---------------------------------------------------
+
+  private def leasePath = new Path(s"$dir/_lease")
+
+  private def readLease(): Option[(String, Long)] = {
+    if (!fs.exists(leasePath)) None
+    else scala.util.Try {
+      val in = fs.open(leasePath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val kv = lines.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      (kv("owner"), kv("ts").toLong)
+    }.toOption
+  }
+
+  private def writeLease(): Unit = {
+    val out = fs.create(leasePath, true)
+    try out.write(
+      s"owner=${BatchedState.processOwnerId}\nts=${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Refuse when another live process holds the lease; otherwise stamp
+    * (acquire, renew, or take over a stale one). Called by every
+    * mutating operation.
+    */
+  private def ensureLease(): Unit = readLease() match {
+    case Some((owner, ts)) if owner != BatchedState.processOwnerId &&
+        System.currentTimeMillis() - ts < leaseTimeoutMs =>
+      throw new IllegalStateException(
+        s"BatchedState at $dir is being written by another live process " +
+          s"($owner, heartbeat ${System.currentTimeMillis() - ts} ms ago; " +
+          s"timeout $leaseTimeoutMs ms) — two concurrent writers on one " +
+          "stateDir corrupt it. Point the second stream at its own " +
+          "stateDir, or wait out / remove the stale _lease if that " +
+          "process is gone")
+    case _ => writeLease()
+  }
+
+  /** Drop the lease if this process holds it — a graceful hand-off so a
+    * successor need not wait out the heartbeat timeout.
+    */
+  def releaseLease(): Unit = readLease() match {
+    case Some((owner, _)) if owner == BatchedState.processOwnerId =>
+      fs.delete(leasePath, false)
+    case _ => ()
   }
 
   /** Ids of live (not yet compacted-away) delta batches. */
@@ -95,6 +180,7 @@ final class BatchedState(spark: SparkSession, dir: String,
     * so a replayed batch replaces its own previous attempt.
     */
   def append(df: DataFrame, batchId: Long): Unit = {
+    ensureLease()
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/batch=$batchId")
@@ -193,7 +279,10 @@ final class BatchedState(spark: SparkSession, dir: String,
     */
   def reset(): Unit = {
     val p = new Path(dir)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) {
+      ensureLease() // deleting live state out from under a writer is the
+      fs.delete(p, true) // same corruption the lease exists to refuse
+    }
   }
 
   /** Fold the deltas with id `<= upTo` (default: all) into one snapshot
@@ -221,6 +310,7 @@ final class BatchedState(spark: SparkSession, dir: String,
     */
   def compact(keepFrom: Long = Long.MinValue,
       upTo: Long = Long.MaxValue): Unit = {
+    ensureLease()
     // file-less delta dirs (empty micro-batches) carry no rows: they are
     // dropped from the fold bound (an idle stream must not trigger a
     // full-corpus rewrite every interval) and their committed dirs are
@@ -266,7 +356,8 @@ final class BatchedState(spark: SparkSession, dir: String,
       val root = new Path(dir)
       if (fs.exists(root)) fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
-          s.getPath.getName.stripPrefix(prefix).toLong < bound)
+          // non-numeric hidden siblings are NOT ours to GC
+          numericSuffix(s.getPath.getName, prefix).exists(_ < bound))
         .foreach(s => fs.delete(s.getPath, true))
     }
   }
@@ -277,6 +368,20 @@ object BatchedState {
     * Streaming batch id (those start at 0).
     */
   val SeedBatch: Long = -1L
+
+  /** A writer heartbeat older than this is a crashed process; the next
+    * writer takes the lease over.
+    */
+  val DefaultLeaseTimeoutMs: Long = 10 * 60 * 1000L
+
+  /** PROCESS-stable writer identity: one pipeline routinely holds several
+    * [[BatchedState]] instances (a twin's signature + band states) in one
+    * JVM, and they must share the lease rather than evict each other. The
+    * random tail disambiguates PID reuse across container restarts.
+    */
+  val processOwnerId: String =
+    s"pid${ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -273,6 +273,79 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(rows(st) === Set((1L, -1L), (10L, 0L), (20L, 1L)))
   }
 
+  private def forgeLease(dir: String, owner: String, ts: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_lease"), true)
+    try out.write(s"owner=$owner\nts=$ts\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("writer lease: a live foreign lease refuses seed/append/compact/reset") {
+    val dir = tmp("bs_lease")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    // another process stamps the lease with a fresh heartbeat
+    forgeLease(dir, owner = "pid99999-other", ts = System.currentTimeMillis())
+    for (op <- Seq[() => Unit](
+        () => st.append(Seq(20L).toDF("id"), 1L),
+        () => st.seed(Seq(2L).toDF("id")),
+        () => st.compact(),
+        () => st.reset())) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("another live process"), e.getMessage)
+    }
+    // the refused appends left state untouched; reads never need the lease
+    assert(rows(st) === Set((1L, -1L), (10L, 0L)))
+  }
+
+  test("writer lease: a stale foreign lease is taken over; release hands off") {
+    val dir = tmp("bs_lease_stale")
+    val st = new BatchedState(spark, dir, leaseTimeoutMs = 50L)
+    st.seed(Seq(1L).toDF("id"))
+    // crashed writer: heartbeat far older than the timeout
+    forgeLease(dir, owner = "pid99999-dead",
+      ts = System.currentTimeMillis() - 10000L)
+    st.append(Seq(10L).toDF("id"), 0L) // takeover, no refusal
+    assert(rows(st) === Set((1L, -1L), (10L, 0L)))
+    // the lease is now ours: an immediate mutation needs no wait
+    st.compact()
+    // releaseLease removes OUR lease (a successor need not wait out the
+    // heartbeat), but never someone else's
+    st.releaseLease()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_lease")))
+    forgeLease(dir, owner = "pid99999-other", ts = System.currentTimeMillis())
+    st.releaseLease()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_lease")))
+  }
+
+  test("stray non-numeric dirs: state names refuse loudly, hidden names are ignored") {
+    val dir = tmp("bs_stray")
+    val st = new BatchedState(spark, dir)
+    st.seed(Seq(1L).toDF("id"))
+    st.append(Seq(10L).toDF("id"), 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // a manual-recovery artifact with a hidden prefix: reads/compacts
+    // must neither crash on it nor GC it
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/batch=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-old"), false, conf)
+    assert(rows(st) === Set((1L, -1L), (10L, 0L)))
+    st.compact()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.trash-snap-old")),
+      "compact GC'd a dir it does not understand")
+    // a non-numeric batch= sibling LOOKS like state: refuse, name it
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/snap=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/batch=backup"), false, conf)
+    val e = intercept[IllegalStateException](st.read())
+    assert(e.getMessage.contains("batch=backup"), e.getMessage)
+  }
+
   test("a restart that rewinds batch ids (fresh checkpoint, old state) refuses") {
     import graft.streaming.StreamingDedup
     val dir = tmp("sd_rewind")
