@@ -560,6 +560,50 @@ object ExtensionQueries {
         .orderBy(col("asset_id"))
     },
 
+    // --- REAL image decode: deterministic 24-bit BMP fixtures go through
+    //     the actual javax.imageio path (8x8 bases + their 2x nearest-
+    //     upscaled 16x16 twins, which must dHash identically), plus
+    //     non-image payloads that must be DROPPED, not crash; the oracle
+    //     regenerates every pixel from the id arithmetic alone ----------
+    "mm_decode_real" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      // content is built BEFORE the id shift (a same-select shift would
+      // lateral-alias into the pixel arithmetic)
+      def bmp(shift: Long, size: Int) = ids
+        .select(col("asset_id"),
+          Multimodal.bmpContent(col("asset_id"), size, lit(false)).as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val junk = ids.filter(col("asset_id") % 3 === 0)
+        .select(col("asset_id"),
+          unhex(lpad(hex(col("asset_id") * 2654435761L), 16, "0")).as("content"))
+        .select((col("asset_id") + 3000000L).as("asset_id"), col("content"))
+      Multimodal.decodeImages(
+          bmp(0L, 8).unionByName(bmp(1000000L, 16)).unionByName(junk)).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("gray_sum"), col("gray_min"), col("gray_max"),
+          lpad(hex(col("dhash")), 16, "0").as("dhash_hex"))
+        .orderBy(col("asset_id"))
+    },
+
+    // --- perceptual-hash image dedup: banded dHash near-dup pairs over
+    //     base images, their scale twins (hamming 0 by construction) and
+    //     noise twins (a two-cell luma bump flips a few gradient bits) --
+    "mm_phash_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      def bmp(shift: Long, size: Int, noisy: Boolean) = ids
+        .select(col("asset_id"),
+          Multimodal.bmpContent(col("asset_id"), size, lit(noisy)).as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val decoded = Multimodal.decodeImages(bmp(0L, 8, noisy = false)
+        .unionByName(bmp(1000000L, 16, noisy = false))
+        .unionByName(bmp(2000000L, 8, noisy = true))).toDF()
+      Multimodal.imageNearDups(decoded, maxHamming = 6)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- dedup clustering: connected components over near-dup pairs +
     //     canonical-survivor selection. Edge topology mixes 3-node CHAINS
     //     (transitivity — pairs alone can't dedup these) with hub STARS
@@ -1687,6 +1731,101 @@ object ExtensionQueries {
        |FROM s ORDER BY asset_id""".stripMargin
   }
 
+  /** Shared CTEs for the REAL-decode oracles: regenerate the BMP
+    * fixture's pixels from the id arithmetic alone (uncompressed 24-bit
+    * BMP = header + raw bottom-up BGR rows, so the pixels ImageIO decodes
+    * ARE the arithmetic — nothing format-side to re-derive), apply the
+    * identical integer luma map, and fold the 9x8 nearest-grid dHash
+    * exactly as [[graft.operators.Multimodal.dHash64]] (bit `j*8+i` via
+    * power-of-two literals — DuckDB's `<<` overflows at bit 63, the
+    * [[simhashOracle]] lesson). Junk payloads (ids + 3000000) never
+    * appear: the decode DROPS undecodable bytes.
+    */
+  private def mmPixelCtes(withNoisy: Boolean): String = {
+    val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
+      .mkString("[", ", ", "]")
+    val noisyRow = if (withNoisy)
+      "\n  UNION ALL SELECT pid, pid + 2000000, 8, 1 FROM ids" else ""
+    def lumaOf(src: String) =
+      s"""(299 * ((base * 7 + 23) % 256) + 587 * ((base * 3 + 11) % 256)
+         |      + 114 * (base % 256)) // 1000 AS luma FROM $src""".stripMargin
+    val noiseCase =
+      """CASE WHEN noisy = 1 AND xx = 1 AND yy = 2 THEN 40
+        |      WHEN noisy = 1 AND xx = 5 AND yy = 6 THEN 60
+        |      ELSE 0 END""".stripMargin
+    s"""ids AS (SELECT doc_id AS pid FROM documents WHERE doc_id < 300),
+       |a AS (
+       |  SELECT pid, pid AS asset_id, 8 AS size, 0 AS noisy FROM ids
+       |  UNION ALL SELECT pid, pid + 1000000, 16, 0 FROM ids$noisyRow),
+       |px AS (
+       |  SELECT asset_id, size, pid, noisy,
+       |    unnest(generate_series(0, size * size - 1)) AS p
+       |  FROM a),
+       |cell AS (
+       |  SELECT asset_id, pid, noisy,
+       |    (((p % size) * 8) // size) AS xx, (((p // size) * 8) // size) AS yy
+       |  FROM px),
+       |basep AS (
+       |  SELECT asset_id,
+       |    pid * 31 + yy * 19 + xx * 7 + $noiseCase AS base
+       |  FROM cell),
+       |lum AS (SELECT asset_id,
+       |    ${lumaOf("basep")}),
+       |gp AS (
+       |  SELECT asset_id, size, pid, noisy,
+       |    unnest(generate_series(0, 71)) AS g
+       |  FROM a),
+       |gc AS (
+       |  SELECT asset_id, pid, noisy, (g % 9) AS i, (g // 9) AS j,
+       |    (((((g % 9) * size) // 9) * 8) // size) AS xx,
+       |    (((((g // 9) * size) // 8) * 8) // size) AS yy
+       |  FROM gp),
+       |gb AS (
+       |  SELECT asset_id, i, j,
+       |    pid * 31 + yy * 19 + xx * 7 + $noiseCase AS base
+       |  FROM gc),
+       |gl AS (SELECT asset_id, i, j,
+       |    ${lumaOf("gb")}),
+       |bits AS (
+       |  SELECT l.asset_id, l.j * 8 + l.i AS bp,
+       |    CASE WHEN l.luma > r.luma THEN 1 ELSE 0 END AS bit
+       |  FROM gl l JOIN gl r
+       |    ON l.asset_id = r.asset_id AND l.j = r.j AND r.i = l.i + 1
+       |  WHERE l.i < 8),
+       |hs AS (
+       |  SELECT asset_id,
+       |    CAST(SUM(CASE WHEN bit = 1 THEN ($pow2::UBIGINT[])[bp + 1]
+       |             ELSE 0::UBIGINT END) AS UBIGINT) AS dh
+       |  FROM bits GROUP BY asset_id)""".stripMargin
+  }
+
+  private def mmDecodeRealOracle: String =
+    s"""WITH ${mmPixelCtes(withNoisy = false)},
+       |st AS (
+       |  SELECT asset_id, CAST(SUM(luma) AS BIGINT) AS gray_sum,
+       |    CAST(MIN(luma) AS INT) AS gray_min,
+       |    CAST(MAX(luma) AS INT) AS gray_max
+       |  FROM lum GROUP BY asset_id)
+       |SELECT a.asset_id, CAST(a.size AS INT) AS width,
+       |  CAST(a.size AS INT) AS height,
+       |  st.gray_sum, st.gray_min, st.gray_max,
+       |  lpad(hex(hs.dh), 16, '0') AS dhash_hex
+       |FROM a JOIN st USING (asset_id) JOIN hs USING (asset_id)
+       |ORDER BY a.asset_id""".stripMargin
+
+  private def mmPhashOracle: String = {
+    val bandEq = (0 until 8).map(b =>
+      s"((l.dh >> ${b * 8}) & 255) = ((r.dh >> ${b * 8}) & 255)")
+      .mkString("\n      OR ")
+    s"""WITH ${mmPixelCtes(withNoisy = true)},
+       |pairs AS (
+       |  SELECT l.asset_id AS a, r.asset_id AS b,
+       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
+       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |    AND ($bandEq))
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
+  }
+
   /** mm_frames: recompute the demuxer-stub byte windows (offset_i =
     * len*i/4, window ends at offset_{i+1}) and their exact integer byte
     * sums from the hex dump — same nibble-lookup trick as
@@ -2362,6 +2501,9 @@ object ExtensionQueries {
     "mm_frames" -> mmFramesOracle,
 
     "mm_resize" -> mmResizeOracle,
+
+    "mm_decode_real" -> mmDecodeRealOracle,
+    "mm_phash_dedup" -> mmPhashOracle,
 
     // hashed unigram LM: identical md5 buckets, quantized log2 via the
     // exact bin()-length trick on both engines

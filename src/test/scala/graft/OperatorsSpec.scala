@@ -534,6 +534,94 @@ class OperatorsSpec extends AnyFunSuite {
     assert(th(2L).stride === 79L && th(2L).thumb_len <= 64L)
   }
 
+  // reference implementation of the BMP fixture, plain Scala: the
+  // Catalyst builder must produce these exact bytes
+  private def refBmp(pixelId: Long, size: Int, noisy: Boolean): Array[Byte] = {
+    val rowBytes = size * 3
+    val imgBytes = rowBytes * size
+    val bb = java.nio.ByteBuffer.allocate(54 + imgBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgBytes).putInt(0)
+      .putInt(54).putInt(40).putInt(size).putInt(size)
+      .putShort(1).putShort(24).putInt(0).putInt(imgBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (rbu <- 0 until size; x <- 0 until size) {
+      val y = size - 1 - rbu
+      val xx = x * 8 / size
+      val yy = y * 8 / size
+      val d = if (noisy && xx == 1 && yy == 2) 40
+        else if (noisy && xx == 5 && yy == 6) 60 else 0
+      val base = pixelId * 31 + yy * 19 + xx * 7 + d
+      bb.put((base % 256).toByte).put(((base * 3 + 11) % 256).toByte)
+        .put(((base * 7 + 23) % 256).toByte)
+    }
+    bb.array()
+  }
+
+  test("bmpContent builds the exact BMP bytes; ImageIO decodes them exactly") {
+    import spark.implicits._
+    val got = Seq(0L, 7L).toDF("asset_id")
+      .select(col("asset_id"),
+        Multimodal.bmpContent(col("asset_id"), 8, lit(false)).as("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got(0L).toSeq === refBmp(0L, 8, noisy = false).toSeq)
+    assert(got(7L).toSeq === refBmp(7L, 8, noisy = false).toSeq)
+    val got16 = Seq(7L).toDF("asset_id")
+      .select(Multimodal.bmpContent(col("asset_id"), 16, lit(false)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val ref16 = refBmp(7L, 16, noisy = false)
+    assert(got16.length === ref16.length)
+    val diffs = got16.toSeq.zip(ref16.toSeq).zipWithIndex
+      .filter(p => p._1._1 != p._1._2).take(6)
+    assert(diffs.isEmpty, s"first 16x16 byte diffs (got, ref, idx): $diffs")
+    // the real ImageIO path returns the encoded channels verbatim
+    val Some((w, h, luma)) = Multimodal.ImageIoDecoder.decode(got(0L))
+    assert((w, h) === ((8, 8)))
+    // pixel (0,0) of id 0: B=0 G=11 R=23 -> (299*23 + 587*11) / 1000 = 13
+    assert(luma(0) === 13)
+    // pixel (7,7): base = 7*19 + 7*7 = 182 -> B=182 G=35... check exact
+    val base = 7 * 19 + 7 * 7
+    val expect = (299 * ((base * 7 + 23) % 256) + 587 * ((base * 3 + 11) % 256) +
+      114 * (base % 256)) / 1000
+    assert(luma(7 * 8 + 7) === expect)
+  }
+
+  test("decodeImages: 2x nearest-upscale twins dHash identically, junk drops") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L, 5L).toDF("asset_id")
+    // shift the id AFTER building content: a same-select shift would
+    // lateral-alias into the pixel arithmetic (col("asset_id") resolves
+    // to the just-aliased shifted column, not the input)
+    def bmp(shift: Long, size: Int, noisy: Boolean) = ids
+      .select(col("asset_id"),
+        Multimodal.bmpContent(col("asset_id"), size, lit(noisy)).as("content"))
+      .select((col("asset_id") + shift).as("asset_id"), col("content"))
+    val base = bmp(0L, 8, noisy = false)
+    val big = bmp(100L, 16, noisy = false)
+    val junk = Seq(900L).toDF("asset_id")
+      .select(col("asset_id"), lit("not an image").cast(BinaryType).as("content"))
+    val dec = Multimodal.decodeImages(base.unionByName(big).unionByName(junk))
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(dec.keySet === Set(3L, 4L, 5L, 103L, 104L, 105L), "junk must drop")
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(dec(id).dhash === dec(id + 100L).dhash,
+        s"scale twin of $id must hash identically")
+      assert(dec(id + 100L).width === 16 && dec(id).width === 8)
+      // upscaled image has 4x the pixels of the same per-cell lumas
+      assert(dec(id + 100L).gray_sum === 4L * dec(id).gray_sum)
+    }
+    // noise twins differ in a few gradient bits, not zero and under band
+    // recall (<8): the phash near-dup must link them
+    val noisy = bmp(200L, 8, noisy = true)
+    val all = Multimodal.decodeImages(
+      base.unionByName(big).unionByName(noisy)).toDF()
+    val pairs = Multimodal.imageNearDups(all, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (id <- Seq(3L, 4L, 5L))
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
+        s"exact scale pair $id missing: ${pairs.toSeq}")
+  }
+
   test("resizeStub: stride budget holds, sampled sums exact") {
     import spark.implicits._
     val long = "x" * 130 // stride ceil(130/64)=3 -> samples 0,3,...,129 = 44

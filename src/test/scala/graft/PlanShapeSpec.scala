@@ -103,6 +103,23 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("phash image dedup joins banded fingerprints, never payloads or products") {
+    import spark.implicits._
+    val ids = (1L to 20L).toDF("asset_id")
+    val assets = ids.select(col("asset_id"),
+      graft.operators.Multimodal.bmpContent(col("asset_id"), 8, lit(false))
+        .as("content"))
+    val decoded = graft.operators.Multimodal.decodeImages(assets).toDF()
+    val p = plan(graft.operators.Multimodal.imageNearDups(decoded))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidates come from a real equi-join on the (band, key) bucket,
+    // carrying only (id, dhash, band, key) — binary payloads stay behind
+    // the mapPartitions decode and never reach an exchange
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("corpus-wide embedding near-dup is banded: no nested-loop, no cartesian") {
     val e = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
