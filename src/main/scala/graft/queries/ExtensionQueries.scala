@@ -284,6 +284,50 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("ref_id"), col("new_id"))
     },
 
+    // --- standing streaming decontamination, replayed under oracle: seed
+    //     the benchmark 8-gram state from docs < 20; three admitted doc
+    //     batches plant benchmark quotes (doc_id%4==1 quotes the SEED
+    //     set, %4==3 quotes a SECOND benchmark release folded in at
+    //     batch id 1 — flagged from batch id 2 on, proving the state
+    //     accumulated), with a compaction right after the addition so
+    //     the fold sits under the oracle too ----------------------------
+    "stream_decontaminate_replay" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val bench0 = d.filter(col("doc_id") < 20)
+      val bench1 = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      def spans(bench: DataFrame) = bench.select(
+        (col("doc_id") % 20).as("bid"),
+        concat_ws(" ",
+          slice(TextAnalysis.canonToks(col("text")), 1, 8)).as("span"))
+      val base = d.filter(col("doc_id") % 5 === 0)
+      def quoted(bench: DataFrame, m: Int) = base
+        .filter(col("doc_id") % 4 === m)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans(bench), "bid")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      // ids shift AFTER the text is built (lateral-alias hazard)
+      def batchDf(k: Int) = base.filter(col("doc_id") % 2 === 0)
+        .unionByName(quoted(bench0, 1)).unionByName(quoted(bench1, 3))
+        .select(col("doc_id"), col("text"))
+        .select((col("doc_id") + lit((k + 1) * 1000000L)).as("doc_id"),
+          col("text"))
+      val stateDir = scratchDir("stream_decontam", dir)
+      val sdc = new graft.streaming.StreamingDecontamination(s, stateDir,
+        "doc_id", "text")
+      sdc.seed(bench0, "text")
+      val b0 = sdc.admit(batchDf(0), 0L).withColumn("batch", lit(0))
+      sdc.addBenchmark(bench1, "text", 1L)
+      sdc.compact(upTo = 1L)
+      val rest = (1 until 3).map { k =>
+        sdc.admit(batchDf(k), (k + 1).toLong).withColumn("batch", lit(k + 1))
+      }
+      (b0 +: rest).reduce(_ unionByName _)
+        .select(col("batch"), col("id"), col("n_grams"), col("n_hits"),
+          col("contaminated"))
+        .orderBy(col("batch"), col("id"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -2139,6 +2183,54 @@ object ExtensionQueries {
          |  string_agg(para, chr(10) ORDER BY pos) AS text_dedup
          |FROM k WHERE rn = 1 AND batch >= 0 GROUP BY batch, doc_id
          |ORDER BY batch, id""".stripMargin
+    },
+
+    // streaming decontamination replay: state at batch 0 is the seed
+    // benchmark's gram set alone; batches 2+ gate against the UNION with
+    // the release folded in at id 1 — the verdict flip on %4==3 docs
+    // between batch 0 and batch 2 is the state-accumulation proof
+    "stream_decontaminate_replay" -> {
+      val words8 =
+        "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
+      def sh8(w: String) = s"""CASE WHEN len($w) < 8 THEN [array_to_string($w, ' ')]
+        |    ELSE list_transform(range(1, len($w) - 6),
+        |           i -> array_to_string($w[i:i+7], ' ')) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |w0 AS (SELECT doc_id, $words8 AS words FROM d),
+         |b0g AS (SELECT DISTINCT unnest(list_distinct(${sh8("words")})) AS sg
+         |  FROM w0 WHERE doc_id < 20),
+         |b1g AS (SELECT DISTINCT unnest(list_distinct(${sh8("words")})) AS sg
+         |  FROM w0 WHERE doc_id >= 20 AND doc_id < 40),
+         |spans0 AS (SELECT doc_id % 20 AS bid,
+         |    array_to_string(words[1:8], ' ') AS span
+         |  FROM w0 WHERE doc_id < 20),
+         |spans1 AS (SELECT doc_id % 20 AS bid,
+         |    array_to_string(words[1:8], ' ') AS span
+         |  FROM w0 WHERE doc_id >= 20 AND doc_id < 40),
+         |base AS (SELECT doc_id, text FROM d WHERE doc_id % 5 = 0),
+         |raw AS (
+         |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT b.doc_id, b.text || ' ' || s.span
+         |    FROM base b JOIN spans0 s ON b.doc_id % 20 = s.bid
+         |    WHERE b.doc_id % 4 = 1
+         |  UNION ALL SELECT b.doc_id, b.text || ' ' || s.span
+         |    FROM base b JOIN spans1 s ON b.doc_id % 20 = s.bid
+         |    WHERE b.doc_id % 4 = 3),
+         |batches AS (
+         |  SELECT 0 AS batch, doc_id + 1000000 AS id, text FROM raw
+         |  UNION ALL SELECT 2, doc_id + 2000000, text FROM raw
+         |  UNION ALL SELECT 3, doc_id + 3000000, text FROM raw),
+         |bw AS (SELECT batch, id, $words8 AS words FROM batches),
+         |g AS (SELECT batch, id,
+         |    unnest(list_distinct(${sh8("words")})) AS sg FROM bw),
+         |agg AS (
+         |  SELECT batch, id, count(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN sg IN (SELECT sg FROM b0g)
+         |        OR (batch >= 2 AND sg IN (SELECT sg FROM b1g))
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM g GROUP BY 1, 2)
+         |SELECT batch, id, n_grams, n_hits, n_hits > 0 AS contaminated
+         |FROM agg ORDER BY batch, id""".stripMargin
     },
 
     "stream_embdedup_replay" -> streamEmbReplayOracle,

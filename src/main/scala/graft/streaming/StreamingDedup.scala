@@ -398,6 +398,137 @@ final class StreamingParagraphDedup(spark: SparkSession, stateDir: String,
       }
 }
 
+/** Standing streaming decontamination — the streaming lift of
+  * [[graft.operators.TextAnalysis.contaminatedDocs]]: the benchmark
+  * word-n-gram set is persisted via [[BatchedState]] and every arriving
+  * micro-batch of DOCUMENTS is gated against it (a doc sharing any
+  * n-gram with the benchmark set is flagged). Unlike the dedup twins,
+  * [[admit]] never writes: decontamination must not learn from the
+  * corpus — only [[addBenchmark]] (a new benchmark release landing
+  * mid-stream) grows the state, and admissions at later batch ids see
+  * it.
+  *
+  * Scale shape, the [[StreamingParagraphDedup]] recipe on a different
+  * key: gram state is directory-partitioned by `gb = hash(gram)` and
+  * PRUNED per batch by the batch's (<= nBuckets) bucket set; membership
+  * runs as a state-side left-semi join against the BROADCAST batch
+  * grams (output bounded by the batch — state is never shuffled);
+  * [[addBenchmark]] appends only grams absent from state, so state rows
+  * stay unique without read-time dedup. Idempotent appends /
+  * replay-deterministic reads / compaction are [[BatchedState]]'s.
+  */
+final class StreamingDecontamination(spark: SparkSession, stateDir: String,
+    idCol: String, textCol: String, n: Int = 8, nBuckets: Int = 32)
+    extends Serializable {
+
+  private val grams = new BatchedState(spark, s"$stateDir/grams", Seq("gb"))
+
+  private def gBucket(sg: Column): Column =
+    pmod(xxhash64(sg), lit(nBuckets)).cast("int")
+
+  private val stateParams =
+    Map("n" -> n.toString, "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(grams), stateDir)
+    paramsChecked = true
+  }
+
+  /** Distinct benchmark grams of a corpus ([[Dedup.wordShingles]]
+    * semantics: per-doc distinct, whole text as the single gram for
+    * docs shorter than `n` words).
+    */
+  private def benchGrams(bench: DataFrame, benchTextCol: String): DataFrame =
+    bench.select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("sg"))
+      .distinct()
+      .withColumn("gb", gBucket(col("sg")))
+
+  /** Seed the benchmark gram state, REPLACING any previous state under
+    * `stateDir`.
+    */
+  def seed(bench: DataFrame, benchTextCol: String): Unit = {
+    BatchedState.clearParams(spark, stateDir)
+    grams.reset()
+    grams.seed(benchGrams(bench, benchTextCol))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Fold a NEW benchmark release into the standing set at `batchId`
+    * (consumes a batch id like an admission — ids are one monotonic
+    * sequence across gates and additions, so replay determinism holds
+    * for both). Only grams absent from earlier state append.
+    */
+  def addBenchmark(bench: DataFrame, benchTextCol: String,
+      batchId: Long): Unit = {
+    ensureAdmissible(batchId)
+    val fresh = benchGrams(bench, benchTextCol).localCheckpoint()
+    val gbs = fresh.select("gb").distinct().collect().map(_.getInt(0))
+    val ref = grams.read(before = batchId, fallback = Some(fresh.schema))
+      .where(col("gb").isin(gbs.toIndexedSeq.map(Int.box): _*))
+    val seen = ref.join(broadcast(fresh.select(col("sg"))),
+      Seq("sg"), "left_semi")
+    val novel = fresh.join(broadcast(seen.select(col("sg"))),
+      Seq("sg"), "left_anti")
+    grams.append(novel.select(col("sg"), col("gb")), batchId)
+  }
+
+  /** Gate micro-batch `batchId` against every benchmark gram admitted
+    * before it. Returns one row per input doc:
+    * (id, n_grams, n_hits, contaminated) — distinct-gram count,
+    * benchmark-hit count, and the drop verdict. Replay-idempotent (no
+    * state write).
+    */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureAdmissible(batchId)
+    val docGrams = batch.select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("sg"))
+      .withColumn("gb", gBucket(col("sg")))
+      .localCheckpoint()
+    val gbs = docGrams.select("gb").distinct().collect().map(_.getInt(0))
+    val ref = grams.read(before = batchId, fallback =
+        Some(docGrams.select(col("sg"), col("gb")).schema))
+      .where(col("gb").isin(gbs.toIndexedSeq.map(Int.box): _*))
+    // membership via state-side SEMI against the broadcast batch grams
+    // (output <= |batch grams|), then the per-doc hit count rides a
+    // second broadcast — the pruned state streams, never shuffles
+    val hits = ref.join(broadcast(docGrams.select(col("sg")).distinct()),
+      Seq("sg"), "left_semi")
+    val counts = docGrams
+      .join(broadcast(hits.select(col("sg")).withColumn("__hit", lit(1))),
+        Seq("sg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+    // materialize BEFORE returning: the verdict plan references state
+    // files a later addBenchmark/compact may fold away
+    batch.select(col(idCol).as("id")).distinct()
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .localCheckpoint()
+  }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = grams.compact(keepFrom, upTo)
+
+  /** See [[StreamingDedup.attach]]. */
+  def attach(source: DataFrame, outDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
+        ()
+      }
+}
+
 /** The embedding twin of [[StreamingDedup]]: persisted state is the
   * (id, vector) table (id-bucket-pruned for the verify join) plus the
   * RHP band keys stored EXPLODED, one row per (id, band, key), bucketed

@@ -391,6 +391,38 @@ class BatchedStateSpec extends AnyFunSuite {
       Set((1L, -1L), (10L, 0L)))
   }
 
+  test("StreamingDecontamination: gate against the standing set, additions accumulate") {
+    import graft.streaming.StreamingDecontamination
+    val sdc = new StreamingDecontamination(spark, tmp("sdc"), "doc_id", "text")
+    val bench0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bench1 = Seq((2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    sdc.seed(bench0, "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame, id: Long) =
+      sdc.admit(df, id).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+    val batch = Seq(
+      // quotes the seed benchmark verbatim inside a longer doc
+      (10L, "prefix words here alpha beta gamma delta epsilon zeta eta theta suffix"),
+      // quotes the NOT-YET-ADDED release
+      (11L, "prefix words here one two three four five six seven eight suffix"),
+      (12L, "an entirely clean document with enough words to shingle fully"))
+      .toDF("doc_id", "text")
+    val v0 = verdicts(batch, 0L)
+    assert(v0(10L)._3 && !v0(11L)._3 && !v0(12L)._3, s"$v0")
+    assert(v0(10L)._1 === 5L && v0(10L)._2 === 1L) // 12 words -> 5 grams, 1 hit
+    // the release lands at id 1; later admissions flag its quotes too
+    sdc.addBenchmark(bench1, "text", 1L)
+    sdc.compact(upTo = 1L) // the fold must preserve the union
+    val v2 = verdicts(batch, 2L)
+    assert(v2(10L)._3 && v2(11L)._3 && !v2(12L)._3, s"$v2")
+    // admit never wrote: re-admitting the same docs at a later id is
+    // identical (decontamination does not learn from the corpus)
+    assert(verdicts(batch, 3L) === v2)
+  }
+
   test("a re-arrived doc id yields ONE pair per neighbor, not one per version") {
     import graft.streaming.StreamingDedup
     val sd = new StreamingDedup(spark, tmp("sd_rearrive"), "doc_id", "text")
