@@ -297,21 +297,8 @@ object Multimodal {
     * only exchange is the (band, key) self-join over narrow
     * (id, hash) rows; payloads and luma maps never reach it.
     */
-  def imageNearDups(decoded: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 8,
-      "8 single-byte bands guarantee recall only for maxHamming <= 7")
-    val banded = decoded.select(col("asset_id").as("id"), col("dhash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("dhash"), b * 8).bitwiseAND(0xFFL)): _*))
-        .as(Seq("band", "key")))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        Dedup.hamming64(col("l.dhash"), col("r.dhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  def imageNearDups(decoded: DataFrame, maxHamming: Int = 6): DataFrame =
+    bandedHammingPairs(decoded, "dhash", maxHamming)
 
   /** Deterministic 24-bit uncompressed BMP fixture, built entirely in
     * Catalyst (hex assembly + `unhex`, like [[syntheticAssets]]): a real
@@ -359,6 +346,226 @@ object Multimodal {
       lpad(hex(v), 2, "0")
     })
     unhex(concat(lit(header), concat_ws("", pix)))
+  }
+
+  // ---- real audio decode tier (RIFF/WAV PCM) ---------------------------
+
+  /** Decoded PCM audio: per-frame MIXDOWN samples (the exact integer SUM
+    * across channels — not the mean, which would need a rounding-mode
+    * convention), 16-bit signed range per channel. Sum keeps every
+    * downstream stat exact-integer, so SQL oracles recompute them
+    * bit-identically.
+    */
+  final case class WavPcm(sampleRate: Int, channels: Int, bits: Int,
+      samples: Array[Int])
+
+  /** Pluggable audio decode: bytes -> PCM, or None for an undecodable
+    * payload. Mirrors [[ImageDecoder]]: route-then-decode sends plausible
+    * audio here, and a corrupt straggler must not fail a 100 TB job.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[WavPcm]
+  }
+
+  /** Zero-dependency RIFF/WAV parser: walks the chunk list (tolerating
+    * LIST/INFO/fact chunks and odd-size pad bytes per the RIFF spec, so
+    * real-world encoder output parses — not just the 44-byte canonical
+    * layout), requires PCM (format 1) at 8 or 16 bits, and clamps the
+    * data chunk to the bytes actually present (truncated tail frames
+    * drop). 8-bit WAV samples are unsigned, centered by -128.
+    */
+  object WavDecoder extends AudioDecoder {
+    def decode(bytes: Array[Byte]): Option[WavPcm] = {
+      if (bytes == null || bytes.length < 12) return None
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+          (u8(i + 3).toLong << 24)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      try {
+        if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+        var data: Option[(Int, Int)] = None          // offset, len
+        var p = 12
+        while (p + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = tag(p)
+          val sz = math.min(le32(p + 4), (bytes.length - p - 8).toLong).toInt
+          if (id == "fmt " && sz >= 16)
+            fmt = Some((le16(p + 8), le16(p + 10), le32(p + 12).toInt,
+              le16(p + 22)))
+          else if (id == "data") data = Some((p + 8, sz))
+          p += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        for {
+          (format, ch, rate, bits) <- fmt
+          if format == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+          (off, len) <- data
+        } yield {
+          val bytesPerSample = bits / 8
+          val blockAlign = ch * bytesPerSample
+          val frames = len / blockAlign
+          val out = new Array[Int](frames)
+          var f = 0
+          while (f < frames) {
+            var s = 0
+            var c = 0
+            while (c < ch) {
+              val i = off + f * blockAlign + c * bytesPerSample
+              s += (if (bits == 16) (u8(i) | (u8(i + 1) << 8)).toShort.toInt
+                    else u8(i) - 128)
+              c += 1
+            }
+            out(f) = s
+            f += 1
+          }
+          WavPcm(rate, ch, bits, out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Energy-gradient audio fingerprint — [[dHash64]]'s recipe on the time
+    * axis: split the mixdown into 65 flooring windows
+    * (`[j*n/65, (j+1)*n/65)`), take each window's exact |sample| sum, set
+    * bit j when window j is louder than window j+1. Gradient direction is
+    * volume-invariant by construction (`|c*v| = c*|v|` for gain c > 0, so
+    * a louder copy of the same audio compares every window pair
+    * identically and hashes the same), and the integer sums make the 64
+    * bits SQL-recomputable.
+    */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      var k = j * n / 65
+      val end = (j + 1) * n / 65
+      var s = 0L
+      while (k < end) { s += math.abs(samples(k)); k += 1 }
+      e(j) = s
+      j += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (e(i) > e(i + 1)) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  final case class DecodedAudio(asset_id: Long, sample_rate: Int,
+      channels: Int, n_samples: Long, abs_sum: Long, peak: Int, afp: Long)
+
+  /** The real audio codec pass, [[decodeImages]]' twin: parse every
+    * payload scan-local (mapPartitions, payloads never shuffled) into
+    * loudness stats + the energy fingerprint; undecodable payloads DROP.
+    * Only narrow (id, format, stats, 64-bit hash) rows flow on.
+    */
+  def decodeAudio(assets: DataFrame,
+      decoder: AudioDecoder = WavDecoder): Dataset[DecodedAudio] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx  = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.flatMap { r =>
+        decoder.decode(r.getAs[Array[Byte]](cIdx)).map { pcm =>
+          var sum = 0L
+          var peak = 0
+          var k = 0
+          while (k < pcm.samples.length) {
+            val a = math.abs(pcm.samples(k))
+            sum += a
+            if (a > peak) peak = a
+            k += 1
+          }
+          DecodedAudio(r.getLong(idIdx), pcm.sampleRate, pcm.channels,
+            pcm.samples.length.toLong, sum, peak,
+            audioFingerprint64(pcm.samples))
+        }
+      }
+    }
+  }
+
+  /** Banded hamming near-dup pairs over any 64-bit fingerprint column —
+    * the shared engine behind [[imageNearDups]] and [[audioNearDups]]:
+    * block on the hash's 8 single-byte bands (pigeonhole: hamming < 8
+    * implies one identical band, so recall is EXACT for maxHamming <= 7),
+    * verify with true hamming. The only exchange is the (band, key)
+    * self-join over narrow (id, hash) rows.
+    */
+  private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "8 single-byte bands guarantee recall only for maxHamming <= 7")
+    val banded = hashed.select(col("asset_id").as("id"), col(hashCol),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col(hashCol), b * 8).bitwiseAND(0xFFL)): _*))
+        .as(Seq("band", "key")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        Dedup.hamming64(col(s"l.$hashCol"), col(s"r.$hashCol")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Energy-fingerprint audio near-dup pairs over [[decodeAudio]] output —
+    * volume-shifted copies land at hamming 0, lightly-edited copies within
+    * a few bits. Same banded shape as [[imageNearDups]].
+    */
+  def audioNearDups(decoded: DataFrame, maxHamming: Int = 6): DataFrame =
+    bandedHammingPairs(decoded, "afp", maxHamming)
+
+  /** Deterministic 16-bit (or 8-bit) mono PCM WAV fixture, built entirely
+    * in Catalyst like [[bmpContent]]: a real RIFF file [[WavDecoder]]
+    * parses through the REAL chunk-walking path, whose samples an oracle
+    * regenerates from the id arithmetic alone. The sawtooth STEP is
+    * id-dependent — `t = sampleId*31 + k*(7 + sampleId%97)` — so distinct
+    * ids get distinct waveform frequencies, not phase shifts of one
+    * waveform (a fixed step makes every id's energy profile near-equal
+    * and the near-dup test degenerate). 16-bit sample k is
+    * `(t % 2048) - 1024` (+300 over the `[n/4, n/4 + n/16)` window when
+    * `noisy`), all times `gain` — the bump precedes the gain so a gain-2
+    * copy is an EXACT 2x rescale and must fingerprint identically. 8-bit
+    * sample k stores the unsigned byte `t % 256` (gain/noisy
+    * unsupported — the clamp-free guarantee holds only for 16-bit
+    * headroom).
+    */
+  def wavContent(sampleId: Column, nSamples: Int, gain: Int = 1,
+      noisy: Column = lit(false), bits: Int = 16,
+      sampleRate: Int = 8000): Column = {
+    require(nSamples > 0, "nSamples must be positive")
+    require(bits == 16 || bits == 8, "PCM fixture supports 8/16-bit only")
+    require(bits == 16 || (gain == 1), "gain needs 16-bit headroom")
+    require(gain >= 1 && gain <= 2, "gain beyond 2 risks 16-bit clamp")
+    val bytesPerSample = bits / 8
+    val dataBytes = nSamples * bytesPerSample
+    def le4(v: Int): String =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    def le2(v: Int): String = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    // RIFF + fmt (PCM, mono) + data chunk headers, all little-endian
+    val header = "52494646" + le4(36 + dataBytes) + "57415645" +
+      "666D7420" + le4(16) + le2(1) + le2(1) + le4(sampleRate) +
+      le4(sampleRate * bytesPerSample) + le2(bytesPerSample) + le2(bits) +
+      "64617461" + le4(dataBytes)
+    val noiseLo = nSamples / 4
+    val noiseHi = noiseLo + nSamples / 16
+    val pcm = transform(sequence(lit(0), lit(nSamples - 1)), k => {
+      val base = (sampleId * 31 + k * (lit(7) + sampleId % 97)) %
+        (if (bits == 16) 2048 else 256)
+      if (bits == 8) lpad(hex(base), 2, "0")
+      else {
+        val bump = when(noisy && k >= noiseLo && k < noiseHi, 300)
+          .otherwise(0)
+        val v = (base - 1024 + bump) * gain
+        // two's-complement 16-bit, little-endian byte order
+        val h = lpad(hex(pmod(v, lit(65536))), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+    })
+    unhex(concat(lit(header), concat_ws("", pcm)))
   }
 
   def resizeStub(assets: DataFrame, maxBytes: Int = 64): Dataset[AssetThumb] = {

@@ -648,6 +648,53 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- REAL audio decode: deterministic PCM WAV fixtures go through the
+    //     actual RIFF chunk-walking parse (16-bit bases, their exact-2x
+    //     gain twins — which must fingerprint identically, the volume
+    //     invariance — and an 8-bit variant), plus non-audio payloads
+    //     that must DROP; the oracle regenerates every sample from the id
+    //     arithmetic alone -----------------------------------------------
+    "mm_audio_decode" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      // content before the id shift (lateral-alias hazard, as mm_decode)
+      def wav(shift: Long, gain: Int, bits: Int) = ids
+        .select(col("asset_id"),
+          Multimodal.wavContent(col("asset_id"), 260, gain, lit(false), bits)
+            .as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val junk = ids.filter(col("asset_id") % 3 === 0)
+        .select(col("asset_id"),
+          unhex(lpad(hex(col("asset_id") * 2654435761L), 16, "0")).as("content"))
+        .select((col("asset_id") + 3000000L).as("asset_id"), col("content"))
+      Multimodal.decodeAudio(wav(0L, 1, 16).unionByName(wav(1000000L, 2, 16))
+          .unionByName(wav(2000000L, 1, 8)).unionByName(junk)).toDF()
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("abs_sum"), col("peak"),
+          lpad(hex(col("afp")), 16, "0").as("afp_hex"))
+        .orderBy(col("asset_id"))
+    },
+
+    // --- energy-fingerprint audio dedup: banded near-dup pairs over base
+    //     recordings, their gain twins (hamming 0 by construction) and
+    //     noise twins (a +300 bump over a 16-sample window flips a few
+    //     energy-gradient bits) ------------------------------------------
+    "mm_audio_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      def wav(shift: Long, gain: Int, noisy: Boolean) = ids
+        .select(col("asset_id"),
+          Multimodal.wavContent(col("asset_id"), 260, gain, lit(noisy))
+            .as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val decoded = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
+        .unionByName(wav(1000000L, 2, noisy = false))
+        .unionByName(wav(2000000L, 1, noisy = true))).toDF()
+      Multimodal.audioNearDups(decoded, maxHamming = 7)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- dedup clustering: connected components over near-dup pairs +
     //     canonical-survivor selection. Edge topology mixes 3-node CHAINS
     //     (transitivity — pairs alone can't dedup these) with hub STARS
@@ -1870,6 +1917,77 @@ object ExtensionQueries {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
   }
 
+  /** Shared CTEs for the REAL audio-decode oracles: regenerate the WAV
+    * fixture's PCM samples from the id arithmetic alone (uncompressed
+    * PCM = headers + raw LE samples, so what [[graft.operators.Multimodal
+    * .WavDecoder]] parses IS the arithmetic) and fold the 65-window
+    * energy-gradient fingerprint exactly as [[graft.operators.Multimodal
+    * .audioFingerprint64]]. n = 260 = 65*4 makes every window exactly 4
+    * samples, so window-of-k is plain `k // 4`. Junk payloads never
+    * appear: the decode DROPS undecodable bytes.
+    */
+  private def mmAudioCtes(variants: String): String = {
+    val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
+      .mkString("[", ", ", "]")
+    s"""ids AS (SELECT doc_id AS pid FROM documents WHERE doc_id < 300),
+       |a AS ($variants),
+       |s AS (
+       |  SELECT asset_id, pid, bits, gain, noisy,
+       |    unnest(generate_series(0, 259)) AS k
+       |  FROM a),
+       |v AS (
+       |  SELECT asset_id, k,
+       |    CASE WHEN bits = 8
+       |      THEN ((pid * 31 + k * (7 + pid % 97)) % 256) - 128
+       |      ELSE (((pid * 31 + k * (7 + pid % 97)) % 2048) - 1024
+       |        + CASE WHEN noisy = 1 AND k >= 65 AND k < 81
+       |            THEN 300 ELSE 0 END) * gain END AS v
+       |  FROM s),
+       |e AS (SELECT asset_id, k // 4 AS j, SUM(abs(v)) AS e
+       |  FROM v GROUP BY 1, 2),
+       |ebits AS (
+       |  SELECT l.asset_id, l.j AS bp,
+       |    CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+       |  FROM e l JOIN e r ON l.asset_id = r.asset_id AND r.j = l.j + 1
+       |  WHERE l.j < 64),
+       |hs AS (
+       |  SELECT asset_id,
+       |    CAST(SUM(CASE WHEN bit = 1 THEN ($pow2::UBIGINT[])[bp + 1]
+       |             ELSE 0::UBIGINT END) AS UBIGINT) AS afp
+       |  FROM ebits GROUP BY asset_id)""".stripMargin
+  }
+
+  private def mmAudioDecodeOracle: String =
+    s"""WITH ${mmAudioCtes(
+        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy FROM ids
+          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0 FROM ids
+          |  UNION ALL SELECT pid, pid + 2000000, 8, 1, 0 FROM ids""".stripMargin)},
+       |st AS (
+       |  SELECT asset_id, CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+       |    CAST(MAX(abs(v)) AS INT) AS peak
+       |  FROM v GROUP BY asset_id)
+       |SELECT a.asset_id, 8000 AS sample_rate, 1 AS channels,
+       |  CAST(260 AS BIGINT) AS n_samples, st.abs_sum, st.peak,
+       |  lpad(hex(hs.afp), 16, '0') AS afp_hex
+       |FROM a JOIN st USING (asset_id) JOIN hs USING (asset_id)
+       |ORDER BY a.asset_id""".stripMargin
+
+  private def mmAudioDedupOracle: String = {
+    val bandEq = (0 until 8).map(b =>
+      s"((l.afp >> ${b * 8}) & 255) = ((r.afp >> ${b * 8}) & 255)")
+      .mkString("\n      OR ")
+    s"""WITH ${mmAudioCtes(
+        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy FROM ids
+          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0 FROM ids
+          |  UNION ALL SELECT pid, pid + 2000000, 16, 1, 1 FROM ids""".stripMargin)},
+       |pairs AS (
+       |  SELECT l.asset_id AS a, r.asset_id AS b,
+       |    CAST(bit_count(xor(l.afp, r.afp)) AS INT) AS hamming
+       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |    AND ($bandEq))
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 7 ORDER BY a, b""".stripMargin
+  }
+
   /** mm_frames: recompute the demuxer-stub byte windows (offset_i =
     * len*i/4, window ends at offset_{i+1}) and their exact integer byte
     * sums from the hex dump — same nibble-lookup trick as
@@ -2596,6 +2714,8 @@ object ExtensionQueries {
 
     "mm_decode_real" -> mmDecodeRealOracle,
     "mm_phash_dedup" -> mmPhashOracle,
+    "mm_audio_decode" -> mmAudioDecodeOracle,
+    "mm_audio_dedup" -> mmAudioDedupOracle,
 
     // hashed unigram LM: identical md5 buckets, quantized log2 via the
     // exact bin()-length trick on both engines

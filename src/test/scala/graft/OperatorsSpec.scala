@@ -622,6 +622,86 @@ class OperatorsSpec extends AnyFunSuite {
         s"exact scale pair $id missing: ${pairs.toSeq}")
   }
 
+  test("decodeAudio: gain twins fingerprint identically, junk drops, 8-bit parses") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L, 5L).toDF("asset_id")
+    def wav(shift: Long, gain: Int, noisy: Boolean, bits: Int = 16) = ids
+      .select(col("asset_id"),
+        Multimodal.wavContent(col("asset_id"), 260, gain, lit(noisy), bits)
+          .as("content"))
+      .select((col("asset_id") + shift).as("asset_id"), col("content"))
+    val junk = Seq(900L).toDF("asset_id")
+      .select(col("asset_id"), lit("not audio at all").cast(BinaryType).as("content"))
+    val dec = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
+        .unionByName(wav(100L, 2, noisy = false))
+        .unionByName(wav(200L, 1, noisy = false, bits = 8))
+        .unionByName(junk))
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(dec.keySet === Set(3L, 4L, 5L, 103L, 104L, 105L, 203L, 204L, 205L))
+    // JVM-side reference of the fixture arithmetic, independent of Catalyst
+    def ref16(id: Long, gain: Int): Array[Int] =
+      Array.tabulate(260)(k =>
+        (((id * 31 + k * (7 + id % 97)) % 2048) - 1024).toInt * gain)
+    for (id <- Seq(3L, 4L, 5L)) {
+      val d1 = dec(id); val d2 = dec(id + 100L); val d8 = dec(id + 200L)
+      assert((d1.sample_rate, d1.channels, d1.n_samples) === ((8000, 1, 260L)))
+      val r = ref16(id, 1)
+      assert(d1.abs_sum === r.map(v => math.abs(v).toLong).sum)
+      assert(d1.peak === r.map(math.abs).max)
+      assert(d1.afp === Multimodal.audioFingerprint64(r))
+      // a 2x-louder copy is volume-invariant under the gradient hash
+      assert(d2.afp === d1.afp, s"gain twin of $id must hash identically")
+      assert(d2.abs_sum === 2L * d1.abs_sum)
+      // 8-bit path: unsigned bytes centered at 128
+      val r8 = Array.tabulate(260)(k =>
+        (((id * 31 + k * (7 + id % 97)) % 256) - 128).toInt)
+      assert(d8.abs_sum === r8.map(v => math.abs(v).toLong).sum)
+      assert(d8.afp === Multimodal.audioFingerprint64(r8))
+    }
+    // noisy twins flip a few gradient bits — near but not identical
+    val all = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
+      .unionByName(wav(100L, 2, noisy = false))
+      .unionByName(wav(300L, 1, noisy = true))).toDF()
+    val pairs = Multimodal.audioNearDups(all, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
+        s"exact gain pair $id missing: ${pairs.toSeq}")
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 300L && p._3 > 0),
+        s"noisy pair $id missing or identical: ${pairs.toSeq}")
+    }
+  }
+
+  test("WavDecoder: stereo mixdown sums channels; LIST/odd chunks walk; truncation clamps") {
+    def le2(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def fmtChunk(ch: Int, bits: Int) = ascii("fmt ") ++ le4(16) ++ le2(1) ++
+      le2(ch) ++ le4(8000) ++ le4(8000 * ch * bits / 8) ++
+      le2(ch * bits / 8) ++ le2(bits)
+    // stereo 16-bit: frames (100,-30), (-5,7) -> mixdown (70, 2)
+    val stereoData = le2(100) ++ le2(-30 & 0xffff) ++ le2(-5 & 0xffff) ++ le2(7)
+    // an odd-size LIST chunk (3 bytes + pad) sits BEFORE fmt/data
+    val body = ascii("LIST") ++ le4(3) ++ Array[Byte](1, 2, 3, 0) ++
+      fmtChunk(2, 16) ++ ascii("data") ++ le4(stereoData.length) ++ stereoData
+    val wav = ascii("RIFF") ++ le4(4 + body.length) ++ ascii("WAVE") ++ body
+    val got = Multimodal.WavDecoder.decode(wav)
+    assert(got.isDefined, "stereo WAV with LIST chunk must parse")
+    assert(got.get.channels === 2 && got.get.samples.toSeq === Seq(70, 2))
+    // truncated data chunk: declared 8 bytes, only 6 present -> 1 full
+    // stereo frame survives, the partial tail frame drops
+    val trunc = wav.dropRight(2)
+    assert(Multimodal.WavDecoder.decode(trunc).get.samples.toSeq === Seq(70))
+    // non-PCM format refuses
+    val bad = ascii("RIFF") ++ le4(4 + body.length) ++ ascii("WAVE") ++
+      (ascii("LIST") ++ le4(3) ++ Array[Byte](1, 2, 3, 0) ++
+        (ascii("fmt ") ++ le4(16) ++ le2(3) ++ le2(2) ++ le4(8000) ++
+          le4(8000 * 4) ++ le2(4) ++ le2(16)) ++
+        ascii("data") ++ le4(stereoData.length) ++ stereoData)
+    assert(Multimodal.WavDecoder.decode(bad).isEmpty, "float WAV must refuse")
+  }
+
   test("resizeStub: stride budget holds, sampled sums exact") {
     import spark.implicits._
     val long = "x" * 130 // stride ceil(130/64)=3 -> samples 0,3,...,129 = 44
