@@ -568,6 +568,231 @@ object Multimodal {
     unhex(concat(lit(header), concat_ws("", pcm)))
   }
 
+  // ---- real video demux tier (RIFF/AVI, raw-DIB frames) ----------------
+
+  /** Demuxed uncompressed video: dimensions, frame cadence, and the raw
+    * per-frame DIB payloads (bottom-up BGR rows, the AVI '00db' wire
+    * format) in stream order.
+    */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+      frames: Array[Array[Byte]])
+
+  /** Zero-dependency RIFF/AVI demuxer, [[WavDecoder]]'s container walk
+    * one level deeper: RIFF('AVI ') -> LIST(hdrl) -> avih for dims and
+    * cadence, LIST(strl) -> strf BITMAPINFOHEADER (requires 24-bpp
+    * BI_RGB — uncompressed DIB frames), LIST(movi) -> '00db'/'00dc'
+    * chunk payloads in order. Unknown chunks skip, odd sizes pad,
+    * declared sizes clamp to the bytes present (a truncated tail frame
+    * drops, not the file).
+    */
+  object AviDemuxer extends Serializable {
+    def demux(bytes: Array[Byte]): Option[AviVideo] = {
+      if (bytes == null || bytes.length < 12) return None
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+          (u8(i + 3).toLong << 24)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def clamp(p: Int, declared: Long): Int =
+        math.min(declared, (bytes.length - p).toLong).toInt
+      try {
+        if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+        var dims: Option[(Int, Int, Int)] = None // w, h, usPerFrame
+        var bpp = -1
+        var compression = -1L
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        // walk(p, end): iterate the chunk list in [p, end)
+        def walk(p0: Int, end: Int): Unit = {
+          var p = p0
+          while (p + 8 <= end) {
+            val id = tag(p)
+            val sz = clamp(p + 8, le32(p + 4))
+            val body = p + 8
+            if (id == "LIST" && sz >= 4) {
+              val kind = tag(body)
+              if (kind == "hdrl" || kind == "strl" || kind == "movi")
+                walk(body + 4, body + sz)
+            } else if (id == "avih" && sz >= 40) {
+              dims = Some((le32(body + 32).toInt, le32(body + 36).toInt,
+                le32(body).toInt))
+            } else if (id == "strf" && sz >= 40) {
+              bpp = le16(body + 14)
+              compression = le32(body + 16)
+            } else if ((id == "00db" || id == "00dc") && sz > 0) {
+              frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+            }
+            p = body + sz + (sz & 1)
+          }
+        }
+        walk(12, bytes.length)
+        for ((w, h, us) <- dims
+             if w > 0 && h > 0 && bpp == 24 && compression == 0L)
+          yield AviVideo(w, h, us, frames.toArray)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  final case class DecodedFrame(asset_id: Long, frame_id: Int, width: Int,
+      height: Int, gray_sum: Long, dhash: Long)
+
+  /** The video codec pass: demux every payload scan-local, decode each
+    * raw-DIB frame through the same integer luma map as
+    * [[ImageIoDecoder]] (bottom-up BGR rows — nothing format-side to
+    * re-derive), and emit one narrow (id, frame, stats, dHash) row per
+    * frame. Undecodable assets DROP; a frame whose payload doesn't match
+    * the declared geometry drops alone (one torn frame must not kill the
+    * video, let alone the job).
+    */
+  def decodeVideoFrames(assets: DataFrame): Dataset[DecodedFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx  = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        AviDemuxer.demux(r.getAs[Array[Byte]](cIdx)).toSeq.flatMap { v =>
+          val rowBytes = (v.width * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+          v.frames.iterator.zipWithIndex.collect {
+            case (f, i) if f.length >= rowBytes * v.height =>
+              val luma = new Array[Int](v.width * v.height)
+              var sum = 0L
+              var y = 0
+              while (y < v.height) {
+                var x = 0
+                while (x < v.width) {
+                  val o = (v.height - 1 - y) * rowBytes + x * 3 // bottom-up
+                  val l = (299 * (f(o + 2) & 0xff) + 587 * (f(o + 1) & 0xff) +
+                    114 * (f(o) & 0xff)) / 1000
+                  luma(y * v.width + x) = l
+                  sum += l
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(id, i, v.width, v.height, sum,
+                dHash64(v.width, v.height, luma))
+          }.toSeq
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs over [[decodeVideoFrames]] output: band each
+    * frame's dHash ([[bandedHammingPairs]]' pigeonhole, recall-exact for
+    * `maxHamming` <= 7) WITHIN its frame slot, count frame slots whose
+    * hashes sit within `maxHamming`, and keep pairs where at least
+    * `minMatchPct` percent of the LONGER video's frames match — integer
+    * arithmetic end to end, so oracles recompute it exactly. The only
+    * exchange is the (frame, band, key) self-join over narrow rows;
+    * payloads and lumas never reach it. Frame slots align absolutely
+    * (near-dup = same cut, re-encoded/touched-up; a trimmed copy is a
+    * different cut by this definition).
+    */
+  def videoNearDups(frames: DataFrame, maxHamming: Int = 6,
+      minMatchPct: Int = 80): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "8 single-byte bands guarantee recall only for maxHamming <= 7")
+    require(minMatchPct >= 1 && minMatchPct <= 100,
+      "minMatchPct is a percentage")
+    val banded = frames.select(col("asset_id").as("id"), col("frame_id"),
+      col("dhash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("dhash"), b * 8).bitwiseAND(0xFFL)): _*))
+        .as(Seq("band", "key")))
+    val framePairs = banded.as("l").join(banded.as("r"),
+        col("l.frame_id") === col("r.frame_id") &&
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("l.frame_id"),
+        Dedup.hamming64(col("l.dhash"), col("r.dhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val matched = framePairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_matched"))
+    val counts = frames.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    matched
+      .join(broadcast(counts.select(col("asset_id").as("a"),
+        col("n_frames").as("n_a"))), "a")
+      .join(broadcast(counts.select(col("asset_id").as("b"),
+        col("n_frames").as("n_b"))), "b")
+      .filter(col("n_matched") * 100 >=
+        lit(minMatchPct) * greatest(col("n_a"), col("n_b")))
+      .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
+  }
+
+  /** Deterministic uncompressed AVI fixture, built entirely in Catalyst
+    * like [[bmpContent]]/[[wavContent]]: a real RIFF container
+    * [[AviDemuxer]] walks through the REAL parse path — hdrl/avih,
+    * strl/strh/strf, movi with one '00db' raw-DIB chunk per frame —
+    * whose pixels an oracle regenerates from the id arithmetic alone.
+    * Frame f's pixels reuse [[bmpContent]]'s cell formula with per-frame
+    * pixel id `videoId*131 + f*17`; when `noisy`, frames with `f%5 == 0`
+    * get the two-cell luma bump (most frame slots still hash-match — the
+    * touched-up-copy shape [[videoNearDups]] exists to catch). `size`
+    * must be a multiple of 8 (exact 8x8 cells; rows stay 4-byte aligned
+    * so the raw DIB needs no padding arithmetic).
+    */
+  def aviContent(videoId: Column, nFrames: Int, size: Int,
+      noisy: Column = lit(false)): Column = {
+    require(nFrames > 0, "nFrames must be positive")
+    require(size > 0 && size % 8 == 0, "size must be a positive multiple of 8")
+    val rowBytes = size * 3
+    val frameBytes = rowBytes * size
+    def le4(v: Int): String =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    def le2(v: Int): String = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    def fourcc(s: String): String =
+      s.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+    // avih: usPerFrame 40ms, maxBytesPerSec/padding/flags 0, totalFrames,
+    // initialFrames 0, streams 1, suggestedBuf, width, height, reserved
+    val avih = fourcc("avih") + le4(56) + le4(40000) + le4(0) + le4(0) +
+      le4(0) + le4(nFrames) + le4(0) + le4(1) + le4(frameBytes) +
+      le4(size) + le4(size) + le4(0) * 4
+    // strh: vids/DIB, flags/prio/lang/initial 0, scale 1 rate 25,
+    // start 0, length nFrames, bufSize, quality 0, sampleSize, rcFrame
+    val strh = fourcc("strh") + le4(56) + fourcc("vids") + fourcc("DIB ") +
+      le4(0) + le2(0) + le2(0) + le4(0) + le4(1) + le4(25) + le4(0) +
+      le4(nFrames) + le4(frameBytes) + le4(0) + le4(frameBytes) +
+      le2(0) + le2(0) + le2(size) + le2(size)
+    // strf: BITMAPINFOHEADER — 24-bpp BI_RGB, the raw-DIB contract
+    val strf = fourcc("strf") + le4(40) + le4(40) + le4(size) + le4(size) +
+      le2(1) + le2(24) + le4(0) + le4(frameBytes) + le4(0) * 4
+    val strl = fourcc("LIST") + le4(4 + strh.length / 2 + strf.length / 2) +
+      fourcc("strl") + strh + strf
+    val hdrl = fourcc("LIST") + le4(4 + avih.length / 2 + strl.length / 2) +
+      fourcc("hdrl") + avih + strl
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + hdrl.length / 2 + 8 + moviSize
+    val prefix = fourcc("RIFF") + le4(riffSize) + fourcc("AVI ") + hdrl +
+      fourcc("LIST") + le4(moviSize) + fourcc("movi")
+    def idiv(a: Column, b: Int): Column = floor(a / b).cast("long")
+    val frames = transform(sequence(lit(0), lit(nFrames - 1)), f => {
+      val pid = videoId * 131 + f * 17
+      val bumped = noisy && f % 5 === 0
+      val pix = transform(sequence(lit(0), lit(frameBytes - 1)), j => {
+        val y    = lit(size - 1) - idiv(j, rowBytes) // DIB rows bottom-up
+        val x    = idiv(j % rowBytes, 3)
+        val chan = j % 3 // B, G, R
+        val xx = idiv(x * 8, size)
+        val yy = idiv(y * 8, size)
+        val base = pid * 31 + yy * 19 + xx * 7 +
+          (when(bumped && xx === 1 && yy === 2, 40)
+            .when(bumped && xx === 5 && yy === 6, 60)
+            .otherwise(0))
+        val v = when(chan === 0, base % 256)
+          .when(chan === 1, (base * 3 + 11) % 256)
+          .otherwise((base * 7 + 23) % 256)
+        lpad(hex(v), 2, "0")
+      })
+      concat(lit(fourcc("00db") + le4(frameBytes)), concat_ws("", pix))
+    })
+    unhex(concat(lit(prefix), concat_ws("", frames)))
+  }
+
   def resizeStub(assets: DataFrame, maxBytes: Int = 64): Dataset[AssetThumb] = {
     require(maxBytes > 0, "maxBytes must be positive")
     val spark = assets.sparkSession

@@ -695,6 +695,50 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- REAL video demux: deterministic uncompressed AVI fixtures go
+    //     through the actual RIFF container walk (hdrl/avih + strl/strf +
+    //     movi raw-DIB frames) into per-frame luma stats + dHash; junk
+    //     payloads DROP; the oracle regenerates every frame's pixels from
+    //     the id arithmetic alone ----------------------------------------
+    "mm_video_demux" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      def avi(shift: Long, noisy: Boolean) = ids
+        .select(col("asset_id"),
+          Multimodal.aviContent(col("asset_id"), 10, 8, lit(noisy))
+            .as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val junk = ids.filter(col("asset_id") % 3 === 0)
+        .select(col("asset_id"),
+          unhex(lpad(hex(col("asset_id") * 2654435761L), 16, "0")).as("content"))
+        .select((col("asset_id") + 3000000L).as("asset_id"), col("content"))
+      Multimodal.decodeVideoFrames(avi(0L, noisy = false)
+          .unionByName(avi(1000000L, noisy = true)).unionByName(junk)).toDF()
+        .select(col("asset_id"), col("frame_id"), col("width"), col("height"),
+          col("gray_sum"), lpad(hex(col("dhash")), 16, "0").as("dhash_hex"))
+        .orderBy(col("asset_id"), col("frame_id"))
+    },
+
+    // --- video near-dup: frame-slot-aligned dHash matching over base
+    //     videos, byte-identical copies (all 10 slots at hamming 0) and
+    //     touched-up copies (frames 0/5 bumped; the 80% bar still links
+    //     them) ----------------------------------------------------------
+    "mm_video_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      def avi(shift: Long, noisy: Boolean) = ids
+        .select(col("asset_id"),
+          Multimodal.aviContent(col("asset_id"), 10, 8, lit(noisy))
+            .as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val frames = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
+        .unionByName(avi(1000000L, noisy = false))
+        .unionByName(avi(2000000L, noisy = true))).toDF()
+      Multimodal.videoNearDups(frames, maxHamming = 6, minMatchPct = 80)
+        .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- dedup clustering: connected components over near-dup pairs +
     //     canonical-survivor selection. Edge topology mixes 3-node CHAINS
     //     (transitivity — pairs alone can't dedup these) with hub STARS
@@ -1988,6 +2032,92 @@ object ExtensionQueries {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 7 ORDER BY a, b""".stripMargin
   }
 
+  /** Shared CTEs for the REAL video-demux oracles: regenerate every
+    * frame's 8x8 raw-DIB pixels from the id arithmetic (frame f of video
+    * v carries pixel id `v*131 + f*17` under the [[mmPixelCtes]] cell
+    * formula; `noisy` bumps frames `f%5 == 0`), apply the identical
+    * integer luma map, and fold each frame's 9x8 nearest-grid dHash. At
+    * size 8 the cell map is the identity (`xx = (8i)//9`, `yy = j`), so
+    * the grid reads pixel arithmetic directly. Junk payloads never
+    * appear: the demux DROPS undecodable bytes.
+    */
+  private def mmVideoCtes(variants: String): String = {
+    val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
+      .mkString("[", ", ", "]")
+    val bump =
+      """CASE WHEN noisy = 1 AND (f % 5) = 0 AND xx = 1 AND yy = 2 THEN 40
+        |      WHEN noisy = 1 AND (f % 5) = 0 AND xx = 5 AND yy = 6 THEN 60
+        |      ELSE 0 END""".stripMargin
+    def lumaOf(src: String) =
+      s"""(299 * ((base * 7 + 23) % 256) + 587 * ((base * 3 + 11) % 256)
+         |      + 114 * (base % 256)) // 1000 AS luma FROM $src""".stripMargin
+    s"""ids AS (SELECT doc_id AS vid FROM documents WHERE doc_id < 300),
+       |a AS ($variants),
+       |fr AS (SELECT asset_id, vid, noisy,
+       |  unnest(generate_series(0, 9)) AS f FROM a),
+       |px AS (SELECT asset_id, vid, noisy, f,
+       |  unnest(generate_series(0, 63)) AS p FROM fr),
+       |pc AS (SELECT asset_id, f,
+       |    (p % 8) AS xx, (p // 8) AS yy, vid * 131 + f * 17 AS pid, noisy
+       |  FROM px),
+       |basep AS (SELECT asset_id, f,
+       |    pid * 31 + yy * 19 + xx * 7 + $bump AS base
+       |  FROM pc),
+       |lum AS (SELECT asset_id, f,
+       |    ${lumaOf("basep")}),
+       |gp AS (SELECT asset_id, vid, noisy, f,
+       |  unnest(generate_series(0, 71)) AS g FROM fr),
+       |gc AS (SELECT asset_id, f, (g % 9) AS i, (g // 9) AS j,
+       |    ((g % 9) * 8) // 9 AS xx, (g // 9) AS yy,
+       |    vid * 131 + f * 17 AS pid, noisy
+       |  FROM gp),
+       |gb AS (SELECT asset_id, f, i, j,
+       |    pid * 31 + yy * 19 + xx * 7 + $bump AS base
+       |  FROM gc),
+       |gl AS (SELECT asset_id, f, i, j,
+       |    ${lumaOf("gb")}),
+       |fbits AS (
+       |  SELECT l.asset_id, l.f, l.j * 8 + l.i AS bp,
+       |    CASE WHEN l.luma > r.luma THEN 1 ELSE 0 END AS bit
+       |  FROM gl l JOIN gl r
+       |    ON l.asset_id = r.asset_id AND l.f = r.f AND l.j = r.j
+       |    AND r.i = l.i + 1
+       |  WHERE l.i < 8),
+       |fhs AS (
+       |  SELECT asset_id, f,
+       |    CAST(SUM(CASE WHEN bit = 1 THEN ($pow2::UBIGINT[])[bp + 1]
+       |             ELSE 0::UBIGINT END) AS UBIGINT) AS dh
+       |  FROM fbits GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def mmVideoDemuxOracle: String =
+    s"""WITH ${mmVideoCtes(
+        """SELECT vid, vid AS asset_id, 0 AS noisy FROM ids
+          |  UNION ALL SELECT vid, vid + 1000000, 1 FROM ids""".stripMargin)},
+       |st AS (
+       |  SELECT asset_id, f, CAST(SUM(luma) AS BIGINT) AS gray_sum
+       |  FROM lum GROUP BY 1, 2)
+       |SELECT st.asset_id, CAST(st.f AS INT) AS frame_id, 8 AS width,
+       |  8 AS height, st.gray_sum, lpad(hex(fhs.dh), 16, '0') AS dhash_hex
+       |FROM st JOIN fhs ON st.asset_id = fhs.asset_id AND st.f = fhs.f
+       |ORDER BY st.asset_id, frame_id""".stripMargin
+
+  private def mmVideoDedupOracle: String =
+    s"""WITH ${mmVideoCtes(
+        """SELECT vid, vid AS asset_id, 0 AS noisy FROM ids
+          |  UNION ALL SELECT vid, vid + 1000000, 0 FROM ids
+          |  UNION ALL SELECT vid, vid + 2000000, 1 FROM ids""".stripMargin)},
+       |pairs AS (
+       |  SELECT l.asset_id AS a, r.asset_id AS b,
+       |    CAST(count(*) AS BIGINT) AS n_matched
+       |  FROM fhs l JOIN fhs r
+       |    ON l.asset_id < r.asset_id AND l.f = r.f
+       |  WHERE bit_count(xor(l.dh, r.dh)) <= 6
+       |  GROUP BY 1, 2)
+       |SELECT a, b, n_matched, CAST(10 AS BIGINT) AS n_a,
+       |  CAST(10 AS BIGINT) AS n_b
+       |FROM pairs WHERE n_matched * 100 >= 80 * 10 ORDER BY a, b""".stripMargin
+
   /** mm_frames: recompute the demuxer-stub byte windows (offset_i =
     * len*i/4, window ends at offset_{i+1}) and their exact integer byte
     * sums from the hex dump — same nibble-lookup trick as
@@ -2716,6 +2846,8 @@ object ExtensionQueries {
     "mm_phash_dedup" -> mmPhashOracle,
     "mm_audio_decode" -> mmAudioDecodeOracle,
     "mm_audio_dedup" -> mmAudioDedupOracle,
+    "mm_video_demux" -> mmVideoDemuxOracle,
+    "mm_video_dedup" -> mmVideoDedupOracle,
 
     // hashed unigram LM: identical md5 buckets, quantized log2 via the
     // exact bin()-length trick on both engines

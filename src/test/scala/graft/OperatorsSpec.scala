@@ -702,6 +702,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.WavDecoder.decode(bad).isEmpty, "float WAV must refuse")
   }
 
+  test("decodeVideoFrames: AVI demux matches ImageIO cross-codec; copies and noisy twins link") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L).toDF("asset_id")
+    def avi(shift: Long, noisy: Boolean) = ids
+      .select(col("asset_id"),
+        Multimodal.aviContent(col("asset_id"), 10, 8, lit(noisy)).as("content"))
+      .select((col("asset_id") + shift).as("asset_id"), col("content"))
+    val junk = Seq(900L).toDF("asset_id")
+      .select(col("asset_id"), lit("RIFFnope").cast(BinaryType).as("content"))
+    val frames = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
+      .unionByName(junk)).collect()
+    assert(frames.forall(_.asset_id != 900L), "junk must drop")
+    assert(frames.count(_.asset_id == 3L) === 10)
+    // cross-codec consistency: frame f of video v carries pixel id
+    // v*131 + f*17 under bmpContent's cell formula, so the SAME id
+    // rendered as a BMP and decoded through REAL ImageIO must produce
+    // the identical luma stats and dHash as the raw-DIB AVI path
+    val bmpTwin = Multimodal.decodeImages(
+      Seq(3L * 131 + 7L * 17).toDF("asset_id")
+        .select(col("asset_id"),
+          Multimodal.bmpContent(col("asset_id"), 8, lit(false)).as("content")))
+      .collect().head
+    val f7 = frames.find(f => f.asset_id == 3L && f.frame_id == 7).get
+    assert((f7.gray_sum, f7.dhash) === ((bmpTwin.gray_sum, bmpTwin.dhash)),
+      "AVI raw-DIB decode must equal ImageIO BMP decode of the same pixels")
+    // near-dup: byte-identical copy at +100 matches every frame slot at
+    // hamming 0; the noisy copy at +200 bumps frames 0 and 5 but must
+    // still clear an 80% match bar
+    val all = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
+      .unionByName(avi(100L, noisy = false))
+      .unionByName(avi(200L, noisy = true))).toDF()
+    val pairs = Multimodal.videoNearDups(all, maxHamming = 6, minMatchPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (id <- Seq(3L, 4L)) {
+      assert(pairs.get((id, id + 100L)).exists(_._1 == 10L),
+        s"exact copy pair $id missing or partial: $pairs")
+      assert(pairs.get((id, id + 200L)).exists(t => t._1 >= 8L),
+        s"noisy pair $id must match >= 8 of 10 slots: $pairs")
+    }
+    // different source videos must NOT link
+    assert(!pairs.contains((3L, 4L)) && !pairs.contains((3L, 104L)), s"$pairs")
+  }
+
+  test("AviDemuxer: truncated tail frame drops; non-DIB refuses") {
+    import spark.implicits._
+    val full = Seq(1L).toDF("asset_id")
+      .select(Multimodal.aviContent(col("asset_id"), 3, 8).as("c"))
+      .collect().head.getAs[Array[Byte]](0)
+    val v = Multimodal.AviDemuxer.demux(full).get
+    assert(v.width === 8 && v.height === 8 && v.frames.length === 3)
+    assert(v.usPerFrame === 40000)
+    // chop mid-way through the last frame: demux clamps, decode drops it
+    val torn = java.util.Arrays.copyOf(full, full.length - 50)
+    assert(Multimodal.AviDemuxer.demux(torn).get.frames.length === 3)
+    val decoded = Multimodal.decodeVideoFrames(
+      Seq((1L, torn)).toDF("asset_id", "content"))
+    assert(decoded.collect().map(_.frame_id).sorted.toSeq === Seq(0, 1))
+    // flip strf compression to non-BI_RGB: refuse (we only decode raw DIB)
+    val bad = full.clone()
+    val strfAt = {
+      var i = 0
+      while (!(bad(i) == 's' && bad(i + 1) == 't' && bad(i + 2) == 'r' &&
+        bad(i + 3) == 'f')) i += 1
+      i
+    }
+    bad(strfAt + 8 + 16) = 1 // biCompression = BI_RLE8
+    assert(Multimodal.AviDemuxer.demux(bad).isEmpty)
+  }
+
   test("resizeStub: stride budget holds, sampled sums exact") {
     import spark.implicits._
     val long = "x" * 130 // stride ceil(130/64)=3 -> samples 0,3,...,129 = 44
