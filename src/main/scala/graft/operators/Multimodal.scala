@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -487,6 +488,76 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(asset_id: Long, window_id: Int, energy: Long,
+      total_abs: Long, n_windows: Int)
+
+  /** Per-window loudness rows — the decode pass [[audioSegments]] runs
+    * on: the same 65 flooring |sample|-sum windows as
+    * [[audioFingerprint64]] (one narrow row per window, each carrying
+    * the asset's total so thresholds stay single-pass), emitted
+    * scan-local like every decode here.
+    */
+  def audioWindows(assets: DataFrame, decoder: AudioDecoder = WavDecoder,
+      nWindows: Int = 65): Dataset[AudioWindow] = {
+    require(nWindows > 0, "nWindows must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx  = assets.schema.fieldIndex("content")
+    assets.mapPartitions { (it: Iterator[Row]) =>
+      it.flatMap { r =>
+        decoder.decode(r.getAs[Array[Byte]](cIdx)).toSeq.flatMap { pcm =>
+          val n = pcm.samples.length
+          val e = new Array[Long](nWindows)
+          var total = 0L
+          var j = 0
+          while (j < nWindows) {
+            var k = j * n / nWindows
+            val end = (j + 1) * n / nWindows
+            var s = 0L
+            while (k < end) { s += math.abs(pcm.samples(k)); k += 1 }
+            e(j) = s
+            total += s
+            j += 1
+          }
+          val id = r.getLong(idIdx)
+          (0 until nWindows).map(w =>
+            AudioWindow(id, w, e(w), total, nWindows))
+        }
+      }
+    }
+  }
+
+  /** Silence-based audio segmentation over [[audioWindows]] output — the
+    * VAD-ish pre-chunking an ASR/audio training pipeline runs before
+    * transcription: a window is SILENT when its energy falls under
+    * `silencePctOfMean`% of the asset's mean window energy (the compare
+    * is exact-integer — `energy * n_windows * 100 < pct * total_abs` —
+    * so engines agree bit-for-bit), and each maximal run of non-silent
+    * windows becomes one segment row with its span and loudness. Two
+    * window passes over one (asset_id) shuffle, no self-join.
+    */
+  def audioSegments(windows: DataFrame,
+      silencePctOfMean: Int = 25): DataFrame = {
+    require(silencePctOfMean >= 0 && silencePctOfMean <= 100,
+      "silencePctOfMean is a percentage")
+    val silent = col("energy") * col("n_windows") * 100 <
+      lit(silencePctOfMean) * col("total_abs")
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("window_id"))
+    val opens = (!silent) &&
+      coalesce(lag(silent, 1).over(w), lit(true)) // loud after silence/start
+    windows
+      .withColumn("__open", when(opens, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__open")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!silent)
+      .groupBy(col("asset_id"), col("__seg").as("seg_id"))
+      .agg(min(col("window_id")).as("start_window"),
+        max(col("window_id")).as("end_window"),
+        count(lit(1)).as("n_windows_seg"),
+        sum(col("energy")).as("energy_sum"))
+  }
+
   /** Banded hamming near-dup pairs over any 64-bit fingerprint column —
     * the shared engine behind [[imageNearDups]] and [[audioNearDups]]:
     * block on the hash's 8 single-byte bands (pigeonhole: hamming < 8
@@ -535,7 +606,7 @@ object Multimodal {
     */
   def wavContent(sampleId: Column, nSamples: Int, gain: Int = 1,
       noisy: Column = lit(false), bits: Int = 16,
-      sampleRate: Int = 8000): Column = {
+      sampleRate: Int = 8000, mute: Column = lit(false)): Column = {
     require(nSamples > 0, "nSamples must be positive")
     require(bits == 16 || bits == 8, "PCM fixture supports 8/16-bit only")
     require(bits == 16 || (gain == 1), "gain needs 16-bit headroom")
@@ -552,14 +623,19 @@ object Multimodal {
       "64617461" + le4(dataBytes)
     val noiseLo = nSamples / 4
     val noiseHi = noiseLo + nSamples / 16
+    // `mute` zeroes the third quarter ([n/2, 3n/4)) — a silent gap for
+    // the [[audioSegments]] shape
+    val muteLo = nSamples / 2
+    val muteHi = muteLo + nSamples / 4
     val pcm = transform(sequence(lit(0), lit(nSamples - 1)), k => {
+      val muted = mute && k >= muteLo && k < muteHi
       val base = (sampleId * 31 + k * (lit(7) + sampleId % 97)) %
         (if (bits == 16) 2048 else 256)
-      if (bits == 8) lpad(hex(base), 2, "0")
+      if (bits == 8) lpad(hex(when(muted, 128).otherwise(base)), 2, "0")
       else {
         val bump = when(noisy && k >= noiseLo && k < noiseHi, 300)
           .otherwise(0)
-        val v = (base - 1024 + bump) * gain
+        val v = when(muted, 0).otherwise((base - 1024 + bump) * gain)
         // two's-complement 16-bit, little-endian byte order
         val h = lpad(hex(pmod(v, lit(65536))), 4, "0")
         concat(substring(h, 3, 2), substring(h, 1, 2))
@@ -724,21 +800,43 @@ object Multimodal {
       .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
   }
 
+  /** Scene-change detection over [[decodeVideoFrames]] output — keyframe
+    * extraction for a video training pipeline: a frame whose dHash sits
+    * more than `maxHamming` bits from its predecessor opens a new scene
+    * (frame 0 always does). One shuffle on the video id (the lag window);
+    * payloads never reach it. Emits every frame with its distance-to-
+    * previous and cut verdict — `filter(is_cut)` IS the keyframe set,
+    * and `sum(is_cut) over (order frame_id)` numbers the scenes.
+    */
+  def sceneChanges(frames: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_id"))
+    val prev = lag(col("dhash"), 1).over(w)
+    frames.select(col("asset_id"), col("frame_id"), col("dhash"),
+        when(prev.isNotNull,
+          Dedup.hamming64(col("dhash"), prev)).as("hamming_prev"))
+      .withColumn("is_cut",
+        col("hamming_prev").isNull || col("hamming_prev") > maxHamming)
+  }
+
   /** Deterministic uncompressed AVI fixture, built entirely in Catalyst
     * like [[bmpContent]]/[[wavContent]]: a real RIFF container
     * [[AviDemuxer]] walks through the REAL parse path — hdrl/avih,
     * strl/strh/strf, movi with one '00db' raw-DIB chunk per frame —
     * whose pixels an oracle regenerates from the id arithmetic alone.
     * Frame f's pixels reuse [[bmpContent]]'s cell formula with per-frame
-    * pixel id `videoId*131 + f*17`; when `noisy`, frames with `f%5 == 0`
-    * get the two-cell luma bump (most frame slots still hash-match — the
-    * touched-up-copy shape [[videoNearDups]] exists to catch). `size`
-    * must be a multiple of 8 (exact 8x8 cells; rows stay 4-byte aligned
-    * so the raw DIB needs no padding arithmetic).
+    * pixel id `videoId*131 + (f/sceneLen)*17` — `sceneLen` > 1 groups
+    * consecutive frames into static SCENES (identical pixels within,
+    * a jump at each boundary), the [[sceneChanges]] test shape; the
+    * default 1 gives every frame distinct pixels. When `noisy`, frames
+    * with `f%5 == 0` get the two-cell luma bump (most frame slots still
+    * hash-match — the touched-up-copy shape [[videoNearDups]] exists to
+    * catch). `size` must be a multiple of 8 (exact 8x8 cells; rows stay
+    * 4-byte aligned so the raw DIB needs no padding arithmetic).
     */
   def aviContent(videoId: Column, nFrames: Int, size: Int,
-      noisy: Column = lit(false)): Column = {
+      noisy: Column = lit(false), sceneLen: Int = 1): Column = {
     require(nFrames > 0, "nFrames must be positive")
+    require(sceneLen > 0, "sceneLen must be positive")
     require(size > 0 && size % 8 == 0, "size must be a positive multiple of 8")
     val rowBytes = size * 3
     val frameBytes = rowBytes * size
@@ -771,7 +869,7 @@ object Multimodal {
       fourcc("LIST") + le4(moviSize) + fourcc("movi")
     def idiv(a: Column, b: Int): Column = floor(a / b).cast("long")
     val frames = transform(sequence(lit(0), lit(nFrames - 1)), f => {
-      val pid = videoId * 131 + f * 17
+      val pid = videoId * 131 + floor(f / sceneLen).cast("long") * 17
       val bumped = noisy && f % 5 === 0
       val pix = transform(sequence(lit(0), lit(frameBytes - 1)), j => {
         val y    = lit(size - 1) - idiv(j, rowBytes) // DIB rows bottom-up

@@ -739,6 +739,40 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- scene-change detection: sceneLen=4 fixtures give static scenes
+    //     [0..3][4..7][8..9]; cuts must land exactly at 0/4/8 with
+    //     hamming 0 inside scenes; the oracle recomputes every frame
+    //     hash and the lag ----------------------------------------------
+    "mm_video_scenes" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      val avi = ids.select(col("asset_id"),
+        Multimodal.aviContent(col("asset_id"), 10, 8, lit(false), sceneLen = 4)
+          .as("content"))
+      Multimodal.sceneChanges(
+          Multimodal.decodeVideoFrames(avi).toDF(), maxHamming = 2)
+        .select(col("asset_id"), col("frame_id"), col("hamming_prev"),
+          col("is_cut"))
+        .orderBy(col("asset_id"), col("frame_id"))
+    },
+
+    // --- silence segmentation: a muted third quarter splits each track
+    //     at windows 33..47, and slow sawtooths also dip under the 25%-
+    //     of-mean bar at zero crossings — the oracle replays the exact
+    //     integer threshold and run-numbering ---------------------------
+    "mm_audio_segments" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      val assets = ids.select(col("asset_id"),
+        Multimodal.wavContent(col("asset_id"), 260, mute = lit(true))
+          .as("content"))
+      Multimodal.audioSegments(
+          Multimodal.audioWindows(assets).toDF(), silencePctOfMean = 25)
+        .select(col("asset_id"), col("seg_id"), col("start_window"),
+          col("end_window"), col("n_windows_seg"), col("energy_sum"))
+        .orderBy(col("asset_id"), col("seg_id"))
+    },
+
     // --- dedup clustering: connected components over near-dup pairs +
     //     canonical-survivor selection. Edge topology mixes 3-node CHAINS
     //     (transitivity — pairs alone can't dedup these) with hub STARS
@@ -1976,12 +2010,13 @@ object ExtensionQueries {
     s"""ids AS (SELECT doc_id AS pid FROM documents WHERE doc_id < 300),
        |a AS ($variants),
        |s AS (
-       |  SELECT asset_id, pid, bits, gain, noisy,
+       |  SELECT asset_id, pid, bits, gain, noisy, mute,
        |    unnest(generate_series(0, 259)) AS k
        |  FROM a),
        |v AS (
        |  SELECT asset_id, k,
-       |    CASE WHEN bits = 8
+       |    CASE WHEN mute = 1 AND k >= 130 AND k < 195 THEN 0
+       |      WHEN bits = 8
        |      THEN ((pid * 31 + k * (7 + pid % 97)) % 256) - 128
        |      ELSE (((pid * 31 + k * (7 + pid % 97)) % 2048) - 1024
        |        + CASE WHEN noisy = 1 AND k >= 65 AND k < 81
@@ -2003,9 +2038,10 @@ object ExtensionQueries {
 
   private def mmAudioDecodeOracle: String =
     s"""WITH ${mmAudioCtes(
-        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy FROM ids
-          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0 FROM ids
-          |  UNION ALL SELECT pid, pid + 2000000, 8, 1, 0 FROM ids""".stripMargin)},
+        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy,
+          |    0 AS mute FROM ids
+          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0, 0 FROM ids
+          |  UNION ALL SELECT pid, pid + 2000000, 8, 1, 0, 0 FROM ids""".stripMargin)},
        |st AS (
        |  SELECT asset_id, CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
        |    CAST(MAX(abs(v)) AS INT) AS peak
@@ -2021,9 +2057,10 @@ object ExtensionQueries {
       s"((l.afp >> ${b * 8}) & 255) = ((r.afp >> ${b * 8}) & 255)")
       .mkString("\n      OR ")
     s"""WITH ${mmAudioCtes(
-        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy FROM ids
-          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0 FROM ids
-          |  UNION ALL SELECT pid, pid + 2000000, 16, 1, 1 FROM ids""".stripMargin)},
+        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy,
+          |    0 AS mute FROM ids
+          |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0, 0 FROM ids
+          |  UNION ALL SELECT pid, pid + 2000000, 16, 1, 1, 0 FROM ids""".stripMargin)},
        |pairs AS (
        |  SELECT l.asset_id AS a, r.asset_id AS b,
        |    CAST(bit_count(xor(l.afp, r.afp)) AS INT) AS hamming
@@ -2041,7 +2078,8 @@ object ExtensionQueries {
     * the grid reads pixel arithmetic directly. Junk payloads never
     * appear: the demux DROPS undecodable bytes.
     */
-  private def mmVideoCtes(variants: String): String = {
+  private def mmVideoCtes(variants: String,
+      pidExpr: String = "vid * 131 + f * 17"): String = {
     val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
       .mkString("[", ", ", "]")
     val bump =
@@ -2058,7 +2096,7 @@ object ExtensionQueries {
        |px AS (SELECT asset_id, vid, noisy, f,
        |  unnest(generate_series(0, 63)) AS p FROM fr),
        |pc AS (SELECT asset_id, f,
-       |    (p % 8) AS xx, (p // 8) AS yy, vid * 131 + f * 17 AS pid, noisy
+       |    (p % 8) AS xx, (p // 8) AS yy, $pidExpr AS pid, noisy
        |  FROM px),
        |basep AS (SELECT asset_id, f,
        |    pid * 31 + yy * 19 + xx * 7 + $bump AS base
@@ -2069,7 +2107,7 @@ object ExtensionQueries {
        |  unnest(generate_series(0, 71)) AS g FROM fr),
        |gc AS (SELECT asset_id, f, (g % 9) AS i, (g // 9) AS j,
        |    ((g % 9) * 8) // 9 AS xx, (g // 9) AS yy,
-       |    vid * 131 + f * 17 AS pid, noisy
+       |    $pidExpr AS pid, noisy
        |  FROM gp),
        |gb AS (SELECT asset_id, f, i, j,
        |    pid * 31 + yy * 19 + xx * 7 + $bump AS base
@@ -2117,6 +2155,47 @@ object ExtensionQueries {
        |SELECT a, b, n_matched, CAST(10 AS BIGINT) AS n_a,
        |  CAST(10 AS BIGINT) AS n_b
        |FROM pairs WHERE n_matched * 100 >= 80 * 10 ORDER BY a, b""".stripMargin
+
+  private def mmVideoScenesOracle: String =
+    s"""WITH ${mmVideoCtes(
+        "SELECT vid, vid AS asset_id, 0 AS noisy FROM ids",
+        pidExpr = "vid * 131 + (f // 4) * 17")},
+       |lagd AS (
+       |  SELECT asset_id, f, dh,
+       |    LAG(dh) OVER (PARTITION BY asset_id ORDER BY f) AS pdh
+       |  FROM fhs)
+       |SELECT asset_id, CAST(f AS INT) AS frame_id,
+       |  CAST(CASE WHEN pdh IS NULL THEN NULL
+       |    ELSE bit_count(xor(dh, pdh)) END AS INT) AS hamming_prev,
+       |  (pdh IS NULL OR bit_count(xor(dh, pdh)) > 2) AS is_cut
+       |FROM lagd ORDER BY asset_id, frame_id""".stripMargin
+
+  private def mmAudioSegmentsOracle: String =
+    s"""WITH ${mmAudioCtes(
+        """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy,
+          |    1 AS mute FROM ids""".stripMargin)},
+       |tot AS (SELECT asset_id, SUM(e) AS total FROM e GROUP BY 1),
+       |sil AS (
+       |  SELECT e.asset_id, j, e,
+       |    (e * 65 * 100 < 25 * total) AS silent
+       |  FROM e JOIN tot USING (asset_id)),
+       |op AS (
+       |  SELECT asset_id, j, e, silent,
+       |    CASE WHEN NOT silent AND coalesce(
+       |        LAG(silent) OVER (PARTITION BY asset_id ORDER BY j), true)
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM sil),
+       |sg AS (
+       |  SELECT asset_id, j, e, silent,
+       |    SUM(opens) OVER (PARTITION BY asset_id ORDER BY j
+       |      ROWS UNBOUNDED PRECEDING) AS seg
+       |  FROM op)
+       |SELECT asset_id, CAST(seg AS BIGINT) AS seg_id,
+       |  CAST(MIN(j) AS INT) AS start_window,
+       |  CAST(MAX(j) AS INT) AS end_window,
+       |  count(*) AS n_windows_seg, CAST(SUM(e) AS BIGINT) AS energy_sum
+       |FROM sg WHERE NOT silent GROUP BY 1, 2
+       |ORDER BY asset_id, seg_id""".stripMargin
 
   /** mm_frames: recompute the demuxer-stub byte windows (offset_i =
     * len*i/4, window ends at offset_{i+1}) and their exact integer byte
@@ -2848,6 +2927,8 @@ object ExtensionQueries {
     "mm_audio_dedup" -> mmAudioDedupOracle,
     "mm_video_demux" -> mmVideoDemuxOracle,
     "mm_video_dedup" -> mmVideoDedupOracle,
+    "mm_video_scenes" -> mmVideoScenesOracle,
+    "mm_audio_segments" -> mmAudioSegmentsOracle,
 
     // hashed unigram LM: identical md5 buckets, quantized log2 via the
     // exact bin()-length trick on both engines
