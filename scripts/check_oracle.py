@@ -17,6 +17,12 @@ for t in ("region nation customer supplier part orders lineitem events "
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
 
+errors = {}
+err_path = os.path.join(out_dir, "errors.json")
+if os.path.exists(err_path):
+    with open(err_path) as f:
+        errors = json.load(f)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -32,6 +38,10 @@ def canon(rows, cols):
 
 n_ok = n_bad = 0
 for name in sorted(oracles):
+    if name in errors:
+        print(f"ERR      {name}: {errors[name]}")
+        n_bad += 1
+        continue
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:
         print(f"MISSING  {name}: no spark output")

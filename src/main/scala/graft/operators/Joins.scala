@@ -118,12 +118,14 @@ object Joins {
       toleranceSec match {
         case None => m
         case Some(tol) =>
+          // native timestamp subtraction (day-time interval, exact
+          // micros) like the nearest branch below — a double cast is
+          // both lossy and illegal for TIMESTAMP_NTZ in Spark 4
           val delta =
-            if (forward) m.getField("__asof_ts").cast("double") -
-              col(tsCol).cast("double")
-            else col(tsCol).cast("double") -
-              m.getField("__asof_ts").cast("double")
-          when(delta <= tol, m)
+            if (forward) m.getField("__asof_ts") - col(tsCol)
+            else col(tsCol) - m.getField("__asof_ts")
+          val bound = make_dt_interval(lit(0), lit(0), lit(0), lit(tol))
+          when(delta <= bound, m)
       }
     }
     val kept = direction match {

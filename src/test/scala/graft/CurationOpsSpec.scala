@@ -568,6 +568,32 @@ class CurationOpsSpec extends AnyFunSuite {
       (100L, 900L), (101L, 902L), (102L, 903L), (103L, 905L), (104L, 904L)))
   }
 
+  test("asOf tolerance on TIMESTAMP_NTZ columns, every direction") {
+    // the driver's events.parquet stores timezone-less timestamp[us],
+    // which Spark 4 reads as TIMESTAMP_NTZ — a type that forbids the
+    // double cast a seconds-delta would naively use, so the tolerance
+    // bound must stay in native interval arithmetic
+    import java.time.LocalDateTime
+    def t(s: Int) = LocalDateTime.of(2026, 1, 1, 0, 0, s)
+    val left = Seq((100L, 1L, t(10)), (101L, 1L, t(40)), (102L, 2L, t(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((900L, 1L, t(8), 8.0), (901L, 2L, t(5), 5.0))
+      .toDF("b_event_id", "user_id", "ts", "b_value")
+    assert(left.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    def run(dir: String) =
+      Joins.asOf(left, right, Seq("user_id"), "ts",
+          rightCols = Seq("b_event_id", "b_value"), ordCol = "b_event_id",
+          toleranceSec = Some(10.0), direction = dir)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // backward: t=10 finds t=8 (2 s stale, in bound); t=40's only
+    // candidate is 32 s stale -> null; exact-ts t=5 survives the bound
+    assert(run("backward").toSeq === Seq((100L, 900L), (101L, -1L), (102L, 901L)))
+    assert(run("forward").toSeq === Seq((100L, -1L), (101L, -1L), (102L, 901L)))
+    assert(run("nearest").toSeq === Seq((100L, 900L), (101L, -1L), (102L, 901L)))
+  }
+
   test("c4Signals: each rule fires on its planted line, verdicts exact") {
     val docs = Seq(
       // 3 good lines -> keep
