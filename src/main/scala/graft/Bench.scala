@@ -25,7 +25,8 @@ object BenchScale {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_parse_typed", "q_parse_csv", "q_offsets_minmax",
     "q_percentile", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_lsh", "sim_topk_bruteforce",
+    "dedup_simhash", "dedup_simhash_wide", "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "text_quality", "q_asof_join",
     "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
     "dedup_minhash_incr", "corpus_pipeline", "text_rep_ngrams",

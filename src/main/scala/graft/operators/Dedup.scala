@@ -520,14 +520,35 @@ object Dedup {
   /** Simhash near-dup pairs: block on 4 16-bit bands (a pair within
     * hamming distance<=3 of 64 bits shares at least one identical band by
     * pigeonhole when distance < 4), verify with true hamming distance.
+    *
+    * `wideRecall = true` keeps the same bands but probes each band
+    * within its 1-bit flip ball on one join side (the multi-probe shape
+    * the embedding LSH path uses): 7 differing bits across 4 bands leave
+    * some band with <= 1 differing bit, so recall is exact up to
+    * `maxHamming` <= 7 at 17 keys per band — candidate growth
+    * ~n²·68/65536, never the n²/64 a single-byte re-band would cost.
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, wideRecall: Boolean = false): DataFrame = {
+    if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
+      "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
+    else require(maxHamming >= 0 && maxHamming < 4,
+      "4 16-bit bands guarantee recall only for maxHamming <= 3; " +
+        "pass wideRecall=true (1-bit band probing) for 4..7")
     val sigs = simhashDF(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))
-    banded.as("l").join(banded.as("r"),
+    val probed = if (!wideRecall) banded
+    else sigs.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map { b =>
+          val key = shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)
+          array(key +: (0 until 16).map(i =>
+            key.bitwiseXOR(lit(1L << i))): _*)
+        }: _*)).as(Seq("band", "keys")))
+      .select(col("id"), col("sh"), col("band"),
+        explode(col("keys")).as("key"))
+    banded.as("l").join(probed.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

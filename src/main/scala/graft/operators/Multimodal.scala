@@ -291,15 +291,18 @@ object Multimodal {
   }
 
   /** Perceptual-hash image near-dup pairs over [[decodeImages]] output:
-    * block on the hash's 8 single-byte bands (pigeonhole: a pair within
-    * hamming distance < 8 shares at least one identical band, so recall
-    * is EXACT for `maxHamming` <= 7), verify with true hamming distance —
-    * the [[Dedup.nearDupPairsSimhash]] shape on image fingerprints. The
-    * only exchange is the (band, key) self-join over narrow
-    * (id, hash) rows; payloads and luma maps never reach it.
+    * block on the dHash's bands (pigeonhole: a pair with fewer differing
+    * bits than bands shares at least one identical band), verify with
+    * true hamming distance — the [[Dedup.nearDupPairsSimhash]] shape on
+    * image fingerprints. Default 4×16-bit bands (exact recall for
+    * `maxHamming` <= 3, candidate-safe at corpus scale); `wideRecall`
+    * probes each band's 1-bit ball for exact 4..7-bit recall
+    * ([[bandCols]]). The only exchange is the (band, key) equi-join over
+    * narrow (id, hash) rows; payloads and luma maps never reach it.
     */
-  def imageNearDups(decoded: DataFrame, maxHamming: Int = 6): DataFrame =
-    bandedHammingPairs(decoded, "dhash", maxHamming)
+  def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
+      wideRecall: Boolean = false): DataFrame =
+    bandedHammingPairs(decoded, "dhash", maxHamming, wideRecall)
 
   /** Deterministic 24-bit uncompressed BMP fixture, built entirely in
     * Catalyst (hex assembly + `unhex`, like [[syntheticAssets]]): a real
@@ -558,22 +561,61 @@ object Multimodal {
         sum(col("energy")).as("energy_sum"))
   }
 
+  /** The hamming-banding knob shared by every 64-bit-fingerprint near-dup
+    * join: 4×16-bit bands, 65,536 keys per band (the same width the text
+    * tier's simhash banding uses, `Dedup.scala`) — EXACT recall for
+    * maxHamming <= 3 by pigeonhole, and the 100-TB-safe shape because a
+    * band key space this wide keeps candidate pairs proportional to true
+    * collisions. `wideRecall = true` keeps the SAME 16-bit bands but
+    * probes each band within a 1-bit ball ([[probeKeys]]): 7 differing
+    * bits across 4 bands leave some band with <= 1 differing bit, so
+    * recall is exact up to maxHamming <= 7 at ~(1+16)×4 keys per item —
+    * candidate growth ~n²·68/65536 ≈ n²/964 on adversarial corpora,
+    * 15× tighter than single-byte banding (the naive way to reach
+    * 7-bit recall, which collapses to 256 keys per band and ~n²/64).
+    */
+  private def bandCols(hash: Column): Seq[Column] =
+    (0 until 4).map(b => shiftright(hash, b * 16).bitwiseAND(0xFFFFL))
+
+  /** Per band: the exact key plus its 16 single-bit flips — the 1-bit
+    * probe ball of [[bandCols]]' key. A pair whose band keys differ in
+    * <= 1 bit collides on (band, key) between one side's exact key and
+    * the other side's ball.
+    */
+  private def probeKeys(hash: Column): Seq[Column] =
+    (0 until 4).map { b =>
+      val key = shiftright(hash, b * 16).bitwiseAND(0xFFFFL)
+      array(key +: (0 until 16).map(i => key.bitwiseXOR(lit(1L << i))): _*)
+    }
+
+  private def requireBandRecall(maxHamming: Int, wideRecall: Boolean): Unit =
+    if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
+      "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
+    else require(maxHamming >= 0 && maxHamming < 4,
+      "4 16-bit bands guarantee recall only for maxHamming <= 3; " +
+        "pass wideRecall=true (1-bit band probing) for 4..7")
+
   /** Banded hamming near-dup pairs over any 64-bit fingerprint column —
     * the shared engine behind [[imageNearDups]] and [[audioNearDups]]:
-    * block on the hash's 8 single-byte bands (pigeonhole: hamming < 8
-    * implies one identical band, so recall is EXACT for maxHamming <= 7),
-    * verify with true hamming. The only exchange is the (band, key)
-    * self-join over narrow (id, hash) rows.
+    * block on the hash's 4×16-bit bands (pigeonhole: recall EXACT for
+    * maxHamming <= 3; `wideRecall` probes each band's 1-bit ball for
+    * exact recall <= 7, see [[bandCols]]), verify with true hamming. The
+    * only exchange is the (band, key) equi-join over narrow
+    * (id, hash) rows.
     */
   private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 8,
-      "8 single-byte bands guarantee recall only for maxHamming <= 7")
-    val banded = hashed.select(col("asset_id").as("id"), col(hashCol),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col(hashCol), b * 8).bitwiseAND(0xFFL)): _*))
-        .as(Seq("band", "key")))
-    banded.as("l").join(banded.as("r"),
+      maxHamming: Int, wideRecall: Boolean = false): DataFrame = {
+    requireBandRecall(maxHamming, wideRecall)
+    val anchor = hashed.select(col("asset_id").as("id"), col(hashCol),
+      posexplode(array(bandCols(col(hashCol)): _*)).as(Seq("band", "key")))
+    // a <= 1-bit band difference collides between one side's EXACT key
+    // and the other side's probe ball, so only ONE side expands 17×
+    val probe = if (!wideRecall) anchor
+    else hashed.select(col("asset_id").as("id"), col(hashCol),
+        posexplode(array(probeKeys(col(hashCol)): _*)).as(Seq("band", "keys")))
+      .select(col("id"), col(hashCol), col("band"),
+        explode(col("keys")).as("key"))
+    anchor.as("l").join(probe.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
@@ -584,10 +626,12 @@ object Multimodal {
 
   /** Energy-fingerprint audio near-dup pairs over [[decodeAudio]] output —
     * volume-shifted copies land at hamming 0, lightly-edited copies within
-    * a few bits. Same banded shape as [[imageNearDups]].
+    * a few bits. Same banded shape as [[imageNearDups]]; `wideRecall`
+    * probes 1-bit band balls for 4..7-bit recall ([[bandCols]]).
     */
-  def audioNearDups(decoded: DataFrame, maxHamming: Int = 6): DataFrame =
-    bandedHammingPairs(decoded, "afp", maxHamming)
+  def audioNearDups(decoded: DataFrame, maxHamming: Int = 3,
+      wideRecall: Boolean = false): DataFrame =
+    bandedHammingPairs(decoded, "afp", maxHamming, wideRecall)
 
   /** Deterministic 16-bit (or 8-bit) mono PCM WAV fixture, built entirely
     * in Catalyst like [[bmpContent]]: a real RIFF file [[WavDecoder]]
@@ -757,8 +801,9 @@ object Multimodal {
   }
 
   /** Video near-dup pairs over [[decodeVideoFrames]] output: band each
-    * frame's dHash ([[bandedHammingPairs]]' pigeonhole, recall-exact for
-    * `maxHamming` <= 7) WITHIN its frame slot, count frame slots whose
+    * frame's dHash ([[bandedHammingPairs]]' pigeonhole; 4×16-bit bands,
+    * recall-exact for `maxHamming` <= 3, `wideRecall` 1-bit band probing
+    * for 4..7 per [[bandCols]]) WITHIN its frame slot, count frame slots whose
     * hashes sit within `maxHamming`, and keep pairs where at least
     * `minMatchPct` percent of the LONGER video's frames match — integer
     * arithmetic end to end, so oracles recompute it exactly. The only
@@ -767,18 +812,21 @@ object Multimodal {
     * (near-dup = same cut, re-encoded/touched-up; a trimmed copy is a
     * different cut by this definition).
     */
-  def videoNearDups(frames: DataFrame, maxHamming: Int = 6,
-      minMatchPct: Int = 80): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 8,
-      "8 single-byte bands guarantee recall only for maxHamming <= 7")
+  def videoNearDups(frames: DataFrame, maxHamming: Int = 3,
+      minMatchPct: Int = 80, wideRecall: Boolean = false): DataFrame = {
+    requireBandRecall(maxHamming, wideRecall)
     require(minMatchPct >= 1 && minMatchPct <= 100,
       "minMatchPct is a percentage")
     val banded = frames.select(col("asset_id").as("id"), col("frame_id"),
       col("dhash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("dhash"), b * 8).bitwiseAND(0xFFL)): _*))
-        .as(Seq("band", "key")))
-    val framePairs = banded.as("l").join(banded.as("r"),
+      posexplode(array(bandCols(col("dhash")): _*)).as(Seq("band", "key")))
+    val probed = if (!wideRecall) banded
+    else frames.select(col("asset_id").as("id"), col("frame_id"),
+        col("dhash"),
+        posexplode(array(probeKeys(col("dhash")): _*)).as(Seq("band", "keys")))
+      .select(col("id"), col("frame_id"), col("dhash"), col("band"),
+        explode(col("keys")).as("key"))
+    val framePairs = banded.as("l").join(probed.as("r"),
         col("l.frame_id") === col("r.frame_id") &&
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))

@@ -121,6 +121,19 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- simhash near-dups at WIDE recall: the same 16-bit bands probed
+    //     within a 1-bit flip ball (multi-probe), exact recall to
+    //     hamming 6 — the scale path for looser thresholds, where a
+    //     single-byte re-band would cost n²/64 candidates ---------------
+    "dedup_simhash_wide" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.nearDupPairsSimhash(corpus, "doc_id", "text", maxHamming = 6,
+          wideRecall = true)
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- embedding cosine near-dups (planted +0.05 twins) ----------------
     "dedup_embedding" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -643,7 +656,25 @@ object ExtensionQueries {
       val decoded = Multimodal.decodeImages(bmp(0L, 8, noisy = false)
         .unionByName(bmp(1000000L, 16, noisy = false))
         .unionByName(bmp(2000000L, 8, noisy = true))).toDF()
-      Multimodal.imageNearDups(decoded, maxHamming = 6)
+      Multimodal.imageNearDups(decoded, maxHamming = 6, wideRecall = true)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- the DEFAULT (scale-safe) banding: 4×16-bit bands, exact recall
+    //     for hamming <= 3 — the tightest-candidate shape; the wideRecall
+    //     mode above adds 1-bit band probing for exact 4..7-bit recall --
+    "mm_phash_dedup_tight" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      def bmp(shift: Long, size: Int, noisy: Boolean) = ids
+        .select(col("asset_id"),
+          Multimodal.bmpContent(col("asset_id"), size, lit(noisy)).as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      val decoded = Multimodal.decodeImages(bmp(0L, 8, noisy = false)
+        .unionByName(bmp(1000000L, 16, noisy = false))
+        .unionByName(bmp(2000000L, 8, noisy = true))).toDF()
+      Multimodal.imageNearDups(decoded)
         .select(col("a"), col("b"), col("hamming"))
         .orderBy(col("a"), col("b"))
     },
@@ -690,7 +721,7 @@ object ExtensionQueries {
       val decoded = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
         .unionByName(wav(1000000L, 2, noisy = false))
         .unionByName(wav(2000000L, 1, noisy = true))).toDF()
-      Multimodal.audioNearDups(decoded, maxHamming = 7)
+      Multimodal.audioNearDups(decoded, maxHamming = 7, wideRecall = true)
         .select(col("a"), col("b"), col("hamming"))
         .orderBy(col("a"), col("b"))
     },
@@ -734,7 +765,8 @@ object ExtensionQueries {
       val frames = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
         .unionByName(avi(1000000L, noisy = false))
         .unionByName(avi(2000000L, noisy = true))).toDF()
-      Multimodal.videoNearDups(frames, maxHamming = 6, minMatchPct = 80)
+      Multimodal.videoNearDups(frames, maxHamming = 6, minMatchPct = 80,
+          wideRecall = true)
         .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
         .orderBy(col("a"), col("b"))
     },
@@ -1023,6 +1055,78 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"),
           sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
         .orderBy(col("split"), col("source"))
+    },
+
+    // --- the capstone STREAMING: the same stage list on a real
+    //     Structured Streaming source (MemoryStream -> foreachBatch via
+    //     StreamingCuration.attach), decontamination as the standing
+    //     stateful gate. Batch fixture plants every stage's work: %4==1
+    //     docs quote the SEED benchmark (always dropped), %4==3 docs
+    //     quote a SECOND release folded in mid-stream at batch id 1
+    //     (dropped from batch 2 on — the state-accumulation proof),
+    //     %4==2 docs re-appear as +500000 exact copies (dedup drops
+    //     them), and the per-batch rollup rides cap + split. The
+    //     driver-side collect is the TEST HARNESS feeding MemoryStream,
+    //     not the operator: production attaches to a Kafka/file source
+    //     and nothing in StreamingCuration collects -------------------
+    "corpus_pipeline_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench0 = d.filter(col("doc_id") < 20)
+      val bench1 = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      def spans(bench: DataFrame) = bench.select(
+        (col("doc_id") % 20).as("bid"),
+        concat_ws(" ",
+          slice(TextAnalysis.canonToks(col("text")), 1, 8)).as("span"))
+      val base = d.filter(col("doc_id") % 5 === 0)
+      def quoted(bench: DataFrame, m: Int) = base
+        .filter(col("doc_id") % 4 === m)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans(bench), "bid")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"),
+          col("source"))
+      val raw = base.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 4 =!= 3)
+        .unionByName(base.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(quoted(bench0, 1))
+        .unionByName(quoted(bench1, 3))
+      def batchRows(k: Int): Seq[(Long, String, String)] = raw
+        .select((col("doc_id") + lit((k + 1) * 1000000L)).as("doc_id"),
+          col("text"), col("source"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val root = scratchDir("stream_capstone", dir)
+      // a stale checkpoint + a fresh MemoryStream is an unrunnable pair
+      // (committed offsets point at data the new source never had) — a
+      // re-run inside one process must start clean
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath))
+        java.nio.file.Files.walk(rootPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      val outDir = s"$root/out"
+      val sc = new graft.streaming.StreamingCuration(s, s"$root/state",
+        "doc_id", "text", "source")
+      sc.seed(bench0, "text")
+      val mem = MemoryStream[(Long, String, String)]
+      val q = sc.attach(mem.toDF().toDF("doc_id", "text", "source"),
+        outDir, s"$root/ck").start()
+      mem.addData(batchRows(0)); q.processAllAvailable()
+      // release 1 folds in at id 1: stream batch 1 admits with state
+      // `before = 1` (doesn't see it), batch 2 does
+      sc.addBenchmark(bench1, "text", 1L)
+      mem.addData(batchRows(1)); q.processAllAvailable()
+      mem.addData(batchRows(2)); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .select(col("batch").cast("int").as("batch"), col("split"),
+          col("source"), col("n"), col("n_tokens"))
+        .orderBy(col("batch"), col("split"), col("source"))
     },
 
     // --- SemDeDup: k-means cells (deterministic trainer) -> within-cell
@@ -1608,6 +1712,36 @@ object ExtensionQueries {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
+  /** [[simhashOracle]] with the multi-probe wide-recall gate: a pair is
+    * a candidate when some 16-bit band differs in <= 1 bit (the 1-bit
+    * probe ball), recall-exact for hamming <= 6.
+    */
+  private def simhashWideOracle: String = {
+    val cntCols = (0 until 64).map(j =>
+      s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS c$j").mkString(",\n    ")
+    val sigExpr = (0 until 64).map(j =>
+      s"CASE WHEN c$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    val bandNear = (0 until 4).map(b =>
+      s"bit_count(xor((l.sh >> ${b * 16}) & 65535, (r.sh >> ${b * 16}) & 65535)) <= 1")
+      .mkString("\n      OR ")
+    s"""WITH $corpusCte,
+       |tk AS (SELECT doc_id,
+       |    unnest(string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM corpus),
+       |hv AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tk),
+       |cnt AS (SELECT doc_id,
+       |    $cntCols
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($sigExpr) AS sh FROM cnt),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b,
+       |    CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |    AND ($bandNear))
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
+  }
+
   private val cosExpr =
     "CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0 " +
       "ELSE list_dot_product(qv, cv) / " +
@@ -1982,9 +2116,15 @@ object ExtensionQueries {
        |FROM a JOIN st USING (asset_id) JOIN hs USING (asset_id)
        |ORDER BY a.asset_id""".stripMargin
 
+  /** Wide-recall candidate gate mirroring the Spark side's multi-probe
+    * banding: some 16-bit band differs in <= 1 bit (the 1-bit probe
+    * ball) — recall-complete for hamming <= 7 by pigeonhole, like the
+    * single-byte gate it replaced, but replaying the ACTUAL candidate
+    * generation.
+    */
   private def mmPhashOracle: String = {
-    val bandEq = (0 until 8).map(b =>
-      s"((l.dh >> ${b * 8}) & 255) = ((r.dh >> ${b * 8}) & 255)")
+    val bandEq = (0 until 4).map(b =>
+      s"bit_count(xor((l.dh >> ${b * 16}) & 65535, (r.dh >> ${b * 16}) & 65535)) <= 1")
       .mkString("\n      OR ")
     s"""WITH ${mmPixelCtes(withNoisy = true)},
        |pairs AS (
@@ -1993,6 +2133,127 @@ object ExtensionQueries {
        |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
        |    AND ($bandEq))
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
+  }
+
+  /** The streaming capstone's oracle: replays the decontamination state
+    * timeline in plain SQL (batches < 2 gate against the SEED gram set
+    * alone; batch 2 sees the release folded in at id 1), then runs the
+    * batch-stage SQL of the `corpus_pipeline` oracle per batch.
+    */
+  private def corpusPipelineStreamOracle: String = {
+    val words8 =
+      "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
+    def sh8(w: String) = s"""CASE WHEN len($w) < 8 THEN [array_to_string($w, ' ')]
+      |    ELSE list_transform(range(1, len($w) - 6),
+      |           i -> array_to_string($w[i:i+7], ' ')) END""".stripMargin
+    val stopHits = TextAnalysis.enStopwords.map { w =>
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2} AS BIGINT)"
+    }.mkString(" + ")
+    val email = TextAnalysis.piiEmailRe
+    val ipv4 = TextAnalysis.piiIpv4Re
+    val num = TextAnalysis.piiLongNumRe
+    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+       |w0 AS (SELECT doc_id, $words8 AS words FROM d),
+       |b0g AS (SELECT DISTINCT unnest(list_distinct(${sh8("words")})) AS sg
+       |  FROM w0 WHERE doc_id < 20),
+       |b1g AS (SELECT DISTINCT unnest(list_distinct(${sh8("words")})) AS sg
+       |  FROM w0 WHERE doc_id >= 20 AND doc_id < 40),
+       |spans0 AS (SELECT doc_id % 20 AS bid,
+       |    array_to_string(words[1:8], ' ') AS span
+       |  FROM w0 WHERE doc_id < 20),
+       |spans1 AS (SELECT doc_id % 20 AS bid,
+       |    array_to_string(words[1:8], ' ') AS span
+       |  FROM w0 WHERE doc_id >= 20 AND doc_id < 40),
+       |base AS (SELECT doc_id, text, source FROM d WHERE doc_id % 5 = 0),
+       |raw AS (
+       |  SELECT doc_id, text, source FROM base
+       |    WHERE doc_id % 4 != 1 AND doc_id % 4 != 3
+       |  UNION ALL SELECT doc_id + 500000, text, source FROM base
+       |    WHERE doc_id % 4 = 2
+       |  UNION ALL SELECT b.doc_id, b.text || ' ' || s.span, b.source
+       |    FROM base b JOIN spans0 s ON b.doc_id % 20 = s.bid
+       |    WHERE b.doc_id % 4 = 1
+       |  UNION ALL SELECT b.doc_id, b.text || ' ' || s.span, b.source
+       |    FROM base b JOIN spans1 s ON b.doc_id % 20 = s.bid
+       |    WHERE b.doc_id % 4 = 3),
+       |batches AS (
+       |  SELECT 0 AS batch, doc_id + 1000000 AS doc_id, text, source FROM raw
+       |  UNION ALL SELECT 1, doc_id + 2000000, text, source FROM raw
+       |  UNION ALL SELECT 2, doc_id + 3000000, text, source FROM raw),
+       |bw AS (SELECT batch, doc_id, $words8 AS words FROM batches),
+       |g AS (SELECT batch, doc_id,
+       |    unnest(list_distinct(${sh8("words")})) AS sg FROM bw),
+       |contam AS (
+       |  SELECT DISTINCT batch, doc_id FROM g
+       |  WHERE sg IN (SELECT sg FROM b0g)
+       |     OR (batch >= 2 AND sg IN (SELECT sg FROM b1g))),
+       |clean AS (
+       |  SELECT b.batch, b.doc_id, b.text, b.source FROM batches b
+       |  WHERE NOT EXISTS (SELECT 1 FROM contam c
+       |    WHERE c.batch = b.batch AND c.doc_id = b.doc_id)),
+       |dedup AS (
+       |  SELECT batch, doc_id, text, source FROM (
+       |    SELECT batch, doc_id, text, source, row_number() OVER (
+       |      PARTITION BY batch, md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM clean)
+       |  WHERE rn = 1),
+       |gm AS (
+       |  SELECT batch, doc_id, text, source,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+       |    $stopHits AS stop_hits,
+       |    $words8 AS w
+       |  FROM dedup),
+       |gk AS (
+       |  SELECT batch, doc_id, text, source FROM gm
+       |  WHERE n_words >= 20 AND n_words <= 100000
+       |    AND (CASE WHEN n_words = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_words END) >= 3.0
+       |    AND (CASE WHEN n_words = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_words END) <= 10.0
+       |    AND (CASE WHEN trim(text) = '' THEN 0.0
+       |      ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) END) >= 0.8
+       |    AND stop_hits >= 2),
+       |scr AS (
+       |  SELECT batch, doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$ipv4', '<IP>', 'g'),
+       |      '$num', '<NUM>', 'g') AS text
+       |  FROM gk),
+       |b AS (
+       |  SELECT batch, doc_id, source, text, $bucketExpr AS bucket,
+       |    row_number() OVER (PARTITION BY batch, source
+       |      ORDER BY $bucketExpr, doc_id) AS rn
+       |  FROM scr),
+       |capped AS (SELECT batch, doc_id, source, text, bucket FROM b WHERE rn <= 20),
+       |sp AS (
+       |  SELECT batch, source, text,
+       |    CASE WHEN bucket < 9000 THEN 'train' ELSE 'val' END AS split
+       |  FROM capped)
+       |SELECT batch, split, source, count(*) AS n,
+       |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY batch, split, source
+       |ORDER BY batch, split, source""".stripMargin
+  }
+
+  /** [[mmPhashOracle]] at the DEFAULT banding: 4×16-bit bands (the band
+    * clause is recall-redundant for hamming <= 3 by pigeonhole, mirrored
+    * here anyway so the oracle replays the exact candidate generation).
+    */
+  private def mmPhashTightOracle: String = {
+    val bandEq = (0 until 4).map(b =>
+      s"((l.dh >> ${b * 16}) & 65535) = ((r.dh >> ${b * 16}) & 65535)")
+      .mkString("\n      OR ")
+    s"""WITH ${mmPixelCtes(withNoisy = true)},
+       |pairs AS (
+       |  SELECT l.asset_id AS a, r.asset_id AS b,
+       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
+       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |    AND ($bandEq))
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
   /** Shared CTEs for the REAL audio-decode oracles: regenerate the WAV
@@ -2053,8 +2314,9 @@ object ExtensionQueries {
        |ORDER BY a.asset_id""".stripMargin
 
   private def mmAudioDedupOracle: String = {
-    val bandEq = (0 until 8).map(b =>
-      s"((l.afp >> ${b * 8}) & 255) = ((r.afp >> ${b * 8}) & 255)")
+    // the [[mmPhashOracle]] multi-probe wide-recall gate on the afp hash
+    val bandEq = (0 until 4).map(b =>
+      s"bit_count(xor((l.afp >> ${b * 16}) & 65535, (r.afp >> ${b * 16}) & 65535)) <= 1")
       .mkString("\n      OR ")
     s"""WITH ${mmAudioCtes(
         """SELECT pid, pid AS asset_id, 16 AS bits, 1 AS gain, 0 AS noisy,
@@ -2570,6 +2832,8 @@ object ExtensionQueries {
 
     "dedup_simhash" -> simhashOracle,
 
+    "dedup_simhash_wide" -> simhashWideOracle,
+
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |e AS (
@@ -2923,6 +3187,7 @@ object ExtensionQueries {
 
     "mm_decode_real" -> mmDecodeRealOracle,
     "mm_phash_dedup" -> mmPhashOracle,
+    "mm_phash_dedup_tight" -> mmPhashTightOracle,
     "mm_audio_decode" -> mmAudioDecodeOracle,
     "mm_audio_dedup" -> mmAudioDedupOracle,
     "mm_video_demux" -> mmVideoDemuxOracle,
@@ -3362,6 +3627,8 @@ object ExtensionQueries {
          |    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
          |FROM sp GROUP BY split, source ORDER BY split, source""".stripMargin
     },
+
+    "corpus_pipeline_stream" -> corpusPipelineStreamOracle,
 
     "text_gopher" -> {
       val stopHits = TextAnalysis.enStopwords.map { w =>

@@ -158,6 +158,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self === 0)
   }
 
+  test("simhash wide recall: probe ball extends pairs to hamming 4..6 exactly") {
+    val corpus = docs.limit(80).select(col("doc_id"), col("text"))
+      .union(docs.limit(80)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val tight = pairSet(Dedup.nearDupPairsSimhash(corpus, "doc_id", "text"))
+    val wide = pairSet(Dedup.nearDupPairsSimhash(corpus, "doc_id", "text",
+      maxHamming = 6, wideRecall = true))
+    // wide is a superset; the extras sit exactly in the 4..6 shell the
+    // tight banding cannot reach
+    assert(tight.keySet.subsetOf(wide.keySet),
+      s"wide recall lost tight pairs: ${tight.keySet -- wide.keySet}")
+    assert((wide -- tight.keySet).values.forall(h => h >= 4 && h <= 6),
+      "extras outside the 4..6 shell")
+    assert(tight.values.forall(_ <= 3))
+    // thresholds needing the probe ball must be requested explicitly
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupPairsSimhash(corpus, "doc_id", "text", maxHamming = 6)
+    }
+  }
+
   test("fused SetJaccard equals the array_intersect/array_union composition") {
     val pairs = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
@@ -615,11 +637,55 @@ class OperatorsSpec extends AnyFunSuite {
     val noisy = bmp(200L, 8, noisy = true)
     val all = Multimodal.decodeImages(
       base.unionByName(big).unionByName(noisy)).toDF()
-    val pairs = Multimodal.imageNearDups(all, maxHamming = 6)
+    val pairs = Multimodal.imageNearDups(all, maxHamming = 6,
+        wideRecall = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     for (id <- Seq(3L, 4L, 5L))
       assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
         s"exact scale pair $id missing: ${pairs.toSeq}")
+    // the scale-safe default (4×16-bit bands, maxHamming <= 3) still
+    // finds the exact twins, and thresholds needing wide recall must be
+    // requested EXPLICITLY — the n²/64-candidate mode is never a default
+    val tight = Multimodal.imageNearDups(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (id <- Seq(3L, 4L, 5L))
+      assert(tight.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
+        s"default banding lost exact pair $id: ${tight.toSeq}")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(all, maxHamming = 6)
+    }
+  }
+
+  test("decodeImages: PNG re-encode of the BMP pixels hashes identically") {
+    // ImageIoDecoder handles any ImageIO-registered codec; every fixture
+    // elsewhere is BMP, so push a COMPRESSED codec through the real path
+    // once — PNG is lossless, so stats and dHash must match the BMP twin
+    import spark.implicits._
+    val ids = Seq(3L, 4L, 5L).toDF("asset_id")
+    val bmps = ids.select(col("asset_id"),
+        Multimodal.bmpContent(col("asset_id"), 8, lit(false)).as("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val pngs = bmps.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos),
+        "no PNG writer registered")
+      (id + 100L) -> bos.toByteArray
+    }
+    assert(pngs.forall { case (_, b) => // really PNG, not a BMP pass-through
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' })
+    val dec = Multimodal.decodeImages((bmps ++ pngs).toSeq
+        .toDF("asset_id", "content"))
+      .collect().map(d => d.asset_id -> d).toMap
+    for ((id, _) <- bmps) {
+      val b = dec(id)
+      val p = dec(id + 100L)
+      assert(p.dhash === b.dhash, s"PNG twin of $id hashed differently")
+      assert(p.width === b.width && p.height === b.height)
+      assert(p.gray_sum === b.gray_sum && p.gray_min === b.gray_min &&
+        p.gray_max === b.gray_max)
+    }
   }
 
   test("decodeAudio: gain twins fingerprint identically, junk drops, 8-bit parses") {
@@ -662,7 +728,8 @@ class OperatorsSpec extends AnyFunSuite {
     val all = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
       .unionByName(wav(100L, 2, noisy = false))
       .unionByName(wav(300L, 1, noisy = true))).toDF()
-    val pairs = Multimodal.audioNearDups(all, maxHamming = 7)
+    val pairs = Multimodal.audioNearDups(all, maxHamming = 7,
+        wideRecall = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     for (id <- Seq(3L, 4L, 5L)) {
       assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
@@ -733,7 +800,8 @@ class OperatorsSpec extends AnyFunSuite {
     val all = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
       .unionByName(avi(100L, noisy = false))
       .unionByName(avi(200L, noisy = true))).toDF()
-    val pairs = Multimodal.videoNearDups(all, maxHamming = 6, minMatchPct = 80)
+    val pairs = Multimodal.videoNearDups(all, maxHamming = 6,
+        minMatchPct = 80, wideRecall = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     for (id <- Seq(3L, 4L)) {

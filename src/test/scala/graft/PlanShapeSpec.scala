@@ -118,6 +118,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // the mapPartitions decode and never reach an exchange
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    // the DEFAULT banding is the scale-safe 4×16-bit shape (65535 masks,
+    // never single-byte bands); wideRecall keeps the same bands and adds
+    // the 1-bit probe ball (the XOR flip literals, 1..32768) on ONE side
+    assert(p.contains("65535"), s"default must band 16-bit keys:\n$p")
+    assert(!p.contains("& 255)"), s"default must not band single bytes:\n$p")
+    assert(!p.contains("32768"), s"default must not probe flip balls:\n$p")
+    val pWide = plan(graft.operators.Multimodal.imageNearDups(decoded,
+      maxHamming = 6, wideRecall = true))
+    assert(!pWide.contains("& 255)"),
+      s"wideRecall must keep 16-bit bands, not shrink them:\n$pWide")
+    assert(pWide.contains("32768"),
+      s"wideRecall must probe the 1-bit ball:\n$pWide")
   }
 
   test("corpus-wide embedding near-dup is banded: no nested-loop, no cartesian") {
