@@ -419,6 +419,28 @@ object TextAnalysis {
     dsh.join(bsh, Seq("sg"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** [[contaminatedDocs]] for the regime where the benchmark gram set is
+    * itself too large to broadcast as a hash relation (a full eval-suite
+    * sweep: hundreds of millions of distinct grams). Same answer — the
+    * Bloom admits ~fpp false positives and the trailing exact semi-join
+    * removes them — but the corpus side is pruned SCAN-LOCAL by a
+    * broadcast-cheap Bloom of the benchmark grams before any exchange,
+    * so the corpus exchange carries ~fpp of its rows instead of all of
+    * them. See [[BloomPrune]] for the cost model.
+    */
+  def contaminatedDocsBloom(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 8,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val dsh = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("sg"))
+    val bsh = bench
+      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("sg"))
+      .distinct()
+    BloomPrune.semiJoin(dsh, col("sg"), bsh, col("sg"), fpp)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Per-document contamination FRACTION: the share of a document's
     * DISTINCT word n-grams present in the benchmark set — the standard
     * contamination-REPORT metric (a doc quoting one benchmark span

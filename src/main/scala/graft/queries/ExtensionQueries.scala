@@ -528,6 +528,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- same decontamination, Bloom-pruned: the big-benchmark regime
+    //     where the gram set can't broadcast as a hash relation. The
+    //     Bloom only prunes the corpus exchange (false positives are
+    //     removed by the exact semi-join), so the oracle is literally
+    //     text_decontaminate's SQL -----------------------------------
+    "text_decontaminate_bloom" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val words = graft.operators.TextAnalysis.canonToks(col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val spans = bench.select(col("doc_id").as("bid"),
+        concat_ws(" ", slice(words, 1, 8)).as("span"))
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans, "bid")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = d.union(planted)
+      TextAnalysis.contaminatedDocsBloom(corpus, "doc_id", "text", bench,
+        "text")
+        .orderBy(col("doc_id"))
+    },
+
     // --- contamination fraction report: per-doc share of distinct
     //     8-grams hitting the benchmark set (same planted corpus as
     //     text_decontaminate — planted docs score low-but-nonzero,
@@ -1648,6 +1670,35 @@ object ExtensionQueries {
        |SELECT batch, ref_id, new_id, CAST(cell AS INT) AS cell,
        |  round(cos0, 6) AS cos FROM pairs
        |WHERE cos0 >= 0.75 ORDER BY batch, ref_id, new_id""".stripMargin
+  }
+
+  /** Exact 8-gram decontamination over the planted corpus (benchmark =
+    * docs < 20; 100 shifted docs contaminated with a benchmark span).
+    * Shared by text_decontaminate and text_decontaminate_bloom — the
+    * Bloom prefilter never changes the answer, only the plan.
+    */
+  private def decontaminateExactOracle: String = {
+    val words8 =
+      "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
+    val sh8 = """CASE WHEN len(words) < 8 THEN [array_to_string(words, ' ')]
+      |    ELSE list_transform(range(1, len(words) - 6),
+      |           i -> array_to_string(words[i:i+7], ' ')) END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |w0 AS (SELECT doc_id, $words8 AS words FROM d),
+       |spans AS (SELECT doc_id AS bid, array_to_string(words[1:8], ' ') AS span
+       |  FROM w0 WHERE doc_id < 20),
+       |planted AS (
+       |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
+       |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
+       |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
+       |corpus AS (SELECT doc_id, text FROM d
+       |  UNION ALL SELECT doc_id, text FROM planted),
+       |cw AS (SELECT doc_id, $words8 AS words FROM corpus),
+       |csh AS (SELECT doc_id, unnest($sh8) AS sg FROM cw),
+       |bw AS (SELECT doc_id, $words8 AS words FROM d WHERE doc_id < 20),
+       |bsh AS (SELECT DISTINCT unnest($sh8) AS sg FROM bw)
+       |SELECT DISTINCT doc_id FROM csh WHERE sg IN (SELECT sg FROM bsh)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Fuzzy decontamination: near-copies of benchmark docs (planted at
@@ -3078,29 +3129,12 @@ object ExtensionQueries {
          |FROM p GROUP BY pred ORDER BY pred""".stripMargin
     },
 
-    "text_decontaminate" -> {
-      val words8 =
-        "string_split(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')"
-      val sh8 = """CASE WHEN len(words) < 8 THEN [array_to_string(words, ' ')]
-        |    ELSE list_transform(range(1, len(words) - 6),
-        |           i -> array_to_string(words[i:i+7], ' ')) END""".stripMargin
-      s"""WITH d AS (SELECT doc_id, text FROM documents),
-         |w0 AS (SELECT doc_id, $words8 AS words FROM d),
-         |spans AS (SELECT doc_id AS bid, array_to_string(words[1:8], ' ') AS span
-         |  FROM w0 WHERE doc_id < 20),
-         |planted AS (
-         |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
-         |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
-         |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
-         |corpus AS (SELECT doc_id, text FROM d
-         |  UNION ALL SELECT doc_id, text FROM planted),
-         |cw AS (SELECT doc_id, $words8 AS words FROM corpus),
-         |csh AS (SELECT doc_id, unnest($sh8) AS sg FROM cw),
-         |bw AS (SELECT doc_id, $words8 AS words FROM d WHERE doc_id < 20),
-         |bsh AS (SELECT DISTINCT unnest($sh8) AS sg FROM bw)
-         |SELECT DISTINCT doc_id FROM csh WHERE sg IN (SELECT sg FROM bsh)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_decontaminate" -> decontaminateExactOracle,
+
+    // Bloom pruning is answer-preserving (false positives verified away
+    // by the exact semi-join), so the Bloom variant's oracle IS the
+    // exact decontamination SQL.
+    "text_decontaminate_bloom" -> decontaminateExactOracle,
 
     // per-doc DISTINCT 8-gram counts + benchmark-hit share; list_distinct
     // mirrors WordShingles' distinct semantics

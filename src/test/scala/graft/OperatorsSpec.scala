@@ -921,4 +921,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.thumb_len <= 64L)
     assert(b.thumb_sum === 44L * 'x'.toLong)
   }
+
+  test("bloom semi-join returns exactly the plain semi-join's rows") {
+    import graft.operators.BloomPrune
+    val probe = docs.select(col("doc_id"), col("text"))
+    val build = docs.filter(col("doc_id") % 7 === 0).select(col("text"))
+    val exact = probe.join(build.distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // an aggressively high fpp maximizes false-positive pressure on the
+    // verify join — the answer must still be exact
+    val got = BloomPrune.semiJoin(probe, col("text"), build, col("text"),
+        fpp = 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exact))
+  }
+
+  test("bloom prefilter never false-drops a key that was added") {
+    import graft.operators.BloomPrune
+    val keys = docs.select(col("text"))
+    val bloom = BloomPrune.bloomOf(keys, col("text"), 500, fpp = 0.01)
+    val dropped = docs
+      .filter(!BloomPrune.mightContain(bloom, col("text"))).count()
+    assert(dropped === 0)
+  }
+
+  test("contaminatedDocsBloom matches contaminatedDocs") {
+    val bench = docs.filter(col("doc_id") < 20)
+    val exact = TextAnalysis
+      .contaminatedDocs(docs, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).sorted
+    val got = TextAnalysis
+      .contaminatedDocsBloom(docs, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exact))
+  }
 }

@@ -424,4 +424,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // funnel through one sorted window group
     assert(!p.contains("Window"), s"paragraph dedup must not window:\n$p")
   }
+
+  test("bloom semi-join prunes the probe SCAN-LOCAL, before any exchange") {
+    import graft.operators.BloomPrune
+    val d = Tables(spark, sf).documents
+    val probe = d.select(col("doc_id"), col("source"))
+    val build = d.filter(col("doc_id") < 50).select(col("source"))
+    val q = BloomPrune.semiJoin(probe, col("source"), build, col("source"))
+    val p = plan(q)
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    // the might_contain filter must sit BELOW the join on the probe
+    // side — prune at the scan, not after the exchange
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"might_contain should appear under (after, in tree print order) " +
+        s"the join operator:\n$p")
+  }
 }
