@@ -556,4 +556,83 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- exact-substring dedup (shared k-char spans) ---------------------
+
+  /** Document pairs sharing at least one exact `k`-character window —
+    * the pair form of exact-substring dedup (Lee et al.: verbatim
+    * cross-document spans are the highest-value dups to remove from
+    * training data, and they survive minhash because the span can be a
+    * small fraction of each document).
+    *
+    * Scale shape: each document emits its k-gram ROLLING HASHES (16
+    * bytes/gram, one scan-local pass — [[graft.functions.CharGramHashes]])
+    * instead of the grams, one (id,hash) witness survives per distinct
+    * in-doc gram, candidates band on the 128-bit hash, collapse to one
+    * witness per pair, and the witness is re-verified against the REAL
+    * text via a join back to the corpus — so a hash collision can never
+    * produce a false pair. (A pair is missed only if its minimal witness
+    * is a double-hash collision while all its true shared grams are not
+    * — probability ~2⁻¹²⁸ per pair; the DuckDB oracle computes the true
+    * substring join and matches.) A k-gram shared by m documents yields
+    * m² candidates — those pairs genuinely share the span, so the output
+    * is the work; AQE's skew handling splits the hot hash partitions.
+    */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame =
+    verifiedPairs(df, idCol, textCol, k, withPos(df, idCol, textCol, k))
+
+  /** One (id, h1, h2, pos) witness row per distinct in-document gram. */
+  private def withPos(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.CharGramHashes.of(col(textCol), k))
+          .as(Seq("p0", "hh")))
+      .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        (col("p0") + 1).as("pos"))
+      .groupBy(col("id"), col("h1"), col("h2"))
+      .agg(min(col("pos")).as("pos"))
+
+  /** [[substringDupPairs]] at winnowed gram density — the 100 TB knob.
+    * Winnowing (Schleimer et al., MOSS) keeps ~2/(w+1) of each
+    * document's grams, selected by gram CONTENT so selection aligns
+    * across documents: any pair sharing a span of ≥ k+w-1 characters is
+    * GUARANTEED to share a selected gram, and every reported pair is
+    * still verified against the real text (no false positives at any
+    * density). The gram exchange shrinks ~(w+1)/2×; detection of spans
+    * in [k, k+w-2] becomes best-effort instead of guaranteed.
+    */
+  def substringDupPairsWinnowed(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 40, w: Int = 10): DataFrame = {
+    val sel = df.select(col(idCol).as("id"),
+        explode(graft.functions.CharGramHashes.winnowed(col(textCol), k, w))
+          .as("hh"))
+      .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        (col("hh.p0") + 1).as("pos"))
+      .groupBy(col("id"), col("h1"), col("h2"))
+      .agg(min(col("pos")).as("pos"))
+    verifiedPairs(df, idCol, textCol, k, sel)
+  }
+
+  /** Band witness rows on (h1,h2), collapse to one witness per (a,b)
+    * pair, then re-extract both witness substrings from the corpus and
+    * keep only pairs whose windows are LITERALLY equal.
+    */
+  private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, witnesses: DataFrame): DataFrame = {
+    val l = witnesses.select(col("id").as("a"), col("h1"), col("h2"),
+      col("pos").as("pa"))
+    val r = witnesses.select(col("id").as("b"), col("h1"), col("h2"),
+      col("pos").as("pb"))
+    val cand = l.join(r, Seq("h1", "h2")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(struct(col("h1"), col("h2"), col("pa"), col("pb"))).as("w"))
+      .select(col("a"), col("b"), col("w.pa").as("pa"), col("w.pb").as("pb"))
+    val ta = df.select(col(idCol).as("a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("b"), col(textCol).as("__tb"))
+    cand.join(ta, "a").join(tb, "b")
+      .filter(col("__ta").substr(col("pa"), lit(k)) ===
+        col("__tb").substr(col("pb"), lit(k)))
+      .select(col("a"), col("b"))
+  }
 }

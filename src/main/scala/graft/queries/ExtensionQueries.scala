@@ -134,6 +134,48 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- exact-substring dedup: pairs sharing a verbatim 40-char window
+    //     (Lee et al.) — planted spans (60 chars of a benchmark doc
+    //     appended to 100 shifted docs) plus whatever the corpus shares
+    //     naturally; rolling-hash banding + witness verify against the
+    //     real text, so the oracle is the TRUE substring join ------------
+    "dedup_substring_exact" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val spans = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bid"),
+          substring(col("text"), 1, 60).as("span"))
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans, "bid")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = d.union(planted)
+      Dedup.substringDupPairs(corpus, "doc_id", "text", k = 40)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- same pairs at WINNOWED gram density (the 100 TB path: ~2/(w+1)
+    //     of the grams shuffle; spans >= k+w-1 chars are guaranteed
+    //     caught, and the planted spans are 61 >= 49). Winnow selection
+    //     is hash-dependent, so no SQL oracle — the driver's rows-only
+    //     check applies; the subset/guarantee properties are unit-pinned
+    //     in OperatorsSpec -------------------------------------------
+    "dedup_substring_winnow" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val spans = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bid"),
+          substring(col("text"), 1, 60).as("span"))
+      val planted = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(spans, "bid")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = d.union(planted)
+      Dedup.substringDupPairsWinnowed(corpus, "doc_id", "text",
+          k = 40, w = 10)
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- embedding cosine near-dups (planted +0.05 twins) ----------------
     "dedup_embedding" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -2882,6 +2924,26 @@ object ExtensionQueries {
     "dedup_cluster_minhash" -> minhashClusterOracle,
 
     "dedup_simhash" -> simhashOracle,
+
+    // the TRUE 40-char-window join: rolling-hash banding + witness
+    // verification reproduce it exactly
+    "dedup_substring_exact" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |spans AS (SELECT doc_id AS bid, substr(text, 1, 60) AS span
+         |  FROM d WHERE doc_id < 20),
+         |planted AS (
+         |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
+         |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
+         |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
+         |corpus AS (SELECT doc_id, text FROM d
+         |  UNION ALL SELECT doc_id, text FROM planted),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(text) - 38, 1)),
+         |    i -> substr(text, i::INT, 40))) AS gm FROM corpus),
+         |gd AS (SELECT DISTINCT doc_id, gm FROM g)
+         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM gd a JOIN gd b ON a.gm = b.gm AND a.doc_id < b.doc_id
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_simhash_wide" -> simhashWideOracle,
 

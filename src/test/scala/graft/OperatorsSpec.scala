@@ -945,6 +945,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dropped === 0)
   }
 
+  test("substring dedup equals the brute-force 40-char-window join") {
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val span = base.filter(col("doc_id") === 5)
+      .select(substring(col("text"), 7, 60).as("span"))
+    val planted = base.filter(col("doc_id") === 42).crossJoin(span)
+      .select(lit(90001L).as("doc_id"),
+        concat(col("text"), lit(" "), col("span")).as("text"))
+    val corpus = base.union(planted)
+    val got = Dedup.substringDupPairs(corpus, "doc_id", "text", k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side brute force over the REAL substrings
+    val all = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGram = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    for ((id, t) <- all; i <- 0 to t.length - 40)
+      byGram.updateWith(t.substring(i, i + 40))(s => Some(s.getOrElse(Set.empty) + id))
+    val brute = (for {
+      ids <- byGram.valuesIterator; a <- ids; b <- ids if a < b
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(got.contains((5L, 90001L)) && got.contains((42L, 90001L)))
+  }
+
+  test("winnowed substring dedup: subset of exact, guaranteed above k+w-1") {
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val span = base.filter(col("doc_id") === 5)
+      .select(substring(col("text"), 7, 60).as("span"))
+    val planted = base.filter(col("doc_id") === 42).crossJoin(span)
+      .select(lit(90001L).as("doc_id"),
+        concat(col("text"), lit(" "), col("span")).as("text"))
+    val corpus = base.union(planted)
+    val exact = Dedup.substringDupPairs(corpus, "doc_id", "text", k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = Dedup.substringDupPairsWinnowed(corpus, "doc_id", "text",
+        k = 40, w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win.subsetOf(exact))
+    // the planted 60-char span is >= k+w-1 = 49: winnowing must catch it
+    assert(win.contains((5L, 90001L)) && win.contains((42L, 90001L)))
+  }
+
+  test("winnowing selects every shared >=k+w-1 span, at ~2/(w+1) density") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharGramHashes
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = rnd.alphanumeric.take(n).mkString
+    val shared = randStr(49) // exactly k+w-1 with k=40, w=10
+    for (_ <- 1 to 20) {
+      val a = randStr(rnd.nextInt(100)) + shared + randStr(rnd.nextInt(100))
+      val b = randStr(rnd.nextInt(100)) + shared + randStr(rnd.nextInt(100))
+      def keys(s: String) = {
+        val arr = CharGramHashes.winnow(UTF8String.fromString(s), 40, 10)
+        (0 until arr.numElements()).map { i =>
+          val st = arr.getStruct(i, 3); (st.getLong(0), st.getLong(1))
+        }.toSet
+      }
+      assert(keys(a).intersect(keys(b)).nonEmpty,
+        s"no shared winnow fingerprint for span-sharing pair:\n$a\n$b")
+    }
+    val long = randStr(2000)
+    val nSel = CharGramHashes.winnow(UTF8String.fromString(long), 40, 10)
+      .numElements()
+    val nAll = 2000 - 40 + 1
+    assert(nSel < nAll / 3, s"winnow kept $nSel of $nAll grams")
+  }
+
   test("contaminatedDocsBloom matches contaminatedDocs") {
     val bench = docs.filter(col("doc_id") < 20)
     val exact = TextAnalysis

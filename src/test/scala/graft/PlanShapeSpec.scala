@@ -425,6 +425,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"paragraph dedup must not window:\n$p")
   }
 
+  test("substring dedup shuffles 16-byte gram hashes, never the grams") {
+    import graft.operators.Dedup
+    val d = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val p = plan(Dedup.substringDupPairs(d, "doc_id", "text", k = 40))
+    // rolling hashes are generated directly on the scan — the document
+    // text reaches no exchange (only id/h1/h2/pos columns shuffle)
+    assert(p.contains("Generate posexplode(char_gram_hashes(text"),
+      s"gram hashing should sit on the scan:\n$p")
+    assert(!"Exchange [^\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text must never shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
+  }
+
   test("bloom semi-join prunes the probe SCAN-LOCAL, before any exchange") {
     import graft.operators.BloomPrune
     val d = Tables(spark, sf).documents
