@@ -557,6 +557,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- edit-distance fuzzy join (short keys) ---------------------------
+
+  /** Pairs within Levenshtein distance `maxDist` over a SHORT key column
+    * (normalized titles, product codes, canonical names — record-linkage
+    * blocking). Exact recall without an n² comparison via SymSpell's
+    * deletion-neighborhood property: if lev(a,b) <= d, then some string
+    * obtainable by <= d deletions from a equals one obtainable by <= d
+    * deletions from b. Each row emits its <=d-deletion variants HASHED
+    * (the ~n^d/d! variant strings are generated and hashed scan-local,
+    * only 8-byte hashes + the key shuffle), candidates band on the
+    * variant hash, and every candidate is verified with the real
+    * threshold-bounded `levenshtein`, so hash collisions and the
+    * neighborhood's over-generation never produce a false pair.
+    *
+    * Keys are assumed short (<= ~64 chars): variant count is quadratic
+    * in key length at d=2, which is the point — the blowup rides the
+    * scan, not the exchange. For long-document similarity use
+    * [[nearDupPairsMinhash]] / [[nearDupPairsSimhash]] instead.
+    */
+  def nearDupPairsEdit(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion-neighborhood generation is implemented for d in {1,2}")
+    def del1(s: Column): Column = transform(
+      sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val s = col("__fk")
+    val d1 = del1(s)
+    val variants =
+      if (maxDist == 1) array_distinct(concat(array(s), d1))
+      else array_distinct(concat(array(s), d1,
+        flatten(transform(d1, v => del1(v)))))
+    val v = df.select(col(idCol).as("id"), col(keyCol).as("__fk"))
+      .select(col("id"), col("__fk"), explode(variants).as("v"))
+      .select(col("id"), col("__fk"), xxhash64(col("v")).as("vh"))
+      .distinct()
+    val l = v.select(col("id").as("a"), col("__fk").as("__ka"), col("vh"))
+    val r = v.select(col("id").as("b"), col("__fk").as("__kb"), col("vh"))
+    l.join(r, Seq("vh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("__ka"), col("__kb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   // ---- exact-substring dedup (shared k-char spans) ---------------------
 
   /** Document pairs sharing at least one exact `k`-character window —

@@ -134,6 +134,26 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- edit-distance fuzzy join on short normalized keys (record
+    //     linkage): SymSpell deletion-neighborhood banding + threshold
+    //     levenshtein verify; planted substitution (m1) and deletion
+    //     (m2) mutants of the first 50 keys --------------------------
+    "text_fuzzy_join" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 16)).as("k"))
+      val m1 = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(substring(col("k"), 1, 3), lit("q"),
+            substring(col("k"), 5, 1000)).as("k"))
+      val m2 = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(substring(col("k"), 1, 8),
+            substring(col("k"), 10, 1000)).as("k"))
+      val c = d.union(m1).union(m2)
+      Dedup.nearDupPairsEdit(c, "doc_id", "k", maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- exact-substring dedup: pairs sharing a verbatim 40-char window
     //     (Lee et al.) — planted spans (60 chars of a benchmark doc
     //     appended to 100 shifted docs) plus whatever the corpus shares
@@ -2924,6 +2944,23 @@ object ExtensionQueries {
     "dedup_cluster_minhash" -> minhashClusterOracle,
 
     "dedup_simhash" -> simhashOracle,
+
+    // the TRUE <=2-edit-distance join: deletion-neighborhood banding +
+    // levenshtein verify reproduce it exactly
+    "text_fuzzy_join" ->
+      s"""WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS k
+         |  FROM documents WHERE doc_id < 200),
+         |m1 AS (SELECT doc_id + 1000000 AS doc_id,
+         |  substr(k, 1, 3) || 'q' || substr(k, 5) AS k FROM d WHERE doc_id < 50),
+         |m2 AS (SELECT doc_id + 2000000 AS doc_id,
+         |  substr(k, 1, 8) || substr(k, 10) AS k FROM d WHERE doc_id < 50),
+         |c AS (SELECT * FROM d UNION ALL SELECT * FROM m1
+         |  UNION ALL SELECT * FROM m2)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+         |FROM c a JOIN c b
+         |  ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 2
+         |ORDER BY a, b""".stripMargin,
 
     // the TRUE 40-char-window join: rolling-hash banding + witness
     // verification reproduce it exactly

@@ -1010,6 +1010,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nSel < nAll / 3, s"winnow kept $nSel of $nAll grams")
   }
 
+  test("edit-distance fuzzy join equals brute-force levenshtein <= 2") {
+    val d = docs.filter(col("doc_id") < 120)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 14)).as("k"))
+    val mut = d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(substring(col("k"), 1, 2), lit("zz"),
+          substring(col("k"), 6, 100)).as("k")) // 2 subs + 1 del = dist<=3
+    val c = d.union(mut)
+    val got = Dedup.nearDupPairsEdit(c, "doc_id", "k", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val all = c.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ka) <- all; (ib, kb) <- all if ia < ib
+      dd = lev(ka, kb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("contaminatedDocsBloom matches contaminatedDocs") {
     val bench = docs.filter(col("doc_id") < 20)
     val exact = TextAnalysis
