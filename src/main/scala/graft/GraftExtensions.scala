@@ -126,7 +126,10 @@ object GraftExtensions {
       args => toExpression(graft.functions.NgramRepFractions.of(c(args.head),
         if (args.lengthCompare(1) > 0) intLit(args(1), "graft_ngram_rep") else 2,
         if (args.lengthCompare(2) > 0) intLit(args(2), "graft_ngram_rep") else 5)),
-      "graft_ngram_rep(text[, topN, dupN]) - struct(top, dup) Gopher n-gram repetition fractions")
+      "graft_ngram_rep(text[, topN, dupN]) - struct(top, dup) Gopher n-gram repetition fractions"),
+    ("graft_char_entropy",
+      args => toExpression(graft.functions.CharEntropy.of(c(args.head))),
+      "graft_char_entropy(text) - Shannon entropy (bits/char) of the character distribution")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

@@ -134,6 +134,17 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- per-doc character-distribution Shannon entropy (compressibility
+    //     proxy: degenerate repetition scores ~0, prose ~4, junk high;
+    //     quality pipelines band-filter both tails). One scan-local pass
+    //     per doc — no per-character explode/shuffle ------------------
+    "text_entropy" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      d.select(col("doc_id"),
+          round(graft.functions.CharEntropy.of(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- edit-distance fuzzy join on short normalized keys (record
     //     linkage): SymSpell deletion-neighborhood banding + threshold
     //     levenshtein verify; planted substitution (m1) and deletion
@@ -2944,6 +2955,20 @@ object ExtensionQueries {
     "dedup_cluster_minhash" -> minhashClusterOracle,
 
     "dedup_simhash" -> simhashOracle,
+
+    // identical counts, ln/ln(2) to mirror the expression's arithmetic;
+    // double divergence is ~1e-15, far inside the 6-decimal compare
+    "text_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, length(text) + 1),
+         |    i -> substr(text, i::INT, 1))) AS c FROM documents),
+         |f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+         |  FROM ch GROUP BY doc_id, c),
+         |t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+         |SELECT f.doc_id,
+         |  round(-sum((n / t.tot) * ln(n / t.tot) / ln(2)), 6) AS entropy
+         |FROM f JOIN t ON f.doc_id = t.doc_id
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // the TRUE <=2-edit-distance join: deletion-neighborhood banding +
     // levenshtein verify reproduce it exactly

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_minhash_sig(graft_word_shingles(text, 3), 8) AS sig,
         |  graft_normalize_url('HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f') AS nu,
         |  graft_strip_html('<p>A &amp; B</p><script>x()</script>') AS sh2,
-        |  graft_fingerprint_nfc(text) AS fpn
+        |  graft_fingerprint_nfc(text) AS fpn,
+        |  graft_char_entropy(text) AS ent
         |FROM docs""".stripMargin)
     val api = spark.table("docs").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -62,7 +63,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         lit("HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f")).as("nu"),
       TextAnalysis.stripHtml(
         lit("<p>A &amp; B</p><script>x()</script>")).as("sh2"),
-      TextAnalysis.fingerprintNfc(col("text")).as("fpn"))
+      TextAnalysis.fingerprintNfc(col("text")).as("fpn"),
+      graft.functions.CharEntropy.of(col("text")).as("ent"))
     assert(sql.exceptAll(api).count() === 0)
     assert(api.exceptAll(sql).count() === 0)
   }

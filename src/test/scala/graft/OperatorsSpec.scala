@@ -1037,6 +1037,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("char entropy: known vectors and prose band") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharEntropy
+    def h(s: String) = CharEntropy.compute(UTF8String.fromString(s))
+    assert(h("aaaaaaaa") === 0.0)
+    assert(math.abs(h("abababab") - 1.0) < 1e-12)
+    assert(math.abs(h("abcdabcd") - 2.0) < 1e-12)
+    assert(h("") === 0.0)
+    // non-BMP path: two distinct code points, equal counts -> 1 bit
+    assert(math.abs(h(new String(Character.toChars(0x1F600)) +
+      new String(Character.toChars(0x1F601))) - 1.0) < 1e-12)
+    val prose = docs.select(
+        graft.functions.CharEntropy.of(col("text")).as("e"))
+      .agg(min(col("e")), max(col("e"))).head()
+    assert(prose.getDouble(0) > 2.5 && prose.getDouble(1) < 6.0)
+  }
+
   test("contaminatedDocsBloom matches contaminatedDocs") {
     val bench = docs.filter(col("doc_id") < 20)
     val exact = TextAnalysis
