@@ -30,7 +30,7 @@ object BenchScale {
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "text_quality", "q_asof_join",
     "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
     "dedup_minhash_incr", "corpus_pipeline", "text_rep_ngrams",
-    "text_boilerplate")
+    "text_boilerplate", "dedup_substring_winnow")
 
   def ensure10x(spark: SparkSession, sfDir: String, cpus: Int): String = {
     val dir = s"target/bench_10x_${new java.io.File(sfDir).getName}"

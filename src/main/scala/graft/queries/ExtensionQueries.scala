@@ -414,6 +414,43 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("id"))
     },
 
+    // --- the exact-substring twin's replay: seed docs %5==0, three
+    //     admitted batches whose bodies re-quote their base doc (plus a
+    //     ' bK' suffix so no batch is byte-identical) and whose %4==1
+    //     members splice a 60-char span of a SEED doc — every batch
+    //     pairs with the seed corpus and all earlier batches through
+    //     verbatim 40-char windows, proving the gram state accumulates --
+    "stream_substring_replay" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val base = d.filter(col("doc_id") % 5 === 0)
+      val spans = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") % 20).as("bid"),
+          substring(col("text"), 1, 60).as("span"))
+      def batchDf(k: Int) = {
+        val plain = base.filter(col("doc_id") % 4 =!= 1)
+          .select(col("doc_id"), concat(col("text"), lit(s" b$k")).as("text"))
+        val spliced = base.filter(col("doc_id") % 4 === 1)
+          .withColumn("bid", col("doc_id") % 20)
+          .join(spans, "bid")
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" b$k "), col("span")).as("text"))
+        plain.unionByName(spliced)
+          .select((col("doc_id") + lit((k + 1) * 1000000L)).as("doc_id"),
+            col("text"))
+      }
+      val stateDir = scratchDir("stream_substr", dir)
+      val ssd = new graft.streaming.StreamingSubstringDedup(s, stateDir,
+        "doc_id", "text", k = 40)
+      ssd.seed(base)
+      (0 until 3).map { k =>
+        val p = ssd.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        if (k == 0) ssd.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+        .select(col("batch"), col("ref_id"), col("new_id"))
+        .orderBy(col("batch"), col("ref_id"), col("new_id"))
+    },
+
     // --- brute-force cosine top-k ----------------------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -2955,6 +2992,36 @@ object ExtensionQueries {
     "dedup_cluster_minhash" -> minhashClusterOracle,
 
     "dedup_simhash" -> simhashOracle,
+
+    // replay of the standing exact-substring state: per batch, the TRUE
+    // 40-char-window join of that batch against the seed corpus plus
+    // every earlier batch (seed = batch -1; state reads are strictly
+    // before the admitted id)
+    "stream_substring_replay" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |base AS (SELECT doc_id, text FROM d WHERE doc_id % 5 = 0),
+         |spans AS (SELECT doc_id % 20 AS bid, substr(text, 1, 60) AS span
+         |  FROM d WHERE doc_id < 20),
+         |ks AS (SELECT unnest([0, 1, 2]) AS k),
+         |batches AS (
+         |  SELECT ks.k AS batch, b.doc_id + (ks.k + 1) * 1000000 AS doc_id,
+         |    CASE WHEN b.doc_id % 4 = 1
+         |      THEN b.text || ' b' || CAST(ks.k AS VARCHAR) || ' ' || s.span
+         |      ELSE b.text || ' b' || CAST(ks.k AS VARCHAR) END AS text
+         |  FROM base b CROSS JOIN ks
+         |  LEFT JOIN spans s ON b.doc_id % 4 = 1 AND s.bid = b.doc_id % 20),
+         |everything AS (
+         |  SELECT -1 AS batch, doc_id, text FROM base
+         |  UNION ALL SELECT batch, doc_id, text FROM batches),
+         |g AS (SELECT batch, doc_id, unnest(list_transform(
+         |    range(1, greatest(length(text) - 38, 1)),
+         |    i -> substr(text, i::INT, 40))) AS gm FROM everything),
+         |gd AS (SELECT DISTINCT batch, doc_id, gm FROM g)
+         |SELECT DISTINCT n.batch AS batch, r.doc_id AS ref_id,
+         |  n.doc_id AS new_id
+         |FROM gd r JOIN gd n ON r.gm = n.gm AND r.batch < n.batch
+         |WHERE n.batch >= 0
+         |ORDER BY batch, ref_id, new_id""".stripMargin,
 
     // identical counts, ln/ln(2) to mirror the expression's arithmetic;
     // double divergence is ~1e-15, far inside the 6-decimal compare

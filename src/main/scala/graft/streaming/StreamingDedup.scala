@@ -640,3 +640,148 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
         ()
       }
 }
+
+/** The exact-substring twin of [[StreamingDedup]]: standing incremental
+  * detection of VERBATIM shared k-char windows against an accumulating
+  * corpus — the streaming lift of
+  * [[graft.operators.Dedup.substringDupPairs]] (Lee et al. shared-span
+  * dups, the ones minhash misses when the copied span is a small
+  * fraction of each document).
+  *
+  * State is two [[BatchedState]] tables:
+  *  - `grams`: one (id, h1, h2, pos) witness per distinct in-document
+  *    gram fingerprint ([[graft.functions.CharGramHashes]], 128-bit
+  *    rolling hashes; `w > 1` switches to winnowed density — ~2/(w+1)
+  *    of the grams with spans ≥ k+w-1 guaranteed), bucketed by
+  *    `gb = hash(h1,h2) % nBuckets` so a batch's band join prunes to
+  *    its own (≤ nBuckets) bucket dirs;
+  *  - `texts`: the corpus text, id-bucketed, read ONLY for the
+  *    candidate ref ids' buckets to re-extract witness windows — a
+  *    reported pair is always verified against the REAL characters, so
+  *    hash width never produces a false pair.
+  *
+  * Batch sides of both joins are broadcast; the pruned state streams
+  * (never shuffles). Same [[BatchedState]] overwrite-idempotency and
+  * `read(before)` replay determinism as the minhash twin.
+  */
+final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
+    idCol: String, textCol: String, k: Int = 40, w: Int = 1,
+    nBuckets: Int = 32) extends Serializable {
+
+  private val grams = new BatchedState(spark, s"$stateDir/grams", Seq("gb"))
+  private val texts = new BatchedState(spark, s"$stateDir/texts", Seq("ib"))
+
+  private def idBucket(id: Column): Column = StateBuckets.idBucket(id, nBuckets)
+  private def gBucket(h1: Column, h2: Column): Column =
+    pmod(xxhash64(h1, h2), lit(nBuckets)).cast("int")
+
+  private val stateParams = Map("k" -> k.toString, "w" -> w.toString,
+    "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(grams, texts), stateDir)
+    paramsChecked = true
+  }
+
+  /** One (id, h1, h2, pos, gb) witness row per distinct in-doc gram. */
+  private def gramsOf(df: DataFrame): DataFrame = {
+    val raw =
+      if (w <= 1)
+        df.select(col(idCol).as("id"),
+            posexplode(graft.functions.CharGramHashes.of(col(textCol), k))
+              .as(Seq("p0", "hh")))
+          .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+            (col("p0") + 1).as("pos"))
+      else
+        df.select(col(idCol).as("id"),
+            explode(graft.functions.CharGramHashes.winnowed(col(textCol), k, w))
+              .as("hh"))
+          .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+            (col("hh.p0") + 1).as("pos"))
+    raw.groupBy(col("id"), col("h1"), col("h2"))
+      .agg(min(col("pos")).as("pos"))
+      .withColumn("gb", gBucket(col("h1"), col("h2")))
+  }
+
+  private def textsOf(df: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ib", idBucket(col("id")))
+
+  /** Seed the persisted reference state, REPLACING any previous state
+    * under `stateDir`.
+    */
+  def seed(reference: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
+    grams.reset()
+    texts.reset()
+    grams.seed(gramsOf(reference))
+    texts.seed(textsOf(reference))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Admit micro-batch `batchId`: (ref_id, new_id) pairs sharing a
+    * verbatim k-char window against everything seeded or admitted in
+    * batches < batchId, then fold the batch in. Replay-idempotent.
+    */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureAdmissible(batchId)
+    val gNew = gramsOf(batch).localCheckpoint()
+    val tNew = textsOf(batch).localCheckpoint()
+    val gbs = gNew.select("gb").distinct().collect().map(_.getInt(0))
+    val gRef = grams.read(before = batchId, fallback = Some(gNew.schema))
+      .where(col("gb").isin(gbs.toIndexedSeq.map(Int.box): _*))
+    // band on the 128-bit fingerprint; ONE coherent witness per pair
+    val candidates = gRef
+      .join(broadcast(gNew.select(col("id").as("new_id"), col("h1"),
+        col("h2"), col("pos").as("pb"))), Seq("h1", "h2"))
+      .filter(col("id") =!= col("new_id"))
+      .select(col("id").as("ref_id"), col("new_id"), col("h1"), col("h2"),
+        col("pos").as("pa"), col("pb"))
+      .groupBy(col("ref_id"), col("new_id"))
+      .agg(min(struct(col("h1"), col("h2"), col("pa"), col("pb"))).as("wit"))
+      .select(col("ref_id"), col("new_id"), col("wit.pa").as("pa"),
+        col("wit.pb").as("pb"))
+      .localCheckpoint()
+    val ibs = candidates.select(idBucket(col("ref_id")).as("ib"))
+      .distinct().collect().map(_.getInt(0))
+    val tRef = texts.read(before = batchId, fallback = Some(tNew.schema))
+      .where(col("ib").isin(ibs.toIndexedSeq.map(Int.box): _*))
+    // witness windows re-extracted from the REAL text on both sides; a
+    // re-arrived ref id may have several state versions — any verified
+    // one proves the pair, distinct collapses the fan-out
+    val pairs = tRef.select(col("id").as("ref_id"), col("text").as("__tr"))
+      .join(broadcast(candidates), Seq("ref_id"))
+      .join(broadcast(tNew.select(col("id").as("new_id"),
+        col("text").as("__tn"))), Seq("new_id"))
+      .filter(col("__tr").substr(col("pa"), lit(k)) ===
+        col("__tn").substr(col("pb"), lit(k)))
+      .select(col("ref_id"), col("new_id"))
+      .distinct()
+      .localCheckpoint()
+    grams.append(gNew, batchId)
+    texts.append(tNew, batchId)
+    pairs
+  }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = {
+    grams.compact(keepFrom, upTo)
+    texts.compact(keepFrom, upTo)
+  }
+
+  /** See [[StreamingDedup.attach]]. */
+  def attach(source: DataFrame, pairsDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
+        ()
+      }
+}

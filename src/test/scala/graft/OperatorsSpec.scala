@@ -443,6 +443,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$stateDir/shingles").count() === 3)
   }
 
+  test("StreamingSubstringDedup: cross-batch shared-window pairs, " +
+      "verified against real text, replay-idempotent") {
+    import graft.streaming.StreamingSubstringDedup
+    val stateDir = java.nio.file.Files.createTempDirectory("ssd").toString
+    val ssd = new StreamingSubstringDedup(spark, stateDir,
+      "doc_id", "text", k = 20)
+    val span = "a shared verbatim window of twenty-plus characters"
+    def pad(n: Int) = n.toString * 25 // doc-unique filler, no cross-doc runs
+    ssd.seed(Seq((1L, s"seed doc ${pad(1)} $span"),
+      (2L, s"unrelated ${pad(2)} material with nothing in common here"))
+      .toDF("doc_id", "text"))
+    // batch 0: one doc quoting the span, one clean
+    val p0 = ssd.admit(Seq(
+      (101L, s"first batch ${pad(3)} quoting: $span"),
+      (102L, s"wholly novel content ${pad(4)} without any quotes at all"))
+      .toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(p0 === Seq((1L, 101L)))
+    // batch 1 quotes the span AND batch 0's novel doc — pairs with the
+    // seed and with batch 0's state, proving accumulation
+    val b1 = Seq(
+      (201L, s"second batch ${pad(5)} also quoting: $span"),
+      (202L, s"copies wholly novel content ${pad(4)} without any quotes"))
+      .toDF("doc_id", "text")
+    val p1 = ssd.admit(b1, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(p1 === Seq((1L, 201L), (101L, 201L), (102L, 202L)))
+    // crash replay of batch 1: state < 1 only, delta overwritten
+    val rp = ssd.admit(b1, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rp === p1)
+  }
+
   test("StreamingEmbeddingDedup: two-batch E2E, cross-batch vector pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingEmbeddingDedup
