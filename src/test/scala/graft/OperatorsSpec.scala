@@ -1018,6 +1018,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(win.contains((5L, 90001L)) && win.contains((42L, 90001L)))
   }
 
+  test("substring dedup positions survive astral (non-BMP) characters") {
+    // an emoji is ONE code point but TWO UTF-16 units: if gram positions
+    // counted UTF-16 units the verify substr would re-extract shifted
+    // windows and drop every true pair behind an astral char
+    val emoji = new String(Character.toChars(0x1F600))
+    val shared = "this exact forty-character span is shared!" // 42 chars
+    val corpus = Seq(
+      (1L, s"$emoji$emoji leading astral pair then $shared"),
+      (2L, s"plain ascii prefix text and then $shared"),
+      (3L, s"$emoji unrelated ${emoji}body with no shared window at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(corpus, "doc_id", "text", k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("winnowing selects every shared >=k+w-1 span, at ~2/(w+1) density") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.CharGramHashes

@@ -12,11 +12,25 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
+  // Queries whose exact result is hash-dependent and thus not
+  // SQL-expressible (the driver applies its weaker rows-only check).
+  // Every entry must carry a query-site comment justifying the
+  // exemption and unit tests pinning the non-oracle-checkable
+  // properties. Keep this list SHORT — the full-oracle rule is the gate.
+  private val rowsOnlyByDesign = Set(
+    "dedup_substring_winnow") // winnow selection depends on rolling-hash
+                              // values; subset+guarantee unit-pinned
+
   test("every query has an oracle and every oracle has a query") {
     val q = Registry.queries.keySet
     val o = Registry.oracle.keySet
-    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((q -- o -- rowsOnlyByDesign).isEmpty,
+      s"queries missing oracles: ${(q -- o -- rowsOnlyByDesign).toSeq.sorted}")
     assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+    assert(rowsOnlyByDesign.subsetOf(q),
+      s"stale rows-only exemptions: ${(rowsOnlyByDesign -- q).toSeq.sorted}")
+    assert((rowsOnlyByDesign intersect o).isEmpty,
+      "a rows-only exemption grew an oracle — remove it from the list")
   }
 
   test("query names are unique across the groups (no silent overwrite)") {
