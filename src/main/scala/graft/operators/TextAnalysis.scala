@@ -738,6 +738,157 @@ object TextAnalysis {
         round(col("logq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
   }
 
+  // ---- model-based quality filtering (fastText-classifier shape) ------
+
+  /** Quantized log2: floor(log2(c)) for c >= 1, and 0 for c = 0 or null —
+    * computed as `length(bin(c)) - 1`, exact integer/string arithmetic in
+    * every engine (no libm, no FP summation order). The determinism
+    * backbone of the trained-model tiers: weights built from qlogs are
+    * integers, so scores are exact sums the SQL oracle reproduces
+    * bit-identically.
+    */
+  private[graft] def qlog(c: Column): Column =
+    (length(bin(coalesce(c.cast(LongType), lit(0L)))) - 1).cast(LongType)
+
+  /** Train pass of a model-based quality classifier — the linear
+    * bag-of-words shape of DCLM / FineWeb-Edu quality filtering (a
+    * fastText-style classifier distilled to its Naive-Bayes log-count
+    *-ratio core): per hashed-token bucket, positive/negative class
+    * counts reduce to an integer weight `qlog(pos) - qlog(neg)`. Tokens
+    * hash into `nBuckets` stable buckets ([[Sampling.hashBucket]],
+    * engine-portable md5), so the model is BOUNDED (<= nBuckets rows)
+    * no matter the corpus vocabulary — broadcastable at 100 TB where a
+    * literal-vocab table would not be. One explode + one hash aggregate
+    * with map-side combine; the shuffle carries bucket keys only.
+    *
+    * `labelCol` is evaluated as boolean (true = positive class). Zero
+    * counts quantize to weight contribution 0 (the [[lmScore]] zero-floor
+    * smoothing contract: unseen ~ hapax).
+    */
+  def trainQualityClassifier(df: org.apache.spark.sql.DataFrame,
+      textCol: String, labelCol: Column,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.select(explode(canonToks(col(textCol))).as("token"),
+        labelCol.cast(BooleanType).as("__pos"))
+      .select(Sampling.hashBucket(col("token"), nBuckets).as("bucket"),
+        col("__pos"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("pos_cnt"),
+        sum(when(col("__pos"), lit(0L)).otherwise(lit(1L))).as("neg_cnt"))
+      .withColumn("weight", qlog(col("pos_cnt")) - qlog(col("neg_cnt")))
+  }
+
+  /** Apply pass: each document's tokens vote with their bucket's integer
+    * weight; `clf_sum` is the exact integer score, `clf_mean` the
+    * length-normalized signal a threshold keeps on (positive ~ the
+    * positive training class). Explode + BROADCAST join against the
+    * bounded model + per-doc integer-sum aggregate — the only shuffle
+    * carries one narrow row per document (map-side combine collapses a
+    * doc's tokens before the exchange), so scoring a 100 TB corpus is a
+    * single scan-shaped pass. Out-of-model buckets score 0 (left join +
+    * coalesce), so a foreign model degrades gracefully.
+    */
+  def scoreQualityClassifier(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      model: org.apache.spark.sql.DataFrame,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(canonToks(col(textCol))).as("token"))
+      .select(col("id"),
+        Sampling.hashBucket(col("token"), nBuckets).as("bucket"))
+    toks.join(broadcast(model.select(col("bucket"), col("weight"))),
+        Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("clf_sum"))
+      .withColumn("clf_mean",
+        round(col("clf_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+  }
+
+  /** Train-once lifecycle for the quality classifier (the
+    * [[graft.operators.Similarity.IvfIndex]] recipe): persist the bounded
+    * model table, score later corpora without retraining.
+    */
+  object QualityModel {
+    def save(model: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      model.select(col("bucket"), col("pos_cnt"), col("neg_cnt"),
+          col("weight"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(dir)
+  }
+
+  // ---- DSIR importance resampling (data selection) ---------------------
+
+  /** Hashed n-gram features of one document — unigrams plus adjacent
+    * word bigrams, the DSIR (Xie et al. 2023, arXiv:2302.03169) feature
+    * space. Scan-local array expression; callers explode it into the
+    * bounded bucket space.
+    */
+  private def dsirFeats(text: Column): Column =
+    concat(canonToks(text), wordNgrams(text, 2))
+
+  /** Feature-distribution counts for DSIR: hashed unigram+bigram bucket
+    * counts over a corpus (target or raw). Bounded (<= nBuckets rows),
+    * one explode + one map-side-combined aggregate — same 100 TB shape
+    * as [[unigramLmCounts]].
+    */
+  def dsirCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.select(explode(dsirFeats(col(textCol))).as("feat"))
+      .select(Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance weights: each raw document scores
+    * sum over its features of `qlog(target_cnt) - qlog(raw_cnt)` — the
+    * quantized log-likelihood ratio of the target vs raw hashed n-gram
+    * distributions (the paper's log importance weight, with quantized
+    * logs so the sum is exact integer arithmetic). High `dsir_sum` =
+    * looks like the target domain. Both count tables are bounded and
+    * broadcast; the only shuffle carries one row per document.
+    */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetCounts: org.apache.spark.sql.DataFrame,
+      rawCounts: org.apache.spark.sql.DataFrame,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val lam = targetCounts.select(col("bucket"),
+        col("cnt").as("__tcnt"))
+      .join(rawCounts.select(col("bucket"), col("cnt").as("__rcnt")),
+        Seq("bucket"), "outer")
+      .select(col("bucket"),
+        (qlog(col("__tcnt")) - qlog(col("__rcnt"))).as("lambda"))
+    val feats = raw.select(col(idCol).as("id"),
+        explode(dsirFeats(col(textCol))).as("feat"))
+      .select(col("id"),
+        Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
+    feats.join(broadcast(lam), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lambda"), lit(0L))).as("dsir_sum"))
+      .withColumn("dsir_mean",
+        round(col("dsir_sum").cast(DoubleType) / col("n_feats").cast(DoubleType), 6))
+  }
+
+  /** DSIR selection: keep the `n` raw documents most target-like by
+    * length-normalized importance weight (ties break on id — fully
+    * deterministic, unlike the paper's Gumbel noise, so the oracle can
+    * replay the pick). Global top-n over per-doc rows is a
+    * TakeOrdered (bounded result), never a full sort materialization.
+    */
+  def dsirSelect(raw: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: org.apache.spark.sql.DataFrame, n: Int,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val w = dsirWeights(raw, idCol, textCol,
+      dsirCounts(target, textCol, nBuckets),
+      dsirCounts(raw, textCol, nBuckets), nBuckets)
+    w.orderBy(col("dsir_mean").desc, col("id")).limit(n)
+  }
+
   // ---- BPE pair statistics (tokenizer-training prep) -------------------
 
   /** Adjacent character-pair frequencies within canonical tokens — the

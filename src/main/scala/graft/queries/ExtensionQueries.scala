@@ -1347,6 +1347,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- model-based quality classifier (DCLM/FineWeb-Edu shape): train
+    //     a hashed-bag-of-words NB log-ratio model on lang='en' labels,
+    //     round-trip it through the persisted-model lifecycle, score the
+    //     corpus with exact integer weight sums ------------------------
+    "text_quality_clf" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val model = TextAnalysis.trainQualityClassifier(
+        d, "text", col("lang") === "en", nBuckets = 1024)
+      val mdir = scratchDir("qclf", dir)
+      TextAnalysis.QualityModel.save(model, mdir)
+      val loaded = TextAnalysis.QualityModel.load(s, mdir)
+      TextAnalysis.scoreQualityClassifier(d, "doc_id", "text", loaded,
+          nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("clf_sum"),
+          col("clf_mean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    //     importance weights of raw docs vs an English target slice,
+    //     deterministic top-100 pick by normalized weight ---------------
+    "text_dsir_select" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      TextAnalysis.dsirSelect(d, "doc_id", "text",
+          target = d.filter(col("lang") === "en"), n = 100, nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feats"), col("dsir_sum"),
+          col("dsir_mean"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- BPE pair statistics: top adjacent character pairs within
     //     canonical tokens (one merge step of tokenizer training) --------
     "text_bpe_pairs" -> { (s, dir) =>
@@ -3438,6 +3468,66 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, logq_sum,
         |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // NB log-count-ratio classifier: identical md5 buckets, quantized
+    // logs via the exact bin()-length trick, integer weight sums
+    "text_quality_clf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS pos, unnest(string_split(
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, pos, (md5_number_lower(token) >> 1) % 1024 AS bucket
+        |  FROM tok),
+        |m AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_cnt
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT bucket,
+        |    (length(bin(pos_cnt)) - 1) - (length(bin(neg_cnt)) - 1) AS weight
+        |  FROM m),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(coalesce(weight, 0)) AS BIGINT) AS clf_sum
+        |  FROM b LEFT JOIN w USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_tokens, clf_sum,
+        |  round(CAST(clf_sum AS DOUBLE) / n_tokens, 6) AS clf_mean
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // DSIR: unigram+bigram hashed features, quantized log-likelihood
+    // ratio of the en-target vs raw distributions, deterministic top-100
+    "text_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' '))
+        |    ELSE [] END) AS feat
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, lang, (md5_number_lower(feat) >> 1) % 1024 AS bucket
+        |  FROM feats),
+        |tc AS (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |lam AS (
+        |  SELECT rc.bucket,
+        |    (length(bin(coalesce(tc.cnt, 0))) - 1) - (length(bin(rc.cnt)) - 1) AS lambda
+        |  FROM rc LEFT JOIN tc USING (bucket)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    CAST(sum(coalesce(lambda, 0)) AS BIGINT) AS dsir_sum
+        |  FROM b LEFT JOIN lam USING (bucket) GROUP BY 1),
+        |sel AS (
+        |  SELECT doc_id, n_feats, dsir_sum,
+        |    round(CAST(dsir_sum AS DOUBLE) / n_feats, 6) AS dsir_mean
+        |  FROM sc ORDER BY dsir_mean DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_feats, dsir_sum, dsir_mean
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "text_rep_ngrams" ->
       """WITH t AS (

@@ -820,4 +820,87 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.getLong(3) === 901L)
     assert(got.isNullAt(4), s"stitched payload from an older row: $got")
   }
+
+  // ---- model-based quality classifier ---------------------------------
+
+  test("quality classifier: separates the classes it was trained on") {
+    // positives share a vocabulary, negatives another; repeated tokens
+    // push the count ratios apart
+    val pos = "the quick brown fox jumps over the lazy dog again and again"
+    val neg = "zzz qqq xxx vvv kkk jjj www yyy uuu ooo ppp lll"
+    val docs = ((1L to 20L).map(i => (i, pos, true)) ++
+      (21L to 40L).map(i => (i, neg, false))).toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityClassifier(
+      docs, "text", col("label"), nBuckets = 256)
+    val scored = TextAnalysis.scoreQualityClassifier(
+      docs, "doc_id", "text", model, nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val posMean = (1L to 20L).map(scored).sum / 20
+    val negMean = (21L to 40L).map(scored).sum / 20
+    assert(posMean > 0, s"positive class must score positive, got $posMean")
+    assert(negMean < 0, s"negative class must score negative, got $negMean")
+  }
+
+  test("quality classifier: out-of-model tokens score zero (foreign model)") {
+    val train = Seq((1L, "alpha beta", true), (2L, "gamma delta", false))
+      .toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityClassifier(
+      train, "text", col("label"), nBuckets = 4096)
+    // no hash collision at 4096 buckets for these 2 tokens is not
+    // guaranteed in general, but the zero-floor weights (counts of 1
+    // quantize to qlog 0) make every bucket weight 0 here anyway; a
+    // doc of UNSEEN tokens must also sum to exactly 0 via the left join
+    val foreign = Seq((9L, "zeta eta theta")).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreQualityClassifier(
+      foreign, "doc_id", "text", model, nBuckets = 4096).collect()(0)
+    assert(got.getLong(2) === 0L)
+  }
+
+  test("QualityModel: saved + reloaded model scores identically") {
+    val docs = ((1L to 8L).map(i => (i, s"common words here plus tok$i", i <= 4))
+      ).toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityClassifier(
+      docs, "text", col("label"), nBuckets = 128)
+    val dir = s"target/qclf_spec_${ProcessHandle.current().pid()}"
+    TextAnalysis.QualityModel.save(model, dir)
+    val loaded = TextAnalysis.QualityModel.load(spark, dir)
+    val a = TextAnalysis.scoreQualityClassifier(
+      docs, "doc_id", "text", model, nBuckets = 128)
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.scoreQualityClassifier(
+      docs, "doc_id", "text", loaded, nBuckets = 128)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- DSIR importance resampling -------------------------------------
+
+  test("dsirSelect: picks the target-domain docs out of a mixed corpus") {
+    val sci = "quantum electron proton neutron lattice spin orbital field"
+    val web = "click here buy now free offer deal sale shop cart"
+    val raw = ((1L to 10L).map(i => (i, s"$sci sample $i")) ++
+      (11L to 30L).map(i => (i, s"$web page $i"))).toDF("doc_id", "text")
+    val target = (100L to 120L).map(i => (i, s"$sci study $i"))
+      .toDF("doc_id", "text")
+    val picked = TextAnalysis.dsirSelect(raw, "doc_id", "text", target,
+        n = 10, nBuckets = 512)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked === (1L to 10L).toSet,
+      s"DSIR must pick the science docs, got $picked")
+  }
+
+  test("dsirWeights: bigram features count — token order matters") {
+    // same unigrams, different order: only the bigram channel separates
+    // them, so the doc matching the target's ORDER must win
+    val raw = Seq((1L, "alpha beta alpha beta alpha beta"),
+      (2L, "beta alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, "doc_id", "text",
+        TextAnalysis.dsirCounts(target, "text", 1024),
+        TextAnalysis.dsirCounts(raw, "text", 1024), 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(1L) > w(2L),
+      s"doc 1 matches the target bigram order and must outscore doc 2: $w")
+  }
 }

@@ -457,4 +457,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"might_contain should appear under (after, in tree print order) " +
         s"the join operator:\n$p")
   }
+
+  test("classifier scoring: bounded model broadcasts; one doc-key shuffle " +
+      "with map-side partial aggregation") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val model = TextAnalysis.trainQualityClassifier(
+      d, "text", col("lang") === "en", nBuckets = 1024)
+    val q = TextAnalysis.scoreQualityClassifier(
+      d, "doc_id", "text", model, nBuckets = 1024)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus token stream must never sort-merge against the model:\n$p")
+    assert("partial_count|partial_sum|HashAggregate".r.findFirstIn(p).isDefined
+      && p.contains("partial"), s"per-doc sums must combine map-side:\n$p")
+  }
+
+  test("DSIR weighting: both count tables broadcast back to the corpus scan") {
+    import graft.operators.TextAnalysis
+    val d = Tables(spark, sf).documents
+    val q = TextAnalysis.dsirWeights(d, "doc_id", "text",
+      TextAnalysis.dsirCounts(d.filter(col("lang") === "en"), "text", 1024),
+      TextAnalysis.dsirCounts(d, "text", 1024), 1024)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"lambda join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
+  }
 }
