@@ -151,4 +151,76 @@ object Joins {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /** Temporal (SCD-2) dimension join: attach to every left row the right
+    * VERSION whose validity interval `[validFrom, validTo)` contains
+    * `left.ts` — the slowly-changing-dimension lookup of feature-store /
+    * warehouse pipelines. Rows covered by no version keep nulls (left
+    * semantics), including rows before the first version and after a
+    * CLOSED last version. A null `validTo` means the version is still
+    * open (the usual SCD-2 "current row" encoding).
+    *
+    * Contract: versions of one key must not overlap (the SCD-2
+    * invariant). That assumption is what buys the plan: the join is
+    * [[asOf]] on `validFrom` — ONE key shuffle + carry-forward window —
+    * followed by a scan-local expiry null-out (`ts < validTo`), where a
+    * generic interval join would be a range cross product (see [[range]]
+    * for the overlapping-interval case). `rightCols` must include
+    * `validToCol` and follow the [[asOf]] no-collision contract.
+    */
+  def temporal(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, validFromCol: String, validToCol: String,
+      rightCols: Seq[String], ordCol: String): DataFrame = {
+    require(rightCols.contains(validToCol),
+      "rightCols must include validToCol (the expiry null-out reads it)")
+    val matched = asOf(left, right.withColumn(tsCol, col(validFromCol)),
+      keyCols, tsCol, rightCols, ordCol)
+    // expiry: a matched version whose validTo has passed yields nulls —
+    // evaluated BEFORE any column is nulled so validTo itself can be in
+    // rightCols without ordering hazards
+    val live = col(validToCol).isNull || (col(tsCol) < col(validToCol))
+    matched.select(left.columns.map(col) ++
+      rightCols.map(c => when(live, col(c)).as(c)): _*)
+  }
+
+  /** Banded range join: inner-join every left row to the right rows whose
+    * numeric interval `[lo, hi)` contains `left.point`, optionally also
+    * matching `keyCols` — IP-to-geo lookups, value-band pricing, sensor
+    * calibration windows. Intervals MAY overlap (each match emits a row),
+    * which is exactly the case [[temporal]]'s one-version contract
+    * excludes.
+    *
+    * Scale shape: both sides band into width-`bucketWidth` buckets — the
+    * left point into its ONE bucket (scan-local projection), each right
+    * interval exploded over the `(hi - lo) / bucketWidth + 1` buckets it
+    * touches — then a plain EQUI-join on (bucket, keys) + the exact
+    * containment filter. A point lives in exactly one bucket, so every
+    * true pair is emitted exactly once (no dedup pass), and a theta
+    * `point BETWEEN lo AND hi` join — which Spark can only plan as a
+    * per-key cross product — never appears. `bucketWidth` is the knob:
+    * size it near the TYPICAL interval length so the explode factor
+    * stays ~2 while bucket population stays balanced; a width far below
+    * the longest interval multiplies the right side's row count (AQE
+    * skew-split absorbs moderate imbalance, not a 1000x explode).
+    *
+    * Right columns other than `keyCols` must not collide with left
+    * column names. Degenerate intervals (`hi <= lo`) match nothing.
+    */
+  def range(left: DataFrame, right: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = right.columns.toSet.intersect(left.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"right columns collide with left: ${clash.toSeq.sorted.mkString(",")}")
+    val l2 = left.withColumn("__rb",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val r2 = right.filter(col(loCol) < col(hiCol))
+      .withColumn("__rb", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    l2.join(r2, Seq("__rb") ++ keyCols)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__rb")
+  }
 }

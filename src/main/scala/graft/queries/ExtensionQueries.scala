@@ -1112,6 +1112,44 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
+    // --- temporal (SCD-2) join: each event picks the dimension VERSION
+    //     whose [valid_from, valid_to) covers its ts; events before the
+    //     first version or after the closed last one keep nulls ---------
+    "q_temporal_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.events.select(col("event_id"), col("ts"),
+        (col("user_id") % 25).as("k"))
+      val base = lit("2024-01-03 00:00:00").cast("timestamp_ntz")
+      val dim = t.nation
+        .select(col("n_nationkey").cast("long").as("k"))
+        .withColumn("version", explode(sequence(lit(0), lit(2))))
+        .withColumn("valid_from",
+          base + expr("make_dt_interval(8 * version, 0, 0, 0)"))
+        .withColumn("valid_to",
+          base + expr("make_dt_interval(8 * (version + 1), 0, 0, 0)"))
+        .withColumn("rate", col("k") * 100 + col("version"))
+      Joins.temporal(e, dim, Seq("k"), "ts", "valid_from", "valid_to",
+          rightCols = Seq("rate", "version", "valid_to"), ordCol = "version")
+        .select(col("event_id"), col("k"), col("rate"), col("version"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- banded range join: events matched to OVERLAPPING value bands
+    //     (multi-match rows emitted once per band; bucket width 16 is
+    //     deliberately unaligned with the 20-25 wide bands) -------------
+    "q_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.events.select(col("event_id"), col("value"))
+      val bands = t.nation
+        .select(col("n_nationkey").cast("long").as("band_id"))
+        .withColumn("lo", col("band_id").cast("double") * 20.0)
+        .withColumn("hi",
+          col("lo") + 20.0 + (col("band_id") % 3).cast("double") * 5.0)
+      Joins.range(e, bands, "value", "lo", "hi", bucketWidth = 16.0)
+        .select(col("event_id"), col("band_id"))
+        .orderBy(col("event_id"), col("band_id"))
+    },
+
     // --- as-of, forward direction: each purchase picks up the user's
     //     EARLIEST click at-or-after it (reversed carry window; oracle is
     //     DuckDB ASOF with l.ts <= r.ts) --------------------------------
@@ -4126,7 +4164,37 @@ object ExtensionQueries {
         |    THEN round(r.b_value, 6) END AS b_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    // SCD-2 semantics ARE a plain interval-containment left join — the
+    // oracle states them directly; Spark gets the same answer from the
+    // one-shuffle as-of + expiry null-out
+    "q_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, v.version,
+        |    TIMESTAMP '2024-01-03 00:00:00'
+        |      + to_days(CAST(8 * v.version AS INT)) AS valid_from,
+        |    TIMESTAMP '2024-01-03 00:00:00'
+        |      + to_days(CAST(8 * (v.version + 1) AS INT)) AS valid_to,
+        |    CAST(n_nationkey AS BIGINT) * 100 + v.version AS rate
+        |  FROM nation, (SELECT unnest([0, 1, 2]) AS version) v)
+        |SELECT e.event_id, e.user_id % 25 AS k, d.rate, d.version
+        |FROM events e LEFT JOIN dim d
+        |  ON (e.user_id % 25) = d.k
+        |  AND e.ts >= d.valid_from AND e.ts < d.valid_to
+        |ORDER BY e.event_id""".stripMargin,
+
+    // the banded equi-join answers exactly the theta containment join
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+        |    CAST(n_nationkey AS BIGINT) * 20.0 AS lo,
+        |    CAST(n_nationkey AS BIGINT) * 20.0 + 20.0
+        |      + (CAST(n_nationkey AS BIGINT) % 3) * 5.0 AS hi
+        |  FROM nation)
+        |SELECT e.event_id, b.band_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin
   )
 
   /** Non-negative md5 bucket — mirrors [[Sampling.hashBucket]]: top 63

@@ -821,6 +821,85 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.isNullAt(4), s"stitched payload from an older row: $got")
   }
 
+  // ---- temporal (SCD-2) join ------------------------------------------
+
+  test("temporal: version pick, boundary inclusion, expiry and pre-history nulls") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")), // before first version -> nulls
+      (2L, 7L, ts("2024-01-05 00:00:00")), // inside v0
+      (3L, 7L, ts("2024-01-10 00:00:00")), // exactly v1.valid_from -> v1
+      (4L, 7L, ts("2024-01-25 00:00:00")), // after closed v1 -> nulls
+      (5L, 8L, ts("2024-01-05 00:00:00"))  // other key, no versions -> nulls
+    ).toDF("event_id", "k", "ts")
+    val dim = Seq(
+      (7L, 0, ts("2024-01-03 00:00:00"), ts("2024-01-10 00:00:00"), "a"),
+      (7L, 1, ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"), "b")
+    ).toDF("k", "version", "valid_from", "valid_to", "payload")
+    val got = Joins.temporal(left, dim, Seq("k"), "ts",
+        "valid_from", "valid_to",
+        rightCols = Seq("version", "valid_to", "payload"), ordCol = "version")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        Option(r.getString(5)))).toSeq
+    assert(got === Seq(
+      (1L, None, None), (2L, Some(0), Some("a")), (3L, Some(1), Some("b")),
+      (4L, None, None), (5L, None, None)))
+  }
+
+  test("temporal: null valid_to is the open current version") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 7L, ts("2030-06-01 00:00:00")))
+      .toDF("event_id", "k", "ts")
+    val dim = Seq(
+      (7L, 0, ts("2024-01-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), "old"),
+      (7L, 1, ts("2024-02-01 00:00:00"), None: Option[java.sql.Timestamp], "current")
+    ).toDF("k", "version", "valid_from", "valid_to", "payload")
+    val got = Joins.temporal(left, dim, Seq("k"), "ts",
+        "valid_from", "valid_to",
+        rightCols = Seq("version", "valid_to", "payload"), ordCol = "version")
+      .collect()(0)
+    assert(got.getString(5) === "current")
+  }
+
+  // ---- banded range join ----------------------------------------------
+
+  test("range: containment boundaries, overlap multi-match, degenerate bands") {
+    val left = Seq((1L, 10.0), (2L, 20.0), (3L, 25.0), (4L, 30.0), (5L, 99.0))
+      .toDF("event_id", "value")
+    val bands = Seq(
+      (100L, 10.0, 30.0),  // [10,30): ids 1,2,3
+      (200L, 20.0, 40.0),  // [20,40): ids 2,3,4 — overlaps band 100
+      (300L, 50.0, 50.0),  // degenerate -> matches nothing
+      (400L, 60.0, 50.0)   // inverted -> matches nothing
+    ).toDF("band_id", "lo", "hi")
+    val got = Joins.range(left, bands, "value", "lo", "hi", bucketWidth = 7.0)
+      .select("event_id", "band_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 100L), (3L, 100L),
+      (2L, 200L), (3L, 200L), (4L, 200L)))
+  }
+
+  test("range: each true pair emits exactly once even when the interval " +
+      "spans many buckets") {
+    val left = Seq((1L, 55.5)).toDF("event_id", "value")
+    val bands = Seq((9L, 0.0, 1000.0)).toDF("band_id", "lo", "hi")
+    // interval covers ~334 width-3 buckets; the point lives in ONE
+    val rows = Joins.range(left, bands, "value", "lo", "hi", bucketWidth = 3.0)
+      .collect()
+    assert(rows.length === 1)
+  }
+
+  test("range: keyCols restrict matches within the same band space") {
+    val left = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("id", "grp", "v")
+    val bands = Seq(("a", 7L, 0.0, 10.0)).toDF("grp", "band_id", "lo", "hi")
+    val got = Joins.range(left, bands, "v", "lo", "hi", 4.0,
+        keyCols = Seq("grp"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+
   // ---- model-based quality classifier ---------------------------------
 
   test("quality classifier: separates the classes it was trained on") {

@@ -458,6 +458,43 @@ class PlanShapeSpec extends AnyFunSuite {
         s"the join operator:\n$p")
   }
 
+  test("temporal join keeps the asOf shape: window carry, no range product") {
+    import graft.operators.Joins
+    val t = Tables(spark, sf)
+    val e = t.events.select(col("event_id"), col("ts"),
+      (col("user_id") % 25).as("k"))
+    val base = lit("2024-01-03 00:00:00").cast("timestamp_ntz")
+    val dim = t.nation.select(col("n_nationkey").cast("long").as("k"))
+      .withColumn("version", explode(sequence(lit(0), lit(2))))
+      .withColumn("valid_from",
+        base + expr("make_dt_interval(8 * version, 0, 0, 0)"))
+      .withColumn("valid_to",
+        base + expr("make_dt_interval(8 * (version + 1), 0, 0, 0)"))
+    val q = Joins.temporal(e, dim, Seq("k"), "ts", "valid_from", "valid_to",
+      rightCols = Seq("version", "valid_to"), ordCol = "version")
+    val p = plan(q)
+    assert(p.contains("Window"), s"carry-forward window missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"SCD-2 must never plan a range product:\n$p")
+  }
+
+  test("range join is a banded EQUI-join: hash join on the bucket, no product") {
+    import graft.operators.Joins
+    val t = Tables(spark, sf)
+    val e = t.events.select(col("event_id"), col("value"))
+    val bands = t.nation.select(col("n_nationkey").cast("long").as("band_id"))
+      .withColumn("lo", col("band_id").cast("double") * 20.0)
+      .withColumn("hi", col("lo") + 25.0)
+    val q = Joins.range(e, bands, "value", "lo", "hi", bucketWidth = 16.0)
+    val p = plan(q)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findFirstIn(p).isDefined, s"no equi-join found:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must prevent the theta product:\n$p")
+  }
+
   test("classifier scoring: bounded model broadcasts; one doc-key shuffle " +
       "with map-side partial aggregation") {
     import graft.operators.TextAnalysis
