@@ -1415,6 +1415,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- hybrid retrieval: RRF fusion of the BM25 lexical pool and the
+    //     dense cosine pool around doc 7's embedding --------------------
+    "text_hybrid_rrf" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Retrieval.hybridTopK(t.documents, "doc_id", "text",
+          terms = bm25Terms, embeddings = t.embeddings, queryVecId = 7L,
+          k = 20, poolK = 50)
+        .select(col("id").as("doc_id"), col("lex_rank"), col("dense_rank"),
+          col("rrf"), col("rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- BPE pair statistics: top adjacent character pairs within
     //     canonical tokens (one merge step of tokenizer training) --------
     "text_bpe_pairs" -> { (s, dir) =>
@@ -2923,6 +2935,71 @@ object ExtensionQueries {
        |SELECT id, round(score, 6) AS score FROM topk ORDER BY id""".stripMargin
   }
 
+  /** RRF hybrid-search oracle: the BM25 pool CTEs (same arithmetic as
+    * [[bm25Oracle]]), the dense cosine pool (same arithmetic as the
+    * brute-force oracle), reciprocal-rank fusion with the identical
+    * two-term sum order.
+    */
+  private def hybridOracle(terms: Seq[String], queryVecId: Long, k: Int,
+      poolK: Int, kRrf: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    def tf(tm: String) =
+      s"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' $tm ', ''))) // ${tm.length + 2} AS BIGINT)"
+    val tfCols = terms.zipWithIndex.map { case (tm, i) => s"${tf(tm)} AS tf$i" }
+      .mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val avgdl = "(CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val score = terms.indices.map { i =>
+      val tfD = s"CAST(tf$i AS DOUBLE)"
+      val dfD = s"CAST(df$i AS DOUBLE)"
+      s"ln(1.0 + (CAST(n AS DOUBLE) - $dfD + 0.5) / ($dfD + 0.5)) * " +
+        s"($tfD * ${k1 + 1.0}) / ($tfD + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / $avgdl))"
+    }.mkString("\n    + ")
+    s"""WITH c AS (
+       |  SELECT doc_id AS id,
+       |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |tfs AS (
+       |  SELECT id, t,
+       |    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS dl,
+       |    $tfCols
+       |  FROM c),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS tl,
+       |    $dfCols
+       |  FROM tfs),
+       |lexscored AS (
+       |  SELECT id,
+       |    $score AS score
+       |  FROM tfs CROSS JOIN stats),
+       |lexpool AS (
+       |  SELECT id, score FROM lexscored WHERE score > 0
+       |  ORDER BY score DESC, id LIMIT $poolK),
+       |lex AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS lex_rank
+       |  FROM lexpool),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dscored AS (
+       |  SELECT cv.vec_id AS id,
+       |    list_dot_product(q.v, cv.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos0
+       |  FROM e q JOIN e cv ON q.vec_id = $queryVecId AND cv.vec_id != q.vec_id),
+       |dense AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY cos0 DESC, id) AS INT) AS dense_rank
+       |  FROM dscored QUALIFY dense_rank <= $poolK),
+       |fused AS (
+       |  SELECT coalesce(l.id, d.id) AS doc_id, l.lex_rank, d.dense_rank,
+       |    coalesce(1.0 / ($kRrf + l.lex_rank), 0.0)
+       |      + coalesce(1.0 / ($kRrf + d.dense_rank), 0.0) AS rrf
+       |  FROM lex l FULL JOIN dense d ON l.id = d.id),
+       |topk AS (
+       |  SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+       |  ORDER BY rrf DESC, doc_id LIMIT $k)
+       |SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+       |FROM topk ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH corpus AS (
@@ -4010,6 +4087,9 @@ object ExtensionQueries {
     },
 
     "text_bm25" -> bm25Oracle(bm25Terms, 20),
+
+    "text_hybrid_rrf" -> hybridOracle(bm25Terms, queryVecId = 7L, k = 20,
+      poolK = 50, kRrf = 60),
 
     "text_chunk_dedup" ->
       """WITH corpus AS (

@@ -952,6 +952,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- hybrid retrieval (RRF) -----------------------------------------
+
+  test("hybridTopK: both-channel doc outranks single-channel docs; " +
+      "channel-missing ranks fuse as zero contribution") {
+    import graft.operators.Retrieval
+    // doc 1: lexical hit AND nearest neighbor of the query vector
+    // doc 2: lexical only (vector orthogonal); doc 3: dense only
+    val docs = Seq(
+      (1L, "spark join spark join spark"),
+      (2L, "spark join window query engine"),
+      (3L, "unrelated words entirely here"),
+      (4L, "noise noise noise noise")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), // query
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.95f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(docs, "doc_id", "text",
+        terms = Seq("spark", "join"), embeddings = vecs, queryVecId = 0L,
+        k = 4, poolK = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toSeq
+    assert(got.head._1 === 1L,
+      s"doc 1 is strong in both channels and must rank first: $got")
+    val ids = got.map(_._1).toSet
+    assert(Set(2L, 3L).subsetOf(ids),
+      s"single-channel docs must still surface via fusion: $got")
+  }
+
   // ---- DSIR importance resampling -------------------------------------
 
   test("dsirSelect: picks the target-domain docs out of a mixed corpus") {
