@@ -1415,6 +1415,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- integer PageRank over a lineitem-derived link graph (5 exact
+    //     scaled-integer iterations; oracle unrolls the same rounds) ----
+    "graph_pagerank" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+      val edges = l.select((col("l_orderkey") % 500).as("src"),
+        (col("l_partkey") % 500).as("dst"))
+      graft.operators.Graph.pageRank(edges, iterations = 5)
+        .orderBy(col("node"))
+    },
+
     // --- hybrid retrieval: RRF fusion of the BM25 lexical pool and the
     //     dense cosine pool around doc 7's embedding --------------------
     "text_hybrid_rrf" -> { (s, dir) =>
@@ -3000,6 +3010,36 @@ object ExtensionQueries {
        |FROM topk ORDER BY doc_id""".stripMargin
   }
 
+  /** Integer-PageRank oracle: the 5 update rounds unrolled as CTEs (the
+    * [[graft.operators.TextAnalysis.bpeTrain]] oracle recipe) — every
+    * operation is BIGINT multiplication / integer division, so both
+    * engines produce identical ranks regardless of summation order.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val scale = "1000000000000"
+    def round(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (SELECT b FROM base) + (coalesce(c.s, 0) * 85) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+         |    FROM e JOIN deg d ON e.src = d.src JOIN $prev r ON e.src = r.node
+         |    GROUP BY 1) c ON nd.node = c.node)"""
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey % 500 AS src,
+       |    CAST(l_partkey AS BIGINT) % 500 AS dst
+       |  FROM lineitem),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |st AS (SELECT count(*) AS n FROM nodes),
+       |base AS (SELECT (($scale * 15) // 100) // n AS b FROM st),
+       |r0 AS (SELECT node, $scale // n AS rank FROM nodes, st),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH corpus AS (
@@ -4090,6 +4130,8 @@ object ExtensionQueries {
 
     "text_hybrid_rrf" -> hybridOracle(bm25Terms, queryVecId = 7L, k = 20,
       poolK = 50, kRrf = 60),
+
+    "graph_pagerank" -> pageRankOracle(5),
 
     "text_chunk_dedup" ->
       """WITH corpus AS (

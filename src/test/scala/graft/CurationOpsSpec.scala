@@ -952,6 +952,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- integer PageRank -----------------------------------------------
+
+  test("pageRank: hub of a star outranks leaves; symmetric cycle ties exactly") {
+    import graft.operators.Graph
+    // star: 1,2,3 -> 0 ; separate 2-cycle: 10 <-> 11
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L), s"star hub must outrank a leaf: $r")
+    assert(r(1L) === r(2L) && r(2L) === r(3L), s"leaves tie exactly: $r")
+    assert(r(10L) === r(11L), s"symmetric cycle ties exactly: $r")
+  }
+
+  test("pageRank: duplicate edges collapse; repeated runs are bit-identical") {
+    import graft.operators.Graph
+    val once = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(once, iterations = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.pageRank(dup, iterations = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b, "duplicate edges must not change ranks")
+    val c = Graph.pageRank(dup.repartition(7), iterations = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b === c, "partitioning must not change integer ranks")
+  }
+
+  test("pageRank: dangling mass drops — total rank strictly below scale") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 dangles
+    val total = Graph.pageRank(edges, iterations = 4)
+      .agg(sum("rank")).collect()(0).getLong(0)
+    assert(total > 0 && total < 1000000000000L,
+      s"dangling drop means sum < scale, got $total")
+  }
+
   // ---- hybrid retrieval (RRF) -----------------------------------------
 
   test("hybridTopK: both-channel doc outranks single-channel docs; " +

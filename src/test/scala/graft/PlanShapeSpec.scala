@@ -495,6 +495,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banding must prevent the theta product:\n$p")
   }
 
+  test("pageRank round: equi-joins + map-side-combined dst sum, no product") {
+    import graft.operators.Graph
+    val l = Tables(spark, sf).lineitem
+    val edges = l.select((col("l_orderkey") % 100).as("src"),
+      (col("l_partkey") % 100).as("dst"))
+    val q = Graph.pageRank(edges, iterations = 1)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
+    // localCheckpoint makes the executed plan a scan of the checkpointed
+    // RDD; assert the shape on the pre-checkpoint analyzed round instead
+    val nodes = edges.selectExpr("src AS node").union(edges.selectExpr("dst"))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val rank0 = nodes.select(col("node"), lit(1000L).as("rank"))
+    val roundDf = edges.join(outdeg, "src")
+      .join(rank0.withColumnRenamed("node", "src"), "src")
+      .selectExpr("dst AS node", "rank div deg AS c")
+      .groupBy(col("node")).agg(sum(col("c")).as("s"))
+    val rp = plan(roundDf)
+    assert(rp.contains("partial_sum") || rp.contains("partial"),
+      s"dst contribution sum must combine map-side:\n$rp")
+    assert(!rp.contains("CartesianProduct") &&
+      !rp.contains("BroadcastNestedLoopJoin"), s"no products in a round:\n$rp")
+  }
+
   test("classifier scoring: bounded model broadcasts; one doc-key shuffle " +
       "with map-side partial aggregation") {
     import graft.operators.TextAnalysis
