@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-style event-sequence analytics (windowFunnel / retention —
+  * the queries users run ON the tables the reference sinks into; this
+  * engine answers them natively so the sink's downstream workload moves
+  * with it). Reference context: housepower/clickhouse_sinker feeds
+  * ClickHouse exactly these funnel/retention workloads (README.md:1-40).
+  */
+object EventAnalytics {
+
+  /** windowFunnel: per user, the deepest prefix of `steps` that occurs
+    * in timestamp order within `windowSec` seconds of the chain's FIRST
+    * step — exists-chain semantics: level >= k iff there are events
+    * e_1..e_k with type(e_i) = steps(i-1), ts_1 <= ts_2 <= ... <= ts_k
+    * and ts_k <= ts_1 + window. Users with step events but no complete
+    * level-1 event report 0.
+    *
+    * Implementation: events filtered to the step set SCAN-LOCAL (the
+    * only shuffle carries (user, ts, stepIdx) for step events only),
+    * then one sorted-group pass per user. For each chain start the walk
+    * greedily takes the earliest valid next step, which decides
+    * exists-chain exactly (exchange argument: an earlier step-i pick
+    * only widens step-i+1's choices). Per-user work is
+    * O(starts * events) over the user's OWN events — bounded by
+    * per-user activity, never corpus-sized; a join-per-level
+    * formulation would instead build per-user cross products per step.
+    * The sorted-group scan is one of the justified imperative islands
+    * (like the binary decoders): no Catalyst expression walks a
+    * variable-length chain.
+    */
+  def windowFunnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowSec > 0, "windowSec must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = df.select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(typeCol).as("e"))
+      .filter(col("e").isin(steps: _*))
+      .as[(Long, Long, String)]
+    val winMicros = windowSec * 1000000L
+    val k = steps.size
+    typed.groupByKey(_._1)
+      .flatMapSortedGroups($"t") { (u: Long, it: Iterator[(Long, Long, String)]) =>
+        val evs = it.map(r => (r._2, stepIdx(r._3))).toArray
+        var best = 0
+        var i = 0
+        while (i < evs.length && best < k) {
+          if (evs(i)._2 == 0) {
+            val deadline = evs(i)._1 + winMicros
+            var level = 1
+            var lastTs = evs(i)._1
+            var j = 0
+            while (j < evs.length && level < k) {
+              val (ts, s) = evs(j)
+              if (s == level && ts >= lastTs && ts <= deadline) {
+                level += 1; lastTs = ts
+              }
+              j += 1
+            }
+            if (level > best) best = level
+          }
+          i += 1
+        }
+        Iterator((u, best))
+      }
+      .toDF(userCol, "level")
+  }
+
+  /** retention: per user, whether the ANCHOR condition held (`r0`) and,
+    * for each follow-up condition i, whether BOTH the anchor and that
+    * condition held (`r_i`) — ClickHouse `retention()` semantics, the
+    * cohort-analysis primitive. One map-side-combined aggregate over the
+    * user key; conditions are arbitrary boolean Columns (event type,
+    * time bucket, property predicates), evaluated scan-local.
+    */
+  def retention(df: DataFrame, userCol: String,
+      conds: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(conds.nonEmpty, "at least the anchor condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, lit(1)).otherwise(lit(0))).as(s"__f$i")
+    }
+    df.groupBy(col(userCol)).agg(flags.head, flags.tail: _*)
+      .select(col(userCol) +: conds.indices.map { i =>
+        (if (i == 0) col("__f0") else col("__f0") * col(s"__f$i"))
+          .cast("int").as(s"r$i")
+      }: _*)
+  }
+}

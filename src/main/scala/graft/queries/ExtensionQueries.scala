@@ -1415,6 +1415,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- ClickHouse windowFunnel: deepest view->click->purchase chain
+    //     within 4h of the chain start, exists-chain semantics ----------
+    "q_window_funnel" -> { (s, dir) =>
+      graft.operators.EventAnalytics.windowFunnel(Tables(s, dir).events,
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400)
+        .orderBy(col("user_id"))
+    },
+
+    // --- ClickHouse retention: week-1 signup anchor, week-2/3 activity -
+    "q_retention" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val w1 = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+      val w2 = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      graft.operators.EventAnalytics.retention(e, "user_id", Seq(
+          col("event_type") === "signup" && col("ts") < w1,
+          col("ts") >= w1 && col("ts") < w2,
+          col("ts") >= w2))
+        .orderBy(col("user_id"))
+    },
+
     // --- integer PageRank over a lineitem-derived link graph (5 exact
     //     scaled-integer iterations; oracle unrolls the same rounds) ----
     "graph_pagerank" -> { (s, dir) =>
@@ -4132,6 +4153,53 @@ object ExtensionQueries {
       poolK = 50, kRrf = 60),
 
     "graph_pagerank" -> pageRankOracle(5),
+
+    // exists-chain funnel: level k iff a time-ordered chain of the first
+    // k steps fits in the window measured from the chain start
+    "q_window_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        |l2 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+        |l3 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    JOIN ev c ON a.user_id = c.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND c.event_type = 'purchase'
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+        |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND)
+        |SELECT u.user_id,
+        |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS level
+        |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q_retention" ->
+      """SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    AS INT) AS r0,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
+        |    AS INT) AS r1,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS INT) AS r2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "text_chunk_dedup" ->
       """WITH corpus AS (

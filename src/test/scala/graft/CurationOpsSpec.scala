@@ -952,6 +952,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- event-sequence analytics (windowFunnel / retention) ------------
+
+  test("windowFunnel: exists-chain semantics — a later start can complete " +
+      "when the earliest start cannot") {
+    import graft.operators.EventAnalytics
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: view@0 (click at 5 is outside its 3s window) but view@4 ->
+    // click@5 -> buy@6 completes: level 3 via the SECOND start
+    // user 2: order violated (buy before click) -> level 2
+    // user 3: only clicks (no chain start) -> level 0
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(4), "view"), (1L, ts(5), "click"),
+      (1L, ts(6), "buy"),
+      (2L, ts(0), "view"), (2L, ts(1), "buy"), (2L, ts(2), "click"),
+      (3L, ts(1), "click"), (3L, ts(2), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.windowFunnel(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "buy"), windowSec = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 0), s"got $got")
+  }
+
+  test("windowFunnel: window boundary inclusive; equal timestamps chain") {
+    import graft.operators.EventAnalytics
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"),  // exactly at start+window
+      (2L, ts(5), "a"), (2L, ts(5), "b")    // same-instant chain
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.windowFunnel(events, "user_id", "ts",
+        "event_type", Seq("a", "b"), windowSec = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 2, 2L -> 2), s"got $got")
+  }
+
+  test("retention: follow-up flags gate on the anchor") {
+    import graft.operators.EventAnalytics
+    val events = Seq(
+      (1L, "signup"), (1L, "click"),   // anchor + follow-up -> 1,1
+      (2L, "click"),                   // follow-up without anchor -> 0,0
+      (3L, "signup")                   // anchor only -> 1,0
+    ).toDF("user_id", "event_type")
+    val got = EventAnalytics.retention(events, "user_id", Seq(
+        col("event_type") === "signup", col("event_type") === "click"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got === Map(1L -> (1, 1), 2L -> (0, 0), 3L -> (1, 0)), s"got $got")
+  }
+
   // ---- integer PageRank -----------------------------------------------
 
   test("pageRank: hub of a star outranks leaves; symmetric cycle ties exactly") {
