@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse MergeTree table-engine FINAL semantics as batch operators —
+  * what the rows the reference sinks (sink/ChWriter.scala feeds
+  * Replacing/Summing/Collapsing tables in practice) MEAN once the engine
+  * folds them. A user moving off the sinker re-reads raw appended rows
+  * here and gets the same folded table the CH engine would serve.
+  *
+  * All three are ONE map-side-combined aggregate on the key — the exact
+  * shape CH's background merges amortize, and the right 100 TB plan: the
+  * shuffle carries one partially-folded row per (mapper, key), never the
+  * raw appends.
+  */
+object MergeSemantics {
+
+  private def payloadCols(df: DataFrame, keyCols: Seq[String],
+      exclude: Seq[String]): Seq[String] =
+    df.columns.toSeq.filterNot(c => keyCols.contains(c) || exclude.contains(c))
+
+  /** ReplacingMergeTree FINAL: one row per key, the greatest `verCol`
+    * wins and its payload follows ATOMICALLY (whole-row max over a
+    * (version, payload...) struct — per-column max_by would stitch
+    * columns from different versions on version ties). Version ties
+    * break deterministically by payload lexicographic order, where CH
+    * itself keeps an insertion-order-dependent row — determinism is the
+    * stricter, replayable contract. This is the CDC upsert: appends with
+    * a monotonic version column fold to current state.
+    */
+  def replacingMerge(df: DataFrame, keyCols: Seq[String],
+      verCol: String): DataFrame = {
+    val payload = payloadCols(df, keyCols, Seq(verCol))
+    val packed = struct((verCol +: payload).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__r"))
+      .select(keyCols.map(col) ++
+        (verCol +: payload).map(c => col("__r").getField(c).as(c)): _*)
+  }
+
+  /** SummingMergeTree FINAL: per key, `sumCols` sum and everything else
+    * collapses to the row carrying the greatest (sumCols-excluded)
+    * payload struct — deterministic where CH keeps an arbitrary row.
+    * Pass exact-arithmetic columns (integers / decimals) for
+    * engine-reproducible sums; float sums are order-dependent by IEEE
+    * and belong outside a replayable fold.
+    */
+  def summingMerge(df: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "at least one sum column")
+    val others = payloadCols(df, keyCols, sumCols)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      (if (others.isEmpty) Nil
+       else Seq(max(struct(others.map(col): _*)).as("__o")))
+    val out = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (others.isEmpty) out
+    else out.select(keyCols.map(col) ++ sumCols.map(col) ++
+      others.map(c => col("__o").getField(c).as(c)): _*)
+  }
+
+  /** CollapsingMergeTree FINAL: rows arrive as (+1) states and (-1)
+    * cancellations; per key the net sign decides survival — net > 0
+    * keeps the greatest-`verCol` (+1) row, net <= 0 folds to nothing.
+    * One aggregate computes both the net and the surviving row; the
+    * filter is on the aggregated (one-row-per-key) side.
+    */
+  def collapsingMerge(df: DataFrame, keyCols: Seq[String],
+      signCol: String, verCol: String): DataFrame = {
+    val payload = payloadCols(df, keyCols, Seq(signCol, verCol))
+    val packed = struct((verCol +: payload).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(signCol)).as("__net"),
+        max(when(col(signCol) === 1, packed)).as("__r"))
+      .filter(col("__net") > 0)
+      .select(keyCols.map(col) ++
+        (verCol +: payload).map(c => col("__r").getField(c).as(c)): _*)
+  }
+}

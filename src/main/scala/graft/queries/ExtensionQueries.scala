@@ -1415,6 +1415,40 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- ReplacingMergeTree FINAL: greatest-version row per key (the
+    //     CDC upsert fold of appended rows) ------------------------------
+    "q_replacing_merge" -> { (s, dir) =>
+      val o = Tables(s, dir).orders.select(
+        (col("o_orderkey") % 1000).as("k"), col("o_orderkey").as("ver"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("totalprice"))
+      graft.operators.MergeSemantics.replacingMerge(o, Seq("k"), "ver")
+        .withColumn("totalprice", round(col("totalprice"), 6))
+        .orderBy(col("k"))
+    },
+
+    // --- SummingMergeTree FINAL: exact decimal sums per key ------------
+    "q_summing_merge" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem.select(
+        (col("l_partkey") % 500).as("k"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeSemantics.summingMerge(l, Seq("k"),
+          Seq("qty", "price"))
+        .orderBy(col("k"))
+    },
+
+    // --- CollapsingMergeTree FINAL: +1/-1 sign fold, net>0 keys keep
+    //     their greatest-version state row -------------------------------
+    "q_collapsing_merge" -> { (s, dir) =>
+      val o = Tables(s, dir).orders.select(
+        (col("o_orderkey") % 97).as("k"),
+        when(col("o_orderkey") % 2 === 0, 1).otherwise(-1).as("sign"),
+        col("o_orderkey").as("ver"), col("o_totalprice").as("tp"))
+      graft.operators.MergeSemantics.collapsingMerge(o, Seq("k"), "sign", "ver")
+        .select(col("k"), col("ver"), round(col("tp"), 6).as("totalprice"))
+        .orderBy(col("k"))
+    },
+
     // --- ClickHouse windowFunnel: deepest view->click->purchase chain
     //     within 4h of the chain start, exists-chain semantics ----------
     "q_window_funnel" -> { (s, dir) =>
@@ -4153,6 +4187,37 @@ object ExtensionQueries {
       poolK = 50, kRrf = 60),
 
     "graph_pagerank" -> pageRankOracle(5),
+
+    // ReplacingMergeTree FINAL: last version per key (ver unique here,
+    // so row_number on ver DESC is the whole-row max struct)
+    "q_replacing_merge" ->
+      """SELECT o_orderkey % 1000 AS k, o_orderkey AS ver,
+        |  o_orderstatus AS status, round(o_totalprice, 6) AS totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderkey % 1000 ORDER BY o_orderkey DESC) = 1
+        |ORDER BY k""".stripMargin,
+
+    "q_summing_merge" ->
+      """SELECT l_partkey % 500 AS k,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+        |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q_collapsing_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 97 AS k,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END AS sign,
+        |    o_orderkey AS ver, o_totalprice AS tp
+        |  FROM orders),
+        |a AS (
+        |  SELECT k, sum(sign) AS net,
+        |    max(CASE WHEN sign = 1 THEN ver END) AS ver
+        |  FROM t GROUP BY 1)
+        |SELECT a.k, a.ver, round(t.tp, 6) AS totalprice
+        |FROM a JOIN t ON a.k = t.k AND a.ver = t.ver
+        |WHERE a.net > 0
+        |ORDER BY a.k""".stripMargin,
 
     // exists-chain funnel: level k iff a time-ordered chain of the first
     // k steps fits in the window measured from the chain start

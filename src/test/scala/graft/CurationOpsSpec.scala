@@ -952,6 +952,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- MergeTree FINAL semantics --------------------------------------
+
+  test("replacingMerge: greatest version wins; version ties keep ONE " +
+      "whole row (no cross-row stitching)") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      (1L, 1L, "a", 10.0), (1L, 3L, "c", 30.0), (1L, 2L, "b", 20.0),
+      (2L, 5L, "x", 1.0), (2L, 5L, "w", 99.0) // tie on ver
+    ).toDF("k", "ver", "status", "price")
+    val got = MergeSemantics.replacingMerge(rows, Seq("k"), "ver")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // key 2 tie: struct max -> status "x" row as a WHOLE (x > w), price 1.0
+    assert(got === Array((1L, 3L, "c", 30.0), (2L, 5L, "x", 1.0)))
+  }
+
+  test("collapsingMerge: cancelled-out keys disappear; survivors keep " +
+      "the newest +1 state") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      (1L, 1, 10L, "s1"), (1L, -1, 11L, "s1c"),          // net 0 -> gone
+      (2L, 1, 20L, "old"), (2L, -1, 21L, "oldc"), (2L, 1, 22L, "new"),
+      (3L, -1, 30L, "only-cancel")                        // net -1 -> gone
+    ).toDF("k", "sign", "ver", "state")
+    val got = MergeSemantics.collapsingMerge(rows, Seq("k"), "sign", "ver")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got === Array((2L, 22L, "new")))
+  }
+
+  test("summingMerge: exact decimal sums; non-sum payload collapses " +
+      "deterministically") {
+    import graft.operators.MergeSemantics
+    val rows = Seq((1L, BigDecimal("1.10"), "a"), (1L, BigDecimal("2.20"), "b"))
+      .toDF("k", "amt", "tag")
+    val got = MergeSemantics.summingMerge(rows, Seq("k"), Seq("amt"))
+      .collect()(0)
+    assert(got.getDecimal(1).compareTo(new java.math.BigDecimal("3.30")) === 0)
+    assert(got.getString(2) === "b") // struct max over the leftover payload
+  }
+
   // ---- event-sequence analytics (windowFunnel / retention) ------------
 
   test("windowFunnel: exists-chain semantics — a later start can complete " +
