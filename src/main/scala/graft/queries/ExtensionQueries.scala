@@ -1415,6 +1415,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- standing CDC view, replayed under oracle: seed a keyed
+    //     current-state view from orders, then 3 update batches — batch 2
+    //     is entirely STALE (versions below the standing ones), so its
+    //     rows must report changed=false with the prior state intact ----
+    "stream_replacing_replay" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val seedRows = o.select((col("o_orderkey") % 300).as("k"),
+        col("o_orderkey").as("ver"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("tp"))
+      val keys = seedRows.select(col("k")).distinct()
+      def batchDf(b: Int) = {
+        val m = Seq(3, 4, 5)(b)
+        val verBase = Seq(1000000L, 2000000L, 1000L)(b)
+        keys.filter(col("k") % m === 0)
+          .select(col("k"), (col("k") + lit(verBase)).as("ver"),
+            lit(s"U$b").as("status"),
+            (col("k").cast("double") * (b + 1.5)).as("tp"))
+      }
+      val stateDir = scratchDir("stream_cdc", dir)
+      val srm = new graft.streaming.StreamingReplacingMerge(s, stateDir,
+        "k", "ver", Seq("status", "tp"))
+      srm.seed(seedRows)
+      val outs = (0 until 3).map { b =>
+        val r = srm.admit(batchDf(b), b.toLong).withColumn("batch", lit(b))
+        // fold seed + batch 0 mid-replay: batches 1-2 must see identical
+        // state through the file compaction
+        if (b == 0) srm.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("k"), col("ver"), col("status"),
+          round(col("tp"), 6).as("totalprice"), col("prev_ver"),
+          col("changed"))
+        .orderBy(col("batch"), col("k"))
+    },
+
     // --- ReplacingMergeTree FINAL: greatest-version row per key (the
     //     CDC upsert fold of appended rows) ------------------------------
     "q_replacing_merge" -> { (s, dir) =>
@@ -3065,6 +3100,52 @@ object ExtensionQueries {
        |FROM topk ORDER BY doc_id""".stripMargin
   }
 
+  /** Standing-CDC replay oracle: all updates stamped with their batch id
+    * (seed = -1), then per batch b the current/previous state for b's
+    * key set recomputed with batch-bounded visibility — `cur` folds
+    * `b' <= b`, `prev` folds `b' < b`, exactly the view
+    * [[graft.streaming.StreamingReplacingMerge.admit]] maintains.
+    */
+  private def cdcReplayOracle: String = {
+    def out(b: Int): String =
+      s"""cur$b AS (
+         |  SELECT k, ver, status, tp FROM (
+         |    SELECT k, ver, status, tp,
+         |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+         |    FROM upd WHERE b <= $b
+         |      AND k IN (SELECT k FROM upd WHERE b = $b)) WHERE rn = 1),
+         |prev$b AS (
+         |  SELECT k, ver FROM (
+         |    SELECT k, ver,
+         |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+         |    FROM upd WHERE b < $b
+         |      AND k IN (SELECT k FROM upd WHERE b = $b)) WHERE rn = 1),
+         |out$b AS (
+         |  SELECT $b AS batch, c.k, c.ver, c.status,
+         |    round(c.tp, 6) AS totalprice, p.ver AS prev_ver,
+         |    (p.ver IS NULL OR c.ver != p.ver) AS changed
+         |  FROM cur$b c LEFT JOIN prev$b p ON c.k = p.k)"""
+    s"""WITH ks AS (SELECT DISTINCT o_orderkey % 300 AS k FROM orders),
+       |upd AS (
+       |  SELECT o_orderkey % 300 AS k, o_orderkey AS ver,
+       |    o_orderstatus AS status, o_totalprice AS tp, -1 AS b FROM orders
+       |  UNION ALL
+       |  SELECT k, k + 1000000, 'U0', CAST(k AS DOUBLE) * 1.5, 0
+       |  FROM ks WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT k, k + 2000000, 'U1', CAST(k AS DOUBLE) * 2.5, 1
+       |  FROM ks WHERE k % 4 = 0
+       |  UNION ALL
+       |  SELECT k, k + 1000, 'U2', CAST(k AS DOUBLE) * 3.5, 2
+       |  FROM ks WHERE k % 5 = 0),
+       |${(0 to 2).map(out).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, k""".stripMargin
+  }
+
   /** Integer-PageRank oracle: the 5 update rounds unrolled as CTEs (the
     * [[graft.operators.TextAnalysis.bpeTrain]] oracle recipe) — every
     * operation is BIGINT multiplication / integer division, so both
@@ -4187,6 +4268,8 @@ object ExtensionQueries {
       poolK = 50, kRrf = 60),
 
     "graph_pagerank" -> pageRankOracle(5),
+
+    "stream_replacing_replay" -> cdcReplayOracle,
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

@@ -443,6 +443,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$stateDir/shingles").count() === 3)
   }
 
+  test("StreamingReplacingMerge: upsert, stale ignore, replay-idempotent") {
+    import graft.streaming.StreamingReplacingMerge
+    val stateDir = java.nio.file.Files.createTempDirectory("srm").toString
+    val srm = new StreamingReplacingMerge(spark, stateDir,
+      "k", "ver", Seq("v"))
+    srm.seed(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "ver", "v"))
+    // batch 0: newer update for key 1, stale update for key 2, new key 3;
+    // key 1 also carries an intra-batch stale row the fold must drop
+    val b0 = Seq((1L, 11L, "a2"), (1L, 5L, "old"), (2L, 19L, "stale"),
+      (3L, 30L, "c")).toDF("k", "ver", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ver", "v", "prev_ver", "changed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    val first = snap(srm.admit(b0, 0L))
+    assert(first === Seq(
+      (1L, 11L, "a2", 10L, true),   // upserted
+      (2L, 20L, "b", 20L, false),   // stale — standing row intact
+      (3L, 30L, "c", -1L, true)))   // first-seen
+    // crash-after-append replay reproduces the identical changelog
+    assert(snap(srm.admit(b0, 0L)) === first)
+    // batch 1 sees batch 0's state: key 3 upserts again
+    val second = snap(srm.admit(Seq((3L, 31L, "c2")).toDF("k", "ver", "v"), 1L))
+    assert(second === Seq((3L, 31L, "c2", 30L, true)))
+    // file compaction preserves the view for later batches
+    srm.compact(upTo = 1L)
+    val third = snap(srm.admit(Seq((3L, 29L, "late")).toDF("k", "ver", "v"), 2L))
+    assert(third === Seq((3L, 31L, "c2", 31L, false)))
+  }
+
+  test("StreamingReplacingMerge: MemoryStream E2E changelog dirs") {
+    import graft.streaming.StreamingReplacingMerge
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("srm_e2e").toString
+    val srm = new StreamingReplacingMerge(spark, s"$root/state",
+      "k", "ver", Seq("v"))
+    srm.seed(Seq((1L, 10L, "a")).toDF("k", "ver", "v"))
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = srm.attach(ms.toDF.toDF("k", "ver", "v"), s"$root/out",
+      s"$root/ckpt").start()
+    try {
+      ms.addData((1L, 12L, "a2")); q.processAllAvailable()
+      ms.addData((1L, 11L, "late"), (2L, 20L, "b")); q.processAllAvailable()
+    } finally q.stop()
+    val out0 = spark.read.parquet(s"$root/out/batch=0")
+      .select("k", "ver", "changed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out0 === Seq((1L, 12L, true)))
+    val out1 = spark.read.parquet(s"$root/out/batch=1")
+      .select("k", "ver", "changed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(out1 === Seq((1L, 12L, false), (2L, 20L, true)))
+  }
+
   test("StreamingSubstringDedup: cross-batch shared-window pairs, " +
       "verified against real text, replay-idempotent") {
     import graft.streaming.StreamingSubstringDedup
