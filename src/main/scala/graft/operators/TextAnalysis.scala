@@ -844,6 +844,26 @@ object TextAnalysis {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-doc weighting pass shared by the DSIR variants: explode the
+    * features, broadcast-join the bounded lambda table, integer-sum per
+    * document (map-side combine collapses a doc's features before the
+    * one narrow exchange).
+    */
+  private def dsirWeightsByLambda(raw: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, lam: org.apache.spark.sql.DataFrame,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val feats = raw.select(col(idCol).as("id"),
+        explode(dsirFeats(col(textCol))).as("feat"))
+      .select(col("id"),
+        Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
+    feats.join(broadcast(lam), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lambda"), lit(0L))).as("dsir_sum"))
+      .withColumn("dsir_mean",
+        round(col("dsir_sum").cast(DoubleType) / col("n_feats").cast(DoubleType), 6))
+  }
+
   /** DSIR importance weights: each raw document scores
     * sum over its features of `qlog(target_cnt) - qlog(raw_cnt)` — the
     * quantized log-likelihood ratio of the target vs raw hashed n-gram
@@ -862,16 +882,31 @@ object TextAnalysis {
         Seq("bucket"), "outer")
       .select(col("bucket"),
         (qlog(col("__tcnt")) - qlog(col("__rcnt"))).as("lambda"))
-    val feats = raw.select(col(idCol).as("id"),
-        explode(dsirFeats(col(textCol))).as("feat"))
-      .select(col("id"),
-        Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
-    feats.join(broadcast(lam), Seq("bucket"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("lambda"), lit(0L))).as("dsir_sum"))
-      .withColumn("dsir_mean",
-        round(col("dsir_sum").cast(DoubleType) / col("n_feats").cast(DoubleType), 6))
+    dsirWeightsByLambda(raw, idCol, textCol, lam, nBuckets)
+  }
+
+  /** Fused counting pass for the common in-corpus case (`target` is a
+    * predicate slice of `raw`, e.g. a high-quality source flag): ONE
+    * explode computes both distributions via a conditional sum, cutting
+    * the three corpus-scale feature scans of the generic
+    * [[dsirWeights]] composition to two — at 100 TB that third scan is
+    * real money. Same lambda table, bit-identical weights.
+    */
+  def dsirWeightsWithin(raw: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetCond: Column,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val counts = raw
+      .select(explode(dsirFeats(col(textCol))).as("feat"),
+        targetCond.cast(BooleanType).as("__t"))
+      .select(Sampling.hashBucket(col("feat"), nBuckets).as("bucket"),
+        col("__t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__rcnt"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__tcnt"))
+    val lam = counts.select(col("bucket"),
+      (qlog(col("__tcnt")) - qlog(col("__rcnt"))).as("lambda"))
+    dsirWeightsByLambda(raw, idCol, textCol, lam, nBuckets)
   }
 
   /** DSIR selection: keep the `n` raw documents most target-like by

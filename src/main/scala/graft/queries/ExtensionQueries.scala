@@ -1405,11 +1405,13 @@ object ExtensionQueries {
 
     // --- DSIR data selection (Xie et al. 2023): hashed unigram+bigram
     //     importance weights of raw docs vs an English target slice,
-    //     deterministic top-100 pick by normalized weight ---------------
+    //     deterministic top-100 pick by normalized weight. Uses the
+    //     fused in-corpus counting pass (2 feature scans, not 3) --------
     "text_dsir_select" -> { (s, dir) =>
       val d = Tables(s, dir).documents
-      TextAnalysis.dsirSelect(d, "doc_id", "text",
-          target = d.filter(col("lang") === "en"), n = 100, nBuckets = 1024)
+      TextAnalysis.dsirWeightsWithin(d, "doc_id", "text",
+          targetCond = col("lang") === "en", nBuckets = 1024)
+        .orderBy(col("dsir_mean").desc, col("id")).limit(100)
         .select(col("id").as("doc_id"), col("n_feats"), col("dsir_sum"),
           col("dsir_mean"))
         .orderBy(col("doc_id"))

@@ -1123,6 +1123,21 @@ class CurationOpsSpec extends AnyFunSuite {
       s"DSIR must pick the science docs, got $picked")
   }
 
+  test("dsirWeightsWithin: fused counting pass matches the generic " +
+      "composition bit-for-bit") {
+    val raw = Seq((1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "de"),
+      (3L, "alpha beta", "en"), (4L, "zeta eta theta iota", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val generic = TextAnalysis.dsirWeights(raw, "doc_id", "text",
+        TextAnalysis.dsirCounts(raw.filter(col("lang") === "en"), "text", 256),
+        TextAnalysis.dsirCounts(raw, "text", 256), 256)
+      .orderBy("id").collect().toSeq
+    val fused = TextAnalysis.dsirWeightsWithin(raw, "doc_id", "text",
+        col("lang") === "en", 256)
+      .orderBy("id").collect().toSeq
+    assert(fused === generic)
+  }
+
   test("dsirWeights: bigram features count — token order matters") {
     // same unigrams, different order: only the bigram channel separates
     // them, so the doc matching the target's ORDER must win

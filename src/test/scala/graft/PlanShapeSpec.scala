@@ -495,6 +495,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banding must prevent the theta product:\n$p")
   }
 
+  test("windowFunnel: step filter reaches the scan; ONE user-key exchange, " +
+      "no join at all") {
+    import graft.operators.EventAnalytics
+    val q = EventAnalytics.windowFunnel(Tables(spark, sf).events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 3600)
+    val p = plan(q)
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"funnel must shuffle exactly once (the user key):\n$p")
+    assert(!p.contains("Join"), s"the sorted-group walk replaces the " +
+      s"join-per-level formulation entirely:\n$p")
+    val f = formatted(q)
+    assert(f.contains("event_type"), s"step filter missing:\n$f")
+  }
+
   test("pageRank round: equi-joins + map-side-combined dst sum, no product") {
     import graft.operators.Graph
     val l = Tables(spark, sf).lineitem
