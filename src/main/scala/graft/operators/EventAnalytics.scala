@@ -49,28 +49,38 @@ object EventAnalytics {
     typed.groupByKey(_._1)
       .flatMapSortedGroups($"t") { (u: Long, it: Iterator[(Long, Long, String)]) =>
         val evs = it.map(r => (r._2, stepIdx(r._3))).toArray
-        var best = 0
-        var i = 0
-        while (i < evs.length && best < k) {
-          if (evs(i)._2 == 0) {
-            val deadline = evs(i)._1 + winMicros
-            var level = 1
-            var lastTs = evs(i)._1
-            var j = 0
-            while (j < evs.length && level < k) {
-              val (ts, s) = evs(j)
-              if (s == level && ts >= lastTs && ts <= deadline) {
-                level += 1; lastTs = ts
-              }
-              j += 1
-            }
-            if (level > best) best = level
-          }
-          i += 1
-        }
-        Iterator((u, best))
+        Iterator((u, funnelWalk(evs, k, winMicros)))
       }
       .toDF(userCol, "level")
+  }
+
+  /** The per-user exists-chain walk over `(tsMicros, stepIdx)` events
+    * sorted by ts: deepest chain of steps `0..k-1` whose span fits
+    * `winMicros` of the chain start. Shared by the batch
+    * [[windowFunnel]] and the standing streaming twin.
+    */
+  private[graft] def funnelWalk(evs: Array[(Long, Int)], k: Int,
+      winMicros: Long): Int = {
+    var best = 0
+    var i = 0
+    while (i < evs.length && best < k) {
+      if (evs(i)._2 == 0) {
+        val deadline = evs(i)._1 + winMicros
+        var level = 1
+        var lastTs = evs(i)._1
+        var j = 0
+        while (j < evs.length && level < k) {
+          val (ts, s) = evs(j)
+          if (s == level && ts >= lastTs && ts <= deadline) {
+            level += 1; lastTs = ts
+          }
+          j += 1
+        }
+        if (level > best) best = level
+      }
+      i += 1
+    }
+    best
   }
 
   /** retention: per user, whether the ANCHOR condition held (`r0`) and,

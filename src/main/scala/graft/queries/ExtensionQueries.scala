@@ -1417,6 +1417,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- standing streaming funnel, replayed under oracle: events
+    //     arrive in three event-time-ordered batches; each batch's
+    //     emitted level must equal the BATCH windowFunnel over the
+    //     user's full history so far (chains spanning batch boundaries
+    //     within the 4h window must surface) ----------------------------
+    "stream_funnel_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val stateDir = scratchDir("stream_funnel", dir)
+      val swf = new graft.streaming.StreamingWindowFunnel(s, stateDir,
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), windowSec = 14400)
+      swf.seed(e.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = swf.admit(batchDf(b), b.toLong).withColumn("batch", lit(b))
+        if (b == 0) swf.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("user_id"), col("level"))
+        .orderBy(col("batch"), col("user_id"))
+    },
+
     // --- standing CDC view, replayed under oracle: seed a keyed
     //     current-state view from orders, then 3 update batches — batch 2
     //     is entirely STALE (versions below the standing ones), so its
@@ -3102,6 +3130,56 @@ object ExtensionQueries {
        |FROM topk ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming-funnel replay oracle: per batch b, the users with step
+    * events in b's event-time range get the BATCH funnel level over the
+    * full history up to b's upper bound — the equivalence the standing
+    * state maintains.
+    */
+  private def funnelReplayOracle: String = {
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""e$b AS (SELECT * FROM ev WHERE $upTo),
+         |u$b AS (SELECT DISTINCT user_id FROM ev WHERE $inBatch),
+         |l1_$b AS (SELECT DISTINCT user_id FROM e$b WHERE event_type = 'view'),
+         |l2_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM e$b a JOIN e$b b ON a.user_id = b.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+         |l3_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM e$b a JOIN e$b b ON a.user_id = b.user_id
+         |    JOIN e$b c ON a.user_id = c.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND c.event_type = 'purchase'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+         |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND),
+         |out$b AS (
+         |  SELECT $b AS batch, u.user_id,
+         |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+         |         WHEN l2.user_id IS NOT NULL THEN 2
+         |         WHEN l1.user_id IS NOT NULL THEN 1
+         |         ELSE 0 END AS level
+         |  FROM u$b u LEFT JOIN l1_$b l1 ON u.user_id = l1.user_id
+         |    LEFT JOIN l2_$b l2 ON u.user_id = l2.user_id
+         |    LEFT JOIN l3_$b l3 ON u.user_id = l3.user_id)"""
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_type FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, user_id""".stripMargin
+  }
+
   /** Standing-CDC replay oracle: all updates stamped with their batch id
     * (seed = -1), then per batch b the current/previous state for b's
     * key set recomputed with batch-bounded visibility — `cur` folds
@@ -4272,6 +4350,8 @@ object ExtensionQueries {
     "graph_pagerank" -> pageRankOracle(5),
 
     "stream_replacing_replay" -> cdcReplayOracle,
+
+    "stream_funnel_replay" -> funnelReplayOracle,
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

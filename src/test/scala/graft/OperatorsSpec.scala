@@ -501,6 +501,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out1 === Seq((1L, 12L, false), (2L, 20L, true)))
   }
 
+  test("StreamingWindowFunnel: chains span batch boundaries within the " +
+      "window; expired tails cannot; replay-idempotent") {
+    import graft.streaming.StreamingWindowFunnel
+    val stateDir = java.nio.file.Files.createTempDirectory("swf").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val swf = new StreamingWindowFunnel(spark, stateDir,
+      "user_id", "ts", "event_type", Seq("a", "b", "c"), windowSec = 10)
+    swf.seed(Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type"))
+    // batch 0: user 1 starts a chain at t=100; user 2's start at t=0 will
+    // be long expired by batch 1
+    val b0 = Seq((1L, ts(100), "a"), (1L, ts(102), "b"),
+      (2L, ts(0), "a"), (2L, ts(1), "b")).toDF("user_id", "ts", "event_type")
+    val r0 = swf.admit(b0, 0L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r0 === Map(1L -> 2, 2L -> 2))
+    // batch 1: user 1 completes within the window ACROSS the boundary;
+    // user 2's c lands far outside its old chain's window — level stays 2
+    val b1 = Seq((1L, ts(105), "c"), (2L, ts(50), "c"))
+      .toDF("user_id", "ts", "event_type")
+    val first = swf.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(first === Map(1L -> 3, 2L -> 2), s"got $first")
+    // crash-after-append replay of batch 1 reproduces the same levels
+    val replay = swf.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(replay === first)
+    // file compaction preserves state for later batches: user 2 can
+    // still start fresh chains
+    swf.compact(upTo = 1L)
+    val r2 = swf.admit(Seq((2L, ts(60), "a"), (2L, ts(61), "b"),
+        (2L, ts(62), "c")).toDF("user_id", "ts", "event_type"), 2L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r2 === Map(2L -> 3))
+  }
+
   test("StreamingSubstringDedup: cross-batch shared-window pairs, " +
       "verified against real text, replay-idempotent") {
     import graft.streaming.StreamingSubstringDedup
