@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling and gap handling — the ClickHouse
+  * `WITH FILL` / `runningDifference` / moving-aggregate workload over
+  * event streams, expressed as one window pass per series.
+  *
+  * Determinism positions: bucket aggregation uses order-independent
+  * aggregates (max/count/decimal sums), the LOCF carry is a running
+  * `last(ignoreNulls)` whose frame order is the bucket sort, and moving
+  * averages derive from EXACT decimal moving sums divided at the end —
+  * float accumulation order never decides a value, so an independent
+  * engine reproduces every row (DuckDB's segment-tree window sums would
+  * otherwise differ in the last ulps).
+  */
+object TimeSeries {
+
+  /** Resample to fixed `stepSec` buckets and FILL the empty buckets
+    * between each series' first and last point: per (key, bucket) the
+    * row carries `v` = max of `valueCol` (cast to the exact decimal the
+    * caller chose), `n` = point count, and `filled` = true for
+    * generated gap rows. The grid is epoch-aligned
+    * (`bucket = floor(epochMicros / step)`), so bucket ids are
+    * reproducible across runs and engines.
+    *
+    * Shape: one aggregate on (key, bucket) + a per-key (min, max)
+    * aggregate whose grid EXPLODES scan-local — the join back to the
+    * buckets is an equi-join on (key, bucket). Grid size per key is
+    * bounded by the series' time span over `stepSec`; pick the step so
+    * span/step stays sane (the same knob any WITH FILL query has).
+    */
+  def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      stepSec: Long, valueCol: Column): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val stepMicros = stepSec * 1000000L
+    // integer division (div), never a double quotient cast: a rounded-up
+    // double would shift a point at a bucket boundary into the wrong
+    // bucket and desync from the oracle's epoch arithmetic
+    val bucket = expr(
+      s"unix_micros(CAST(`$tsCol` AS TIMESTAMP)) div ${stepMicros}L")
+      .cast("long")
+    val keyed = df.select(keyCols.map(col) :+
+      bucket.as("b") :+ valueCol.as("__v"): _*)
+    val buckets = keyed.groupBy((keyCols :+ "b").map(col): _*)
+      .agg(max(col("__v")).as("v0"), count(lit(1)).as("n"))
+    val grid = keyed.groupBy(keyCols.map(col): _*)
+      .agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"))).as("b"): _*)
+    grid.join(buckets, keyCols :+ "b", "left")
+      .select(keyCols.map(col) ++ Seq(col("b"),
+        col("v0"), coalesce(col("n"), lit(0L)).as("n"),
+        col("v0").isNull.as("filled")): _*)
+  }
+
+  /** Last-observation-carried-forward over the bucket order: nulls in
+    * `valueCol` take the latest preceding non-null within the key.
+    * Rows before a series' first observation stay null. One window
+    * (key partition, bucket order) — shares its exchange with any other
+    * same-partitioning window in the plan.
+    */
+  def locf(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** runningDifference: value minus the previous bucket's value within
+    * the key (null at each series head). Exact when the value column is
+    * decimal/integer.
+    */
+  def runningDelta(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, deltaName: String = "delta"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
+    df.withColumn(deltaName, col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
+  /** Trailing moving average over the last `nBuckets` buckets: the
+    * moving SUM is exact (decimal/integer input), the division happens
+    * once at the end — so the result is bit-reproducible where a
+    * float-accumulated window average is not.
+    */
+  def movingAvg(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, nBuckets: Int,
+      avgName: String = "mov_avg"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be at least 1")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(-(nBuckets - 1), Window.currentRow)
+    val cnt = count(col(valueCol)).over(w)
+    df.withColumn(avgName,
+      when(cnt > 0, // an all-null frame (series head before LOCF has
+        // anything to carry) must yield null, not 0/0 = NaN
+        round(sum(col(valueCol)).over(w).cast("double") /
+          cnt.cast("double"), 6)))
+  }
+}

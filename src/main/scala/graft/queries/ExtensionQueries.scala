@@ -1514,6 +1514,23 @@ object ExtensionQueries {
         .orderBy(col("k"))
     },
 
+    // --- time-series resample + WITH FILL + LOCF + runningDifference +
+    //     exact moving average over 6h buckets of the events stream ------
+    "q_timeseries_fill" -> { (s, dir) =>
+      import graft.operators.TimeSeries
+      val e = Tables(s, dir).events
+        .filter(col("event_type") === "purchase") // sparse series: real gaps
+        .select((col("user_id") % 10).as("k"), col("ts"), col("value"))
+      val rs = TimeSeries.resample(e, Seq("k"), "ts", stepSec = 21600,
+        valueCol = col("value").cast("decimal(18,2)"))
+      val filled = TimeSeries.locf(rs, Seq("k"), "b", "v0")
+      val withDelta = TimeSeries.runningDelta(filled, Seq("k"), "b", "v0")
+      TimeSeries.movingAvg(withDelta, Seq("k"), "b", "v0", nBuckets = 4)
+        .select(col("k"), col("b"), col("v0").as("v"), col("n"),
+          col("filled"), col("delta"), col("mov_avg"))
+        .orderBy(col("k"), col("b"))
+    },
+
     // --- ClickHouse windowFunnel: deepest view->click->purchase chain
     //     within 4h of the chain start, exists-chain semantics ----------
     "q_window_funnel" -> { (s, dir) =>
@@ -4383,6 +4400,40 @@ object ExtensionQueries {
         |FROM a JOIN t ON a.k = t.k AND a.ver = t.ver
         |WHERE a.net > 0
         |ORDER BY a.k""".stripMargin,
+
+    // resample + fill + LOCF (portable count-group trick) + lag delta +
+    // exact decimal moving sum divided once at the end
+    "q_timeseries_fill" ->
+      """WITH pts AS (
+        |  SELECT user_id % 10 AS k,
+        |    CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS b,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |bk AS (SELECT k, b, max(v) AS v0, count(*) AS n FROM pts GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT k, unnest(generate_series(lo, hi)) AS b FROM
+        |    (SELECT k, min(b) AS lo, max(b) AS hi FROM pts GROUP BY 1)),
+        |fl AS (
+        |  SELECT g.k, g.b, bk.v0, coalesce(bk.n, 0) AS n,
+        |    bk.v0 IS NULL AS filled
+        |  FROM gr g LEFT JOIN bk ON g.k = bk.k AND g.b = bk.b),
+        |lc AS (
+        |  SELECT k, b, n, filled,
+        |    max(v0) OVER (PARTITION BY k, grp) AS v
+        |  FROM (SELECT *, count(v0) OVER (
+        |    PARTITION BY k ORDER BY b) AS grp FROM fl)),
+        |dl AS (
+        |  SELECT k, b, v, n, filled,
+        |    v - lag(v) OVER (PARTITION BY k ORDER BY b) AS delta,
+        |    CASE WHEN count(v) OVER w4 > 0
+        |      THEN round(CAST(sum(v) OVER w4 AS DOUBLE)
+        |        / count(v) OVER w4, 6)
+        |    END AS mov_avg
+        |  FROM lc
+        |  WINDOW w4 AS (PARTITION BY k ORDER BY b
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT k, b, v, n, filled, delta, mov_avg FROM dl
+        |ORDER BY k, b""".stripMargin,
 
     // exists-chain funnel: level k iff a time-ordered chain of the first
     // k steps fits in the window measured from the chain start

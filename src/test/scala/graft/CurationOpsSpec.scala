@@ -952,6 +952,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- time-series resample / fill / LOCF -----------------------------
+
+  test("timeSeries: gaps fill, LOCF carries across them, head stays null") {
+    import graft.operators.TimeSeries
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key 1: points in buckets 0 and 3 (buckets 1-2 are gaps);
+    // bucket 0 has TWO points (max wins, n = 2)
+    val df = Seq((1L, ts(5), "7.00"), (1L, ts(8), "9.00"), (1L, ts(35), "4.00"))
+      .toDF("k", "ts", "raw")
+    val rs = TimeSeries.resample(df, Seq("k"), "ts", stepSec = 10,
+      valueCol = col("raw").cast("decimal(18,2)"))
+    val filled = TimeSeries.locf(rs, Seq("k"), "b", "v0")
+    val withD = TimeSeries.runningDelta(filled, Seq("k"), "b", "v0")
+    val got = TimeSeries.movingAvg(withD, Seq("k"), "b", "v0", nBuckets = 2)
+      .orderBy("b").collect()
+      .map(r => (r.getLong(1), r.getDecimal(2).toPlainString, r.getLong(3),
+        r.getBoolean(4),
+        if (r.isNullAt(5)) "null" else r.getDecimal(5).toPlainString,
+        r.getDouble(6)))
+      .toSeq
+    assert(got === Seq(
+      (0L, "9.00", 2L, false, "null", 9.0),   // max of the two points
+      (1L, "9.00", 0L, true, "0.00", 9.0),    // gap: carried, delta 0
+      (2L, "9.00", 0L, true, "0.00", 9.0),
+      (3L, "4.00", 1L, false, "-5.00", 6.5))) // real point, avg(9,4)
+  }
+
+  test("timeSeries: bucket boundary is exact integer division (no " +
+      "double rounding drift)") {
+    import graft.operators.TimeSeries
+    // a point exactly at a bucket boundary must land in the HIGHER bucket
+    val df = Seq((1L, new java.sql.Timestamp(10000L), "1.00"),
+      (1L, new java.sql.Timestamp(9999L), "2.00")).toDF("k", "ts", "raw")
+    val got = TimeSeries.resample(df, Seq("k"), "ts", stepSec = 10,
+        valueCol = col("raw").cast("decimal(18,2)"))
+      .orderBy("b").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 1L), (1L, 1L)))
+  }
+
   // ---- MergeTree FINAL semantics --------------------------------------
 
   test("replacingMerge: greatest version wins; version ties keep ONE " +

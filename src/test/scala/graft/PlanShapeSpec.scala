@@ -509,6 +509,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(f.contains("event_type"), s"step filter missing:\n$f")
   }
 
+  test("timeSeries pipeline: LOCF/delta/moving windows share ONE key " +
+      "partitioning (no re-shuffle per stage)") {
+    import graft.operators.TimeSeries
+    val e = Tables(spark, sf).events
+      .select((col("user_id") % 10).as("k"), col("ts"), col("value"))
+    val rs = TimeSeries.resample(e, Seq("k"), "ts", 21600,
+      col("value").cast("decimal(18,2)"))
+    val q = TimeSeries.movingAvg(
+      TimeSeries.runningDelta(
+        TimeSeries.locf(rs, Seq("k"), "b", "v0"), Seq("k"), "b", "v0"),
+      Seq("k"), "b", "v0", 4)
+    val p = plan(q)
+    // the three window stages all partition by k: at most one exchange
+    // may sit above the resample join (AQE may show reused exchanges)
+    val aboveJoin = p.substring(0, math.max(0, p.indexOf("Join")))
+    val exchanges = "Exchange hashpartitioning\\(k".r.findAllIn(aboveJoin).length
+    assert(exchanges <= 1,
+      s"window stages must share one k-partitioning, saw $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
   test("pageRank round: equi-joins + map-side-combined dst sum, no product") {
     import graft.operators.Graph
     val l = Tables(spark, sf).lineitem
