@@ -185,4 +185,20 @@ object Sampling {
       }
     df.filter(b < threshold)
   }
+
+  /** Leakage-safe (cluster-coherent) split: near-duplicate documents
+    * must never straddle train/eval — a twin of a training doc inside
+    * the test set is silent benchmark contamination that per-doc
+    * hashing happily produces. The split key is the document's dedup
+    * CLUSTER (connected component of `pairs`, [[Dedup.cluster]]), so
+    * every member of a duplicate family lands in one split; documents
+    * in no pair split on their own id as usual. Output adds both
+    * `component` and `split`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], buckets: Int = 10000): DataFrame = {
+    val comp = Dedup.cluster(df.select(col(idCol)), pairs, idCol)
+      .select(col("id").as(idCol), col("component"))
+    assignSplit(df.join(comp, Seq(idCol)), col("component"), splits, buckets)
+  }
 }

@@ -99,6 +99,27 @@ object Similarity {
         (col("r0") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per query,
+    * the k most similar corpus vectors INSIDE the cosine band
+    * `[loCos, hiCos)` — similar enough to be informative negatives,
+    * dissimilar enough to not be latent duplicates (the standard
+    * in-batch-negatives upgrade). Same plan as [[bruteForceTopK]]: the
+    * band filter sits in the scan-shaped scored projection, the cut is
+    * the bounded-heap TopKAgg — never a corpus sort.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      loCos: Double, hiCos: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(loCos < hiCos, "need loCos < hiCos")
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("cos"))
+      .filter(col("cos") >= loCos && col("cos") < hiCos)
+    topKPerQuery(scored, k)
+  }
+
   /** Exact top-k: for each query vector (small set — broadcast), the k
     * nearest corpus vectors by cosine. Deterministic tie-break on corpus
     * id.

@@ -1514,6 +1514,36 @@ object ExtensionQueries {
         .orderBy(col("k"))
     },
 
+    // --- hard-negative mining: per query, top-5 corpus vectors inside
+    //     the [0.3, 0.9) cosine band (similar-but-not-duplicate) --------
+    "sim_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      Similarity.hardNegativesTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          loCos = 0.3, hiCos = 0.9)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- leakage-safe split: exact-dup families (doc + planted twin)
+    //     must land whole in one split — the key is the dedup cluster --
+    "sample_split_safe" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.union(d.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text")))
+      val withFp = corpus.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val pairs = withFp.alias("x").join(withFp.alias("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      Sampling.leakageSafeSplit(corpus.select(col("doc_id")), "doc_id",
+          pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- time-series resample + WITH FILL + LOCF + runningDifference +
     //     exact moving average over 6h buckets of the events stream ------
     "q_timeseries_fill" -> { (s, dir) =>
@@ -3525,6 +3555,44 @@ object ExtensionQueries {
         |  nn_id, round(cos0, 6) AS cos
         |FROM scored QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the brute-force oracle with the cosine band applied before ranking
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos0
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+        |banded AS (
+        |  SELECT * FROM scored WHERE cos0 >= 0.3 AND cos0 < 0.9)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, nn_id) AS INT) AS rank,
+        |  nn_id, round(cos0, 6) AS cos
+        |FROM banded QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // exact-dup families are cliques on the fingerprint, so the cluster
+    // is min(doc_id) per fp; the split hashes the COMPONENT id
+    "sample_split_safe" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g')) AS f
+        |  FROM corpus),
+        |comp AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS component
+        |  FROM fp),
+        |sp AS (
+        |  SELECT doc_id, component,
+        |    (md5_number_lower(CAST(component AS VARCHAR)) >> 1) % 10000 AS bkt
+        |  FROM comp)
+        |SELECT doc_id, component,
+        |  CASE WHEN bkt < 8000 THEN 'train'
+        |       WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
     "sim_topk_lsh" -> lshOracle,
 

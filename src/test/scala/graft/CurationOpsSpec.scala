@@ -952,6 +952,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- hard negatives + leakage-safe split ----------------------------
+
+  test("hardNegativesTopK: the band excludes both duplicates and noise") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),   // query
+      (1L, Array(0.999, 0.01, 0.0)),// near-dup (cos ~1) -> excluded
+      (2L, Array(0.7, 0.7, 0.0)),   // cos ~0.707 -> hard negative
+      (3L, Array(0.0, 1.0, 0.0)),   // orthogonal -> excluded
+      (4L, Array(0.5, 0.5, 0.7))    // in band
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegativesTopK(vecs,
+        vecs.filter(col("vec_id") === 0L), k = 5, loCos = 0.3, hiCos = 0.95)
+      .select("nn_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L), s"got $got")
+  }
+
+  test("leakageSafeSplit: duplicate families never straddle splits") {
+    import graft.operators.Sampling
+    val docs = (1L to 400L).toDF("doc_id")
+    // families: (1,2,3) chained, (10,11), rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).size === 1,
+      "family 1-2-3 must share component AND split")
+    assert(byDoc(10L) === byDoc(11L))
+    // both splits actually populated over the 400 singletons
+    val splits = byDoc.values.map(_._2).toSet
+    assert(splits === Set("train", "test"))
+  }
+
   // ---- time-series resample / fill / LOCF -----------------------------
 
   test("timeSeries: gaps fill, LOCF carries across them, head stays null") {
