@@ -363,6 +363,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: `|shingles(a) ∩ shingles(b)| /
+    * |shingles(a)|` >= threshold — detects SUB-document duplication
+    * (quotes, excerpts, wrapped reposts) that symmetric Jaccard dilutes:
+    * a 10-word excerpt of a 500-word doc has Jaccard ~0.02 but
+    * containment 1.0. Directional: (a, b) means a is contained IN b;
+    * both directions are evaluated. Like [[nearDupPairsExact]] this is
+    * the exact bounded-slice form (all-pairs); at corpus scale the
+    * banded tiers ([[nearDupPairsMinhash]], [[substringDupPairs]]) are
+    * the candidate generators and this containment score is the verify.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+    val c = size(array_intersect(col("x.sh"), col("y.sh")))
+      .cast(DoubleType) / size(col("x.sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        c.as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---- simhash --------------------------------------------------------
 
   /** 64-bit simhash over word tokens — the definitional (compositional)

@@ -738,6 +738,24 @@ object TextAnalysis {
         round(col("logq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
   }
 
+  /** Automated Readability Index (Senter & Smith 1967) — the readability
+    * heuristic computable WITHOUT syllable counting, so it stays a pure
+    * deterministic projection: `4.71*(chars/words) + 0.5*(words/
+    * sentences) - 21.43` over non-space chars, whitespace tokens, and
+    * `[.!?]+` sentence runs (clamped to >= 1). Null for empty docs. The
+    * fixed operation order makes the float bit-reproducible across
+    * engines.
+    */
+  def ariScore(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", "")).cast(DoubleType)
+    val words = wsTokenCount(text).cast(DoubleType)
+    val sentences = greatest(
+      (size(split(text, "[.!?]+")) - 1).cast(DoubleType), lit(1.0))
+    when(words > 0,
+      lit(4.71) * (chars / words) + lit(0.5) * (words / sentences)
+        - lit(21.43))
+  }
+
   // ---- model-based quality filtering (fastText-classifier shape) ------
 
   /** Quantized log2: floor(log2(c)) for c >= 1, and 0 for c = 0 or null —

@@ -1514,6 +1514,38 @@ object ExtensionQueries {
         .orderBy(col("k"))
     },
 
+    // --- asymmetric containment dedup: 10-word excerpts of each doc are
+    //     planted — containment flags sub-document duplication Jaccard
+    //     dilutes (excerpt-in-doc ~1.0 vs Jaccard ~0.1) -----------------
+    "dedup_ngram_containment" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 100)
+      val subs = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).union(subs)
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.6)
+        .select(col("a"), col("b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- ARI readability (Senter & Smith 1967): the syllable-free
+    //     readability heuristic as a pure scan-local projection ---------
+    "text_readability" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      d.select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s+", "")).as("n_chars_ns"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+          greatest(size(split(col("text"), "[.!?]+")) - 1, lit(1))
+            .cast("long").as("n_sentences"),
+          // quantized micro-units: engine round() implementations can
+          // disagree by one ulp at a .5 boundary; floor(x*1e6+0.5) is the
+          // same IEEE ops on both sides, hence exact
+          floor(TextAnalysis.ariScore(col("text")) * 1000000 + 0.5)
+            .cast("long").as("ari_q"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- hard-negative mining: per query, top-5 corpus vectors inside
     //     the [0.3, 0.9) cosine band (similar-but-not-duplicate) --------
     "sim_hard_negatives" -> { (s, dir) =>
@@ -3337,6 +3369,41 @@ object ExtensionQueries {
         |      ORDER BY doc_id) AS rn
         |  FROM corpus)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_containment" -> {
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[1:10], ' ') AS text
+         |  FROM documents WHERE doc_id < 100),
+         |${shinglesCtes("corpus")}
+         |SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / len(sa.s), 6) AS containment
+         |FROM sh sa JOIN sh sb ON sa.doc_id != sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / len(sa.s) >= 0.6
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // identical fixed-order float arithmetic on both engines
+    "text_readability" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_ns,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |  greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS n_sentences,
+        |  CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END) > 0 THEN
+        |    CAST(floor((4.71 * (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / (CASE WHEN trim(text) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END))
+        |      + 0.5 * (CAST((CASE WHEN trim(text) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE)
+        |        / greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1))
+        |      - 21.43) * 1000000 + 0.5) AS BIGINT)
+        |  END AS ari_q
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
 

@@ -952,6 +952,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- containment + readability --------------------------------------
+
+  test("containmentPairs: excerpt-in-doc scores 1.0 where Jaccard dilutes") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, excerpt), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((2L, 1L, 1.0)),
+      s"only excerpt->doc direction qualifies: $got")
+    // the symmetric Jaccard would have been tiny
+    val jac = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3,
+      threshold = 0.6)
+    assert(jac.count() === 0)
+  }
+
+  test("ariScore: hand-computed value; empty doc is null") {
+    // "the cat sat." -> 10 non-space chars, 3 words, 1 sentence
+    val df = Seq((1L, "the cat sat."), (2L, "   ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.ariScore(col("text")).as("ari")).orderBy("doc_id")
+      .collect()
+    val want = 4.71 * (10.0 / 3.0) + 0.5 * (3.0 / 1.0) - 21.43
+    assert(math.abs(got(0).getDouble(1) - want) < 1e-9)
+    assert(got(1).isNullAt(1))
+  }
+
   // ---- hard negatives + leakage-safe split ----------------------------
 
   test("hardNegativesTopK: the band excludes both duplicates and noise") {
