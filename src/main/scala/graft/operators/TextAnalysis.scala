@@ -738,6 +738,28 @@ object TextAnalysis {
         round(col("logq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
   }
 
+  /** Luhn checksum validity of a digit string — distinguishes real
+    * payment-card numbers from arbitrary digit runs, the precision
+    * upgrade over scrubbing every long number: integer arithmetic only
+    * (double-and-fold from the right), bit-reproducible everywhere.
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val vals = transform(sequence(lit(1), n), i => {
+      val d = digits.substr(i, lit(1)).cast(IntegerType)
+      when((n - i) % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), (a, b) => a + b) % 10 === 0
+  }
+
+  /** Candidate payment-card numbers: contiguous 13-19 digit runs
+    * (leftmost non-overlapping, the shared regex-engine contract).
+    * Callers gate on [[luhnValid]] for detection with precision.
+    */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))
+
   /** Automated Readability Index (Senter & Smith 1967) — the readability
     * heuristic computable WITHOUT syllable counting, so it stays a pure
     * deterministic projection: `4.71*(chars/words) + 0.5*(words/

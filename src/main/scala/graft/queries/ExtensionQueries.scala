@@ -1529,6 +1529,22 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- Luhn card detection: planted valid + invalid digit runs; only
+    //     checksum-valid candidates flag (precision over scrub-all) -----
+    "text_pii_cards" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.filter(col("doc_id") < 200)
+      val corpus = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(" card 4539578763621486 ref 1234567890123"))
+            .otherwise(lit(" acct 79927398713999 ord 4111111111111111")))
+          .as("text"))
+      corpus.select(col("doc_id"),
+          explode(TextAnalysis.cardCandidates(col("text"))).as("candidate"))
+        .withColumn("valid", TextAnalysis.luhnValid(col("candidate")))
+        .orderBy(col("doc_id"), col("candidate"))
+    },
+
     // --- ARI readability (Senter & Smith 1967): the syllable-free
     //     readability heuristic as a pure scan-local projection ---------
     "text_readability" -> { (s, dir) =>
@@ -3385,6 +3401,26 @@ object ExtensionQueries {
          |    / len(sa.s) >= 0.6
          |ORDER BY a, b""".stripMargin
     },
+
+    // integer double-and-fold Luhn over leftmost non-overlapping runs
+    "text_pii_cards" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+        |    THEN ' card 4539578763621486 ref 1234567890123'
+        |    ELSE ' acct 79927398713999 ord 4111111111111111' END AS text
+        |  FROM documents WHERE doc_id < 200),
+        |cand AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[0-9]{13,19}')) AS candidate
+        |  FROM corpus)
+        |SELECT doc_id, candidate,
+        |  list_sum(list_transform(range(1, length(candidate) + 1), i ->
+        |    CASE WHEN (length(candidate) - i) % 2 = 1
+        |      THEN CASE WHEN CAST(candidate[i] AS INT) * 2 > 9
+        |        THEN CAST(candidate[i] AS INT) * 2 - 9
+        |        ELSE CAST(candidate[i] AS INT) * 2 END
+        |      ELSE CAST(candidate[i] AS INT) END)) % 10 = 0 AS valid
+        |FROM cand ORDER BY doc_id, candidate""".stripMargin,
 
     // identical fixed-order float arithmetic on both engines
     "text_readability" ->

@@ -970,6 +970,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(jac.count() === 0)
   }
 
+  test("luhnValid: known card vectors; cardCandidates finds digit runs") {
+    val df = Seq(
+      (1L, "4539578763621486"),  // valid 16-digit
+      (2L, "4111111111111111"),  // valid classic Visa
+      (3L, "79927398713"),       // valid 11-digit (reference vector)
+      (4L, "1234567890123"),     // invalid
+      (5L, "4539578763621487")   // single-digit corruption -> invalid
+    ).toDF("id", "d")
+    val got = df.select(col("id"), TextAnalysis.luhnValid(col("d")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+    val cands = Seq((1L, "pay 4111111111111111 or 123 maybe 1234567890123x"))
+      .toDF("id", "t")
+      .select(explode(TextAnalysis.cardCandidates(col("t"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(cands === Seq("4111111111111111", "1234567890123"))
+  }
+
   test("ariScore: hand-computed value; empty doc is null") {
     // "the cat sat." -> 10 non-space chars, 3 words, 1 sentence
     val df = Seq((1L, "the cat sat."), (2L, "   ")).toDF("doc_id", "text")
