@@ -1417,6 +1417,37 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- standing streaming retention, replayed under oracle: cohort
+    //     flags accumulate across 3 time-ordered batches; each batch's
+    //     emitted row is the anchor-gated retention over full history --
+    "stream_retention_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val w1 = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+      val w2 = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val stateDir = scratchDir("stream_retention", dir)
+      val sr = new graft.streaming.StreamingRetention(s, stateDir,
+        "user_id", Seq(
+          "anchor" -> (col("event_type") === "signup" && col("ts") < w1),
+          "week2" -> (col("ts") >= w1 && col("ts") < w2),
+          "week3" -> (col("ts") >= w2)))
+      sr.seed(e.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = sr.admit(batchDf(b), b.toLong).withColumn("batch", lit(b))
+        if (b == 0) sr.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("user_id"), col("r0"), col("r1"),
+          col("r2"))
+        .orderBy(col("batch"), col("user_id"))
+    },
+
     // --- standing streaming funnel, replayed under oracle: events
     //     arrive in three event-time-ordered batches; each batch's
     //     emitted level must equal the BATCH windowFunnel over the
@@ -3225,6 +3256,42 @@ object ExtensionQueries {
        |FROM topk ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming-retention replay oracle: per batch b, every user with an
+    * event in b's range gets the anchor-gated flags recomputed over ALL
+    * events up to b's upper bound.
+    */
+  private def retentionReplayOracle: String = {
+    val anchor = "event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'"
+    val c1 = "ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+    val c2 = "ts >= TIMESTAMP '2024-01-15 00:00:00'"
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""out$b AS (
+         |  SELECT $b AS batch, user_id,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END) AS INT) AS r0,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |      * max(CASE WHEN $c1 THEN 1 ELSE 0 END) AS INT) AS r1,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |      * max(CASE WHEN $c2 THEN 1 ELSE 0 END) AS INT) AS r2
+         |  FROM events
+         |  WHERE ($upTo) AND user_id IN (
+         |    SELECT DISTINCT user_id FROM events WHERE $inBatch)
+         |  GROUP BY user_id)"""
+    }
+    s"""WITH
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, user_id""".stripMargin
+  }
+
   /** Streaming-funnel replay oracle: per batch b, the users with step
     * events in b's event-time range get the BATCH funnel level over the
     * full history up to b's upper bound — the equivalence the standing
@@ -4540,6 +4607,8 @@ object ExtensionQueries {
     "stream_replacing_replay" -> cdcReplayOracle,
 
     "stream_funnel_replay" -> funnelReplayOracle,
+
+    "stream_retention_replay" -> retentionReplayOracle,
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

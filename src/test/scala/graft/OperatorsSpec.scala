@@ -501,6 +501,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out1 === Seq((1L, 12L, false), (2L, 20L, true)))
   }
 
+  test("StreamingRetention: flags accumulate monotonically; anchor in a " +
+      "LATER batch re-gates earlier follow-ups; replay-idempotent") {
+    import graft.streaming.StreamingRetention
+    val stateDir = java.nio.file.Files.createTempDirectory("sret").toString
+    val sr = new StreamingRetention(spark, stateDir, "user_id", Seq(
+      "anchor" -> (col("event_type") === "signup"),
+      "came_back" -> (col("event_type") === "visit")))
+    sr.seed(Seq.empty[(Long, String)].toDF("user_id", "event_type"))
+    // batch 0: user 1 visits BEFORE signing up (no anchor yet)
+    val b0 = Seq((1L, "visit")).toDF("user_id", "event_type")
+    val r0 = sr.admit(b0, 0L).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(r0 === Map(1L -> (0, 0)))
+    // batch 1: the signup lands — accumulated flags now gate through
+    val b1 = Seq((1L, "signup"), (2L, "visit")).toDF("user_id", "event_type")
+    val first = sr.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(first === Map(1L -> (1, 1), 2L -> (0, 0)), s"got $first")
+    // crash-after-append replay reproduces identical rows
+    val replay = sr.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(replay === first)
+  }
+
   test("StreamingWindowFunnel: chains span batch boundaries within the " +
       "window; expired tails cannot; replay-idempotent") {
     import graft.streaming.StreamingWindowFunnel
