@@ -129,7 +129,16 @@ object GraftExtensions {
       "graft_ngram_rep(text[, topN, dupN]) - struct(top, dup) Gopher n-gram repetition fractions"),
     ("graft_char_entropy",
       args => toExpression(graft.functions.CharEntropy.of(c(args.head))),
-      "graft_char_entropy(text) - Shannon entropy (bits/char) of the character distribution")
+      "graft_char_entropy(text) - Shannon entropy (bits/char) of the character distribution"),
+    ("graft_luhn_valid",
+      args => toExpression(TextAnalysis.luhnValid(c(args.head))),
+      "graft_luhn_valid(digits) - Luhn checksum validity of a digit string"),
+    ("graft_card_candidates",
+      args => toExpression(TextAnalysis.cardCandidates(c(args.head))),
+      "graft_card_candidates(text) - 13-19 digit runs (payment-card candidates)"),
+    ("graft_ari",
+      args => toExpression(TextAnalysis.ariScore(c(args.head))),
+      "graft_ari(text) - Automated Readability Index (syllable-free readability)")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

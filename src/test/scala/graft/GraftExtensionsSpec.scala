@@ -44,7 +44,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_normalize_url('HTTPS://WWW.Example.ORG:443/a/?utm_source=x&b=2&a=1#f') AS nu,
         |  graft_strip_html('<p>A &amp; B</p><script>x()</script>') AS sh2,
         |  graft_fingerprint_nfc(text) AS fpn,
-        |  graft_char_entropy(text) AS ent
+        |  graft_char_entropy(text) AS ent,
+        |  graft_luhn_valid('4111111111111111') AS luhn,
+        |  graft_card_candidates('pay 4111111111111111 now') AS cards,
+        |  graft_ari(text) AS ari
         |FROM docs""".stripMargin)
     val api = spark.table("docs").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -64,7 +67,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       TextAnalysis.stripHtml(
         lit("<p>A &amp; B</p><script>x()</script>")).as("sh2"),
       TextAnalysis.fingerprintNfc(col("text")).as("fpn"),
-      graft.functions.CharEntropy.of(col("text")).as("ent"))
+      graft.functions.CharEntropy.of(col("text")).as("ent"),
+      TextAnalysis.luhnValid(lit("4111111111111111")).as("luhn"),
+      TextAnalysis.cardCandidates(lit("pay 4111111111111111 now")).as("cards"),
+      TextAnalysis.ariScore(col("text")).as("ari"))
     assert(sql.exceptAll(api).count() === 0)
     assert(api.exceptAll(sql).count() === 0)
   }
