@@ -186,6 +186,20 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Deterministic weighted Bernoulli sample: each row keeps with its
+    * OWN probability `weight` (a [0,1] column — quality scores, DSIR
+    * importance weights, source boosts), decided by the row's stable
+    * md5 bucket rather than `rand()` — reproducible across runs,
+    * engines and cluster sizes, and scan-local (a pushed filter). The
+    * paper-shape companion to [[graft.operators.TextAnalysis.dsirSelect]]'s
+    * deterministic top-n: sampling proportional to importance instead
+    * of a hard cutoff. Weights outside [0,1] behave as clamped (bucket
+    * comparison saturates).
+    */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(key, buckets).cast("double") < weight * buckets)
+
   /** Leakage-safe (cluster-coherent) split: near-duplicate documents
     * must never straddle train/eval — a twin of a training doc inside
     * the test set is silent benchmark contamination that per-doc

@@ -1593,6 +1593,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- weighted Bernoulli sampling: keep probability = per-doc length
+    //     weight, decided by the stable md5 bucket (never rand()) -------
+    "sample_weighted" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val w = least(col("n_chars").cast("double") / 2000.0, lit(1.0))
+      Sampling.sampleByWeight(d, col("doc_id"), w)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- hard-negative mining: per query, top-5 corpus vectors inside
     //     the [0.3, 0.9) cosine band (similar-but-not-duplicate) --------
     "sim_hard_negatives" -> { (s, dir) =>
@@ -3725,6 +3735,12 @@ object ExtensionQueries {
         |  nn_id, round(cos0, 6) AS cos
         |FROM scored QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1) % 10000 AS DOUBLE)
+        |  < least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) * 10000
+        |ORDER BY doc_id""".stripMargin,
 
     // the brute-force oracle with the cosine band applied before ranking
     "sim_hard_negatives" ->

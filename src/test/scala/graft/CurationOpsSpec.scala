@@ -952,6 +952,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("sampleByWeight: weight 1 keeps all, 0 keeps none, and keeps are " +
+      "monotone in the weight (nested samples)") {
+    import graft.operators.Sampling
+    val docs = (1L to 500L).toDF("doc_id")
+    assert(Sampling.sampleByWeight(docs, col("doc_id"), lit(1.0)).count() === 500)
+    assert(Sampling.sampleByWeight(docs, col("doc_id"), lit(0.0)).count() === 0)
+    def kept(w: Double) = Sampling.sampleByWeight(docs, col("doc_id"), lit(w))
+      .collect().map(_.getLong(0)).toSet
+    val k3 = kept(0.3); val k7 = kept(0.7)
+    assert(k3.subsetOf(k7), "a higher weight must keep a superset")
+    assert(k3.nonEmpty && k7.size < 500)
+  }
+
+  test("range: negative points and intervals band correctly (floor, not " +
+      "truncate-toward-zero)") {
+    val left = Seq((1L, -25.0), (2L, -0.5), (3L, 5.0)).toDF("event_id", "value")
+    val bands = Seq((9L, -30.0, -20.0), (8L, -1.0, 1.0)).toDF("band_id", "lo", "hi")
+    val got = Joins.range(left, bands, "value", "lo", "hi", bucketWidth = 7.0)
+      .select("event_id", "band_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 9L), (2L, 8L)), s"got $got")
+  }
+
   // ---- containment + readability --------------------------------------
 
   test("containmentPairs: excerpt-in-doc scores 1.0 where Jaccard dilutes") {
