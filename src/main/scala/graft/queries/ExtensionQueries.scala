@@ -1593,6 +1593,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- fixed-bin histogram (deterministic CH histogram() stand-in):
+    //     integer-div banding reuses the TimeSeries bucket discipline --
+    "q_histogram" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      e.select((floor(col("value") / 20.0)).cast("long").as("bin"),
+          col("value"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+        .orderBy(col("bin"))
+    },
+
     // --- weighted Bernoulli sampling: keep probability = per-doc length
     //     weight, decided by the stable md5 bucket (never rand()) -------
     "sample_weighted" -> { (s, dir) =>
@@ -3735,6 +3748,12 @@ object ExtensionQueries {
         |  nn_id, round(cos0, 6) AS cos
         |FROM scored QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+        |  count(*) AS n, round(min(value), 6) AS lo,
+        |  round(max(value), 6) AS hi
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "sample_weighted" ->
       """SELECT doc_id FROM documents
