@@ -1672,6 +1672,21 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): ordered chain
+    //     with NO time bound — the funnel walk with an effectively
+    //     unbounded window (10y >> the 2-day slice — only 10 of 142
+    //     users complete the ordered triple that early) ----------------
+    "q_sequence_match" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+      graft.operators.EventAnalytics.windowFunnel(e,
+          "user_id", "ts", "event_type",
+          steps = Seq("signup", "view", "purchase"),
+          windowSec = 315360000L)
+        .select(col("user_id"), (col("level") === 3).as("matched"))
+        .orderBy(col("user_id"))
+    },
+
     // --- ClickHouse retention: week-1 signup anchor, week-2/3 activity -
     "q_retention" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -4739,6 +4754,24 @@ object ExtensionQueries {
         |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
         |  LEFT JOIN l2 ON u.user_id = l2.user_id
         |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // ordered-triple EXISTS with no window bound
+    "q_sequence_match" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')
+        |    AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    JOIN ev c ON a.user_id = c.user_id
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+        |    AND c.event_type = 'purchase'
+        |    AND b.ts >= a.ts AND c.ts >= b.ts)
+        |SELECT u.user_id, m.user_id IS NOT NULL AS matched
+        |FROM u LEFT JOIN m ON u.user_id = m.user_id
         |ORDER BY u.user_id""".stripMargin,
 
     "q_retention" ->
