@@ -38,17 +38,24 @@ object EventAnalytics {
     require(windowSec > 0, "windowSec must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
+    // step index projected BEFORE grouping so ties sort by (ts, stepIdx):
+    // funnelWalk is a forward pass, so an equal-timestamp higher step
+    // stored ahead of a lower one would be invisible to the chain even
+    // though ts_i <= ts_{i+1} admits it (the streaming twin sorts
+    // struct(t, s) for the same reason)
+    val idxCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
     val typed = df.select(col(userCol).cast("long").as("u"),
         unix_micros(col(tsCol).cast("timestamp")).as("t"),
-        col(typeCol).as("e"))
-      .filter(col("e").isin(steps: _*))
-      .as[(Long, Long, String)]
+        idxCol.as("s"))
+      .filter(col("s") >= 0)
+      .as[(Long, Long, Int)]
     val winMicros = windowSec * 1000000L
     val k = steps.size
     typed.groupByKey(_._1)
-      .flatMapSortedGroups($"t") { (u: Long, it: Iterator[(Long, Long, String)]) =>
-        val evs = it.map(r => (r._2, stepIdx(r._3))).toArray
+      .flatMapSortedGroups($"t", $"s") { (u: Long, it: Iterator[(Long, Long, Int)]) =>
+        val evs = it.map(r => (r._2, r._3)).toArray
         Iterator((u, funnelWalk(evs, k, winMicros)))
       }
       .toDF(userCol, "level")

@@ -9,17 +9,22 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata beside them. The Spark-side
   * contract — schema, batch shape, partition sizing — is real and tested.
   *
-  * The codec tier has two layers:
-  *   - [[ImageIoDecoder]], a REAL image decode path over the JDK's
-  *     `javax.imageio` (PNG/JPEG/BMP/GIF — zero extra dependencies),
-  *     feeding [[decodeImages]] (per-image luma stats + a dHash
-  *     perceptual fingerprint) and [[imageNearDups]] (banded
-  *     perceptual-hash image dedup);
-  *   - [[DecodeStub]], the deterministic stand-in that remains for the
-  *     modalities whose codecs this container genuinely lacks
-  *     (audio/video), with the same signature a real decoder would have
-  *     (mapPartitions over binary payloads, the Scala analogue of a
-  *     Pandas-UDF batch).
+  * The codec tier is REAL for all three modalities, zero extra
+  * dependencies:
+  *   - [[ImageIoDecoder]], image decode over the JDK's `javax.imageio`
+  *     (PNG/JPEG/BMP/GIF), feeding [[decodeImages]] (per-image luma
+  *     stats + a dHash perceptual fingerprint) and [[imageNearDups]]
+  *     (banded perceptual-hash image dedup);
+  *   - [[WavDecoder]], a hand-rolled RIFF/WAVE PCM parser (chunk walk,
+  *     16-bit little-endian samples) behind the audio stats/fingerprint/
+  *     segment operators;
+  *   - [[AviDemuxer]], a RIFF/AVI container demuxer (frame index walk,
+  *     per-frame payloads decoded as images) behind frame sampling,
+  *     scene cuts, and video near-dup.
+  * All three run scan-local in mapPartitions over binary payloads — the
+  * Scala analogue of a Pandas-UDF batch. [[DecodeStub]] remains only as
+  * the deterministic byte-stat kernel behind the codec-free feature/
+  * frame-offset operators (a fixed arithmetic fake, clearly marked).
   *
   * Scale notes: payloads never enter a shuffle — metadata extraction
   * projects narrow columns first, decode runs scan-local in

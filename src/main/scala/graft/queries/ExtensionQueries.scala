@@ -1581,7 +1581,9 @@ object ExtensionQueries {
     "text_readability" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       d.select(col("doc_id"),
-          length(regexp_replace(col("text"), "\\s+", "")).as("n_chars_ns"),
+          // cast: Spark length() is INT, DuckDB's is BIGINT — align widths
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+            .as("n_chars_ns"),
           TextAnalysis.wsTokenCount(col("text")).as("n_words"),
           greatest(size(split(col("text"), "[.!?]+")) - 1, lit(1))
             .cast("long").as("n_sentences"),
@@ -1659,7 +1661,11 @@ object ExtensionQueries {
       val withDelta = TimeSeries.runningDelta(filled, Seq("k"), "b", "v0")
       TimeSeries.movingAvg(withDelta, Seq("k"), "b", "v0", nBuckets = 4)
         .select(col("k"), col("b"), col("v0").as("v"), col("n"),
-          col("filled"), col("delta"), col("mov_avg"))
+          col("filled"),
+          // decimal subtraction widens to DECIMAL(19,2) in Spark while
+          // DuckDB keeps DECIMAL(18,2); narrow back (values fit) so the
+          // driver's typed hash agrees
+          col("delta").cast("decimal(18,2)").as("delta"), col("mov_avg"))
         .orderBy(col("k"), col("b"))
     },
 
@@ -3453,7 +3459,8 @@ object ExtensionQueries {
        |base AS (SELECT (($scale * 15) // 100) // n AS b FROM st),
        |r0 AS (SELECT node, $scale // n AS rank FROM nodes, st),
        |${(1 to iters).map(round).mkString(",\n")}
-       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -4670,10 +4677,13 @@ object ExtensionQueries {
         |  PARTITION BY o_orderkey % 1000 ORDER BY o_orderkey DESC) = 1
         |ORDER BY k""".stripMargin,
 
+    // CAST to DECIMAL(28,2): DuckDB's sum(DECIMAL(18,2)) promotes to
+    // DECIMAL(38,2) while Spark widens to DECIMAL(28,2) — align widths so
+    // the driver's typed hash agrees (values are identical either way).
     "q_summing_merge" ->
       """SELECT l_partkey % 500 AS k,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS price
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q_collapsing_merge" ->

@@ -94,7 +94,10 @@ final class StreamingWindowFunnel(spark: SparkSession, stateDir: String,
         val best = math.max(best0,
           EventAnalytics.funnelWalk(merged, kk, wm))
         val maxTs = merged.last._1 // joined rows always carry >= 1 event
-        val keep = merged.filter(_._1 > maxTs - wm)
+        // inclusive window (ts_k <= ts_1 + window): an event at exactly
+        // maxTs - wm can still seed a chain completed by a later-batch
+        // event at exactly maxTs, so the boundary event stays retained
+        val keep = merged.filter(_._1 >= maxTs - wm)
         (u, best, keep.map(_._1).toSeq, keep.map(_._2).toSeq)
       }.toDF("u", "best", "tailT", "tailS")
   }

@@ -1171,6 +1171,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 2, 2L -> 2), s"got $got")
   }
 
+  test("windowFunnel: 3+ equal-timestamp steps chain regardless of " +
+      "insertion order (ties sort by step index)") {
+    import graft.operators.EventAnalytics
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // adversarial input order: highest step first — a ts-only sort could
+    // leave (5,c) ahead of (5,b) and the forward walk would stop at 2
+    val events = Seq(
+      (1L, ts(5), "c"), (1L, ts(5), "b"), (1L, ts(5), "a"),
+      (2L, ts(0), "a"), (2L, ts(3), "c"), (2L, ts(3), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.windowFunnel(events, "user_id", "ts",
+        "event_type", Seq("a", "b", "c"), windowSec = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 3), s"got $got")
+  }
+
   test("retention: follow-up flags gate on the anchor") {
     import graft.operators.EventAnalytics
     val events = Seq(

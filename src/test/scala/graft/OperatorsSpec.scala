@@ -561,6 +561,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 === Map(2L -> 3))
   }
 
+  test("StreamingWindowFunnel: a boundary event at exactly maxTs - window " +
+      "stays in the tail and can still seed a chain (inclusive window)") {
+    import graft.streaming.StreamingWindowFunnel
+    import graft.operators.EventAnalytics
+    val stateDir = java.nio.file.Files.createTempDirectory("swfb").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val swf = new StreamingWindowFunnel(spark, stateDir,
+      "user_id", "ts", "event_type", Seq("a", "b", "c"), windowSec = 10)
+    swf.seed(Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type"))
+    // batch 0: a@100 sits at exactly maxTs(110) - window(10) after b@110
+    // advances the user's max — an exclusive trim would drop it
+    val b0 = Seq((1L, ts(100), "a"), (1L, ts(110), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val r0 = swf.admit(b0, 0L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r0 === Map(1L -> 2), s"got $r0")
+    // batch 1: c at exactly a@100's deadline completes the chain — level 3
+    // iff the boundary seed survived the trim
+    val b1 = Seq((1L, ts(110), "c")).toDF("user_id", "ts", "event_type")
+    val r1 = swf.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 === Map(1L -> 3), s"got $r1")
+    // matches the batch operator over the full history
+    val full = EventAnalytics.windowFunnel(b0.union(b1), "user_id", "ts",
+        "event_type", Seq("a", "b", "c"), windowSec = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full === r1, s"batch twin disagrees: $full vs $r1")
+  }
+
   test("StreamingSubstringDedup: cross-batch shared-window pairs, " +
       "verified against real text, replay-idempotent") {
     import graft.streaming.StreamingSubstringDedup
