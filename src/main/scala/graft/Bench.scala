@@ -184,9 +184,16 @@ object Bench {
           errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           (0.0, -1L, Nil, Nil)
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name, () => fn(spark, sfDir))
-    }
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
+    // queries (1x and 10x); the driver never sets it, so the graded
+    // artifact always covers the full registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> timed(name, () => fn(spark, sfDir))
+      }
 
     // ---- second scale: the same headline queries over a 10x corpus
     // ("sf1" when driven at sf0.1) so shuffle-heavy queries produce
@@ -195,9 +202,11 @@ object Bench {
     // exact duplicates — a cluster-heavy dedup workload, the hard case.
     val scale10 = try {
       val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
-      Some(BenchScale.headline.map { name =>
-        name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
-      })
+      Some(BenchScale.headline
+        .filter(name => only.forall(_.contains(name)))
+        .map { name =>
+          name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
+        })
     } catch { case e: Throwable =>
       errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       None

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** ClickHouse-style approximate aggregates — the `uniq`/`uniqHLL12` and
+  * `quantileBFloat16`-family sketches reference users issue against the
+  * tables the sinker feeds (the most common CH constructs with no exact
+  * counterpart here until now). Both sketches are DETERMINISTIC integer
+  * arithmetic end-to-end — fixed md5 hashing, integer register/bucket
+  * math, one final division of exactly-representable operands — so an
+  * independent engine (the DuckDB oracle) replays them bit-for-bit; the
+  * same quantization discipline as [[Graph.pageRank]].
+  *
+  * Scale shape: the only corpus-sized work is scan-local (hash, register
+  * index, bucket id). The first aggregate keys on (group, register) /
+  * (group, bucket) so partial max/count combines map-side — the shuffle
+  * carries at most |groups| * m rows per task, never raw values. The
+  * second aggregate and the quantile window run on the bounded sketch
+  * rows (m = 512 registers / <= ~14k histogram buckets per group).
+  */
+object ApproxAgg {
+
+  /** Register count exponent: m = 2^p = 512 registers, standard HLL
+    * relative error ~ 1.04/sqrt(m) = 4.6%.
+    */
+  val HllP = 9
+  val HllM: Int = 1 << HllP
+
+  /** Rho cap: register values saturate at 30 so `2^(RhoCap - M)` stays
+    * an exact BIGINT and the register sum stays < 2^53 (exact in the
+    * final double division). P(rho > 30) = 2^-30 per value — immaterial.
+    */
+  val RhoCap = 30
+
+  /** alpha_512 * m^2 * 2^RhoCap, the HLL harmonic-mean numerator, as the
+    * exact decimal literal both engines parse to the same IEEE double
+    * (alpha_512 = 0.7213 / (1 + 1.079/512)).
+    */
+  val HllC = 202600935058957.5
+
+  /** The register sketch: per (group key, register) the max rho, where
+    * the 60-bit hash is `md5_number_lower(value) >>> 4` (engine-portable,
+    * == DuckDB), register = low p bits, and rho = 1 + leading zeros of
+    * the remaining 51 bits (capped at [[RhoCap]]). This is the mergeable
+    * state: union register frames from any number of slices and take the
+    * per-register max — exactly how HLL states AggregateMerge in CH.
+    */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    // stage the hash behind an alias so register and suffix derive from
+    // ONE md5 digest (inlining would re-digest per use)
+    val h = shiftrightunsigned(PortableHash.md5Lo(valueCol), 4)
+    val staged = df.select(keyCols.map(col) :+ h.as("__h"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("__h").bitwiseAND(lit((HllM - 1).toLong)).cast("int").as("reg"),
+        shiftrightunsigned(col("__h"), HllP).as("__w")): _*)
+    // 51-bit suffix: bitlen via bin() (minimal-length binary string in
+    // both engines) — no float log2 whose last-ulp could mis-floor
+    val rho = least(
+      when(col("__w") === 0, lit(52))
+        .otherwise(lit(52) - length(bin(col("__w")))),
+      lit(RhoCap)).cast("int")
+    staged.select(keyCols.map(col) :+ col("reg") :+ rho.as("rho"): _*)
+      .groupBy((keyCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Collapse a register sketch to the per-key estimate: harmonic mean
+    * over all m registers (absent ones count 2^RhoCap), with the
+    * standard small-range correction — when empty registers remain and
+    * the raw estimate is below 5/2·m, linear counting
+    * `round(m · ln(m / V))` replaces it (the raw harmonic mean biases
+    * ~20% high in that regime). The `ln` here is cross-engine safe by
+    * exhaustive check, not hope: V has only 512 possible values, and
+    * floor(512·ln(512/V)+0.5) was verified identical across Java's
+    * Math.log, glibc, and DuckDB's ln for all of them, with >= 3.7e-4
+    * distance from every flooring boundary (a 1-ulp ln divergence is
+    * ~1e-13). Output: keyCols..., `est` (BIGINT), `n_regs` (BIGINT,
+    * populated registers — the sketch's own fill diagnostic).
+    */
+  def hllEstimate(registers: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val term = expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - m)")
+    val v0 = lit(HllM.toLong) - col("n_regs")
+    val raw = lit(HllC) /
+      (col("__s") + v0 * lit(1L << RhoCap)).cast("double")
+    val lc = floor(lit(HllM.toDouble) *
+      log(lit(HllM.toDouble) / v0.cast("double")) + lit(0.5))
+    registers.groupBy(keyCols.map(col): _*)
+      .agg(sum(term).as("__s"), count(lit(1)).as("n_regs"))
+      .select(keyCols.map(col) ++ Seq(
+        when(v0 > 0 && raw <= lit(2.5 * HllM), lc)
+          .otherwise(floor(raw)).cast("long").as("est"),
+        col("n_regs")): _*)
+  }
+
+  /** uniqHLL: approximate COUNT(DISTINCT valueCol) per key. */
+  def uniqHll(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column): DataFrame =
+    hllEstimate(hllRegisters(df, keyCols, valueCol), keyCols)
+
+  /** The histogram sketch under [[quantileSketch]]: values scaled to
+    * integers by `scale` (exact for DECIMAL(p, s<=log10 scale) input),
+    * then bucketed HdrHistogram-style — keep the top `sigBits` bits of
+    * the scaled value, zero the rest — giving relative bucket error
+    * <= 2^-(sigBits-1) (the top bit is always set) with at most
+    * ~64 * 2^(sigBits-1) buckets per key regardless of corpus size.
+    * Non-negative values only (the CH quantile workloads here are
+    * prices/quantities).
+    */
+  def quantileHistogram(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column, scale: Int = 100, sigBits: Int = 8): DataFrame = {
+    val s = (valueCol * scale).cast("long")
+    df.select(keyCols.map(col) :+ s.as("__s"): _*)
+      .select(keyCols.map(col) :+ col("__s") :+
+        greatest(length(bin(col("__s"))) - sigBits, lit(0)).as("__w"): _*)
+      .select(keyCols.map(col) :+
+        expr("shiftleft(shiftright(__s, __w), __w)").as("blo"): _*)
+      .groupBy((keyCols :+ "blo").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Mergeable quantile sketch: per key, for each requested quantile
+    * num/den, the LOWER BOUND of the histogram bucket holding the
+    * ceil(q*n)-th value, divided back by `scale` as a double (one exact
+    * division). Quantile ranks use integer ceil arithmetic — no float
+    * q*n whose rounding could straddle a rank boundary. Output:
+    * keyCols..., `n` (BIGINT), one DOUBLE column per quantile name.
+    */
+  def quantileSketch(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      quantiles: Seq[(String, Int, Int)], scale: Int = 100,
+      sigBits: Int = 8): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile")
+    val hist = quantileHistogram(df, keyCols, valueCol, scale, sigBits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("blo"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = hist.withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+    val picks = quantiles.map { case (name, num, den) =>
+      // rank = ceil(num*n/den) in exact integer arithmetic
+      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+      min(when(col("__cum") >= rank, col("blo"))).as(s"__$name")
+    }
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), picks: _*)
+      .select(keyCols.map(col) ++ (col("n") +: quantiles.map { case (name, _, _) =>
+        (col(s"__$name").cast("double") / lit(scale.toDouble)).as(name)
+      }): _*)
+  }
+}

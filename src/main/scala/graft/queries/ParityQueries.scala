@@ -397,6 +397,25 @@ object ParityQueries {
         .union(t.region.select(col("r_name").as("name")))
         .distinct()
       names.agg(count(lit(1)).as("n_names"))
+    },
+
+    // --- approximate distinct: uniqHLL12-style sketch (fixed md5 seed,
+    // 512 integer registers, deterministic estimator) — the most common
+    // CH approximate construct; the oracle replays the exact registers --
+    "q_uniq_hll" -> { (s, dir) =>
+      graft.operators.ApproxAgg.uniqHll(Tables(s, dir).events,
+          Seq("event_type"), col("user_id"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- approximate quantiles: HdrHistogram-style mergeable sketch
+    // (8 significant bits => <=0.8% relative error), quantileBFloat16's
+    // role with integer-exact determinism --------------------------------
+    "q_quantile_sketch" -> { (s, dir) =>
+      graft.operators.ApproxAgg.quantileSketch(Tables(s, dir).lineitem,
+          Seq("l_returnflag"), col("l_extendedprice").cast("decimal(18,2)"),
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -618,6 +637,66 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    // uniqHLL replay: same md5 hash (md5_number_lower == PortableHash
+    // .md5Lo), same 512 registers, same capped rho via bin() bit-length,
+    // same single double division of exact-integer operands
+    "q_uniq_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 512 AS reg,
+        |    LEAST(CASE WHEN h // 512 = 0 THEN 52
+        |          ELSE 52 - length(bin(h // 512)) END, 30) AS rho
+        |  FROM h),
+        |m AS (SELECT event_type, reg, max(rho) AS m FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (30 - m)) AS s_present,
+        |    count(*) AS n_regs
+        |  FROM m GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, n_regs, 512 - n_regs AS v0,
+        |    202600935058957.5 / CAST(
+        |      s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 30)
+        |      AS DOUBLE) AS raw
+        |  FROM s)
+        |SELECT event_type,
+        |  CAST(CASE WHEN v0 > 0 AND raw <= 1280.0
+        |    THEN floor(512.0 * ln(512.0 / v0) + 0.5)
+        |    ELSE floor(raw) END AS BIGINT) AS est,
+        |  n_regs
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // HdrHistogram-style quantile sketch replay: scale to integer cents,
+    // keep the top 8 bits (bin() bit-length, no float log2), pick each
+    // quantile's bucket lower bound by exact integer ceil-rank
+    "q_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, s,
+        |    GREATEST(length(bin(s)) - 8, 0) AS w FROM v),
+        |hist AS (
+        |  SELECT l_returnflag, (s >> w) << w AS blo, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, blo, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY blo) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN blo END)
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p50,
+        |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN blo END)
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p90,
+        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN blo END)
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p99
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -583,4 +583,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
   }
+
+  test("uniqHll: two narrow shuffles, both behind map-side partial max — " +
+      "raw values never cross the wire") {
+    import graft.operators.ApproxAgg
+    val q = ApproxAgg.uniqHll(Tables(spark, sf).events,
+      Seq("event_type"), col("user_id"))
+    val p = plan(q)
+    // (key, register) partial max combines scan-side, so each task emits
+    // <= |keys| * 512 rows; the estimate agg runs on the bounded sketch
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected exactly 2 exchanges:\n$p")
+    assert(p.contains("partial_max"), s"register max must combine map-side:\n$p")
+    assert(!p.contains("Sort ") && !p.contains("Window"),
+      s"no sort/window over raw rows:\n$p")
+  }
+
+  test("quantileSketch: bucket histogram combines map-side; cumulative " +
+      "pass runs on the bounded sketch only") {
+    import graft.operators.ApproxAgg
+    val q = ApproxAgg.quantileSketch(Tables(spark, sf).lineitem,
+      Seq("l_returnflag"), col("l_extendedprice").cast("decimal(18,2)"),
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+    val p = plan(q)
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$p")
+    // one shuffle to (key, bucket), one to key for the window; the final
+    // per-key agg reuses the window's partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"expected at most 2 exchanges:\n$p")
+  }
 }
