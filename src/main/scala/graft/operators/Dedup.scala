@@ -549,9 +549,21 @@ object Dedup {
     * some band with <= 1 differing bit, so recall is exact up to
     * `maxHamming` <= 7 at 17 keys per band — candidate growth
     * ~n²·68/65536, never the n²/64 a single-byte re-band would cost.
+    *
+    * `maxBucketSize > 0` arms the hot-bucket guard: any (band, key)
+    * bucket holding more members than the cap is EXCLUDED from pairing
+    * (both the member side and the probe side), so a pathological key —
+    * boilerplate clones, adversarial near-constant text — degrades to a
+    * bounded skip instead of a quadratic blob on one reducer. The hot-key
+    * set is tiny by construction (> cap members each), so the exclusion
+    * is a broadcast anti-join, and documents in a dropped bucket remain
+    * discoverable through their other three bands. Off (0) by default:
+    * the guard trades recall on degenerate keys for worst-case bounds,
+    * which is an operator's call, not a silent one.
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, wideRecall: Boolean = false): DataFrame = {
+      maxHamming: Int = 3, wideRecall: Boolean = false,
+      maxBucketSize: Int = 0): DataFrame = {
     if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
       "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
     else require(maxHamming >= 0 && maxHamming < 4,
@@ -570,7 +582,16 @@ object Dedup {
         }: _*)).as(Seq("band", "keys")))
       .select(col("id"), col("sh"), col("band"),
         explode(col("keys")).as("key"))
-    banded.as("l").join(probed.as("r"),
+    val (memberSide, probeSide) = if (maxBucketSize <= 0) (banded, probed)
+    else {
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select(col("band"), col("key"))
+      (banded.join(broadcast(hot), Seq("band", "key"), "left_anti"),
+        probed.join(broadcast(hot), Seq("band", "key"), "left_anti"))
+    }
+    memberSide.as("l").join(probeSide.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

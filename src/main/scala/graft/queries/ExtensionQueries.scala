@@ -1476,6 +1476,58 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("user_id"))
     },
 
+    // --- streaming ANALYTICS capstone: funnel + retention standing
+    //     state driven through the SAME 3-batch event timeline under ONE
+    //     replay, with a COLD RESTART between batches 0 and 1 — both
+    //     operator instances are discarded and rebuilt from their disk
+    //     state (the SinkerApp restart contract: params re-validated,
+    //     batch-id monotonicity enforced, state read back from
+    //     snapshot+delta dirs). Per batch the two tiers' touched-user
+    //     outputs full-outer join on user — proving the r10 analytics
+    //     tiers compose under one timeline and survive process death ----
+    "stream_analytics_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val w1 = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+      val w2 = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val funnelDir = scratchDir("stream_cap_funnel", dir)
+      val retDir = scratchDir("stream_cap_ret", dir)
+      def mkFunnel() = new graft.streaming.StreamingWindowFunnel(s, funnelDir,
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), windowSec = 14400)
+      def mkRetention() = new graft.streaming.StreamingRetention(s, retDir,
+        "user_id", Seq(
+          "anchor" -> (col("event_type") === "signup" && col("ts") < w1),
+          "week2" -> (col("ts") >= w1 && col("ts") < w2),
+          "week3" -> (col("ts") >= w2)))
+      val f0 = mkFunnel(); val r0 = mkRetention()
+      f0.seed(e.filter(lit(false))); r0.seed(e.filter(lit(false)))
+      def runBatch(f: graft.streaming.StreamingWindowFunnel,
+          r: graft.streaming.StreamingRetention, b: Int) = {
+        val fl = f.admit(batchDf(b), b.toLong)
+        val rt = r.admit(batchDf(b), b.toLong)
+        fl.join(rt, Seq("user_id"), "full_outer")
+          .withColumn("batch", lit(b))
+      }
+      val out0 = runBatch(f0, r0, 0)
+      // force the admits before discarding the instances: the restart
+      // must read batch 0's state from DISK, not from these objects
+      out0.cache().count()
+      f0.compact(upTo = 0L)
+      val f1 = mkFunnel(); val r1 = mkRetention() // <- the restart
+      val outs = out0 +: (1 until 3).map(b => runBatch(f1, r1, b))
+      outs.reduce(_ unionByName _)
+        .select(col("batch"), col("user_id"), col("level"),
+          col("r0"), col("r1"), col("r2"))
+        .orderBy(col("batch"), col("user_id"))
+    },
+
     // --- standing CDC view, replayed under oracle: seed a keyed
     //     current-state view from orders, then 3 update batches — batch 2
     //     is entirely STALE (versions below the standing ones), so its
@@ -3386,6 +3438,75 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Analytics-capstone replay oracle: the funnel and retention replay
+    * recipes composed — per batch, the funnel block's touched users
+    * FULL OUTER JOIN the retention block's on user_id. The restart
+    * between batches 0 and 1 is invisible to the oracle by design: a
+    * correct recovery produces exactly the same per-batch views.
+    */
+  private def analyticsReplayOracle: String = {
+    val anchor = "event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'"
+    val c1 = "ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+    val c2 = "ts >= TIMESTAMP '2024-01-15 00:00:00'"
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""e$b AS (SELECT * FROM ev WHERE $upTo),
+         |u$b AS (SELECT DISTINCT user_id FROM ev WHERE $inBatch),
+         |l1_$b AS (SELECT DISTINCT user_id FROM e$b WHERE event_type = 'view'),
+         |l2_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM e$b a JOIN e$b b ON a.user_id = b.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+         |l3_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM e$b a JOIN e$b b ON a.user_id = b.user_id
+         |    JOIN e$b c ON a.user_id = c.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND c.event_type = 'purchase'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+         |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND),
+         |fout$b AS (
+         |  SELECT u.user_id,
+         |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+         |         WHEN l2.user_id IS NOT NULL THEN 2
+         |         WHEN l1.user_id IS NOT NULL THEN 1
+         |         ELSE 0 END AS level
+         |  FROM u$b u LEFT JOIN l1_$b l1 ON u.user_id = l1.user_id
+         |    LEFT JOIN l2_$b l2 ON u.user_id = l2.user_id
+         |    LEFT JOIN l3_$b l3 ON u.user_id = l3.user_id),
+         |rout$b AS (
+         |  SELECT user_id,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END) AS INT) AS r0,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |      * max(CASE WHEN $c1 THEN 1 ELSE 0 END) AS INT) AS r1,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |      * max(CASE WHEN $c2 THEN 1 ELSE 0 END) AS INT) AS r2
+         |  FROM events
+         |  WHERE ($upTo) AND user_id IN (
+         |    SELECT DISTINCT user_id FROM events WHERE $inBatch)
+         |  GROUP BY user_id),
+         |out$b AS (
+         |  SELECT $b AS batch, coalesce(f.user_id, r.user_id) AS user_id,
+         |    f.level, r.r0, r.r1, r.r2
+         |  FROM fout$b f FULL OUTER JOIN rout$b r ON f.user_id = r.user_id)"""
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_type FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, user_id""".stripMargin
+  }
+
   /** Standing-CDC replay oracle: all updates stamped with their batch id
     * (seed = -1), then per batch b the current/previous state for b's
     * key set recomputed with batch-bounded visibility — `cur` folds
@@ -4666,6 +4787,8 @@ object ExtensionQueries {
     "stream_funnel_replay" -> funnelReplayOracle,
 
     "stream_retention_replay" -> retentionReplayOracle,
+
+    "stream_analytics_replay" -> analyticsReplayOracle,
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

@@ -180,6 +180,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash hot-bucket guard: a planted pathological bucket drops " +
+      "bounded instead of exploding; normal pairs survive") {
+    // 60 byte-identical clones: every band bucket they form holds 60
+    // members — over a cap of 20, the guard excludes those buckets
+    val clone = "the exact same boilerplate text repeated verbatim everywhere"
+    val hot = (1 to 60).map(i => (i.toLong, clone))
+    // plus one honest near-dup pair, far from the clone in simhash space
+    val pair = Seq(
+      (900L, "completely different subject matter about spark partitions"),
+      (901L, "completely different subject matter about spark partitions"))
+    val corpus = (hot ++ pair).toDF("doc_id", "text")
+    val guarded = Dedup.nearDupPairsSimhash(corpus, "doc_id", "text",
+        maxHamming = 6, wideRecall = true, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((900L, 901L)),
+      s"guard must keep only the honest pair: $guarded")
+    // with the guard off the clone blob pairs quadratically (60*59/2)
+    val unguarded = Dedup.nearDupPairsSimhash(corpus, "doc_id", "text",
+        maxHamming = 6, wideRecall = true)
+      .count()
+    assert(unguarded === 60L * 59 / 2 + 1, s"got $unguarded")
+  }
+
   test("fused SetJaccard equals the array_intersect/array_union composition") {
     val pairs = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
