@@ -32,10 +32,12 @@ object EventAnalytics {
     * variable-length chain.
     */
   def windowFunnel(df: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+      typeCol: String, steps: Seq[String], windowSec: Long,
+      mode: String = "default"): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(windowSec > 0, "windowSec must be positive")
+    require(Modes.contains(mode), s"mode must be one of $Modes")
     val spark = df.sparkSession
     import spark.implicits._
     // step index projected BEFORE grouping so ties sort by (ts, stepIdx):
@@ -53,21 +55,34 @@ object EventAnalytics {
       .as[(Long, Long, Int)]
     val winMicros = windowSec * 1000000L
     val k = steps.size
+    val m = mode
     typed.groupByKey(_._1)
       .flatMapSortedGroups($"t", $"s") { (u: Long, it: Iterator[(Long, Long, Int)]) =>
         val evs = it.map(r => (r._2, r._3)).toArray
-        Iterator((u, funnelWalk(evs, k, winMicros)))
+        Iterator((u, funnelWalk(evs, k, winMicros, m)))
       }
       .toDF(userCol, "level")
   }
 
-  /** The per-user exists-chain walk over `(tsMicros, stepIdx)` events
-    * sorted by ts: deepest chain of steps `0..k-1` whose span fits
-    * `winMicros` of the chain start. Shared by the batch
-    * [[windowFunnel]] and the standing streaming twin.
+  /** The ClickHouse windowFunnel mode set: `default` (ts_i <= ts_{i+1}),
+    * `strict_increase` (ts_i < ts_{i+1}), `strict_dedup` (a repeat of an
+    * already-matched step interrupts the chain), `strict_order` (any
+    * step event other than the expected next one interrupts).
+    */
+  val Modes: Set[String] =
+    Set("default", "strict_increase", "strict_dedup", "strict_order")
+
+  /** The per-user chain walk over `(tsMicros, stepIdx)` events sorted by
+    * (ts, stepIdx): deepest chain of steps `0..k-1` whose span fits
+    * `winMicros` of the chain start, under the given mode's advance/
+    * interrupt rules. For `default` and `strict_increase` the greedy
+    * earliest-pick walk decides exists-chain exactly (exchange
+    * argument); the strict interrupt modes are inherently positional, so
+    * the walk IS the semantics. Shared by the batch [[windowFunnel]] and
+    * the standing streaming twin (default mode).
     */
   private[graft] def funnelWalk(evs: Array[(Long, Int)], k: Int,
-      winMicros: Long): Int = {
+      winMicros: Long, mode: String = "default"): Int = {
     var best = 0
     var i = 0
     while (i < evs.length && best < k) {
@@ -75,11 +90,22 @@ object EventAnalytics {
         val deadline = evs(i)._1 + winMicros
         var level = 1
         var lastTs = evs(i)._1
-        var j = 0
-        while (j < evs.length && level < k) {
+        var j = i + 1 // (ts, step) sort puts every extendable event after i
+        var cut = false
+        while (j < evs.length && level < k && !cut) {
           val (ts, s) = evs(j)
-          if (s == level && ts >= lastTs && ts <= deadline) {
-            level += 1; lastTs = ts
+          if (ts > deadline) cut = true
+          else mode match {
+            case "strict_increase" =>
+              if (s == level && ts > lastTs) { level += 1; lastTs = ts }
+            case "strict_dedup" =>
+              if (s == level) { level += 1; lastTs = ts }
+              else if (s < level) cut = true // repeated matched step
+            case "strict_order" =>
+              if (s == level) { level += 1; lastTs = ts }
+              else cut = true // any intervening step event interrupts
+            case _ =>
+              if (s == level) { level += 1; lastTs = ts }
           }
           j += 1
         }

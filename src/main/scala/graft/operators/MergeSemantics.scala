@@ -59,6 +59,24 @@ object MergeSemantics {
       others.map(c => col("__o").getField(c).as(c)): _*)
   }
 
+  /** SummingMergeTree Map-column semantics (CH sums `Map` columns key-
+    * wise on merge; `sumMap` aggregates the same way): per key the
+    * element-wise sum of `mapCol` entries across rows, reassembled as a
+    * map with entries in key order. Two narrow shuffles — the entry
+    * explode is scan-local, (key, mapKey) partial sums combine map-side,
+    * and the reassembly groups rows already bounded by the key space.
+    * Exact-arithmetic value types (integer / decimal) for replayable
+    * sums, as with [[summingMerge]].
+    */
+  def sumMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    df.select(keyCols.map(col) :+
+        explode(col(mapCol)).as(Seq("__mk", "__mv")): _*)
+      .groupBy((keyCols :+ "__mk").map(col): _*)
+      .agg(sum(col("__mv")).as("__sv"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("__mk"), col("__sv"))))).as(mapCol))
+
   /** CollapsingMergeTree FINAL: rows arrive as (+1) states and (-1)
     * cancellations; per key the net sign decides survival — net > 0
     * keeps the greatest-`verCol` (+1) row, net <= 0 folds to nothing.

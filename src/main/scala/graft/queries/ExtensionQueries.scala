@@ -1730,6 +1730,17 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- windowFunnel('strict_increase'): same funnel, chain timestamps
+    //     strictly increasing (CH mode parity; the interrupt modes
+    //     strict_order / strict_dedup are positional and unit-pinned) --
+    "q_window_funnel_strict" -> { (s, dir) =>
+      graft.operators.EventAnalytics.windowFunnel(Tables(s, dir).events,
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400,
+          mode = "strict_increase")
+        .orderBy(col("user_id"))
+    },
+
     // --- ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): ordered chain
     //     with NO time bound — the funnel walk with an effectively
     //     unbounded window (10y >> the 2-day slice — only 10 of 142
@@ -4879,6 +4890,38 @@ object ExtensionQueries {
         |    AND c.event_type = 'purchase'
         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
         |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND)
+        |SELECT u.user_id,
+        |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS level
+        |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // strict_increase: the same exists-chain with strictly increasing
+    // chain timestamps (the greedy-earliest walk stays exact under the
+    // strict inequality by the same exchange argument)
+    "q_window_funnel_strict" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        |l2 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+        |l3 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    JOIN ev c ON a.user_id = c.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND c.event_type = 'purchase'
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+        |    AND c.ts > b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND)
         |SELECT u.user_id,
         |  CASE WHEN l3.user_id IS NOT NULL THEN 3
         |       WHEN l2.user_id IS NOT NULL THEN 2

@@ -399,6 +399,41 @@ object ParityQueries {
       names.agg(count(lit(1)).as("n_names"))
     },
 
+    // --- argMin/argMax (CH classics; unique event_id keeps ties away) --
+    "q_argminmax" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(max_by(col("user_id"), col("event_id")).as("last_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- groupArray / groupUniqArray: ordered element lists (emitted as
+    // joined strings so the comparison stays scalar) ---------------------
+    "q_group_array" -> { (s, dir) =>
+      Tables(s, dir).events.filter(col("user_id") < 50)
+        .groupBy(col("event_type"))
+        .agg(
+          array_join(transform(sort_array(collect_list(col("user_id"))),
+            _.cast("string")), "|").as("users_all"),
+          array_join(transform(sort_array(collect_set(col("user_id"))),
+            _.cast("string")), "|").as("users_uniq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- sumMap: SummingMergeTree Map-column fold over real MapType
+    // rows, exploded back to entry rows for the oracle -------------------
+    "q_summap" -> { (s, dir) =>
+      val e = Tables(s, dir).events.select((col("user_id") % 20).as("k"),
+        map(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).as("m"))
+      graft.operators.MergeSemantics.sumMap(e, Seq("k"), "m")
+        .select(col("k"), explode(col("m")).as(Seq("etype", "cents")))
+        .orderBy(col("k"), col("etype"))
+    },
+
     // --- approximate distinct: uniqHLL12-style sketch (fixed md5 seed,
     // 512 integer registers, deterministic estimator) — the most common
     // CH approximate construct; the oracle replays the exact registers --
@@ -638,6 +673,26 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_argminmax" ->
+      """SELECT event_type,
+        |  arg_max(user_id, event_id) AS last_user,
+        |  arg_min(user_id, event_id) AS first_user,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_group_array" ->
+      """SELECT event_type,
+        |  array_to_string(list(user_id ORDER BY user_id), '|') AS users_all,
+        |  array_to_string(list(DISTINCT user_id ORDER BY user_id), '|') AS users_uniq,
+        |  count(*) AS n
+        |FROM events WHERE user_id < 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_summap" ->
+      """SELECT user_id % 20 AS k, event_type AS etype,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY k, etype""".stripMargin,
 
     // uniqHLL replay: same md5 hash (md5_number_lower == PortableHash
     // .md5Lo), same 512 registers, same capped rho via bin() bit-length,

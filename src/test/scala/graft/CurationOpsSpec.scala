@@ -1136,6 +1136,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.getString(2) === "b") // struct max over the leftover payload
   }
 
+  test("sumMap: element-wise map sums across rows; disjoint keys union") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L)),
+      (1L, Map("b" -> 3L, "c" -> 4L)),
+      (2L, Map("z" -> 7L))).toDF("k", "m")
+    val got = MergeSemantics.sumMap(rows, Seq("k"), "m")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(got === Map(
+      1L -> Map("a" -> 1L, "b" -> 5L, "c" -> 4L),
+      2L -> Map("z" -> 7L)), s"got $got")
+  }
+
   // ---- event-sequence analytics (windowFunnel / retention) ------------
 
   test("windowFunnel: exists-chain semantics — a later start can complete " +
@@ -1185,6 +1198,30 @@ class CurationOpsSpec extends AnyFunSuite {
         "event_type", Seq("a", "b", "c"), windowSec = 10)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(1L -> 3, 2L -> 3), s"got $got")
+  }
+
+  test("windowFunnel strict modes: increase rejects equal ts; dedup cuts " +
+      "on repeated matched steps; order cuts on intervening steps") {
+    import graft.operators.EventAnalytics.funnelWalk
+    val win = 100L
+    // same-instant a,b: default chains, strict_increase does not
+    val sameTs = Array((5L, 0), (5L, 1))
+    assert(funnelWalk(sameTs, 2, win) === 2)
+    assert(funnelWalk(sameTs, 2, win, "strict_increase") === 1)
+    // a b a c: the repeated 'a' interrupts dedup (level 2) but the
+    // default mode reaches 3
+    val repeat = Array((0L, 0), (1L, 1), (2L, 0), (3L, 2))
+    assert(funnelWalk(repeat, 3, win) === 3)
+    assert(funnelWalk(repeat, 3, win, "strict_dedup") === 2)
+    // a b d c (d = step 3 of a 4-step funnel): strict_order stops at the
+    // out-of-order 'd'; default skips it and completes a->b->c
+    val inter = Array((0L, 0), (1L, 1), (2L, 3), (3L, 2))
+    assert(funnelWalk(inter, 4, win) === 3)
+    assert(funnelWalk(inter, 4, win, "strict_order") === 2)
+    // a later clean start still wins under the interrupt modes
+    val restart = Array((0L, 0), (1L, 0), (2L, 1), (3L, 2))
+    assert(funnelWalk(restart, 3, win, "strict_dedup") === 3)
+    assert(funnelWalk(restart, 3, win, "strict_order") === 3)
   }
 
   test("retention: follow-up flags gate on the anchor") {
