@@ -116,6 +116,52 @@ object EventAnalytics {
     best
   }
 
+  /** sequenceCount('(?1).*(?2)...(?k)'): per user, the number of NON-
+    * OVERLAPPING ordered completions of `steps` — the greedy automaton
+    * ClickHouse runs: the level advances on the expected next step,
+    * other events pass through, and a completion resets the automaton to
+    * hunt the next chain from the following event. No time bound (the
+    * `.*` pattern); for windowed chains see [[windowFunnel]]. Users with
+    * no step events report 0 (they group-by out of the step-filtered
+    * stream, so the caller left-joins if absent users matter — or use
+    * the registry query's shape, which keeps every user with any step
+    * event).
+    *
+    * Determinism: the automaton is a fold over the (ts, stepIdx)-sorted
+    * event list — single-valued, no tie ambiguity, and small enough to
+    * replay in SQL as a linear recursive CTE (the oracle does exactly
+    * that).
+    */
+  def sequenceCount(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one step")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idxCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val typed = df.select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        idxCol.as("s"))
+      .filter(col("s") >= 0)
+      .as[(Long, Long, Int)]
+    val k = steps.size
+    typed.groupByKey(_._1)
+      .flatMapSortedGroups($"t", $"s") { (u: Long, it: Iterator[(Long, Long, Int)]) =>
+        var level = 0
+        var cnt = 0
+        it.foreach { r =>
+          if (r._3 == level) {
+            level += 1
+            if (level == k) { cnt += 1; level = 0 }
+          }
+        }
+        Iterator((u, cnt))
+      }
+      .toDF(userCol, "n_matches")
+  }
+
   /** retention: per user, whether the ANCHOR condition held (`r0`) and,
     * for each follow-up condition i, whether BOTH the anchor and that
     * condition held (`r_i`) — ClickHouse `retention()` semantics, the

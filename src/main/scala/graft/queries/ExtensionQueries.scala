@@ -1756,6 +1756,15 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- ClickHouse sequenceCount('(?1).*(?2).*(?3)'): non-overlapping
+    //     ordered triples, greedy automaton (oracle replays the same
+    //     fold as a linear recursive CTE) ------------------------------
+    "q_sequence_count" -> { (s, dir) =>
+      graft.operators.EventAnalytics.sequenceCount(Tables(s, dir).events,
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     // --- ClickHouse retention: week-1 signup anchor, week-2/3 activity -
     "q_retention" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -4949,6 +4958,33 @@ object ExtensionQueries {
         |SELECT u.user_id, m.user_id IS NOT NULL AS matched
         |FROM u LEFT JOIN m ON u.user_id = m.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    // greedy automaton replayed as a linear recursive CTE: state (level,
+    // cnt) folds the (ts, stepIdx)-sorted events row by row
+    "q_sequence_count" ->
+      """WITH RECURSIVE ev0 AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS s, ts
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |ev AS (
+        |  SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, s) AS rn
+        |  FROM ev0),
+        |n AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
+        |walk AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS level, 0 AS cnt
+        |  FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN e.s = w.level THEN
+        |      CASE WHEN w.level = 2 THEN 0 ELSE w.level + 1 END
+        |    ELSE w.level END,
+        |    w.cnt + CASE WHEN e.s = 2 AND w.level = 2 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT w.user_id, CAST(w.cnt AS INT) AS n_matches
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n
+        |ORDER BY w.user_id""".stripMargin,
 
     "q_retention" ->
       """SELECT user_id,

@@ -1224,6 +1224,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(funnelWalk(restart, 3, win, "strict_order") === 3)
   }
 
+  test("sequenceCount: greedy non-overlapping automaton — a completed " +
+      "chain resets; mid-chain extras pass through") {
+    import graft.operators.EventAnalytics
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // a a b b -> 1 (greedy: first a + first b complete; the rest is
+      // b-only, no new chain) — NOT the max-disjoint 2
+      (1L, ts(0), "a"), (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "b"),
+      // a b a b -> 2
+      (2L, ts(0), "a"), (2L, ts(1), "b"), (2L, ts(2), "a"), (2L, ts(3), "b"),
+      // b a -> 0
+      (3L, ts(0), "b"), (3L, ts(1), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.sequenceCount(events, "user_id", "ts",
+        "event_type", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 2, 3L -> 0), s"got $got")
+  }
+
   test("retention: follow-up flags gate on the anchor") {
     import graft.operators.EventAnalytics
     val events = Seq(
