@@ -1476,6 +1476,33 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("user_id"))
     },
 
+    // --- standing streaming uniqHLL, replayed under oracle: the
+    //     persisted state IS the register sketch and the admission fold
+    //     IS the HLL merge (register-wise max), so each batch's emitted
+    //     estimate must equal the BATCH uniqHll over the full history —
+    //     the -State/-Merge combinator contract, checked exactly -------
+    "stream_uniq_hll_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val stateDir = scratchDir("stream_uniqhll", dir)
+      val su = new graft.streaming.StreamingUniqHll(s, stateDir,
+        "event_type", "user_id")
+      su.seed(e.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = su.admit(batchDf(b), b.toLong).withColumn("batch", lit(b))
+        if (b == 0) su.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("event_type"), col("est"), col("n_regs"))
+        .orderBy(col("batch"), col("event_type"))
+    },
+
     // --- streaming ANALYTICS capstone: funnel + retention standing
     //     state driven through the SAME 3-batch event timeline under ONE
     //     replay, with a COLD RESTART between batches 0 and 1 — both
@@ -3458,6 +3485,58 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Streaming-uniqHLL replay oracle: per batch b, the full uniqHLL
+    * pipeline (the q_uniq_hll recipe) over events visible up to b's
+    * bound, restricted to the event types touched in b — the estimate
+    * the standing register state must reproduce exactly.
+    */
+  private def streamingUniqHllOracle: String = {
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""h$b AS (
+         |  SELECT event_type,
+         |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) AS h
+         |  FROM events WHERE ($upTo) AND event_type IN (
+         |    SELECT DISTINCT event_type FROM events WHERE $inBatch)),
+         |r$b AS (
+         |  SELECT event_type, h % 512 AS reg,
+         |    LEAST(CASE WHEN h // 512 = 0 THEN 52
+         |          ELSE 52 - length(bin(h // 512)) END, 30) AS rho
+         |  FROM h$b),
+         |m$b AS (SELECT event_type, reg, max(rho) AS m FROM r$b GROUP BY 1, 2),
+         |s$b AS (
+         |  SELECT event_type,
+         |    sum(CAST(1 AS BIGINT) << (30 - m)) AS s_present,
+         |    count(*) AS n_regs
+         |  FROM m$b GROUP BY 1),
+         |x$b AS (
+         |  SELECT event_type, n_regs, 512 - n_regs AS v0,
+         |    202600935058957.5 / CAST(
+         |      s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 30)
+         |      AS DOUBLE) AS raw
+         |  FROM s$b),
+         |out$b AS (
+         |  SELECT $b AS batch, event_type,
+         |    CAST(CASE WHEN v0 > 0 AND raw <= 1280.0
+         |      THEN floor(512.0 * ln(512.0 / v0) + 0.5)
+         |      ELSE floor(raw) END AS BIGINT) AS est,
+         |    n_regs
+         |  FROM x$b)"""
+    }
+    s"""WITH
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, event_type""".stripMargin
+  }
+
   /** Analytics-capstone replay oracle: the funnel and retention replay
     * recipes composed — per batch, the funnel block's touched users
     * FULL OUTER JOIN the retention block's on user_id. The restart
@@ -4809,6 +4888,8 @@ object ExtensionQueries {
     "stream_retention_replay" -> retentionReplayOracle,
 
     "stream_analytics_replay" -> analyticsReplayOracle,
+
+    "stream_uniq_hll_replay" -> streamingUniqHllOracle,
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

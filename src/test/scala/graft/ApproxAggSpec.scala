@@ -71,6 +71,31 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(r.getLong(1) === 10000L)
   }
 
+  test("StreamingUniqHll: batch estimates equal the batch operator over " +
+      "the full history; crash-replay idempotent; survives compaction") {
+    import graft.streaming.StreamingUniqHll
+    val stateDir = java.nio.file.Files.createTempDirectory("suh").toString
+    val su = new StreamingUniqHll(spark, stateDir, "k", "v")
+    su.seed(Seq.empty[(String, Long)].toDF("k", "v"))
+    val b0 = (1 to 800).map(i => ("a", i.toLong)) ++
+      (1 to 100).map(i => ("b", i.toLong))
+    val b1 = (500 to 1500).map(i => ("a", i.toLong)) // overlaps b0
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r0 = asMap(su.admit(b0.toDF("k", "v"), 0L))
+    su.compact(upTo = 0L)
+    val r1 = asMap(su.admit(b1.toDF("k", "v"), 1L))
+    // the streaming estimate must EQUAL the batch operator over history
+    val whole = asMap(ApproxAgg.uniqHll((b0 ++ b1).toDF("k", "v"),
+      Seq("k"), col("v")))
+    assert(r1("a") === whole("a"), s"stream ${r1("a")} vs batch ${whole("a")}")
+    assert(r0("b") === asMap(ApproxAgg.uniqHll(b0.toDF("k", "v"),
+      Seq("k"), col("v")))("b"))
+    // crash-after-append replay reproduces identical estimates
+    val replay = asMap(su.admit(b1.toDF("k", "v"), 1L))
+    assert(replay === r1)
+  }
+
   test("quantileSketch histograms merge: summed slice counts == whole") {
     val a = (1 to 4000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
     val b = (3000 to 9000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
