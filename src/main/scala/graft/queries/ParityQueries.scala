@@ -399,6 +399,62 @@ object ParityQueries {
       names.agg(count(lit(1)).as("n_names"))
     },
 
+    // --- deltaSumTimestamp: sum of positive deltas in explicit
+    // (ts, event_id) order — the counter-reset-tolerant rate primitive
+    // (CH deltaSum with a deterministic order) ---------------------------
+    "q_delta_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select((col("user_id") % 10).as("k"),
+        col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("d", col("v") - lag(col("v"), 1).over(w))
+        .groupBy(col("k"))
+        .agg(sum(when(col("d") > 0, col("d"))).as("delta_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
+    // --- maxIntersections: peak concurrency of [ts, ts+1h) intervals via
+    // the +1/-1 sweep; half-open semantics decided by the (t, d) sort
+    // (an end at t sorts before a start at t) ----------------------------
+    "q_max_intersections" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select((col("user_id") % 10).as("k"),
+        col("ts"))
+      val pts = e.select(col("k"), col("ts").as("t"), lit(1).as("d"))
+        .unionByName(e.select(col("k"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("d"))
+      pts.withColumn("cur", sum(col("d")).over(w))
+        .groupBy(col("k"))
+        .agg(max(col("cur")).cast("long").as("max_concurrent"))
+        .orderBy(col("k"))
+    },
+
+    // --- TPC-H Q3 shape: the classic 3-way join + grouped revenue top-10
+    // (dimension filter first, fact joins shuffle on their keys, exact
+    // decimal revenue cast once at the end) ------------------------------
+    "q_tpch_q3" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cutoff = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+      val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t.orders.filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = t.lineitem.filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("rev")).cast("double"), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // --- argMin/argMax (CH classics; unique event_id keeps ties away) --
     "q_argminmax" -> { (s, dir) =>
       Tables(s, dir).events
@@ -673,6 +729,42 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_delta_sum" ->
+      """WITH e AS (
+        |  SELECT user_id % 10 AS k, ts, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (
+        |  SELECT k, v - lag(v) OVER (PARTITION BY k ORDER BY ts, event_id) AS d
+        |  FROM e)
+        |SELECT k, CAST(sum(CASE WHEN d > 0 THEN d END) AS BIGINT) AS delta_sum,
+        |  count(*) AS n
+        |FROM d GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_max_intersections" ->
+      """WITH iv AS (SELECT user_id % 10 AS k, ts FROM events),
+        |pts AS (
+        |  SELECT k, ts AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT k, ts + INTERVAL 1 HOUR, -1 FROM iv),
+        |c AS (
+        |  SELECT k, sum(d) OVER (PARTITION BY k ORDER BY t, d) AS cur
+        |  FROM pts)
+        |SELECT k, CAST(max(cur) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE), 6) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_argminmax" ->
       """SELECT event_type,

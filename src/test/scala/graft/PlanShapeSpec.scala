@@ -584,6 +584,22 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
   }
 
+  test("TPC-H Q3 shape: filtered customer dim broadcasts; date filters " +
+      "push to the fact scans; no cartesian product") {
+    val q = SparkEntry.queries("q_tpch_q3")(spark, sf)
+    val p = plan(q)
+    val f = formatted(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+    assert(f.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || f.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$f")
+    assert(f.contains("LessThan(o_orderdate,") &&
+      f.contains("GreaterThan(l_shipdate,"),
+      s"date filters must reach the fact scans:\n$f")
+  }
+
   test("uniqHll: two narrow shuffles, both behind map-side partial max — " +
       "raw values never cross the wire") {
     import graft.operators.ApproxAgg
