@@ -1476,6 +1476,31 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("user_id"))
     },
 
+    // --- standing streaming SummingMerge (the CH materialized-view
+    //     pattern), replayed under oracle: a rollup over lineitem folds
+    //     one batch at a time; every batch's emitted row must equal the
+    //     batch aggregate over the key's full history — addition is not
+    //     idempotent, so this pins the newest-state-row read discipline -
+    "stream_summing_replay" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem.select(
+        (col("l_partkey") % 500).as("k"),
+        (col("l_orderkey") % 3).as("b"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val stateDir = scratchDir("stream_summing", dir)
+      val sm = new graft.streaming.StreamingSummingMerge(s, stateDir,
+        "k", Seq("qty", "price"))
+      sm.seed(l.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = sm.admit(l.filter(col("b") === b).drop("b"), b.toLong)
+          .withColumn("batch", lit(b))
+        if (b == 0) sm.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("k"), col("qty"), col("price"))
+        .orderBy(col("batch"), col("k"))
+    },
+
     // --- standing streaming uniqHLL, replayed under oracle: the
     //     persisted state IS the register sketch and the admission fold
     //     IS the HLL merge (register-wise max), so each batch's emitted
@@ -4890,6 +4915,29 @@ object ExtensionQueries {
     "stream_analytics_replay" -> analyticsReplayOracle,
 
     "stream_uniq_hll_replay" -> streamingUniqHllOracle,
+
+    // per batch b: full-history sums for the keys touched in b (the
+    // accumulator stays DECIMAL(28,2) per the fixed-state discipline)
+    "stream_summing_replay" -> {
+      def out(b: Int) =
+        s"""out$b AS (
+           |  SELECT $b AS batch, k,
+           |    CAST(sum(qty) AS DECIMAL(28,2)) AS qty,
+           |    CAST(sum(price) AS DECIMAL(28,2)) AS price
+           |  FROM t WHERE b <= $b AND k IN (SELECT k FROM t WHERE b = $b)
+           |  GROUP BY k)"""
+      s"""WITH t AS (
+         |  SELECT l_partkey % 500 AS k, l_orderkey % 3 AS b,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+         |  FROM lineitem),
+         |${(0 to 2).map(out).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM out0 UNION ALL
+         |  SELECT * FROM out1 UNION ALL
+         |  SELECT * FROM out2)
+         |ORDER BY batch, k""".stripMargin
+    },
 
     // ReplacingMergeTree FINAL: last version per key (ver unique here,
     // so row_number on ver DESC is the whole-row max struct)

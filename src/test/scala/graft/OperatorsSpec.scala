@@ -614,6 +614,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full === r1, s"batch twin disagrees: $full vs $r1")
   }
 
+  test("StreamingSummingMerge: sums accumulate across batches; crash-" +
+      "replay never double-counts; accumulator width stays fixed") {
+    import graft.streaming.StreamingSummingMerge
+    val stateDir = java.nio.file.Files.createTempDirectory("ssm").toString
+    val sm = new StreamingSummingMerge(spark, stateDir, "k", Seq("v"))
+    sm.seed(Seq.empty[(Long, BigDecimal)].toDF("k", "v"))
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val b0 = Seq((1L, BigDecimal("1.50")), (1L, BigDecimal("2.50")),
+      (2L, BigDecimal("10.00"))).toDF("k", "v")
+    val r0 = sm.admit(b0, 0L).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(r0(1L).compareTo(dec("4.00")) === 0)
+    sm.compact(upTo = 0L)
+    // key 1 touched AGAIN: the new total must be 4 + 5 = 9, not 13 (a
+    // fold over both state rows would double-count batch 0)
+    val b1 = Seq((1L, BigDecimal("5.00"))).toDF("k", "v")
+    val r1 = sm.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(r1(1L).compareTo(dec("9.00")) === 0, s"got ${r1(1L)}")
+    // crash-after-append replay reproduces the identical total
+    val replay = sm.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(replay(1L).compareTo(dec("9.00")) === 0, s"got ${replay(1L)}")
+    // a third touch reads the newest state row only
+    val r2 = sm.admit(Seq((1L, BigDecimal("0.25")), (2L, BigDecimal("1.00")))
+        .toDF("k", "v"), 2L).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(r2(1L).compareTo(dec("9.25")) === 0, s"got ${r2(1L)}")
+    assert(r2(2L).compareTo(dec("11.00")) === 0, s"got ${r2(2L)}")
+  }
+
   test("StreamingSubstringDedup: cross-batch shared-window pairs, " +
       "verified against real text, replay-idempotent") {
     import graft.streaming.StreamingSubstringDedup
