@@ -131,9 +131,19 @@ object ApproxAgg {
     */
   def quantileSketch(df: DataFrame, keyCols: Seq[String], valueCol: Column,
       quantiles: Seq[(String, Int, Int)], scale: Int = 100,
-      sigBits: Int = 8): DataFrame = {
+      sigBits: Int = 8): DataFrame =
+    quantilesOfHistogram(
+      quantileHistogram(df, keyCols, valueCol, scale, sigBits),
+      keyCols, quantiles, scale)
+
+  /** The histogram -> quantile stage of [[quantileSketch]], broken out
+    * so a standing pipeline can evaluate quantiles over a PERSISTED
+    * (merged) histogram — `hist` is (keyCols..., blo, cnt) rows from
+    * [[quantileHistogram]] or a count-summed union of such frames.
+    */
+  def quantilesOfHistogram(hist: DataFrame, keyCols: Seq[String],
+      quantiles: Seq[(String, Int, Int)], scale: Int = 100): DataFrame = {
     require(quantiles.nonEmpty, "at least one quantile")
-    val hist = quantileHistogram(df, keyCols, valueCol, scale, sigBits)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("blo"))
     val wAll = org.apache.spark.sql.expressions.Window

@@ -1501,6 +1501,29 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("k"))
     },
 
+    // --- standing streaming quantile sketch, replayed under oracle:
+    //     per-batch histogram folds; each batch's p50/p90 must equal the
+    //     batch sketch over the key's full history ----------------------
+    "stream_quantile_replay" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("flag"),
+        (col("l_orderkey") % 3).as("b"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val stateDir = scratchDir("stream_quantile", dir)
+      val sq = new graft.streaming.StreamingQuantile(s, stateDir,
+        "flag", "price", Seq(("p50", 1, 2), ("p90", 9, 10)))
+      sq.seed(l.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = sq.admit(l.filter(col("b") === b).drop("b"), b.toLong)
+          .withColumn("batch", lit(b))
+        if (b == 0) sq.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("flag"), col("n"),
+          col("p50"), col("p90"))
+        .orderBy(col("batch"), col("flag"))
+    },
+
     // --- standing streaming uniqHLL, replayed under oracle: the
     //     persisted state IS the register sketch and the admission fold
     //     IS the HLL merge (register-wise max), so each batch's emitted
@@ -4915,6 +4938,42 @@ object ExtensionQueries {
     "stream_analytics_replay" -> analyticsReplayOracle,
 
     "stream_uniq_hll_replay" -> streamingUniqHllOracle,
+
+    // per batch b: the q_quantile_sketch pipeline over rows with
+    // b' <= b for the keys touched in b
+    "stream_quantile_replay" -> {
+      def out(b: Int) =
+        s"""v$b AS (
+           |  SELECT flag, s FROM v WHERE b <= $b
+           |    AND flag IN (SELECT DISTINCT flag FROM v WHERE b = $b)),
+           |bk$b AS (
+           |  SELECT flag, s, GREATEST(length(bin(s)) - 8, 0) AS w FROM v$b),
+           |h$b AS (
+           |  SELECT flag, (s >> w) << w AS blo, count(*) AS cnt
+           |  FROM bk$b GROUP BY 1, 2),
+           |c$b AS (
+           |  SELECT flag, blo, cnt,
+           |    sum(cnt) OVER (PARTITION BY flag ORDER BY blo) AS cum,
+           |    sum(cnt) OVER (PARTITION BY flag) AS n
+           |  FROM h$b),
+           |out$b AS (
+           |  SELECT $b AS batch, flag, CAST(max(n) AS BIGINT) AS n,
+           |    CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN blo END)
+           |      AS DOUBLE) / CAST(100 AS DOUBLE) AS p50,
+           |    CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN blo END)
+           |      AS DOUBLE) / CAST(100 AS DOUBLE) AS p90
+           |  FROM c$b GROUP BY flag)"""
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS flag, l_orderkey % 3 AS b,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+         |  FROM lineitem),
+         |${(0 to 2).map(out).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM out0 UNION ALL
+         |  SELECT * FROM out1 UNION ALL
+         |  SELECT * FROM out2)
+         |ORDER BY batch, flag""".stripMargin
+    },
 
     // per batch b: full-history sums for the keys touched in b (the
     // accumulator stays DECIMAL(28,2) per the fixed-state discipline)

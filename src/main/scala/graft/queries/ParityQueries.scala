@@ -432,6 +432,23 @@ object ParityQueries {
         .orderBy(col("k"))
     },
 
+    // --- time-RANGE window frame: trailing 1h per-user moving count and
+    // exact decimal moving sum ordered by event time — Spark expresses
+    // interval frames as rangeBetween over epoch micros -----------------
+    "q_window_timerange" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("ts"), unix_micros(col("ts").cast("timestamp")).as("tm"),
+        col("value").cast("decimal(18,2)").as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      e.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("v")).over(w).cast("decimal(28,2)"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // --- TPC-H Q3 shape: the classic 3-way join + grouped revenue top-10
     // (dimension filter first, fact joins shuffle on their keys, exact
     // decimal revenue cast once at the end) ------------------------------
@@ -752,6 +769,16 @@ object ParityQueries {
         |  FROM pts)
         |SELECT k, CAST(max(cur) AS BIGINT) AS max_concurrent
         |FROM c GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_window_timerange" ->
+      """SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+        |    AS DECIMAL(28,2)) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,

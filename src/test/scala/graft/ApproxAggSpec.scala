@@ -96,6 +96,32 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(replay === r1)
   }
 
+  test("StreamingQuantile: batch quantiles equal the batch sketch over " +
+      "full history; crash-replay never double-counts") {
+    import graft.streaming.StreamingQuantile
+    val stateDir = java.nio.file.Files.createTempDirectory("sq").toString
+    val sq = new StreamingQuantile(spark, stateDir, "k", "v",
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+    sq.seed(Seq.empty[(String, BigDecimal)].toDF("k", "v"))
+    val b0 = (1 to 600).map(i => ("a", BigDecimal(i)))
+    val b1 = (601 to 2000).map(i => ("a", BigDecimal(i)))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    asMap(sq.admit(b0.toDF("k", "v"), 0L))
+    sq.compact(upTo = 0L)
+    val r1 = asMap(sq.admit(b1.toDF("k", "v"), 1L))
+    val whole = asMap(ApproxAgg.quantileSketch((b0 ++ b1).toDF("k", "v"),
+      Seq("k"), col("v").cast("decimal(18,2)"),
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .select(col("k"), col("n"), col("p50"), col("p90")))
+    assert(r1("a") === whole("a"), s"stream ${r1("a")} vs batch ${whole("a")}")
+    // crash-after-append replay: identical, no double-counted histogram
+    val replay = asMap(sq.admit(b1.toDF("k", "v"), 1L))
+    assert(replay === r1)
+    assert(r1("a")._1 === 2000L)
+  }
+
   test("quantileSketch histograms merge: summed slice counts == whole") {
     val a = (1 to 4000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
     val b = (3000 to 9000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
