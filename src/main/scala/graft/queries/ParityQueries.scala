@@ -472,6 +472,25 @@ object ParityQueries {
         .limit(10)
     },
 
+    // --- higher-order array functions (§2.12 surface: transform /
+    // filter / aggregate lambdas over collected arrays — CH arrayMap /
+    // arrayFilter / arrayReduce) ----------------------------------------
+    "q_array_hof" -> { (s, dir) =>
+      Tables(s, dir).events.filter(col("user_id") < 30)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          expr("CAST(floor(value * 100) AS BIGINT)"))).as("vals"))
+        .select(col("user_id"),
+          size(col("vals")).cast("long").as("n"),
+          expr("aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("total"),
+          expr("aggregate(transform(vals, x -> x * 2), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x)").as("total2"),
+          size(expr("filter(vals, x -> x > 5000)")).cast("long").as("n_big"),
+          array_max(col("vals")).as("vmax"))
+        .orderBy(col("user_id"))
+    },
+
     // --- argMin/argMax (CH classics; unique event_id keeps ties away) --
     "q_argminmax" -> { (s, dir) =>
       Tables(s, dir).events
@@ -746,6 +765,19 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_array_hof" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    list_sort(list(CAST(floor(value * 100) AS BIGINT))) AS vals
+        |  FROM events WHERE user_id < 30 GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(vals) AS BIGINT) AS n,
+        |  CAST(list_sum(vals) AS BIGINT) AS total,
+        |  CAST(list_sum(list_transform(vals, x -> x * 2)) AS BIGINT) AS total2,
+        |  CAST(len(list_filter(vals, x -> x > 5000)) AS BIGINT) AS n_big,
+        |  list_max(vals) AS vmax
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_delta_sum" ->
       """WITH e AS (
