@@ -33,11 +33,14 @@ import graft.operators.{EventAnalytics, MergeSemantics}
   */
 final class StreamingWindowFunnel(spark: SparkSession, stateDir: String,
     userCol: String, tsCol: String, typeCol: String, steps: Seq[String],
-    windowSec: Long, nBuckets: Int = 64) extends Serializable {
+    windowSec: Long, nBuckets: Int = 64, mode: String = "default")
+    extends Serializable {
 
   require(steps.nonEmpty, "at least one funnel step")
   require(steps.distinct.size == steps.size, "funnel steps must be distinct")
   require(windowSec > 0, "windowSec must be positive")
+  require(EventAnalytics.Modes.contains(mode),
+    s"mode must be one of ${EventAnalytics.Modes}")
 
   private val state = new BatchedState(spark, s"$stateDir/funnel", Seq("kb"))
   private val winMicros = windowSec * 1000000L
@@ -47,7 +50,8 @@ final class StreamingWindowFunnel(spark: SparkSession, stateDir: String,
     pmod(xxhash64(u), lit(nBuckets)).cast("int")
 
   private val stateParams = Map("steps" -> steps.mkString(","),
-    "windowSec" -> windowSec.toString, "nBuckets" -> nBuckets.toString)
+    "windowSec" -> windowSec.toString, "nBuckets" -> nBuckets.toString,
+    "mode" -> mode)
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
@@ -81,7 +85,7 @@ final class StreamingWindowFunnel(spark: SparkSession, stateDir: String,
     */
   private def applyBatch(joined: DataFrame): DataFrame = {
     import spark.implicits._
-    val kk = k; val wm = winMicros
+    val kk = k; val wm = winMicros; val md = mode
     joined.select(col("u"),
         transform(col("ev"), e => e.getField("t")).as("evT"),
         transform(col("ev"), e => e.getField("s")).as("evS"),
@@ -92,7 +96,7 @@ final class StreamingWindowFunnel(spark: SparkSession, stateDir: String,
       .map { case (u, evT, evS, best0, tailT, tailS) =>
         val merged = (tailT.zip(tailS) ++ evT.zip(evS)).sorted.toArray
         val best = math.max(best0,
-          EventAnalytics.funnelWalk(merged, kk, wm))
+          EventAnalytics.funnelWalk(merged, kk, wm, md))
         val maxTs = merged.last._1 // joined rows always carry >= 1 event
         // inclusive window (ts_k <= ts_1 + window): an event at exactly
         // maxTs - wm can still seed a chain completed by a later-batch

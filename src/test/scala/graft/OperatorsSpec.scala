@@ -614,6 +614,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full === r1, s"batch twin disagrees: $full vs $r1")
   }
 
+  test("StreamingWindowFunnel strict_increase mode: cross-batch chains " +
+      "obey the strict inequality; equals the batch operator") {
+    import graft.streaming.StreamingWindowFunnel
+    import graft.operators.EventAnalytics
+    val stateDir = java.nio.file.Files.createTempDirectory("swfs").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val swf = new StreamingWindowFunnel(spark, stateDir,
+      "user_id", "ts", "event_type", Seq("a", "b", "c"), windowSec = 10,
+      mode = "strict_increase")
+    swf.seed(Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type"))
+    // user 1: a@100 b@101; user 2: a@100 b@100 (equal ts — strict mode
+    // rejects the b)
+    val b0 = Seq((1L, ts(100), "a"), (1L, ts(101), "b"),
+      (2L, ts(100), "a"), (2L, ts(100), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val r0 = swf.admit(b0, 0L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r0 === Map(1L -> 2, 2L -> 1), s"got $r0")
+    // batch 1: c@101 cannot complete user 1's chain (needs ts > 101);
+    // c@105 can
+    val b1 = Seq((1L, ts(101), "c"), (1L, ts(105), "c"))
+      .toDF("user_id", "ts", "event_type")
+    val r1 = swf.admit(b1, 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 === Map(1L -> 3), s"got $r1")
+    val full = EventAnalytics.windowFunnel(b0.union(b1), "user_id", "ts",
+        "event_type", Seq("a", "b", "c"), windowSec = 10,
+        mode = "strict_increase")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full(1L) === r1(1L), s"batch twin disagrees: $full vs $r1")
+  }
+
   test("StreamingSummingMerge: sums accumulate across batches; crash-" +
       "replay never double-counts; accumulator width stays fixed") {
     import graft.streaming.StreamingSummingMerge
