@@ -472,6 +472,21 @@ object ParityQueries {
         .limit(10)
     },
 
+    // --- ClickHouse LIMIT n BY key: first n rows per group in a pinned
+    // deterministic order (window row_number, the scale-safe shape —
+    // truncation happens before anything collects) -----------------------
+    "q_limit_by" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn").cast("long").as("rn"),
+          col("event_id"), col("user_id"))
+        .orderBy(col("event_type"), col("rn"))
+    },
+
     // --- higher-order array functions (§2.12 surface: transform /
     // filter / aggregate lambdas over collected arrays — CH arrayMap /
     // arrayFilter / arrayReduce) ----------------------------------------
@@ -765,6 +780,14 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_limit_by" ->
+      """SELECT event_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn, event_id, user_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |QUALIFY rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
 
     "q_array_hof" ->
       """WITH a AS (
