@@ -1224,6 +1224,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(funnelWalk(restart, 3, win, "strict_order") === 3)
   }
 
+  test("funnelWalk greedy == brute-force exists-chain on 2000 random " +
+      "event lists (default and strict_increase)") {
+    import graft.operators.EventAnalytics.funnelWalk
+    val rnd = new scala.util.Random(4242)
+    val k = 3
+    // independent reference: enumerate ALL (e1, e2, e3) tuples
+    def brute(evs: Array[(Long, Int)], win: Long, strict: Boolean): Int = {
+      def ok(a: Long, b: Long) = if (strict) b > a else b >= a
+      var best = 0
+      for ((t1, s1) <- evs if s1 == 0) {
+        best = math.max(best, 1)
+        for ((t2, s2) <- evs if s2 == 1 && ok(t1, t2) && t2 <= t1 + win) {
+          best = math.max(best, 2)
+          for ((t3, s3) <- evs
+               if s3 == 2 && ok(t2, t3) && t3 <= t1 + win)
+            best = math.max(best, 3)
+        }
+      }
+      best
+    }
+    for (_ <- 1 to 2000) {
+      val n = rnd.nextInt(13)
+      val win = 1 + rnd.nextInt(8).toLong
+      val evs = Array.fill(n)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(k))).sorted
+      val d = funnelWalk(evs, k, win)
+      val bd = brute(evs, win, strict = false)
+      assert(d === bd,
+        s"default: walk=$d brute=$bd win=$win evs=${evs.mkString(",")}")
+      val si = funnelWalk(evs, k, win, "strict_increase")
+      val bs = brute(evs, win, strict = true)
+      assert(si === bs,
+        s"strict: walk=$si brute=$bs win=$win evs=${evs.mkString(",")}")
+    }
+  }
+
   test("sequenceCount: greedy non-overlapping automaton — a completed " +
       "chain resets; mid-chain extras pass through") {
     import graft.operators.EventAnalytics
