@@ -51,9 +51,12 @@ object ApproxAgg {
   def hllRegisters(df: DataFrame, keyCols: Seq[String],
       valueCol: Column): DataFrame = {
     // stage the hash behind an alias so register and suffix derive from
-    // ONE md5 digest (inlining would re-digest per use)
+    // ONE md5 digest (inlining would re-digest per use). NULL values are
+    // skipped (CH uniq semantics) — a null hash would otherwise pollute
+    // a null register row into every group.
     val h = shiftrightunsigned(PortableHash.md5Lo(valueCol), 4)
-    val staged = df.select(keyCols.map(col) :+ h.as("__h"): _*)
+    val staged = df.filter(valueCol.isNotNull)
+      .select(keyCols.map(col) :+ h.as("__h"): _*)
       .select(keyCols.map(col) ++ Seq(
         col("__h").bitwiseAND(lit((HllM - 1).toLong)).cast("int").as("reg"),
         shiftrightunsigned(col("__h"), HllP).as("__w")): _*)
@@ -104,20 +107,28 @@ object ApproxAgg {
   /** The histogram sketch under [[quantileSketch]]: values scaled to
     * integers by `scale` (exact for DECIMAL(p, s<=log10 scale) input),
     * then bucketed HdrHistogram-style — keep the top `sigBits` bits of
-    * the scaled value, zero the rest — giving relative bucket error
-    * <= 2^-(sigBits-1) (the top bit is always set) with at most
-    * ~64 * 2^(sigBits-1) buckets per key regardless of corpus size.
-    * Non-negative values only (the CH quantile workloads here are
-    * prices/quantities).
+    * the scaled MAGNITUDE, zero the rest, restore the sign — giving
+    * relative bucket error <= 2^-(sigBits-1) (the top bit is always
+    * set) with at most ~2 * 64 * 2^(sigBits-1) buckets per key
+    * regardless of corpus size. The sign split keeps negatives
+    * engine-portable (bin() of a negative long is 64-bit two's
+    * complement in Spark but a minus-prefixed magnitude in DuckDB) and
+    * bucket-monotone, so quantiles stay a valid <=1-bucket-error
+    * estimate over any sign mix; for negatives the bucket bound lies
+    * at-or-above the value instead of at-or-below.
     */
   def quantileHistogram(df: DataFrame, keyCols: Seq[String],
       valueCol: Column, scale: Int = 100, sigBits: Int = 8): DataFrame = {
     val s = (valueCol * scale).cast("long")
     df.select(keyCols.map(col) :+ s.as("__s"): _*)
       .select(keyCols.map(col) :+ col("__s") :+
-        greatest(length(bin(col("__s"))) - sigBits, lit(0)).as("__w"): _*)
+        greatest(length(bin(abs(col("__s")))) - sigBits, lit(0)).as("__w"): _*)
       .select(keyCols.map(col) :+
-        expr("shiftleft(shiftright(__s, __w), __w)").as("blo"): _*)
+        // integer CASE sign, not signum(): signum returns DOUBLE, which
+        // silently loses precision above 2^53
+        expr("(CASE WHEN __s < 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(1 AS BIGINT) END) * " +
+          "shiftleft(shiftright(abs(__s), __w), __w)").as("blo"): _*)
       .groupBy((keyCols :+ "blo").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }

@@ -122,6 +122,27 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(r1("a")._1 === 2000L)
   }
 
+  test("quantileSketch: negative domain is sign-split bucket-monotone; " +
+      "nulls skipped by uniqHll") {
+    // symmetric -1000..1000: p50 must land within one bucket of 0
+    val vals = (-1000 to 1000).map(i => ("k", BigDecimal(i)))
+    val df = vals.toDF("k", "v").select(col("k"),
+      col("v").cast("decimal(18,2)").as("v"))
+    val r = ApproxAgg.quantileSketch(df, Seq("k"), col("v"),
+      Seq(("p50", 1, 2), ("p90", 9, 10))).collect()(0)
+    assert(math.abs(r.getDouble(2)) <= 8.0, s"p50=${r.getDouble(2)}")
+    val p90 = r.getDouble(3)
+    assert(p90 >= 800 * (1 - 1.0 / 128) - 0.01 && p90 <= 800.0 + 1e-9,
+      s"p90=$p90")
+    // nulls: uniqHll must count around them, not poison a register
+    val withNulls = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)),
+      ("k", None)).toDF("k", "v")
+    val est = ApproxAgg.uniqHll(withNulls, Seq("k"), col("v"))
+      .collect()(0)
+    assert(est.getLong(1) === 2L, s"est=${est.getLong(1)}")
+    assert(est.getLong(2) === 2L, s"n_regs=${est.getLong(2)}")
+  }
+
   test("quantileSketch histograms merge: summed slice counts == whole") {
     val a = (1 to 4000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
     val b = (3000 to 9000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
