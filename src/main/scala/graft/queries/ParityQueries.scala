@@ -390,6 +390,18 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- discrete exact quantiles (CH quantileExact: the value at rank
+    // ceil(q*n) — no interpolation, so the result is a real data point
+    // and exactly reproducible) ------------------------------------------
+    "q_percentile_disc" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"))
+        .orderBy(col("event_type"))
+    },
+
     // --- set ops (§2.7 completeness) -------------------------------------
     "q_setops" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -780,6 +792,19 @@ object ParityQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    // NOT DuckDB's quantile_disc: its floor(q*(n-1)) indexing disagrees
+    // with percentile_disc's smallest-cume_dist>=q for ~q of all n — the
+    // oracle replays Spark's definition explicitly
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events)
+        |SELECT event_type,
+        |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+        |  min(CASE WHEN cd >= 0.95 THEN value END) AS p95
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_limit_by" ->
       """SELECT event_type,
