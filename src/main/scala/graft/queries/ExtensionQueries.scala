@@ -187,10 +187,12 @@ object ExtensionQueries {
 
     // --- same pairs at WINNOWED gram density (the 100 TB path: ~2/(w+1)
     //     of the grams shuffle; spans >= k+w-1 chars are guaranteed
-    //     caught, and the planted spans are 61 >= 49). Winnow selection
-    //     is hash-dependent, so no SQL oracle — the driver's rows-only
-    //     check applies; the subset/guarantee properties are unit-pinned
-    //     in OperatorsSpec -------------------------------------------
+    //     caught, and the planted spans are 61 >= 49). The winnow
+    //     selection is replayed exactly in the DuckDB oracle: the
+    //     polynomial rolling hash is deterministic modular arithmetic
+    //     (prefix-hash recursive CTE, mod-2^64 in HUGEINT) and the
+    //     rightmost-min-per-window champion is a window-min over an
+    //     (h1, -pos) composite key --------------------------------------
     "dedup_substring_winnow" -> { (s, dir) =>
       val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val spans = d.filter(col("doc_id") < 20)
@@ -1497,7 +1499,11 @@ object ExtensionQueries {
         if (b == 0) sm.compact(upTo = 0L)
         r
       }.reduce(_ unionByName _)
-      outs.select(col("batch"), col("k"), col("qty"), col("price"))
+      // compare surface rounded through DOUBLE on both sides (driver's
+      // hasher rejects DECIMAL renderings; state stays exact DECIMAL)
+      outs.select(col("batch"), col("k"),
+          round(col("qty").cast("double"), 6).as("qty"),
+          round(col("price").cast("double"), 6).as("price"))
         .orderBy(col("batch"), col("k"))
     },
 
@@ -1649,7 +1655,11 @@ object ExtensionQueries {
         .orderBy(col("k"))
     },
 
-    // --- SummingMergeTree FINAL: exact decimal sums per key ------------
+    // --- SummingMergeTree FINAL: exact decimal sums per key. The fold
+    //     itself stays exact DECIMAL; the COMPARE SURFACE is rounded
+    //     through DOUBLE on both sides because the driver's hasher
+    //     disagrees on decimal value renderings even when DuckDB-visible
+    //     types and values match (r10/r11 lesson — same as q_tpch_q3) --
     "q_summing_merge" -> { (s, dir) =>
       val l = Tables(s, dir).lineitem.select(
         (col("l_partkey") % 500).as("k"),
@@ -1657,6 +1667,9 @@ object ExtensionQueries {
         col("l_extendedprice").cast("decimal(18,2)").as("price"))
       graft.operators.MergeSemantics.summingMerge(l, Seq("k"),
           Seq("qty", "price"))
+        .select(col("k"),
+          round(col("qty").cast("double"), 6).as("qty"),
+          round(col("price").cast("double"), 6).as("price"))
         .orderBy(col("k"))
     },
 
@@ -1787,12 +1800,13 @@ object ExtensionQueries {
       val filled = TimeSeries.locf(rs, Seq("k"), "b", "v0")
       val withDelta = TimeSeries.runningDelta(filled, Seq("k"), "b", "v0")
       TimeSeries.movingAvg(withDelta, Seq("k"), "b", "v0", nBuckets = 4)
-        .select(col("k"), col("b"), col("v0").as("v"), col("n"),
+        // compare surface rounded through DOUBLE on both sides: the
+        // driver's hasher rejects DECIMAL renderings even when values and
+        // DuckDB-visible types match (r11 lesson; mov_avg already double)
+        .select(col("k"), col("b"),
+          round(col("v0").cast("double"), 6).as("v"), col("n"),
           col("filled"),
-          // decimal subtraction widens to DECIMAL(19,2) in Spark while
-          // DuckDB keeps DECIMAL(18,2); narrow back (values fit) so the
-          // driver's typed hash agrees
-          col("delta").cast("decimal(18,2)").as("delta"), col("mov_avg"))
+          round(col("delta").cast("double"), 6).as("delta"), col("mov_avg"))
         .orderBy(col("k"), col("b"))
     },
 
@@ -4005,6 +4019,65 @@ object ExtensionQueries {
          |FROM gd a JOIN gd b ON a.gm = b.gm AND a.doc_id < b.doc_id
          |ORDER BY a, b""".stripMargin,
 
+    // exact replay of the winnowed selection: prefix rolling hashes
+    // P(i) = P(i-1)*B1 + cp(i) mod 2^64 via a recursive CTE (HUGEINT
+    // carries the mod-2^64 arithmetic; 11429019619962296993 = B1^40 mod
+    // 2^64, and the split multiply keeps P*B1^40 inside HUGEINT), gram
+    // hash h1(p) = P(p+40) - P(p)*B1^40, then the rightmost-unsigned-min
+    // champion of each 10-gram window via a window-min over the
+    // composite key h1*2^32 + (2^32-1-pos). Verified pairs reduce to
+    // "share a selected gram by content" (the Spark side's witness
+    // verification makes 128-bit hash collisions unobservable), so the
+    // final join is on the literal 40-char gram.
+    "dedup_substring_winnow" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents),
+        |spans AS (SELECT doc_id AS bid, substr(text, 1, 60) AS span
+        |  FROM d WHERE doc_id < 20),
+        |planted AS (
+        |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || s.span AS text
+        |  FROM d JOIN spans s ON d.doc_id % 20 = s.bid
+        |  WHERE d.doc_id >= 100 AND d.doc_id < 200),
+        |corpus AS (SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |doc AS (SELECT doc_id, text, length(text) AS n FROM corpus
+        |  WHERE length(text) >= 40),
+        |pref AS (
+        |  SELECT doc_id, text, n, 0 AS i, 0::HUGEINT AS p1
+        |  FROM doc
+        |  UNION ALL
+        |  SELECT doc_id, text, n, i + 1,
+        |    (p1 * 1099511628211::HUGEINT
+        |     + unicode(substr(text, i + 1, 1))::HUGEINT)
+        |      % 18446744073709551616::HUGEINT
+        |  FROM pref WHERE i < n),
+        |g AS (
+        |  SELECT a.doc_id, a.i AS p0,
+        |    (b.p1
+        |     - ((a.p1 % 4294967296::HUGEINT) * 11429019619962296993::HUGEINT
+        |        + ((a.p1 // 4294967296::HUGEINT) * 11429019619962296993::HUGEINT
+        |           % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |       % 18446744073709551616::HUGEINT
+        |     + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS h1u
+        |  FROM pref a JOIN pref b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 40),
+        |mk AS (
+        |  SELECT doc_id, p0,
+        |    min(h1u * 4294967296::HUGEINT + (4294967295 - p0)::HUGEINT)
+        |      OVER (PARTITION BY doc_id ORDER BY p0
+        |            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS minkey,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    4294967295 - CAST(minkey % 4294967296::HUGEINT AS BIGINT) AS champ
+        |  FROM mk WHERE p0 <= greatest(ng - 10, 0)),
+        |sg AS (
+        |  SELECT s.doc_id, substr(c.text, s.champ::INT + 1, 40) AS gram
+        |  FROM sel s JOIN corpus c ON s.doc_id = c.doc_id)
+        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |FROM sg a JOIN sg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |ORDER BY a, b""".stripMargin,
+
     "dedup_simhash_wide" -> simhashWideOracle,
 
     "dedup_embedding" ->
@@ -4975,14 +5048,15 @@ object ExtensionQueries {
          |ORDER BY batch, flag""".stripMargin
     },
 
-    // per batch b: full-history sums for the keys touched in b (the
-    // accumulator stays DECIMAL(28,2) per the fixed-state discipline)
+    // per batch b: full-history sums for the keys touched in b; compare
+    // surface rounded through DOUBLE on both sides (the standing state
+    // stays exact DECIMAL(28,2) — only the emitted row is rounded)
     "stream_summing_replay" -> {
       def out(b: Int) =
         s"""out$b AS (
            |  SELECT $b AS batch, k,
-           |    CAST(sum(qty) AS DECIMAL(28,2)) AS qty,
-           |    CAST(sum(price) AS DECIMAL(28,2)) AS price
+           |    round(CAST(sum(qty) AS DOUBLE), 6) AS qty,
+           |    round(CAST(sum(price) AS DOUBLE), 6) AS price
            |  FROM t WHERE b <= $b AND k IN (SELECT k FROM t WHERE b = $b)
            |  GROUP BY k)"""
       s"""WITH t AS (
@@ -5008,13 +5082,14 @@ object ExtensionQueries {
         |  PARTITION BY o_orderkey % 1000 ORDER BY o_orderkey DESC) = 1
         |ORDER BY k""".stripMargin,
 
-    // CAST to DECIMAL(28,2): DuckDB's sum(DECIMAL(18,2)) promotes to
-    // DECIMAL(38,2) while Spark widens to DECIMAL(28,2) — align widths so
-    // the driver's typed hash agrees (values are identical either way).
+    // Compare surface rounded through DOUBLE on both sides — the
+    // driver's hasher rejects DECIMAL renderings even when values and
+    // DuckDB-visible types match (width-aligned casts were tried in r11
+    // and still red); the exact-decimal fold is pinned by unit tests.
     "q_summing_merge" ->
       """SELECT l_partkey % 500 AS k,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS price
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS price
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q_collapsing_merge" ->
@@ -5063,7 +5138,8 @@ object ExtensionQueries {
         |  FROM lc
         |  WINDOW w4 AS (PARTITION BY k ORDER BY b
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
-        |SELECT k, b, v, n, filled, delta, mov_avg FROM dl
+        |SELECT k, b, round(CAST(v AS DOUBLE), 6) AS v, n, filled,
+        |  round(CAST(delta AS DOUBLE), 6) AS delta, mov_avg FROM dl
         |ORDER BY k, b""".stripMargin,
 
     // exists-chain funnel: level k iff a time-ordered chain of the first

@@ -455,7 +455,11 @@ object ParityQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
         .rangeBetween(-3600L * 1000000L, 0L)
       e.withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("sum_1h", sum(col("v")).over(w).cast("decimal(28,2)"))
+        // compare surface rounded through DOUBLE on both sides: the
+        // driver's hasher rejects DECIMAL renderings even when values
+        // and DuckDB-visible types match (r11 lesson)
+        .withColumn("sum_1h",
+          round(sum(col("v")).over(w).cast("double"), 6))
         .select(col("user_id"), col("event_id"), col("ts"),
           col("n_1h"), col("sum_1h"))
         .orderBy(col("user_id"), col("event_id"))
@@ -853,8 +857,8 @@ object ParityQueries {
     "q_window_timerange" ->
       """SELECT user_id, event_id, ts,
         |  count(*) OVER w AS n_1h,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
-        |    AS DECIMAL(28,2)) AS sum_1h
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE), 6) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
