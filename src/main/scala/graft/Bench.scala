@@ -189,6 +189,13 @@ object Bench {
     // artifact always covers the full registry
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // a typo'd name would otherwise silently filter everything out and
+    // produce an empty-but-plausible artifact — surface it in errors
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        errors("bench_only_unknown") = unknown.toSeq.sorted.mkString(",")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -119,8 +119,34 @@ object ApproxAgg {
     */
   def quantileHistogram(df: DataFrame, keyCols: Seq[String],
       valueCol: Column, scale: Int = 100, sigBits: Int = 8): DataFrame = {
+    // fail loudly when (valueCol * scale) would not be exact: float
+    // input truncates toward zero in Spark but rounds half-up in
+    // DuckDB's cast, and a decimal whose 10^s does not divide `scale`
+    // drops digits — both silently drift from any replayed oracle.
+    import org.apache.spark.sql.types._
+    df.select(valueCol.as("__v")).schema.head.dataType match {
+      case d: DecimalType =>
+        val pow = math.pow(10, d.scale).toLong
+        require(scale > 0 && scale % pow == 0,
+          s"quantileHistogram scale=$scale cannot exactly represent " +
+            s"DECIMAL(${d.precision},${d.scale}) input: scale must be a " +
+            s"multiple of 10^${d.scale}")
+      case ByteType | ShortType | IntegerType | LongType =>
+        () // integer * scale is exact
+      case other => throw new IllegalArgumentException(
+        s"quantileHistogram needs DECIMAL or integer input for exact " +
+          s"scaling (got $other): Spark's cast truncates while DuckDB " +
+          s"rounds, so float input silently drifts from the oracle — " +
+          s"cast to DECIMAL first")
+    }
     val s = (valueCol * scale).cast("long")
-    df.select(keyCols.map(col) :+ s.as("__s"): _*)
+    // NULL values are skipped (CH quantile semantics) — a null value
+    // would otherwise become a null bucket that inflates n and shifts
+    // ranks in quantilesOfHistogram, and the streaming twin would
+    // persist the poisoned bucket into standing state (mirrors
+    // hllRegisters' NULL-skip above).
+    df.filter(valueCol.isNotNull)
+      .select(keyCols.map(col) :+ s.as("__s"): _*)
       .select(keyCols.map(col) :+ col("__s") :+
         greatest(length(bin(abs(col("__s")))) - sigBits, lit(0)).as("__w"): _*)
       .select(keyCols.map(col) :+

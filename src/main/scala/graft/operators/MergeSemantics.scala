@@ -69,13 +69,18 @@ object MergeSemantics {
     * sums, as with [[summingMerge]].
     */
   def sumMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    // explode_outer: a key whose mapCol is NULL or empty on every row
+    // still surfaces with an empty map (SummingMergeTree keeps the key
+    // row; plain explode would drop it). The null entry rows fold away
+    // in the reassembly because collect_list skips null structs.
     df.select(keyCols.map(col) :+
-        explode(col(mapCol)).as(Seq("__mk", "__mv")): _*)
+        explode_outer(col(mapCol)).as(Seq("__mk", "__mv")): _*)
       .groupBy((keyCols :+ "__mk").map(col): _*)
       .agg(sum(col("__mv")).as("__sv"))
       .groupBy(keyCols.map(col): _*)
       .agg(map_from_entries(sort_array(collect_list(
-        struct(col("__mk"), col("__sv"))))).as(mapCol))
+        when(col("__mk").isNotNull,
+          struct(col("__mk"), col("__sv")))))).as(mapCol))
 
   /** CollapsingMergeTree FINAL: rows arrive as (+1) states and (-1)
     * cancellations; per key the net sign decides survival — net > 0

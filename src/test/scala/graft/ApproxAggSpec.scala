@@ -102,22 +102,26 @@ class ApproxAggSpec extends AnyFunSuite {
     val stateDir = java.nio.file.Files.createTempDirectory("sq").toString
     val sq = new StreamingQuantile(spark, stateDir, "k", "v",
       Seq(("p50", 1, 2), ("p90", 9, 10)))
-    sq.seed(Seq.empty[(String, BigDecimal)].toDF("k", "v"))
+    // decimal(18,2): the guard in quantileHistogram rejects scale-18
+    // BigDecimal encodings (scale must be a multiple of 10^s)
+    def dec(rows: Seq[(String, BigDecimal)]) = rows.toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    sq.seed(dec(Seq.empty[(String, BigDecimal)]))
     val b0 = (1 to 600).map(i => ("a", BigDecimal(i)))
     val b1 = (601 to 2000).map(i => ("a", BigDecimal(i)))
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    asMap(sq.admit(b0.toDF("k", "v"), 0L))
+    asMap(sq.admit(dec(b0), 0L))
     sq.compact(upTo = 0L)
-    val r1 = asMap(sq.admit(b1.toDF("k", "v"), 1L))
+    val r1 = asMap(sq.admit(dec(b1), 1L))
     val whole = asMap(ApproxAgg.quantileSketch((b0 ++ b1).toDF("k", "v"),
       Seq("k"), col("v").cast("decimal(18,2)"),
       Seq(("p50", 1, 2), ("p90", 9, 10)))
       .select(col("k"), col("n"), col("p50"), col("p90")))
     assert(r1("a") === whole("a"), s"stream ${r1("a")} vs batch ${whole("a")}")
     // crash-after-append replay: identical, no double-counted histogram
-    val replay = asMap(sq.admit(b1.toDF("k", "v"), 1L))
+    val replay = asMap(sq.admit(dec(b1), 1L))
     assert(replay === r1)
     assert(r1("a")._1 === 2000L)
   }
@@ -143,9 +147,34 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(est.getLong(2) === 2L, s"n_regs=${est.getLong(2)}")
   }
 
+  test("quantileHistogram: NULL values are skipped, not bucketed; float " +
+      "input fails loudly (Spark truncates where DuckDB rounds)") {
+    val rows = Seq(("k", Some(BigDecimal(100))), ("k", None),
+      ("k", Some(BigDecimal(200))), ("k", None)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val h = ApproxAgg.quantileHistogram(rows, Seq("k"), col("v")).collect()
+    assert(h.map(_.getLong(2)).sum === 2L,
+      s"null rows must not inflate n: ${h.mkString(",")}")
+    assert(!h.exists(_.isNullAt(1)), "no null bucket row")
+    val dbl = Seq(("k", 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ApproxAgg.quantileHistogram(dbl, Seq("k"), col("v"))
+    }
+    assert(e.getMessage.contains("DECIMAL"), e.getMessage)
+    val wide = Seq(("k", BigDecimal(1))).toDF("k", "v") // DECIMAL(38,18)
+    val e2 = intercept[IllegalArgumentException] {
+      ApproxAgg.quantileHistogram(wide, Seq("k"), col("v"))
+    }
+    assert(e2.getMessage.contains("multiple of 10^18"), e2.getMessage)
+  }
+
   test("quantileSketch histograms merge: summed slice counts == whole") {
-    val a = (1 to 4000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
-    val b = (3000 to 9000).map(i => ("k", BigDecimal(i))).toDF("k", "v")
+    // decimal(18,2): quantileHistogram now rejects scale-18 BigDecimal
+    // encodings whose (value * scale) cast could silently truncate
+    def dec(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val a = dec((1 to 4000).map(i => ("k", BigDecimal(i))).toDF("k", "v"))
+    val b = dec((3000 to 9000).map(i => ("k", BigDecimal(i))).toDF("k", "v"))
     val whole = ApproxAgg.quantileHistogram(a.union(b), Seq("k"), col("v"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     val merged = ApproxAgg.quantileHistogram(a, Seq("k"), col("v"))

@@ -1149,6 +1149,22 @@ class CurationOpsSpec extends AnyFunSuite {
       2L -> Map("z" -> 7L)), s"got $got")
   }
 
+  test("sumMap: keys with only NULL/empty maps survive with an empty map " +
+      "(SummingMergeTree keeps the key row)") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      (1L, Map("a" -> 1L)),
+      (2L, Map.empty[String, Long]), // empty on every row
+      (4L, Map("b" -> 2L))).toDF("k", "m")
+      .union(Seq(3L).toDF("k") // NULL map on every row
+        .select(col("k"), lit(null).cast("map<string,bigint>").as("m")))
+    val got = MergeSemantics.sumMap(rows, Seq("k"), "m")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(got === Map(
+      1L -> Map("a" -> 1L), 2L -> Map.empty, 3L -> Map.empty,
+      4L -> Map("b" -> 2L)), s"got $got")
+  }
+
   // ---- event-sequence analytics (windowFunnel / retention) ------------
 
   test("windowFunnel: exists-chain semantics — a later start can complete " +
