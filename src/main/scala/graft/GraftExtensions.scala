@@ -45,6 +45,15 @@ object GraftExtensions {
       s"$fn: expected a string literal argument, got $e")
   }
 
+  /** An Aggregator as a registry-returnable AggregateExpression — the
+    * same wrapping `functions.udaf(...).apply(cols)` produces on the
+    * Column API, so SQL and Column calls plan identically.
+    */
+  private def udafExpr[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      in: Seq[org.apache.spark.sql.Column]): Expression =
+    toExpression(org.apache.spark.sql.functions.udaf(agg).apply(in: _*))
+
   /** name -> (builder, usage) — arity/literal checks live in the builder. */
   val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_fingerprint",
@@ -138,7 +147,33 @@ object GraftExtensions {
       "graft_card_candidates(text) - 13-19 digit runs (payment-card candidates)"),
     ("graft_ari",
       args => toExpression(TextAnalysis.ariScore(c(args.head))),
-      "graft_ari(text) - Automated Readability Index (syllable-free readability)")
+      "graft_ari(text) - Automated Readability Index (syllable-free readability)"),
+
+    // ---- aggregate surface: the CH uniq / quantile / sumMap constructs
+    // as SQL aggregates (Aggregator-backed, partial-aggregatable —
+    // sketch states shuffle, never raw values). Each is the bit-exact
+    // twin of the DataFrame operator, pinned by GraftExtensionsSpec.
+    ("graft_uniq_hll",
+      args => udafExpr(new graft.functions.Aggregates.UniqHllAgg,
+        Seq(c(args.head).cast("string"))),
+      "graft_uniq_hll(value) - AGGREGATE: HLL approximate count distinct (== ApproxAgg.uniqHll est)"),
+    ("graft_quantile_sketch",
+      args => {
+        val num = intLit(args(1), "graft_quantile_sketch")
+        val den = intLit(args(2), "graft_quantile_sketch")
+        val scale =
+          if (args.lengthCompare(3) > 0) intLit(args(3), "graft_quantile_sketch")
+          else 100
+        // pre-scale exactly like quantileHistogram: multiply THEN cast,
+        // so decimal inputs stay exact and bucket ids are bit-identical
+        udafExpr(new graft.functions.Aggregates.QuantileSketchAgg(num, den, scale),
+          Seq((c(args.head) * scale).cast("long")))
+      },
+      "graft_quantile_sketch(value, num, den[, scale]) - AGGREGATE: histogram-sketch quantile at num/den (== ApproxAgg.quantileSketch)"),
+    ("graft_sum_map",
+      args => udafExpr(new graft.functions.Aggregates.SumMapAgg,
+        Seq(c(args.head))),
+      "graft_sum_map(m) - AGGREGATE: key-wise MAP<STRING,BIGINT> sum (== MergeSemantics.sumMap)")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.ApproxAgg
+
+/** SQL-surface aggregate twins of the DataFrame sketch operators — how a
+  * pure-SQL / Thrift client issues ClickHouse's `uniq`, `quantile`, and
+  * `sumMap` against this engine (the reference's users call exactly
+  * those; `clickhouse_sinker` feeds tables that are then queried with
+  * them). Each Aggregator reproduces the corresponding
+  * [[graft.operators.ApproxAgg]] / [[graft.operators.MergeSemantics]]
+  * result BIT-FOR-BIT: same md5 hashing, same integer register/bucket
+  * math, same estimator constants — pinned by GraftExtensionsSpec
+  * equality tests against the Column API.
+  *
+  * Scale note: these are partial-aggregatable (Spark plans ObjectHashAgg
+  * with map-side partials; the buffers are the bounded sketch states —
+  * 512 bytes for HLL, <= ~14k buckets for the histogram), so the shuffle
+  * carries sketches, not raw values — the same property as the
+  * DataFrame operators. For whole-pipeline work the DataFrame operators
+  * remain the first choice (whole-stage codegen on the scan side); the
+  * UDAFs exist so the SQL surface is complete.
+  */
+object Aggregates {
+
+  /** `graft_uniq_hll(value)`: HLL distinct estimate, == the `est` column
+    * of [[ApproxAgg.uniqHll]]. State: 512 rho registers (one byte each).
+    * NULL values are skipped (CH `uniq` semantics).
+    */
+  class UniqHllAgg extends Aggregator[String, Array[Byte], Long] {
+    override def zero: Array[Byte] = new Array[Byte](ApproxAgg.HllM)
+
+    override def reduce(b: Array[Byte], v: String): Array[Byte] = {
+      if (v != null) {
+        val h = PortableHash.lo(UTF8String.fromString(v)) >>> 4
+        val reg = (h & (ApproxAgg.HllM - 1)).toInt
+        val w = h >>> ApproxAgg.HllP
+        // 51-bit suffix: rho = 1 + leading zeros = 52 - bitlen(w)
+        val rho = math.min(
+          if (w == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w)),
+          ApproxAgg.RhoCap)
+        if (rho > b(reg)) b(reg) = rho.toByte
+      }
+      b
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Byte]): Long = {
+      // identical estimator to hllEstimate: harmonic mean with absent
+      // registers at 2^RhoCap, linear counting in the small range
+      var s = 0L
+      var v0 = 0L
+      var i = 0
+      while (i < b.length) {
+        if (b(i) > 0) s += 1L << (ApproxAgg.RhoCap - b(i))
+        else v0 += 1
+        i += 1
+      }
+      val m = ApproxAgg.HllM.toDouble
+      val raw = ApproxAgg.HllC /
+        (s + v0 * (1L << ApproxAgg.RhoCap)).toDouble
+      if (v0 > 0 && raw <= 2.5 * m)
+        math.floor(m * math.log(m / v0.toDouble) + 0.5).toLong
+      else math.floor(raw).toLong
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** `graft_quantile_sketch(value, num, den)`: HdrHistogram-style bucket
+    * sketch quantile at q = num/den, == the corresponding column of
+    * [[ApproxAgg.quantileSketch]] (lower bucket bound of the
+    * ceil(q*n)-th value, divided back by `scale`). Input arrives
+    * PRE-SCALED to long by the registration builder (the exact
+    * `(value * scale) CAST AS BIGINT` the DataFrame operator applies),
+    * so bucket ids are bit-identical. NULLs are skipped; an all-NULL
+    * group yields SQL NULL.
+    */
+  class QuantileSketchAgg(num: Int, den: Int, scale: Int = 100,
+      sigBits: Int = 8)
+      extends Aggregator[java.lang.Long, Map[Long, Long], java.lang.Double] {
+    require(den > 0 && num >= 0 && num <= den, s"need 0 <= $num/$den <= 1")
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    private def bucket(s: Long): Long = {
+      val a = math.abs(s)
+      val bitlen = if (a == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(a)
+      val w = math.max(bitlen - sigBits, 0)
+      val blo = (a >> w) << w
+      if (s < 0) -blo else blo
+    }
+
+    override def reduce(b: Map[Long, Long], v: java.lang.Long): Map[Long, Long] =
+      if (v == null) b
+      else {
+        val k = bucket(v)
+        b.updated(k, b.getOrElse(k, 0L) + 1L)
+      }
+
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      if (a.size < b.size) merge(b, a)
+      else b.foldLeft(a) { case (acc, (k, n)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+
+    override def finish(b: Map[Long, Long]): java.lang.Double = {
+      if (b.isEmpty) return null
+      val n = b.valuesIterator.sum
+      val rank = (n * num + (den - 1)) / den // exact integer ceil
+      var cum = 0L
+      for ((blo, cnt) <- b.toSeq.sortBy(_._1)) {
+        cum += cnt
+        if (cum >= rank) return blo.toDouble / scale.toDouble
+      }
+      b.keysIterator.max.toDouble / scale.toDouble // rank == n fallthrough
+    }
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** `graft_sum_map(m)`: key-wise map sum, == [[graft.operators
+    * .MergeSemantics.sumMap]] for `MAP<STRING, BIGINT>` columns (the CH
+    * `sumMap` shape; other value types go through the DataFrame
+    * operator). NULL maps contribute nothing but the group still
+    * surfaces — with an empty map, SummingMergeTree's key retention.
+    */
+  class SumMapAgg extends Aggregator[Map[String, Long], Map[String, Long],
+      Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: Map[String, Long]): Map[String, Long] =
+      if (v == null) b else merge(b, v)
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      if (a.size < b.size) merge(b, a)
+      else b.foldLeft(a) { case (acc, (k, n)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] =
+      // entry order = key order, matching sumMap's sort_array reassembly
+      scala.collection.immutable.TreeMap.empty[String, Long] ++ b
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+}

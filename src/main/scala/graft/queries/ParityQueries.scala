@@ -574,6 +574,44 @@ object ParityQueries {
           Seq("l_returnflag"), col("l_extendedprice").cast("decimal(18,2)"),
           Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
         .orderBy(col("l_returnflag"))
+    },
+
+    // --- the same sketches issued through the SQL AGGREGATE surface
+    // (GraftExtensions' graft_uniq_hll / graft_quantile_sketch /
+    // graft_sum_map UDAFs) — how a Thrift/JDBC client calls CH's
+    // uniq/quantile/sumMap here. Oracles are the same deterministic
+    // replays, trimmed to the UDAF output shape — green rows prove the
+    // SQL path computes bit-identically to the Column API -------------
+    "q_uniq_hll_sql" -> { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("sqlagg_events")
+      s.sql("""SELECT event_type, graft_uniq_hll(user_id) AS est
+              |FROM sqlagg_events GROUP BY event_type
+              |ORDER BY event_type""".stripMargin)
+    },
+
+    "q_quantile_sketch_sql" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("sqlagg_lineitem")
+      s.sql("""SELECT l_returnflag,
+              |  graft_quantile_sketch(price, 1, 2) AS p50,
+              |  graft_quantile_sketch(price, 9, 10) AS p90
+              |FROM sqlagg_lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    "q_summap_sql" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select((col("user_id") % 20).as("k"),
+          map(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)")).as("m"))
+        .createOrReplaceTempView("sqlagg_maps")
+      s.sql("""SELECT k, etype, cents FROM (
+              |  SELECT k, graft_sum_map(m) AS m
+              |  FROM sqlagg_maps GROUP BY k)
+              |LATERAL VIEW explode(m) AS etype, cents
+              |ORDER BY k, etype""".stripMargin)
     }
   )
 
@@ -955,6 +993,68 @@ object ParityQueries {
         |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p90,
         |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN blo END)
         |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p99
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same register replay as q_uniq_hll, trimmed to the UDAF's
+    // single-column output
+    "q_uniq_hll_sql" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 512 AS reg,
+        |    LEAST(CASE WHEN h // 512 = 0 THEN 52
+        |          ELSE 52 - length(bin(h // 512)) END, 30) AS rho
+        |  FROM h),
+        |m AS (SELECT event_type, reg, max(rho) AS m FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (30 - m)) AS s_present,
+        |    count(*) AS n_regs
+        |  FROM m GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, 512 - n_regs AS v0,
+        |    202600935058957.5 / CAST(
+        |      s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 30)
+        |      AS DOUBLE) AS raw
+        |  FROM s)
+        |SELECT event_type,
+        |  CAST(CASE WHEN v0 > 0 AND raw <= 1280.0
+        |    THEN floor(512.0 * ln(512.0 / v0) + 0.5)
+        |    ELSE floor(raw) END AS BIGINT) AS est
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // same bucket replay as q_quantile_sketch, trimmed to the UDAF's
+    // per-quantile outputs
+    "q_quantile_sketch_sql" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, s,
+        |    GREATEST(length(bin(s)) - 8, 0) AS w FROM v),
+        |hist AS (
+        |  SELECT l_returnflag, (s >> w) << w AS blo, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, blo, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY blo) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN blo END)
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p50,
+        |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN blo END)
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p90
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same entry-rows replay as q_summap (the UDAF output is exploded
+    // back to rows on the Spark side)
+    "q_summap_sql" ->
+      """SELECT user_id % 20 AS k, event_type AS etype,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY k, etype""".stripMargin
   )
 }

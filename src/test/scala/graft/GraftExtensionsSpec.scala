@@ -119,4 +119,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("SQL graft_uniq_hll == ApproxAgg.uniqHll estimate per group") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("ext_events")
+    val sql = spark.sql(
+      """SELECT event_type, graft_uniq_hll(user_id) AS est
+        |FROM ext_events GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val api = graft.operators.ApproxAgg.uniqHll(ev, Seq("event_type"),
+        col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql === api)
+  }
+
+  test("SQL graft_quantile_sketch == ApproxAgg.quantileSketch per group; " +
+      "all-NULL group yields NULL") {
+    val l = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    l.createOrReplaceTempView("ext_lineitem")
+    val sql = spark.sql(
+      """SELECT flag, graft_quantile_sketch(price, 1, 2) AS p50,
+        |  graft_quantile_sketch(price, 9, 10) AS p90
+        |FROM ext_lineitem GROUP BY flag""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val api = graft.operators.ApproxAgg.quantileSketch(l, Seq("flag"),
+        col("price"), Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(sql === api)
+    val nullRow = spark.sql(
+      "SELECT graft_quantile_sketch(CAST(NULL AS DECIMAL(18,2)), 1, 2)").head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("SQL graft_sum_map == MergeSemantics.sumMap, empty-map keys kept") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L)),
+      (1L, Map("b" -> 3L, "c" -> 4L)),
+      (2L, Map.empty[String, Long]),
+      (3L, Map("z" -> 7L))).toDF("k", "m")
+    rows.createOrReplaceTempView("ext_maps")
+    val sql = spark.sql(
+      "SELECT k, graft_sum_map(m) AS m FROM ext_maps GROUP BY k")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap).toMap
+    val api = graft.operators.MergeSemantics.sumMap(rows, Seq("k"), "m")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(sql === api)
+    assert(sql(2L) === Map.empty)
+  }
 }

@@ -17,9 +17,9 @@ class RegistrySpec extends AnyFunSuite {
   // Every entry must carry a query-site comment justifying the
   // exemption and unit tests pinning the non-oracle-checkable
   // properties. Keep this list SHORT — the full-oracle rule is the gate.
-  private val rowsOnlyByDesign = Set(
-    "dedup_substring_winnow") // winnow selection depends on rolling-hash
-                              // values; subset+guarantee unit-pinned
+  // empty since r12: the last exemption (dedup_substring_winnow) grew a
+  // full DuckDB replay oracle — every registry query now has one
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has an oracle and every oracle has a query") {
     val q = Registry.queries.keySet
