@@ -1645,6 +1645,85 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("user_id"))
     },
 
+    // --- FIVE standing tiers under ONE state root (funnel, retention,
+    //     uniqHLL, quantile sketch, SummingMerge), fed the same event
+    //     batches, with a COLD RESTART after batch 0 (all five instances
+    //     discarded and rebuilt from disk) and a compaction — proves the
+    //     per-tier BatchedState dirs coexist under one root, batch-id
+    //     monotonicity holds across instances, and every tier's emitted
+    //     view equals its full-history replay. Output is one tall frame
+    //     (batch, tier, k, v1, v2) so five shapes share one oracle ----
+    "stream_multitier_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val w1 = ntz("2024-01-08 00:00:00"); val w2 = ntz("2024-01-15 00:00:00")
+      val root = scratchDir("stream_multitier", dir)
+      def quantIn(df: DataFrame) = df.select(col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def sumIn(df: DataFrame) = df.select(
+        (col("user_id") % 10).cast("string").as("k"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def mkTiers() = (
+        new graft.streaming.StreamingWindowFunnel(s, s"$root/funnel",
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400),
+        new graft.streaming.StreamingRetention(s, s"$root/ret", "user_id",
+          Seq("anchor" -> (col("event_type") === "signup" && col("ts") < w1),
+            "week2" -> (col("ts") >= w1 && col("ts") < w2),
+            "week3" -> (col("ts") >= w2))),
+        new graft.streaming.StreamingUniqHll(s, s"$root/hll",
+          "event_type", "user_id"),
+        new graft.streaming.StreamingQuantile(s, s"$root/quant",
+          "event_type", "v", Seq(("p50", 1, 2), ("p90", 9, 10))),
+        new graft.streaming.StreamingSummingMerge(s, s"$root/sum",
+          "k", Seq("v")))
+      val t0 = mkTiers()
+      val empty = e.filter(lit(false))
+      t0._1.seed(empty); t0._2.seed(empty); t0._3.seed(empty)
+      t0._4.seed(quantIn(empty)); t0._5.seed(sumIn(empty))
+      val dNull = lit(null).cast("double")
+      def runBatch(t: (graft.streaming.StreamingWindowFunnel,
+          graft.streaming.StreamingRetention,
+          graft.streaming.StreamingUniqHll,
+          graft.streaming.StreamingQuantile,
+          graft.streaming.StreamingSummingMerge), b: Int) = {
+        val bd = batchDf(b)
+        Seq(
+          t._1.admit(bd, b.toLong).select(lit("funnel").as("tier"),
+            col("user_id").cast("string").as("k"),
+            col("level").cast("double").as("v1"), dNull.as("v2")),
+          t._2.admit(bd, b.toLong).select(lit("retention").as("tier"),
+            col("user_id").cast("string").as("k"),
+            (col("r0") * 4 + col("r1") * 2 + col("r2"))
+              .cast("double").as("v1"), dNull.as("v2")),
+          t._3.admit(bd, b.toLong).select(lit("uniq").as("tier"),
+            col("event_type").as("k"), col("est").cast("double").as("v1"),
+            col("n_regs").cast("double").as("v2")),
+          t._4.admit(quantIn(bd), b.toLong).select(lit("quantile").as("tier"),
+            col("event_type").as("k"), col("p50").as("v1"),
+            col("p90").as("v2")),
+          t._5.admit(sumIn(bd), b.toLong).select(lit("summing").as("tier"),
+            col("k"), round(col("v").cast("double"), 6).as("v1"),
+            dNull.as("v2"))
+        ).reduce(_ unionByName _).withColumn("batch", lit(b))
+      }
+      val out0 = runBatch(t0, 0)
+      out0.cache().count() // force admits before the instance discard
+      t0._1.compact(upTo = 0L); t0._3.compact(upTo = 0L)
+      t0._4.compact(upTo = 0L); t0._5.compact(upTo = 0L)
+      val t1 = mkTiers() // <- the cold restart: state re-read from disk
+      val outs = out0 +: (1 until 3).map(b => runBatch(t1, b))
+      outs.reduce(_ unionByName _)
+        .select(col("batch"), col("tier"), col("k"), col("v1"), col("v2"))
+        .orderBy(col("batch"), col("tier"), col("k"))
+    },
+
     // --- standing CDC view, replayed under oracle: seed a keyed
     //     current-state view from orders, then 3 update batches — batch 2
     //     is entirely STALE (versions below the standing ones), so its
@@ -3704,6 +3783,133 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Multi-tier capstone replay oracle: the funnel, retention, uniqHLL,
+    * quantile-sketch, and summing replay recipes composed into one tall
+    * (batch, tier, k, v1, v2) frame — per batch, each tier's
+    * full-history view for the keys that batch touched. The cold
+    * restart and compaction between batches 0 and 1 are invisible to
+    * the oracle by design: correct recovery reproduces the same views.
+    */
+  private def multitierReplayOracle: String = {
+    val anchor = "event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'"
+    val c1 = "ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+    val c2 = "ts >= TIMESTAMP '2024-01-15 00:00:00'"
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""fe$b AS (SELECT * FROM fev WHERE $upTo),
+         |fu$b AS (SELECT DISTINCT user_id FROM fev WHERE $inBatch),
+         |fl1_$b AS (SELECT DISTINCT user_id FROM fe$b WHERE event_type = 'view'),
+         |fl2_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM fe$b a JOIN fe$b b ON a.user_id = b.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+         |fl3_$b AS (
+         |  SELECT DISTINCT a.user_id
+         |  FROM fe$b a JOIN fe$b b ON a.user_id = b.user_id
+         |    JOIN fe$b c ON a.user_id = c.user_id
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+         |    AND c.event_type = 'purchase'
+         |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+         |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND),
+         |fout$b AS (
+         |  SELECT 'funnel' AS tier, CAST(u.user_id AS VARCHAR) AS k,
+         |    CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+         |         WHEN l2.user_id IS NOT NULL THEN 2
+         |         WHEN l1.user_id IS NOT NULL THEN 1
+         |         ELSE 0 END AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+         |  FROM fu$b u LEFT JOIN fl1_$b l1 ON u.user_id = l1.user_id
+         |    LEFT JOIN fl2_$b l2 ON u.user_id = l2.user_id
+         |    LEFT JOIN fl3_$b l3 ON u.user_id = l3.user_id),
+         |rout$b AS (
+         |  SELECT 'retention' AS tier, CAST(user_id AS VARCHAR) AS k,
+         |    CAST(max(CASE WHEN $anchor THEN 1 ELSE 0 END) * 4
+         |      + max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |        * max(CASE WHEN $c1 THEN 1 ELSE 0 END) * 2
+         |      + max(CASE WHEN $anchor THEN 1 ELSE 0 END)
+         |        * max(CASE WHEN $c2 THEN 1 ELSE 0 END) AS DOUBLE) AS v1,
+         |    CAST(NULL AS DOUBLE) AS v2
+         |  FROM events
+         |  WHERE ($upTo) AND user_id IN (
+         |    SELECT DISTINCT user_id FROM events WHERE $inBatch)
+         |  GROUP BY user_id),
+         |hh$b AS (
+         |  SELECT event_type,
+         |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) AS h
+         |  FROM events WHERE ($upTo) AND event_type IN (
+         |    SELECT DISTINCT event_type FROM events WHERE $inBatch)),
+         |hr$b AS (
+         |  SELECT event_type, h % 512 AS reg,
+         |    LEAST(CASE WHEN h // 512 = 0 THEN 52
+         |          ELSE 52 - length(bin(h // 512)) END, 30) AS rho
+         |  FROM hh$b),
+         |hm$b AS (SELECT event_type, reg, max(rho) AS m FROM hr$b GROUP BY 1, 2),
+         |hs$b AS (
+         |  SELECT event_type,
+         |    sum(CAST(1 AS BIGINT) << (30 - m)) AS s_present,
+         |    count(*) AS n_regs
+         |  FROM hm$b GROUP BY 1),
+         |hout$b AS (
+         |  SELECT 'uniq' AS tier, event_type AS k,
+         |    CAST(CAST(CASE WHEN 512 - n_regs > 0 AND raw <= 1280.0
+         |      THEN floor(512.0 * ln(512.0 / (512 - n_regs)) + 0.5)
+         |      ELSE floor(raw) END AS BIGINT) AS DOUBLE) AS v1,
+         |    CAST(n_regs AS DOUBLE) AS v2
+         |  FROM (SELECT event_type, n_regs,
+         |    202600935058957.5 / CAST(
+         |      s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 30)
+         |      AS DOUBLE) AS raw FROM hs$b)),
+         |qv$b AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+         |  FROM events WHERE ($upTo) AND event_type IN (
+         |    SELECT DISTINCT event_type FROM events WHERE $inBatch)),
+         |qh$b AS (
+         |  SELECT event_type, (s >> w) << w AS blo, count(*) AS cnt
+         |  FROM (SELECT event_type, s,
+         |    GREATEST(length(bin(s)) - 8, 0) AS w FROM qv$b) GROUP BY 1, 2),
+         |qc$b AS (
+         |  SELECT event_type, blo, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY blo) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM qh$b),
+         |qout$b AS (
+         |  SELECT 'quantile' AS tier, event_type AS k,
+         |    CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN blo END)
+         |      AS DOUBLE) / CAST(100 AS DOUBLE) AS v1,
+         |    CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN blo END)
+         |      AS DOUBLE) / CAST(100 AS DOUBLE) AS v2
+         |  FROM qc$b GROUP BY event_type),
+         |sout$b AS (
+         |  SELECT 'summing' AS tier, CAST(user_id % 10 AS VARCHAR) AS k,
+         |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS v1,
+         |    CAST(NULL AS DOUBLE) AS v2
+         |  FROM events
+         |  WHERE ($upTo) AND user_id % 10 IN (
+         |    SELECT DISTINCT user_id % 10 FROM events WHERE $inBatch)
+         |  GROUP BY user_id % 10),
+         |out$b AS (
+         |  SELECT $b AS batch, * FROM (
+         |    SELECT * FROM fout$b UNION ALL SELECT * FROM rout$b
+         |    UNION ALL SELECT * FROM hout$b UNION ALL SELECT * FROM qout$b
+         |    UNION ALL SELECT * FROM sout$b))"""
+    }
+    s"""WITH fev AS (
+       |  SELECT user_id, ts, event_type FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |${blocks.mkString(",\n")}
+       |SELECT batch, tier, k, v1, v2 FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, tier, k""".stripMargin
+  }
+
   /** Standing-CDC replay oracle: all updates stamped with their batch id
     * (seed = -1), then per batch b the current/previous state for b's
     * key set recomputed with batch-bounded visibility — `cur` folds
@@ -5045,6 +5251,8 @@ object ExtensionQueries {
     "stream_retention_replay" -> retentionReplayOracle,
 
     "stream_analytics_replay" -> analyticsReplayOracle,
+
+    "stream_multitier_replay" -> multitierReplayOracle,
 
     "stream_uniq_hll_replay" -> streamingUniqHllOracle,
 
