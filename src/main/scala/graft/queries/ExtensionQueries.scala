@@ -1945,6 +1945,34 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- windowFunnel('strict_dedup'): a repeat of an already-matched
+    //     step interrupts the chain. The greedy per-start walk is
+    //     positional, so the oracle replays it LITERALLY — a recursive
+    //     CTE advancing one sorted event at a time per chain start.
+    //     Every 'view' is re-planted +60s (a repeated step-0 event) so
+    //     the dedup cut genuinely fires: chains whose click lands >60s
+    //     after the view are interrupted here but not in default mode --
+    "q_window_funnel_strict_dedup" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val planted = e.filter(col("event_type") === "view")
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 SECONDS"))
+      graft.operators.EventAnalytics.windowFunnel(e.unionByName(planted),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400,
+          mode = "strict_dedup")
+        .orderBy(col("user_id"))
+    },
+
+    // --- windowFunnel('strict_order'): ANY other step event between
+    //     expected steps interrupts; same literal walk replay ----------
+    "q_window_funnel_strict_order" -> { (s, dir) =>
+      graft.operators.EventAnalytics.windowFunnel(Tables(s, dir).events,
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400,
+          mode = "strict_order")
+        .orderBy(col("user_id"))
+    },
+
     // --- ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): ordered chain
     //     with NO time bound — the funnel walk with an effectively
     //     unbounded window (10y >> the 2-day slice — only 10 of 142
@@ -3783,6 +3811,44 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Literal replay of [[graft.operators.EventAnalytics.funnelWalk]] for
+    * the positional interrupt modes (strict_dedup / strict_order): per
+    * chain start (each step-0 event), a recursive CTE advances one
+    * (ts, step)-sorted event at a time carrying (level, cut) — exactly
+    * the walk's state — and the user's funnel level is the max over all
+    * of their starts. `cutExpr` is the mode's interrupt condition over
+    * the incoming event `e` and walk state `w` (evaluated only when the
+    * event is inside the window and does not advance the chain).
+    */
+  private def funnelWalkOracle(cutExpr: String, plant: String = ""): String =
+    s"""WITH RECURSIVE ev0 AS (
+       |  SELECT user_id AS u, epoch_us(ts) AS t,
+       |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+       |      ELSE 2 END AS s
+       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')$plant),
+       |ev AS (
+       |  SELECT u, t, s,
+       |    row_number() OVER (PARTITION BY u ORDER BY t, s) AS rn
+       |  FROM ev0),
+       |walk AS (
+       |  SELECT u, rn AS rn0, rn AS j, 1 AS level,
+       |    t + 14400000000 AS dl, false AS cut
+       |  FROM ev WHERE s = 0
+       |  UNION ALL
+       |  SELECT w.u, w.rn0, e.rn,
+       |    CASE WHEN e.t <= w.dl AND e.s = w.level
+       |      THEN w.level + 1 ELSE w.level END,
+       |    w.dl,
+       |    CASE WHEN e.t > w.dl THEN true
+       |         WHEN e.s = w.level THEN false
+       |         ELSE ($cutExpr) END
+       |  FROM walk w JOIN ev e ON e.u = w.u AND e.rn = w.j + 1
+       |  WHERE NOT w.cut AND w.level < 3),
+       |best AS (SELECT u, max(level) AS level FROM walk GROUP BY u)
+       |SELECT e.u AS user_id, coalesce(b.level, 0) AS level
+       |FROM (SELECT DISTINCT u FROM ev) e LEFT JOIN best b ON e.u = b.u
+       |ORDER BY user_id""".stripMargin
+
   /** Multi-tier capstone replay oracle: the funnel, retention, uniqHLL,
     * quantile-sketch, and summing replay recipes composed into one tall
     * (batch, tier, k, v1, v2) frame — per batch, each tier's
@@ -5448,6 +5514,17 @@ object ExtensionQueries {
         |  LEFT JOIN l2 ON u.user_id = l2.user_id
         |  LEFT JOIN l3 ON u.user_id = l3.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    // interrupt on a repeat of an already-matched step (e.s < w.level;
+    // higher steps pass through); the +60s re-planted views make the
+    // cut non-vacuous on this corpus
+    "q_window_funnel_strict_dedup" -> funnelWalkOracle("e.s < w.level",
+      plant = "\n  UNION ALL\n" +
+        "  SELECT user_id AS u, epoch_us(ts + INTERVAL 60 SECOND) AS t,\n" +
+        "    0 AS s FROM events WHERE event_type = 'view'"),
+
+    // interrupt on ANY non-advancing step event
+    "q_window_funnel_strict_order" -> funnelWalkOracle("true"),
 
     // ordered-triple EXISTS with no window bound
     "q_sequence_match" ->
