@@ -47,13 +47,19 @@ object TextAnalysis {
   /** Word n-grams of the canonical tokens (space-joined), empty when the
     * text has fewer than n tokens.
     */
-  private def wordNgrams(text: Column, n: Int): Column = {
-    val toks = canonToks(text)
+  private def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfToks(canonToks(text), n)
+
+  /** N-grams over an ALREADY-TOKENIZED array — callers that need both
+    * the tokens and their n-grams stage the token array once (behind
+    * [[graft.functions.Once]]) instead of re-running canonicalization
+    * per n-gram width.
+    */
+  private def ngramsOfToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Gopher §A1.1 repetition signals over the documents of `df`:
     * `top<topN>` = fraction of n-gram characters covered by the single
@@ -868,8 +874,20 @@ object TextAnalysis {
     * space. Scan-local array expression; callers explode it into the
     * bounded bucket space.
     */
-  private def dsirFeats(text: Column): Column =
-    concat(canonToks(text), wordNgrams(text, 2))
+  /** DSIR feature rows with the tokenization staged ONCE per row: the naive
+    * `concat(canonToks(t), wordNgrams(t, 2))` runs the regex-heavy
+    * canonicalization twice per document per pass (once for unigrams,
+    * once inside the bigram builder) — on the corpus-scale feature scans
+    * that doubled the dominant cost. `prev` carries the other columns
+    * the caller needs through the staging projection.
+    */
+  private def dsirFeatRows(df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      carry: Seq[(String, Column)]): org.apache.spark.sql.DataFrame =
+    df.select(graft.functions.Once(canonToks(col(textCol))).as("__tk") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
+      .select(explode(concat(col("__tk"), ngramsOfToks(col("__tk"), 2)))
+        .as("feat") +: carry.map { case (n, _) => col(n) }: _*)
 
   /** Feature-distribution counts for DSIR: hashed unigram+bigram bucket
     * counts over a corpus (target or raw). Bounded (<= nBuckets rows),
@@ -879,7 +897,7 @@ object TextAnalysis {
   def dsirCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
       nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    df.select(explode(dsirFeats(col(textCol))).as("feat"))
+    dsirFeatRows(df, textCol, Seq.empty)
       .select(Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
@@ -892,8 +910,7 @@ object TextAnalysis {
   private def dsirWeightsByLambda(raw: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, lam: org.apache.spark.sql.DataFrame,
       nBuckets: Int): org.apache.spark.sql.DataFrame = {
-    val feats = raw.select(col(idCol).as("id"),
-        explode(dsirFeats(col(textCol))).as("feat"))
+    val feats = dsirFeatRows(raw, textCol, Seq("id" -> col(idCol)))
       .select(col("id"),
         Sampling.hashBucket(col("feat"), nBuckets).as("bucket"))
     feats.join(broadcast(lam), Seq("bucket"), "left")
@@ -936,9 +953,8 @@ object TextAnalysis {
       textCol: String, targetCond: Column,
       nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val counts = raw
-      .select(explode(dsirFeats(col(textCol))).as("feat"),
-        targetCond.cast(BooleanType).as("__t"))
+    val counts = dsirFeatRows(raw, textCol,
+        Seq("__t" -> targetCond.cast(BooleanType)))
       .select(Sampling.hashBucket(col("feat"), nBuckets).as("bucket"),
         col("__t"))
       .groupBy(col("bucket"))
