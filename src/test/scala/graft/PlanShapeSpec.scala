@@ -629,4 +629,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"expected at most 2 exchanges:\n$p")
   }
+
+  test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
+      "shuffle carries sketch buffers, never raw values") {
+    val p = plan(graft.queries.Registry
+      .queries("q_uniq_hll_sql")(spark, sf))
+    assert(p.contains("partial_uniqhllagg"),
+      s"uniqHll UDAF must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one key exchange (of 512-byte register buffers):\n$p")
+    val p2 = plan(graft.queries.Registry
+      .queries("q_quantile_sketch_sql")(spark, sf))
+    assert(p2.contains("partial_quantilesketchagg"),
+      s"quantile UDAF must combine map-side:\n$p2")
+  }
 }
