@@ -427,6 +427,24 @@ object ParityQueries {
         .orderBy(col("k"))
     },
 
+    // --- the -If combinator family (countIf / sumIf / avgIf / minIf /
+    // maxIf): CH's conditional aggregates are CASE-gated aggregates in
+    // Spark — one map-side-combined pass computes all five ---------------
+    "q_agg_if" -> { (s, dir) =>
+      val e = Tables(s, dir).events.select((col("user_id") % 20).as("k"),
+        col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      val hit = col("event_type") === "purchase"
+      e.groupBy(col("k"))
+        .agg(count(when(hit, lit(1))).as("n_if"),
+          sum(when(hit, col("v"))).as("sum_if"),
+          round(avg(when(hit, col("v"))), 6).as("avg_if"),
+          min(when(hit, col("v"))).as("min_if"),
+          max(when(hit, col("v"))).as("max_if"),
+          count(lit(1)).as("n_all"))
+        .orderBy(col("k"))
+    },
+
     // --- maxIntersections: peak concurrency of [ts, ts+1h) intervals via
     // the +1/-1 sweep; half-open semantics decided by the (t, d) sort
     // (an end at t sorts before a start at t) ----------------------------
@@ -880,6 +898,20 @@ object ParityQueries {
         |SELECT k, CAST(sum(CASE WHEN d > 0 THEN d END) AS BIGINT) AS delta_sum,
         |  count(*) AS n
         |FROM d GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_agg_if" ->
+      """SELECT user_id % 20 AS k,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_if,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS sum_if,
+        |  round(CAST(avg(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS DOUBLE), 6) AS avg_if,
+        |  min(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS min_if,
+        |  max(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS max_if,
+        |  count(*) AS n_all
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q_max_intersections" ->
       """WITH iv AS (SELECT user_id % 10 AS k, ts FROM events),
