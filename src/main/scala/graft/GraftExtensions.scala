@@ -173,7 +173,25 @@ object GraftExtensions {
     ("graft_sum_map",
       args => udafExpr(new graft.functions.Aggregates.SumMapAgg,
         Seq(c(args.head))),
-      "graft_sum_map(m) - AGGREGATE: key-wise MAP<STRING,BIGINT> sum (== MergeSemantics.sumMap)")
+      "graft_sum_map(m) - AGGREGATE: key-wise MAP<STRING,BIGINT> sum (== MergeSemantics.sumMap)"),
+    ("graft_window_funnel",
+      args => {
+        val winSec = intLit(args(2), "graft_window_funnel").toLong
+        val k = intLit(args(3), "graft_window_funnel")
+        val mode =
+          if (args.lengthCompare(4) > 0) strLit(args(4), "graft_window_funnel")
+          else "default"
+        udafExpr(
+          new graft.functions.Aggregates.WindowFunnelAgg(k, winSec, mode),
+          Seq(org.apache.spark.sql.functions
+              .unix_micros(c(args.head).cast("timestamp")),
+            c(args(1)).cast("int")))
+      },
+      "graft_window_funnel(ts, step, window_sec, k[, mode]) - AGGREGATE: CH windowFunnel deepest-chain level (== EventAnalytics.windowFunnel)"),
+    ("graft_retention",
+      args => udafExpr(new graft.functions.Aggregates.RetentionAgg,
+        Seq(c(args.head))),
+      "graft_retention(flags) - AGGREGATE: CH retention anchor-gated flags over ARRAY<BOOLEAN> (== EventAnalytics.retention)")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

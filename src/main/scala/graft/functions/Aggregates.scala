@@ -131,6 +131,79 @@ object Aggregates {
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** `graft_window_funnel(ts, step, window_sec, k[, mode])`: ClickHouse's
+    * `windowFunnel` as a SQL aggregate — per group (the user), the
+    * deepest step chain within `window_sec` of the chain start, running
+    * the EXACT walk of [[graft.operators.EventAnalytics]] (same
+    * (ts, step) sort, same interrupt modes), so results match the
+    * DataFrame operator bit-for-bit. Input arrives as (epoch-micros,
+    * stepIdx) pairs from the registration builder; rows with step < 0 or
+    * NULLs are skipped. State is the group's step-event list — the same
+    * per-user payload the DataFrame operator shuffles to its sorted
+    * group walk.
+    */
+  class WindowFunnelAgg(k: Int, windowSec: Long, mode: String = "default")
+      extends Aggregator[(java.lang.Long, java.lang.Integer),
+        Seq[(Long, Int)], Int] {
+    require(k > 0 && windowSec > 0, s"need k > 0 and window > 0")
+
+    override def zero: Seq[(Long, Int)] = Vector.empty
+
+    override def reduce(b: Seq[(Long, Int)],
+        v: (java.lang.Long, java.lang.Integer)): Seq[(Long, Int)] =
+      if (v._1 == null || v._2 == null || v._2 < 0) b
+      else b :+ ((v._1.longValue, v._2.intValue))
+
+    override def merge(a: Seq[(Long, Int)],
+        b: Seq[(Long, Int)]): Seq[(Long, Int)] = a ++ b
+
+    override def finish(b: Seq[(Long, Int)]): Int =
+      graft.operators.EventAnalytics.funnelWalk(
+        b.sortBy(identity).toArray, k, windowSec * 1000000L, mode)
+
+    override def bufferEncoder: Encoder[Seq[(Long, Int)]] =
+      ExpressionEncoder[Seq[(Long, Int)]]()
+    override def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
+  /** `graft_retention(flags)`: ClickHouse's `retention` as a SQL
+    * aggregate over an `ARRAY<BOOLEAN>` of per-row condition flags —
+    * element-wise OR across the group's rows, then anchor-gating
+    * (`r[i] = f[0] AND f[i]`), == [[graft.operators.EventAnalytics
+    * .retention]]'s r0..rn columns as an array. NULL rows/elements
+    * count as false.
+    */
+  class RetentionAgg extends Aggregator[Seq[java.lang.Boolean], Seq[Boolean],
+      Seq[Int]] {
+    override def zero: Seq[Boolean] = Vector.empty
+
+    private def orZip(a: Seq[Boolean], b: Seq[Boolean]): Seq[Boolean] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        require(a.size == b.size,
+          s"retention flag arity must be constant per group: ${a.size} vs ${b.size}")
+        a.lazyZip(b).map(_ || _)
+      }
+
+    override def reduce(b: Seq[Boolean], v: Seq[java.lang.Boolean]): Seq[Boolean] =
+      if (v == null) b
+      else orZip(b, v.map(x => x != null && x.booleanValue))
+
+    override def merge(a: Seq[Boolean], b: Seq[Boolean]): Seq[Boolean] =
+      orZip(a, b)
+
+    override def finish(b: Seq[Boolean]): Seq[Int] =
+      if (b.isEmpty) b.map(_ => 0)
+      else b.zipWithIndex.map { case (f, i) =>
+        if (if (i == 0) f else b.head && f) 1 else 0
+      }
+
+    override def bufferEncoder: Encoder[Seq[Boolean]] =
+      ExpressionEncoder[Seq[Boolean]]()
+    override def outputEncoder: Encoder[Seq[Int]] =
+      ExpressionEncoder[Seq[Int]]()
+  }
+
   /** `graft_sum_map(m)`: key-wise map sum, == [[graft.operators
     * .MergeSemantics.sumMap]] for `MAP<STRING, BIGINT>` columns (the CH
     * `sumMap` shape; other value types go through the DataFrame

@@ -3811,6 +3811,59 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Anchor-gated retention-flag replay, shared by the DataFrame
+    * operator row (`q_retention`) and its SQL-aggregate twin
+    * (`q_retention_sql`).
+    */
+  private val retentionFlagsOracle: String =
+      """SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    AS INT) AS r0,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
+        |    AS INT) AS r1,
+        |  CAST(max(CASE WHEN event_type = 'signup'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS INT) AS r2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Exists-chain funnel replay, shared by the DataFrame-operator row
+    * (`q_window_funnel`) and its SQL-aggregate twin
+    * (`q_window_funnel_sql`).
+    */
+  private val windowFunnelExistsOracle: String =
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        |l2 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
+        |l3 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    JOIN ev c ON a.user_id = c.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND c.event_type = 'purchase'
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+        |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND)
+        |SELECT u.user_id,
+        |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS level
+        |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |ORDER BY u.user_id""".stripMargin
+
   /** Literal replay of [[graft.operators.EventAnalytics.funnelWalk]] for
     * the positional interrupt modes (strict_dedup / strict_order): per
     * chain start (each step-0 event), a recursive CTE advances one
@@ -5454,34 +5507,15 @@ object ExtensionQueries {
 
     // exists-chain funnel: level k iff a time-ordered chain of the first
     // k steps fits in the window measured from the chain start
-    "q_window_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase')),
-        |u AS (SELECT DISTINCT user_id FROM ev),
-        |l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
-        |l2 AS (
-        |  SELECT DISTINCT a.user_id
-        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
-        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
-        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND),
-        |l3 AS (
-        |  SELECT DISTINCT a.user_id
-        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
-        |    JOIN ev c ON a.user_id = c.user_id
-        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
-        |    AND c.event_type = 'purchase'
-        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
-        |    AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 14400 SECOND)
-        |SELECT u.user_id,
-        |  CASE WHEN l3.user_id IS NOT NULL THEN 3
-        |       WHEN l2.user_id IS NOT NULL THEN 2
-        |       WHEN l1.user_id IS NOT NULL THEN 1
-        |       ELSE 0 END AS level
-        |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
-        |  LEFT JOIN l2 ON u.user_id = l2.user_id
-        |  LEFT JOIN l3 ON u.user_id = l3.user_id
-        |ORDER BY u.user_id""".stripMargin,
+    "q_window_funnel" -> windowFunnelExistsOracle,
+
+    // the same exists-chain replay grades the SQL-aggregate surface
+    // (graft_window_funnel UDAF == the DataFrame operator, so one
+    // oracle serves both)
+    "q_window_funnel_sql" -> windowFunnelExistsOracle,
+
+    "q_retention_sql" -> retentionFlagsOracle,
+
 
     // strict_increase: the same exists-chain with strictly increasing
     // chain timestamps (the greedy-earliest walk stays exact under the
@@ -5571,21 +5605,7 @@ object ExtensionQueries {
         |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n
         |ORDER BY w.user_id""".stripMargin,
 
-    "q_retention" ->
-      """SELECT user_id,
-        |  CAST(max(CASE WHEN event_type = 'signup'
-        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
-        |    AS INT) AS r0,
-        |  CAST(max(CASE WHEN event_type = 'signup'
-        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
-        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
-        |      AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
-        |    AS INT) AS r1,
-        |  CAST(max(CASE WHEN event_type = 'signup'
-        |      AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END)
-        |    * max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
-        |      THEN 1 ELSE 0 END) AS INT) AS r2
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_retention" -> retentionFlagsOracle,
 
     "text_chunk_dedup" ->
       """WITH corpus AS (

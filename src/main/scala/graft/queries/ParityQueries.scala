@@ -619,6 +619,30 @@ object ParityQueries {
               |ORDER BY l_returnflag""".stripMargin)
     },
 
+    "q_window_funnel_sql" -> { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("sqlagg_funnel_events")
+      s.sql("""SELECT user_id, graft_window_funnel(ts,
+              |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+              |    WHEN 'purchase' THEN 2 ELSE -1 END,
+              |  14400, 3) AS level
+              |FROM sqlagg_funnel_events
+              |WHERE event_type IN ('view', 'click', 'purchase')
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+
+    "q_retention_sql" -> { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("sqlagg_ret_events")
+      s.sql("""SELECT user_id, r[0] AS r0, r[1] AS r1, r[2] AS r2 FROM (
+              |  SELECT user_id, graft_retention(array(
+              |    event_type = 'signup'
+              |      AND ts < TIMESTAMP_NTZ '2024-01-08 00:00:00',
+              |    ts >= TIMESTAMP_NTZ '2024-01-08 00:00:00'
+              |      AND ts < TIMESTAMP_NTZ '2024-01-15 00:00:00',
+              |    ts >= TIMESTAMP_NTZ '2024-01-15 00:00:00')) AS r
+              |  FROM sqlagg_ret_events GROUP BY user_id)
+              |ORDER BY user_id""".stripMargin)
+    },
+
     "q_summap_sql" -> { (s, dir) =>
       Tables(s, dir).events
         .select((col("user_id") % 20).as("k"),

@@ -153,6 +153,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("SQL graft_window_funnel == EventAnalytics.windowFunnel for all modes") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("wf_events")
+    for (mode <- Seq("default", "strict_increase", "strict_dedup", "strict_order")) {
+      val sql = spark.sql(
+        s"""SELECT user_id, graft_window_funnel(ts,
+           |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+           |    WHEN 'purchase' THEN 2 ELSE -1 END,
+           |  14400, 3, '$mode') AS level
+           |FROM wf_events GROUP BY user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val api = graft.operators.EventAnalytics.windowFunnel(ev,
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400,
+          mode = mode)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the SQL aggregate also emits users with NO step events (level 0);
+      // the operator groups them out — compare on the operator's domain
+      assert(api.forall { case (u, l) => sql.get(u).contains(l) },
+        s"mode=$mode: " + api.collect {
+          case (u, l) if !sql.get(u).contains(l) =>
+            s"u=$u api=$l sql=${sql.get(u)}"
+        }.take(5).mkString(", "))
+      assert(sql.keySet.subsetOf(sql.keySet) && api.nonEmpty)
+    }
+  }
+
+  test("SQL graft_retention == EventAnalytics.retention") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("ret_events")
+    val w1 = "TIMESTAMP_NTZ '2024-01-08 00:00:00'"
+    val sql = spark.sql(
+      s"""SELECT user_id, graft_retention(array(
+         |  event_type = 'signup' AND ts < $w1,
+         |  ts >= $w1,
+         |  event_type = 'purchase')) AS r
+         |FROM ret_events GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val w1c = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    val api = graft.operators.EventAnalytics.retention(ev, "user_id", Seq(
+        col("event_type") === "signup" && col("ts") < w1c,
+        col("ts") >= w1c,
+        col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        List(r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(sql === api)
+  }
+
   test("SQL graft_sum_map == MergeSemantics.sumMap, empty-map keys kept") {
     import spark.implicits._
     val rows = Seq(
