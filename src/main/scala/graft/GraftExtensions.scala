@@ -191,7 +191,15 @@ object GraftExtensions {
     ("graft_retention",
       args => udafExpr(new graft.functions.Aggregates.RetentionAgg,
         Seq(c(args.head))),
-      "graft_retention(flags) - AGGREGATE: CH retention anchor-gated flags over ARRAY<BOOLEAN> (== EventAnalytics.retention)")
+      "graft_retention(flags) - AGGREGATE: CH retention anchor-gated flags over ARRAY<BOOLEAN> (== EventAnalytics.retention)"),
+    ("graft_sequence_count",
+      args => udafExpr(
+        new graft.functions.Aggregates.SequenceCountAgg(
+          intLit(args(2), "graft_sequence_count")),
+        Seq(org.apache.spark.sql.functions
+            .unix_micros(c(args.head).cast("timestamp")),
+          c(args(1)).cast("int"))),
+      "graft_sequence_count(ts, step, k) - AGGREGATE: CH sequenceCount non-overlapping ordered completions (== EventAnalytics.sequenceCount)")
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

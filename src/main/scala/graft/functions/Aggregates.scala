@@ -166,6 +166,45 @@ object Aggregates {
     override def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
+  /** `graft_sequence_count(ts, step, k)`: ClickHouse's
+    * `sequenceCount('(?1).*(?2)...(?k)')` as a SQL aggregate — the
+    * number of NON-OVERLAPPING ordered completions of the k steps, the
+    * same greedy automaton as [[graft.operators.EventAnalytics
+    * .sequenceCount]] over the (ts, step)-sorted group. Rows with
+    * step < 0 or NULLs are skipped.
+    */
+  class SequenceCountAgg(k: Int)
+      extends Aggregator[(java.lang.Long, java.lang.Integer),
+        Seq[(Long, Int)], Int] {
+    require(k > 0, "need k > 0")
+
+    override def zero: Seq[(Long, Int)] = Vector.empty
+
+    override def reduce(b: Seq[(Long, Int)],
+        v: (java.lang.Long, java.lang.Integer)): Seq[(Long, Int)] =
+      if (v._1 == null || v._2 == null || v._2 < 0) b
+      else b :+ ((v._1.longValue, v._2.intValue))
+
+    override def merge(a: Seq[(Long, Int)],
+        b: Seq[(Long, Int)]): Seq[(Long, Int)] = a ++ b
+
+    override def finish(b: Seq[(Long, Int)]): Int = {
+      var level = 0
+      var cnt = 0
+      b.sortBy(identity).foreach { case (_, s) =>
+        if (s == level) {
+          level += 1
+          if (level == k) { cnt += 1; level = 0 }
+        }
+      }
+      cnt
+    }
+
+    override def bufferEncoder: Encoder[Seq[(Long, Int)]] =
+      ExpressionEncoder[Seq[(Long, Int)]]()
+    override def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
   /** `graft_retention(flags)`: ClickHouse's `retention` as a SQL
     * aggregate over an `ARRAY<BOOLEAN>` of per-row condition flags —
     * element-wise OR across the group's rows, then anchor-gating

@@ -3811,6 +3811,35 @@ object ExtensionQueries {
        |ORDER BY batch, user_id""".stripMargin
   }
 
+  /** Greedy non-overlapping sequence-automaton replay (linear recursive
+    * CTE), shared by the DataFrame operator row (`q_sequence_count`)
+    * and its SQL-aggregate twin (`q_sequence_count_sql`).
+    */
+  private val sequenceCountWalkOracle: String =
+      """WITH RECURSIVE ev0 AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS s, ts
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |ev AS (
+        |  SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, s) AS rn
+        |  FROM ev0),
+        |n AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
+        |walk AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS level, 0 AS cnt
+        |  FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN e.s = w.level THEN
+        |      CASE WHEN w.level = 2 THEN 0 ELSE w.level + 1 END
+        |    ELSE w.level END,
+        |    w.cnt + CASE WHEN e.s = 2 AND w.level = 2 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT w.user_id, CAST(w.cnt AS INT) AS n_matches
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n
+        |ORDER BY w.user_id""".stripMargin
+
   /** Anchor-gated retention-flag replay, shared by the DataFrame
     * operator row (`q_retention`) and its SQL-aggregate twin
     * (`q_retention_sql`).
@@ -5580,30 +5609,9 @@ object ExtensionQueries {
 
     // greedy automaton replayed as a linear recursive CTE: state (level,
     // cnt) folds the (ts, stepIdx)-sorted events row by row
-    "q_sequence_count" ->
-      """WITH RECURSIVE ev0 AS (
-        |  SELECT user_id,
-        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-        |      ELSE 2 END AS s, ts
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |ev AS (
-        |  SELECT user_id, s,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, s) AS rn
-        |  FROM ev0),
-        |n AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
-        |walk AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS level, 0 AS cnt
-        |  FROM n
-        |  UNION ALL
-        |  SELECT w.user_id, w.rn + 1,
-        |    CASE WHEN e.s = w.level THEN
-        |      CASE WHEN w.level = 2 THEN 0 ELSE w.level + 1 END
-        |    ELSE w.level END,
-        |    w.cnt + CASE WHEN e.s = 2 AND w.level = 2 THEN 1 ELSE 0 END
-        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
-        |SELECT w.user_id, CAST(w.cnt AS INT) AS n_matches
-        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n
-        |ORDER BY w.user_id""".stripMargin,
+    "q_sequence_count" -> sequenceCountWalkOracle,
+
+    "q_sequence_count_sql" -> sequenceCountWalkOracle,
 
     "q_retention" -> retentionFlagsOracle,
 

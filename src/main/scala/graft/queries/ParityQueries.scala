@@ -643,6 +643,16 @@ object ParityQueries {
               |ORDER BY user_id""".stripMargin)
     },
 
+    "q_sequence_count_sql" -> { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("sqlagg_seq_events")
+      s.sql("""SELECT user_id, graft_sequence_count(ts,
+              |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+              |    WHEN 'purchase' THEN 2 ELSE -1 END, 3) AS n_matches
+              |FROM sqlagg_seq_events
+              |WHERE event_type IN ('view', 'click', 'purchase')
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+
     "q_summap_sql" -> { (s, dir) =>
       Tables(s, dir).events
         .select((col("user_id") % 20).as("k"),

@@ -180,6 +180,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL graft_sequence_count == EventAnalytics.sequenceCount") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("sc_events")
+    val sql = spark.sql(
+      """SELECT user_id, graft_sequence_count(ts,
+        |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |    WHEN 'purchase' THEN 2 ELSE -1 END, 3) AS n
+        |FROM sc_events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val api = graft.operators.EventAnalytics.sequenceCount(ev,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sql === api)
+  }
+
   test("SQL graft_retention == EventAnalytics.retention") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     ev.createOrReplaceTempView("ret_events")
