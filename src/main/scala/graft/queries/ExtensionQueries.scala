@@ -1670,19 +1670,25 @@ object ExtensionQueries {
         (col("user_id") % 10).cast("string").as("k"),
         col("value").cast("decimal(18,2)").as("v"))
       def mkTiers() = (
+        // nBuckets=8: the capstone's keyspaces are tiny (<=150 users /
+        // 5 event types / 10 sum keys), so the default 64 state buckets
+        // only multiply file churn across 5 tiers x 3 batches; bucket
+        // count is a pruning knob, never a semantics one
         new graft.streaming.StreamingWindowFunnel(s, s"$root/funnel",
           "user_id", "ts", "event_type",
-          steps = Seq("view", "click", "purchase"), windowSec = 14400),
+          steps = Seq("view", "click", "purchase"), windowSec = 14400,
+          nBuckets = 8),
         new graft.streaming.StreamingRetention(s, s"$root/ret", "user_id",
           Seq("anchor" -> (col("event_type") === "signup" && col("ts") < w1),
             "week2" -> (col("ts") >= w1 && col("ts") < w2),
-            "week3" -> (col("ts") >= w2))),
+            "week3" -> (col("ts") >= w2)), nBuckets = 8),
         new graft.streaming.StreamingUniqHll(s, s"$root/hll",
-          "event_type", "user_id"),
+          "event_type", "user_id", nBuckets = 8),
         new graft.streaming.StreamingQuantile(s, s"$root/quant",
-          "event_type", "v", Seq(("p50", 1, 2), ("p90", 9, 10))),
+          "event_type", "v", Seq(("p50", 1, 2), ("p90", 9, 10)),
+          nBuckets = 8),
         new graft.streaming.StreamingSummingMerge(s, s"$root/sum",
-          "k", Seq("v")))
+          "k", Seq("v"), nBuckets = 8))
       val t0 = mkTiers()
       val empty = e.filter(lit(false))
       t0._1.seed(empty); t0._2.seed(empty); t0._3.seed(empty)
