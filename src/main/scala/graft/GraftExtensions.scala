@@ -192,6 +192,13 @@ object GraftExtensions {
       args => udafExpr(new graft.functions.Aggregates.RetentionAgg,
         Seq(c(args.head))),
       "graft_retention(flags) - AGGREGATE: CH retention anchor-gated flags over ARRAY<BOOLEAN> (== EventAnalytics.retention)"),
+    ("graft_uniq_kmv",
+      args => udafExpr(
+        new graft.functions.Aggregates.UniqKmvAgg(
+          if (args.lengthCompare(1) > 0) intLit(args(1), "graft_uniq_kmv")
+          else 256),
+        Seq(graft.functions.PortableHash.md5Lo(c(args.head)))),
+      "graft_uniq_kmv(value[, k]) - AGGREGATE: KMV approximate count distinct (== ApproxAgg.uniqKmv est)"),
     ("graft_sequence_count",
       args => udafExpr(
         new graft.functions.Aggregates.SequenceCountAgg(

@@ -131,6 +131,39 @@ object Aggregates {
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** `graft_uniq_kmv(value[, k])`: KMV distinct estimate, == the `est`
+    * column of [[graft.operators.ApproxAgg.uniqKmv]]. State and fold
+    * delegate to [[graft.operators.ApproxAgg.MinKDistinctAgg]]; the
+    * finish computes the same single-division estimate (the unsigned
+    * k-th hash through one correctly-rounded BigDecimal->double
+    * conversion, identical to the DataFrame path's decimal cast).
+    */
+  class UniqKmvAgg(k: Int = 256)
+      extends Aggregator[java.lang.Long, List[Long], Long] {
+    private val inner = new graft.operators.ApproxAgg.MinKDistinctAgg(k)
+    private val cNum = (BigInt(k - 1) << 64).toDouble
+    private val two64 = BigDecimal(BigInt(1) << 64)
+
+    override def zero: List[Long] = inner.zero
+    override def reduce(b: List[Long], v: java.lang.Long): List[Long] =
+      inner.reduce(b, v)
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      inner.merge(a, b)
+
+    override def finish(r: List[Long]): Long =
+      if (r.lengthCompare(k) < 0) r.length.toLong
+      else {
+        val kth = r.last // ks is unsigned-ascending; saturated => k-th
+        val u = (BigDecimal(kth) + (if (kth < 0) two64 else BigDecimal(0)))
+          .toDouble
+        math.floor(cNum / u).toLong
+      }
+
+    override def bufferEncoder: Encoder[List[Long]] =
+      ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** `graft_window_funnel(ts, step, window_sec, k[, mode])`: ClickHouse's
     * `windowFunnel` as a SQL aggregate — per group (the user), the
     * deepest step chain within `window_sec` of the chain start, running

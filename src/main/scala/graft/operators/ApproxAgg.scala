@@ -198,4 +198,100 @@ object ApproxAgg {
         (col(s"__$name").cast("double") / lit(scale.toDouble)).as(name)
       }): _*)
   }
+
+  // ---- KMV (k-minimum-values) distinct sketch --------------------------
+
+  /** Bounded sorted-unique buffer of the k smallest md5 hashes in
+    * UNSIGNED order — the KMV state (Bar-Yossef et al. 2002; the
+    * engine-portable stand-in for CH `uniqCombined`'s role). Distinctness
+    * and the bound are maintained inside the aggregate, so raw rows feed
+    * it directly: ONE shuffle, map-side partials of at most k longs per
+    * (mapper, key). NULLs are skipped (CH uniq semantics). The unsigned
+    * order uses the sign-bit flip (`h ^ Long.MinValue` is monotone from
+    * unsigned to signed order).
+    */
+  final class MinKDistinctAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, List[Long], Seq[Long]] {
+    require(k >= 2, "need k >= 2")
+    private def flip(h: Long): Long = h ^ Long.MinValue
+
+    override def zero: List[Long] = Nil
+
+    override def reduce(buf: List[Long], in: java.lang.Long): List[Long] =
+      if (in == null) buf
+      else {
+        val h = in.longValue
+        if (buf.lengthCompare(k) >= 0 && flip(h) >= flip(buf.last)) buf
+        else {
+          val (pre, post) = buf.span(b => flip(b) < flip(h))
+          if (post.headOption.contains(h)) buf // already present
+          else (pre ::: h :: post).take(k)
+        }
+      }
+
+    override def merge(a: List[Long], b: List[Long]): List[Long] = {
+      val builder = List.newBuilder[Long]
+      var (x, y) = (a, b); var n = 0; var last = 0L; var any = false
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        val pick =
+          if (y.isEmpty || (x.nonEmpty && flip(x.head) <= flip(y.head))) {
+            val v = x.head; x = x.tail
+            if (y.nonEmpty && y.head == v) y = y.tail // dedupe across sides
+            v
+          } else { val v = y.head; y = y.tail; v }
+        if (!any || last != pick) { builder += pick; n += 1; last = pick; any = true }
+      }
+      builder.result()
+    }
+
+    override def finish(r: List[Long]): Seq[Long] = r
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** KMV sketch per key: `ks` = the k smallest distinct md5-lo hashes of
+    * `valueCol` in unsigned order. Mergeable: the union sketch of any
+    * slices is the merged k smallest of their sketches (pinned by
+    * ApproxAggSpec), which is how a standing pipeline or a set-union
+    * estimate folds KMV states.
+    */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      k: Int = 256): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(new MinKDistinctAgg(k))
+    df.select(keyCols.map(col) :+
+        PortableHash.md5Lo(valueCol).as("__h"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(agg(col("__h")).as("ks"))
+  }
+
+  /** Collapse a KMV sketch to the distinct estimate: exact `size(ks)`
+    * while the sketch is unsaturated, else `floor((k-1) * 2^64 / u)`
+    * with `u` the k-th smallest unsigned hash — evaluated in DOUBLE on
+    * both engines from identical correctly-rounded inputs ((k-1)*2^64
+    * parsed from the same literal, `u` through ONE exact
+    * decimal->double cast), so the floor is deterministic cross-engine.
+    * Output: keyCols..., `est` BIGINT, `n_kept` INT.
+    */
+  def kmvEstimate(sketch: DataFrame, keyCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val cNum = (BigInt(k - 1) << 64).toDouble
+    // unsigned value of the k-th hash, exactly, then one double cast
+    val kth = element_at(col("ks"), k)
+    val u = (kth.cast("decimal(20,0)") +
+      when(kth < 0, lit(new java.math.BigDecimal(BigInt(1L).<<(64).toString)))
+        .otherwise(lit(java.math.BigDecimal.ZERO))).cast("double")
+    sketch.select(keyCols.map(col) ++ Seq(
+      when(size(col("ks")) < k, size(col("ks")).cast("long"))
+        .otherwise(floor(lit(cNum) / u).cast("long")).as("est"),
+      size(col("ks")).as("n_kept")): _*)
+  }
+
+  /** uniqKmv: approximate COUNT(DISTINCT valueCol) per key via KMV. */
+  def uniqKmv(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      k: Int = 256): DataFrame =
+    kmvEstimate(kmvSketch(df, keyCols, valueCol, k), keyCols, k)
 }

@@ -584,6 +584,16 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- approximate distinct, KMV flavor (uniqCombined's role): the k
+    // smallest distinct md5 hashes in unsigned order; exact below k,
+    // floor((k-1)*2^64 / kth) above — the oracle replays the selection
+    // and the single double division exactly -----------------------------
+    "q_kmv_distinct" -> { (s, dir) =>
+      graft.operators.ApproxAgg.uniqKmv(Tables(s, dir).events,
+          Seq("event_type"), col("event_id"), k = 256)
+        .orderBy(col("event_type"))
+    },
+
     // --- approximate quantiles: HdrHistogram-style mergeable sketch
     // (8 significant bits => <=0.8% relative error), quantileBFloat16's
     // role with integer-exact determinism --------------------------------
@@ -1032,6 +1042,28 @@ object ParityQueries {
         |    ELSE floor(raw) END AS BIGINT) AS est,
         |  n_regs
         |FROM e ORDER BY event_type""".stripMargin,
+
+    // KMV replay: distinct md5 hashes ranked in unsigned order (DuckDB's
+    // md5_number_lower is already the unsigned 64-bit value), exact
+    // count below k, floor of one double division above — the constant
+    // 4703919738795935662080.0 is (k-1)*2^64 for k=256, parsed to the
+    // identical IEEE double by both engines
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    md5_number_lower(CAST(event_id AS VARCHAR))::HUGEINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_d
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(CASE WHEN n_d < 256 THEN n_d
+        |    ELSE floor(4703919738795935662080.0 / CAST(h AS DOUBLE))
+        |    END AS BIGINT) AS est,
+        |  CAST(least(n_d, 256) AS INT) AS n_kept
+        |FROM r WHERE rn = least(n_d, 256) ORDER BY event_type""".stripMargin,
 
     // HdrHistogram-style quantile sketch replay: scale to integer cents,
     // keep the top 8 bits (bin() bit-length, no float log2), pick each

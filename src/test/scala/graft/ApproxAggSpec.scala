@@ -147,6 +147,38 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(est.getLong(2) === 2L, s"n_regs=${est.getLong(2)}")
   }
 
+  test("uniqKmv: exact below k, within KMV error above; slices merge to " +
+      "the whole-corpus sketch; NULLs skipped") {
+    // exact regime: 100 distinct < k = 256
+    val small = (1 to 100).flatMap(i => Seq(("k", i.toLong), ("k", i.toLong)))
+      .toDF("k", "v")
+    val e1 = ApproxAgg.uniqKmv(small, Seq("k"), col("v")).collect()(0)
+    assert(e1.getLong(1) === 100L && e1.getInt(2) === 100)
+    // estimator regime: 5000 distinct >> k; sigma ~ 1/sqrt(k-2) = 6.3%
+    val big = (1 to 5000).map(i => ("k", i.toLong)).toDF("k", "v")
+    val e2 = ApproxAgg.uniqKmv(big, Seq("k"), col("v")).collect()(0)
+    assert(math.abs(e2.getLong(1) - 5000.0) / 5000.0 < 0.25,
+      s"est=${e2.getLong(1)}")
+    assert(e2.getInt(2) === 256)
+    // mergeability: union of slice sketches == whole sketch
+    val a = (1 to 3000).map(i => ("k", i.toLong)).toDF("k", "v")
+    val b = (2000 to 5000).map(i => ("k", i.toLong)).toDF("k", "v")
+    val whole = ApproxAgg.kmvSketch(a.union(b), Seq("k"), col("v"))
+      .collect()(0).getSeq[Long](1)
+    val agg = new ApproxAgg.MinKDistinctAgg(256)
+    val merged = agg.merge(
+      ApproxAgg.kmvSketch(a, Seq("k"), col("v")).collect()(0)
+        .getSeq[Long](1).toList,
+      ApproxAgg.kmvSketch(b, Seq("k"), col("v")).collect()(0)
+        .getSeq[Long](1).toList)
+    assert(whole.toList === merged)
+    // NULL skip
+    val withNulls = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)))
+      .toDF("k", "v")
+    val e3 = ApproxAgg.uniqKmv(withNulls, Seq("k"), col("v")).collect()(0)
+    assert(e3.getLong(1) === 2L)
+  }
+
   test("quantileHistogram: NULL values are skipped, not bucketed; float " +
       "input fails loudly (Spark truncates where DuckDB rounds)") {
     val rows = Seq(("k", Some(BigDecimal(100))), ("k", None),

@@ -133,6 +133,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql === api)
   }
 
+  test("SQL graft_uniq_kmv == ApproxAgg.uniqKmv estimate per group") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("kmv_events")
+    val sql = spark.sql(
+      """SELECT event_type, graft_uniq_kmv(event_id) AS est
+        |FROM kmv_events GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val api = graft.operators.ApproxAgg.uniqKmv(ev, Seq("event_type"),
+        col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql === api)
+  }
+
   test("SQL graft_quantile_sketch == ApproxAgg.quantileSketch per group; " +
       "all-NULL group yields NULL") {
     val l = Tables(spark, "/root/testdata/sf0.001").lineitem
