@@ -294,4 +294,47 @@ object ApproxAgg {
   def uniqKmv(df: DataFrame, keyCols: Seq[String], valueCol: Column,
       k: Int = 256): DataFrame =
     kmvEstimate(kmvSketch(df, keyCols, valueCol, k), keyCols, k)
+
+  /** KMV set operations (CH `uniqTheta`'s union/intersect role): join
+    * two per-key sketch frames and estimate, per key, the UNION distinct
+    * count, the INTERSECTION distinct count, and the Jaccard similarity
+    * of the two value sets — all from the bounded sketches, never the
+    * raw sets. The union sketch is the merged k smallest (a slice of
+    * the unsigned-sorted hash union); rho = (members of the union
+    * sketch present in BOTH sides) / |union sketch| estimates Jaccard,
+    * and the intersection is floor(m * union_est / |K|) in exact
+    * integer arithmetic. Every step is deterministic and replayed by
+    * the DuckDB oracle.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val cNum = (BigInt(k - 1) << 64).toDouble
+    val joined = a.select(keyCols.map(col) :+ col("ks").as("ksa"): _*)
+      .join(b.select(keyCols.map(col) :+ col("ks").as("ksb"): _*), keyCols)
+    // unsigned-order sort via the sign-bit flip, then the k-slice
+    val flipLit = Long.MinValue
+    val merged = expr(
+      s"""transform(
+         |  slice(array_sort(transform(array_union(ksa, ksb),
+         |    x -> x ^ ${flipLit}L)), 1, $k),
+         |  x -> x ^ ${flipLit}L)""".stripMargin)
+    val withK = joined.withColumn("__k", merged)
+      .withColumn("__m", size(expr(
+        "filter(__k, x -> array_contains(ksa, x) AND array_contains(ksb, x))")))
+    val kth = element_at(col("__k"), k)
+    val u = (kth.cast("decimal(20,0)") +
+      when(kth < 0, lit(new java.math.BigDecimal(BigInt(1L).<<(64).toString)))
+        .otherwise(lit(java.math.BigDecimal.ZERO))).cast("double")
+    val unionEst = when(size(col("__k")) < k, size(col("__k")).cast("long"))
+      .otherwise(floor(lit(cNum) / u).cast("long"))
+    withK
+      .withColumn("union_est", unionEst)
+      .select(keyCols.map(col) ++ Seq(
+        col("union_est"),
+        // integer DIV, not float division — exact on both engines
+        expr("(CAST(__m AS BIGINT) * union_est) DIV CAST(size(__k) AS BIGINT)")
+          .as("intersect_est"),
+        round(col("__m").cast("double") / size(col("__k")).cast("double"), 6)
+          .as("jaccard")): _*)
+  }
 }

@@ -594,6 +594,29 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- KMV set operations (uniqTheta's role): per event type, the
+    // union / intersection / Jaccard of its user set vs the 'view' user
+    // set estimated purely from k=64 sketches (saturated: ~150 users per
+    // type), never the raw sets ------------------------------------------
+    "q_kmv_setops" -> { (s, dir) =>
+      import graft.operators.ApproxAgg
+      // set element = (user, day-of-month) activity pair: each type is
+      // active on a partial slice of user-days, so the type-vs-view
+      // overlap is genuinely fractional (user sets alone would all be
+      // identical on this corpus)
+      val e = Tables(s, dir).events
+        .select(col("event_type"),
+          (col("user_id") * 100 + dayofmonth(col("ts"))).as("ud"))
+      val a = ApproxAgg.kmvSketch(e, Seq("event_type"), col("ud"), k = 64)
+      val types = e.select(col("event_type")).distinct()
+      val b = ApproxAgg.kmvSketch(
+        types.crossJoin(e.filter(col("event_type") === "view")
+          .select(col("ud"))),
+        Seq("event_type"), col("ud"), k = 64)
+      ApproxAgg.kmvSetOps(a, b, Seq("event_type"), k = 64)
+        .orderBy(col("event_type"))
+    },
+
     // --- approximate quantiles: HdrHistogram-style mergeable sketch
     // (8 significant bits => <=0.8% relative error), quantileBFloat16's
     // role with integer-exact determinism --------------------------------
@@ -1064,6 +1087,60 @@ object ParityQueries {
         |    END AS BIGINT) AS est,
         |  CAST(least(n_d, 256) AS INT) AS n_kept
         |FROM r WHERE rn = least(n_d, 256) ORDER BY event_type""".stripMargin,
+
+    // KMV set-op replay: both sides' k-smallest distinct hash sets, the
+    // merged k-slice as the union sketch, membership via joins, then the
+    // same double division / integer DIV arithmetic
+    // (1162144876643701751808.0 = 63 * 2^64 for k = 64)
+    "q_kmv_setops" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    user_id * 100 + date_part('day', ts) AS ud
+        |  FROM events),
+        |ha AS (
+        |  SELECT DISTINCT event_type,
+        |    md5_number_lower(CAST(ud AS VARCHAR))::HUGEINT AS h
+        |  FROM ev),
+        |hb AS (
+        |  SELECT t.event_type, b.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (
+        |    SELECT DISTINCT
+        |      md5_number_lower(CAST(ud AS VARCHAR))::HUGEINT AS h
+        |    FROM ev WHERE event_type = 'view') b),
+        |ka AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM ha) WHERE rn <= 64),
+        |kb AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hb) WHERE rn <= 64),
+        |un AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT event_type, h FROM (
+        |    SELECT * FROM ka UNION ALL SELECT * FROM kb)))
+        |  WHERE rn <= 64),
+        |st AS (
+        |  SELECT u.event_type, count(*) AS kk, max(u.h) AS kth,
+        |    sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS m
+        |  FROM un u
+        |  LEFT JOIN ka a ON u.event_type = a.event_type AND u.h = a.h
+        |  LEFT JOIN kb b ON u.event_type = b.event_type AND u.h = b.h
+        |  GROUP BY 1),
+        |es AS (
+        |  SELECT event_type, kk, m,
+        |    CASE WHEN kk < 64 THEN CAST(kk AS BIGINT)
+        |      ELSE CAST(floor(1162144876643701751808.0
+        |        / CAST(kth AS DOUBLE)) AS BIGINT) END AS union_est
+        |  FROM st)
+        |SELECT event_type, union_est,
+        |  CAST((CAST(m AS BIGINT) * union_est) // CAST(kk AS BIGINT)
+        |    AS BIGINT) AS intersect_est,
+        |  round(CAST(m AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard
+        |FROM es ORDER BY event_type""".stripMargin,
 
     // HdrHistogram-style quantile sketch replay: scale to integer cents,
     // keep the top 8 bits (bin() bit-length, no float log2), pick each

@@ -179,6 +179,17 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(e3.getLong(1) === 2L)
   }
 
+  test("kmvSetOps: exact union/intersection/Jaccard below saturation") {
+    val a = (1 to 100).map(i => ("k", i.toLong)).toDF("k", "v")
+    val b = (51 to 150).map(i => ("k", i.toLong)).toDF("k", "v")
+    val r = ApproxAgg.kmvSetOps(
+      ApproxAgg.kmvSketch(a, Seq("k"), col("v")),
+      ApproxAgg.kmvSketch(b, Seq("k"), col("v")), Seq("k")).collect()(0)
+    assert(r.getLong(1) === 150L, s"union=${r.getLong(1)}")
+    assert(r.getLong(2) === 50L, s"intersect=${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 50.0 / 150.0) < 1e-6)
+  }
+
   test("quantileHistogram: NULL values are skipped, not bucketed; float " +
       "input fails loudly (Spark truncates where DuckDB rounds)") {
     val rows = Seq(("k", Some(BigDecimal(100))), ("k", None),
