@@ -1593,6 +1593,33 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("event_type"))
     },
 
+    // --- standing streaming KMV distinct, replayed under oracle: the
+    //     persisted state is the per-key min-k distinct hash set and the
+    //     admission fold is the KMV merge (idempotent min-k), so each
+    //     batch's emitted estimate must equal the BATCH uniqKmv over the
+    //     key's full history -------------------------------------------
+    "stream_kmv_replay" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      def batchDf(b: Int) = b match {
+        case 0 => e.filter(col("ts") < ntz("2024-01-11 00:00:00"))
+        case 1 => e.filter(col("ts") >= ntz("2024-01-11 00:00:00") &&
+          col("ts") < ntz("2024-01-21 00:00:00"))
+        case _ => e.filter(col("ts") >= ntz("2024-01-21 00:00:00"))
+      }
+      val stateDir = scratchDir("stream_kmv", dir)
+      val su = new graft.streaming.StreamingUniqKmv(s, stateDir,
+        "event_type", "event_id", k = 256)
+      su.seed(e.filter(lit(false)))
+      val outs = (0 until 3).map { b =>
+        val r = su.admit(batchDf(b), b.toLong).withColumn("batch", lit(b))
+        if (b == 0) su.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("event_type"), col("est"), col("n_kept"))
+        .orderBy(col("batch"), col("event_type"))
+    },
+
     // --- streaming ANALYTICS capstone: funnel + retention standing
     //     state driven through the SAME 3-batch event timeline under ONE
     //     replay, with a COLD RESTART between batches 0 and 1 — both
@@ -3748,6 +3775,47 @@ object ExtensionQueries {
        |ORDER BY batch, event_type""".stripMargin
   }
 
+  /** Streaming-KMV replay oracle: per batch b, the q_kmv_distinct
+    * recipe over events visible up to b's bound, restricted to the
+    * event types touched in b — the estimate the standing min-k state
+    * must reproduce exactly (the fold is idempotent min-k, so the
+    * oracle needs no newest-row discipline).
+    */
+  private def streamingKmvOracle: String = {
+    val bounds = Seq(
+      ("0", "ts < TIMESTAMP '2024-01-11 00:00:00'",
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"),
+      ("1", "ts >= TIMESTAMP '2024-01-11 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+        "ts < TIMESTAMP '2024-01-21 00:00:00'"),
+      ("2", "ts >= TIMESTAMP '2024-01-21 00:00:00'", "TRUE"))
+    val blocks = bounds.map { case (b, inBatch, upTo) =>
+      s"""h$b AS (
+         |  SELECT DISTINCT event_type,
+         |    md5_number_lower(CAST(event_id AS VARCHAR))::HUGEINT AS h
+         |  FROM events WHERE ($upTo) AND event_type IN (
+         |    SELECT DISTINCT event_type FROM events WHERE $inBatch)),
+         |r$b AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_d
+         |  FROM h$b),
+         |out$b AS (
+         |  SELECT $b AS batch, event_type,
+         |    CAST(CASE WHEN n_d < 256 THEN n_d
+         |      ELSE floor(4703919738795935662080.0 / CAST(h AS DOUBLE))
+         |      END AS BIGINT) AS est,
+         |    CAST(least(n_d, 256) AS INT) AS n_kept
+         |  FROM r$b WHERE rn = least(n_d, 256))"""
+    }
+    s"""WITH
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM out0 UNION ALL
+       |  SELECT * FROM out1 UNION ALL
+       |  SELECT * FROM out2)
+       |ORDER BY batch, event_type""".stripMargin
+  }
+
   /** Analytics-capstone replay oracle: the funnel and retention replay
     * recipes composed — per batch, the funnel block's touched users
     * FULL OUTER JOIN the retention block's on user_id. The restart
@@ -5409,6 +5477,8 @@ object ExtensionQueries {
     "stream_multitier_replay" -> multitierReplayOracle,
 
     "stream_uniq_hll_replay" -> streamingUniqHllOracle,
+
+    "stream_kmv_replay" -> streamingKmvOracle,
 
     // per batch b: the q_quantile_sketch pipeline over rows with
     // b' <= b for the keys touched in b

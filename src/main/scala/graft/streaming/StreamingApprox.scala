@@ -106,6 +106,101 @@ final class StreamingUniqHll(spark: SparkSession, stateDir: String,
       }
 }
 
+/** Standing streaming KMV distinct sketch — the streaming lift of
+  * [[graft.operators.ApproxAgg.uniqKmv]]: the persisted state IS the
+  * per-key k-smallest-distinct-hash rows, and the admission fold IS the
+  * KMV merge (min-k of the union — idempotent, so crash-replay is safe
+  * without a newest-row read discipline, same as the HLL register
+  * max-fold). State stays <= k rows per key per append; reads prune to
+  * the batch's `kb` buckets and semi-join the broadcast batch keys.
+  */
+final class StreamingUniqKmv(spark: SparkSession, stateDir: String,
+    keyCol: String, valueCol: String, k: Int = 256, nBuckets: Int = 64)
+    extends Serializable {
+
+  private val state = new BatchedState(spark, s"$stateDir/kmv", Seq("kb"))
+
+  private def kBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(nBuckets)).cast("int")
+
+  private val stateParams = Map("keyCol" -> keyCol, "valueCol" -> valueCol,
+    "k" -> k.toString, "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(state), stateDir)
+    paramsChecked = true
+  }
+
+  private val stateSchema = StructType(Seq(
+    StructField("k", StringType), StructField("h", LongType),
+    StructField("kb", IntegerType)))
+
+  private def batchHashes(batch: DataFrame): DataFrame =
+    batch.select(col(keyCol).cast("string").as("k"),
+        graft.functions.PortableHash.md5Lo(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+
+  /** min-k fold over (k, h) rows via the bounded-heap aggregate — the
+    * shuffle carries at most k longs per (mapper, key).
+    */
+  private def foldMinK(df: DataFrame): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new ApproxAgg.MinKDistinctAgg(k))
+    df.groupBy(col("k")).agg(agg(col("h")).as("ks"))
+  }
+
+  def seed(history: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
+    state.reset()
+    state.seed(foldMinK(batchHashes(history))
+      .select(col("k"), explode(col("ks")).as("h"))
+      .withColumn("kb", kBucket(col("k"))))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Admit micro-batch `batchId`: merge the batch's hashes into the
+    * standing sketch and emit (keyCol, est, n_kept) for every key the
+    * batch touched — the estimate over the key's full history.
+    */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureAdmissible(batchId)
+    val fresh = batchHashes(batch)
+      .withColumn("kb", kBucket(col("k"))).localCheckpoint()
+    val kbs = fresh.select("kb").distinct().collect().map(_.getInt(0))
+    val ref = state.read(before = batchId, fallback = Some(stateSchema))
+      .where(col("kb").isin(kbs.toIndexedSeq.map(Int.box): _*))
+      .join(broadcast(fresh.select(col("k")).distinct()), Seq("k"), "left_semi")
+      .select(col("k"), col("h"))
+    val merged = foldMinK(ref.unionByName(fresh.select(col("k"), col("h"))))
+      .localCheckpoint() // materialize before the state append
+    state.append(merged.select(col("k"), explode(col("ks")).as("h"))
+      .withColumn("kb", kBucket(col("k"))), batchId)
+    ApproxAgg.kmvEstimate(merged, Seq("k"), k)
+      .select(col("k").as(keyCol), col("est"), col("n_kept"))
+  }
+
+  /** File compaction only ([[StreamingReplacingMerge.compact]]
+    * contract).
+    */
+  def compact(upTo: Long = Long.MaxValue): Unit =
+    state.compact(Long.MinValue, upTo)
+
+  /** Run the standing sketch over a stream. */
+  def attach(source: DataFrame, outDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
+        ()
+      }
+}
+
 /** Standing streaming quantile sketch — the streaming lift of
   * [[graft.operators.ApproxAgg.quantileSketch]]: the persisted state is
   * the per-(key, bucket) count histogram, the admission fold sums

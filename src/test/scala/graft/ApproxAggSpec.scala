@@ -179,6 +179,27 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(e3.getLong(1) === 2L)
   }
 
+  test("StreamingUniqKmv: batch estimates equal the batch uniqKmv over " +
+      "full history; crash-replay is idempotent") {
+    import graft.streaming.StreamingUniqKmv
+    val stateDir = java.nio.file.Files.createTempDirectory("skmv").toString
+    val su = new StreamingUniqKmv(spark, stateDir, "k", "v", k = 64)
+    su.seed(Seq.empty[(String, Long)].toDF("k", "v"))
+    val b0 = (1 to 300).map(i => ("a", i.toLong))
+    val b1 = (200 to 600).map(i => ("a", i.toLong))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    asMap(su.admit(b0.toDF("k", "v"), 0L))
+    su.compact(upTo = 0L)
+    val r1 = asMap(su.admit(b1.toDF("k", "v"), 1L))
+    val whole = asMap(ApproxAgg.uniqKmv((b0 ++ b1).toDF("k", "v"),
+      Seq("k"), col("v"), k = 64))
+    assert(r1("a") === whole("a"), s"stream ${r1("a")} vs batch ${whole("a")}")
+    // crash-after-append replay: min-k fold is idempotent
+    val replay = asMap(su.admit(b1.toDF("k", "v"), 1L))
+    assert(replay === r1)
+  }
+
   test("kmvSetOps: exact union/intersection/Jaccard below saturation") {
     val a = (1 to 100).map(i => ("k", i.toLong)).toDF("k", "v")
     val b = (51 to 150).map(i => ("k", i.toLong)).toDF("k", "v")
