@@ -630,6 +630,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected at most 2 exchanges:\n$p")
   }
 
+  test("kmvSketch: min-k aggregate combines map-side — the shuffle " +
+      "carries at most k longs per (mapper, key)") {
+    import graft.operators.ApproxAgg
+    val q = ApproxAgg.uniqKmv(Tables(spark, sf).events,
+      Seq("event_type"), col("event_id"))
+    val p = plan(q)
+    assert(p.contains("partial_minkdistinctagg"),
+      s"min-k must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one key exchange of bounded sketches:\n$p")
+  }
+
   test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
       "shuffle carries sketch buffers, never raw values") {
     val p = plan(graft.queries.Registry
