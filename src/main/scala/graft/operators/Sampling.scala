@@ -163,6 +163,65 @@ object Sampling {
       .select(col("group"), col("kept").getField("nn_id").as("id"))
   }
 
+  /** Token-budget cap per group: keep each group's documents in the
+    * deterministic hash order (bucket, id) while the group's running
+    * token total stays within `budget` — the pretraining-mix shape
+    * ("take N tokens per source"), the token-weighted analog of
+    * [[capPerGroup]]'s document cap.
+    *
+    * Scale shape: the [[graft.operators.TextAnalysis.packSequences]]
+    * recipe keyed by group — ONE range exchange on (group, bucket, id),
+    * per-partition running sums, and a bounded driver collect of
+    * per-(partition, group) totals (p x |groups| rows; groups are
+    * corpus sources, so this stays tiny). No per-group single-reducer
+    * window sort, so a giant source cannot serialize into one task.
+    * Output: (group, id, n_tokens, tok_offset) for kept docs, where
+    * tok_offset is the group's exact token prefix before this doc —
+    * kept iff tok_offset + n_tokens <= budget, replayable as a plain
+    * SQL cumulative window.
+    */
+  def capPerGroupTokens(df: DataFrame, id: Column, group: Column,
+      tokens: Column, budget: Long, buckets: Int = 10000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val staged = df.select(group.cast("string").as("group"),
+        id.cast("long").as("id"), tokens.cast("long").as("n_tokens"),
+        hashBucket(id, buckets).cast("int").as("bucket"))
+      .repartitionByRange(p, col("group"), col("bucket"), col("id"))
+      .sortWithinPartitions(col("group"), col("bucket"), col("id"))
+    val rdd = staged.select(col("group").as("_1"), col("id").as("_2"),
+        col("n_tokens").as("_3"), col("bucket").as("_4"))
+      .as[(String, Long, Long, Int)].rdd
+    // per-(partition, group) token totals — bounded driver collect
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (g, _, n, _) => m.update(g, m.getOrElse(g, 0L) + n) }
+      m.iterator.map { case (g, s) => ((i, g), s) }
+    }.collect().toMap
+    // exclusive prefix per group over the (key-ordered) partition index
+    val prefix: Map[(Int, String), Long] = {
+      val byGroup = totals.keys.map(_._2).toSeq.distinct
+      byGroup.flatMap { g =>
+        (0 until p).scanLeft((0, 0L)) { case ((_, acc), i) =>
+          (i + 1, acc + totals.getOrElse((i, g), 0L))
+        }.map { case (i, acc) => ((i, g), acc) }
+      }.toMap
+    }
+    val b = budget
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: String = null
+      var run = 0L
+      it.flatMap { case (g, docId, n, _) =>
+        if (g != cur) { cur = g; run = prefix((i, g)) }
+        val off = run
+        run += n
+        if (off + n <= b) Some((g, docId, n, off)) else None
+      }
+    }.toDF("group", "id", "n_tokens", "tok_offset")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep fractions (the
     * standard corpus-mixing knob — e.g. downsample boilerplate-heavy
     * sources, keep all rare-language docs). Strata not in `fractions`

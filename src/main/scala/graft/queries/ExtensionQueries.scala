@@ -1389,6 +1389,19 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // --- per-source TOKEN-budget cap (the pretraining-mix shape: take N
+    //     tokens per source in deterministic hash order) — keyed
+    //     distributed prefix sum, ONE range exchange, never a per-source
+    //     single-reducer window ------------------------------------------
+    "sample_token_cap" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.capPerGroupTokens(d, col("doc_id"), col("source"),
+          col("n_chars"), budget = 5000L)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("n_tokens"), col("tok_offset"))
+        .orderBy(col("source"), col("tok_offset"))
+    },
+
     // --- Gopher rule battery: word-count / mean-length / alpha-word /
     //     stopword bounds -> keep verdict (scan-local projection) --------
     "text_gopher" -> { (s, dir) =>
@@ -5751,6 +5764,24 @@ object ExtensionQueries {
          |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  min(doc_id) AS id_min, max(doc_id) AS id_max
          |FROM r WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
+
+    // cumulative window over the same (bucket, id) hash order; kept iff
+    // the exclusive prefix + own size fits the budget
+    "sample_token_cap" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tokens,
+         |    $bucketExpr AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM b)
+         |SELECT source, doc_id, n_tokens, tok_offset
+         |FROM c WHERE tok_offset + n_tokens <= 5000
+         |ORDER BY source, tok_offset""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (

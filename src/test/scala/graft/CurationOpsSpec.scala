@@ -403,6 +403,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept.exceptAll(again).count() === 0)
   }
 
+  test("capPerGroupTokens: maximal hash-order prefix within the budget, " +
+      "offsets exact, budget binds per group independently") {
+    val df = (1L to 40L).map(i =>
+      (i, if (i <= 30) "big" else "small", 10L + i % 3))
+      .toDF("id", "src", "toks")
+    val kept = Sampling.capPerGroupTokens(df, col("id"), col("src"),
+      col("toks"), budget = 120L)
+    val rows = kept.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay: per group, hash-order cumulative prefix <= budget
+    val expected = df
+      .select(col("src"), col("id"), col("toks"),
+        Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        var run = 0L
+        rs.sortBy(r => (r._4, r._2)).toSeq.flatMap { r =>
+          val off = run; run += r._3
+          if (off + r._3 <= 120L) Some((g, r._2, r._3, off)) else None
+        }
+      }.toSet
+    assert(rows.toSet === expected)
+    // each group's kept total fits; adding any dropped doc would not
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals.values.forall(_ <= 120L))
+    assert(totals.keySet === Set("big", "small"))
+  }
+
   // ---- BM25 -----------------------------------------------------------
 
   test("bm25TopK: exact scores on a known corpus, zero-score docs omitted") {
