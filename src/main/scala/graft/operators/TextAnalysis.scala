@@ -744,6 +744,80 @@ object TextAnalysis {
         round(col("logq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
   }
 
+  /** Hashed bigram LM counts — the order-2 train pass over adjacent
+    * canonical word pairs, bounded to `nBuckets` rows exactly like
+    * [[unigramLmCounts]]. The token array is staged once behind `Once`
+    * (the r12 double-evaluation lesson: generator children get no
+    * common-subexpression elimination).
+    */
+  def bigramLmCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.select(graft.functions.Once(canonToks(col(textCol))).as("__tk"))
+      .select(explode(ngramsOfToks(col("__tk"), 2)).as("bigram"))
+      .select(Sampling.hashBucket(col("bigram"), nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") with QUANTIZED integer
+    * logs — the order-2 upgrade of [[lmScore]]'s perplexity filter:
+    * fluent text scores high because its word PAIRS are common, not
+    * just its words. Per bigram position (w1, w2):
+    *   - bigram bucket seen:  qlog2(cnt_bigram) - qlog2(cnt_w1)
+    *     (the quantized conditional log-MLE log2 c(w1 w2)/c(w1)),
+    *   - unseen: qlog2(cnt_w2) - backoffPenalty
+    *     (backoff to the unigram with alpha = 2^-penalty — Stupid
+    *     Backoff's fixed discount, no normalization by design).
+    * All contributions are exact integers (the bin()-length qlog), so
+    * the per-doc sums replay bit-identically in the oracle; one double
+    * division at the end. Docs with fewer than 2 canonical tokens have
+    * no bigram positions and drop out (score undefined).
+    *
+    * Plumbing: one staged-token explode of (bigram, w1, w2) bucket
+    * triples, three BROADCAST joins against the bounded count tables,
+    * and a per-doc integer-sum aggregate — the shuffle carries one
+    * narrow row per document.
+    */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, uniLm: org.apache.spark.sql.DataFrame,
+      biLm: org.apache.spark.sql.DataFrame, nBuckets: Int = 4096,
+      backoffPenalty: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0 && backoffPenalty >= 0, "bad params")
+    val pos = df.select(col(idCol).as("id"),
+        graft.functions.Once(canonToks(col(textCol))).as("__tk"))
+      // guard: Spark's sequence(1, 0) DESCENDS — size < 2 must yield an
+      // empty position array, not a reversed one
+      .select(col("id"), explode(expr(
+        """CASE WHEN size(__tk) >= 2 THEN
+          |  transform(sequence(1, size(__tk) - 1),
+          |    i -> struct(__tk[i-1] AS w1, __tk[i] AS w2))
+          |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin))
+        .as("p"))
+      .select(col("id"),
+        Sampling.hashBucket(
+          concat_ws(" ", col("p.w1"), col("p.w2")), nBuckets).as("bb"),
+        Sampling.hashBucket(col("p.w1"), nBuckets).as("b1"),
+        Sampling.hashBucket(col("p.w2"), nBuckets).as("b2"))
+    def qc(c: Column) =
+      (length(bin(coalesce(c, lit(0L)))) - 1).cast(LongType)
+    pos
+      .join(broadcast(biLm.select(col("bucket").as("bb"),
+        col("cnt").as("__bc"))), Seq("bb"), "left")
+      .join(broadcast(uniLm.select(col("bucket").as("b1"),
+        col("cnt").as("__c1"))), Seq("b1"), "left")
+      .join(broadcast(uniLm.select(col("bucket").as("b2"),
+        col("cnt").as("__c2"))), Seq("b2"), "left")
+      .select(col("id"),
+        when(col("__bc").isNotNull, qc(col("__bc")) - qc(col("__c1")))
+          .otherwise(qc(col("__c2")) - backoffPenalty).as("q"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("logq_sum"))
+      .withColumn("bo_score",
+        round(col("logq_sum").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6))
+  }
+
   /** Luhn checksum validity of a digit string — distinguishes real
     * payment-card numbers from arbitrary digit runs, the precision
     * upgrade over scrubbing every long number: integer arithmetic only

@@ -1436,6 +1436,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- bigram Stupid-Backoff LM scoring (Brants et al. 2007): fluent
+    //     text scores high on common word PAIRS; unseen bigrams back off
+    //     to the w2 unigram with a fixed 2^-4 discount. All quantized
+    //     integer logs, one double division per doc -----------------------
+    "text_bigram_lm" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      // train on the English slice, score the WHOLE corpus: non-English
+      // docs carry genuinely unseen bigrams, so the backoff branch is
+      // exercised (self-training would make it vacuous)
+      val train = d.filter(col("lang") === "en")
+      val uni = TextAnalysis.unigramLmCounts(train, "text", nBuckets = 1024)
+      val bi = TextAnalysis.bigramLmCounts(train, "text", nBuckets = 1024)
+      TextAnalysis.bigramLmScore(d, "doc_id", "text", uni, bi,
+          nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("logq_sum"), col("bo_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- model-based quality classifier (DCLM/FineWeb-Edu shape): train
     //     a hashed-bag-of-words NB log-ratio model on lang='en' labels,
     //     round-trip it through the persisted-model lifecycle, score the
@@ -4968,6 +4987,54 @@ object ExtensionQueries {
         |  FROM b JOIN lm USING (bucket) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, logq_sum,
         |  round(CAST(logq_sum AS DOUBLE) / n_tokens, 6) AS lm_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // bigram Stupid Backoff: identical md5 buckets for bigram strings
+    // and both unigrams, quantized logs via bin()-length, CASE backoff
+    // with the fixed integer penalty
+    "text_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT (md5_number_lower(u.token) >> 1) % 1024 AS bucket,
+        |    count(*) AS cnt
+        |  FROM (SELECT unnest(t) AS token FROM tok
+        |    JOIN documents USING (doc_id) WHERE lang = 'en') u
+        |  GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i::INT], w2 := t[i::INT + 1]))) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |bib AS (
+        |  SELECT doc_id,
+        |    (md5_number_lower(p.w1 || ' ' || p.w2) >> 1) % 1024 AS bb,
+        |    (md5_number_lower(p.w1) >> 1) % 1024 AS b1,
+        |    (md5_number_lower(p.w2) >> 1) % 1024 AS b2
+        |  FROM bg),
+        |bi AS (
+        |  SELECT bb AS bucket, count(*) AS cnt
+        |  FROM bib JOIN documents USING (doc_id)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |q AS (
+        |  SELECT x.doc_id,
+        |    CASE WHEN b.cnt IS NOT NULL
+        |      THEN (length(bin(b.cnt)) - 1)
+        |        - (length(bin(coalesce(u1.cnt, 0))) - 1)
+        |      ELSE (length(bin(coalesce(u2.cnt, 0))) - 1) - 4
+        |    END AS q
+        |  FROM bib x
+        |  LEFT JOIN bi b ON x.bb = b.bucket
+        |  LEFT JOIN uni u1 ON x.b1 = u1.bucket
+        |  LEFT JOIN uni u2 ON x.b2 = u2.bucket),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(q) AS BIGINT) AS logq_sum
+        |  FROM q GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, logq_sum,
+        |  round(CAST(logq_sum AS DOUBLE) / n_bigrams, 6) AS bo_score
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // NB log-count-ratio classifier: identical md5 buckets, quantized

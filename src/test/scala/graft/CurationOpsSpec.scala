@@ -432,6 +432,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(totals.keySet === Set("big", "small"))
   }
 
+  test("bigramLmScore: seen pairs score the conditional qlog, unseen " +
+      "pairs back off with the fixed penalty; <2-token docs drop out") {
+    import graft.operators.TextAnalysis
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLmCounts(train, "text", nBuckets = 4096)
+    val bi = TextAnalysis.bigramLmCounts(train, "text", nBuckets = 4096)
+    val score = Seq((1L, "a b"), (2L, "z q"), (3L, "a"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(score, "doc_id", "text", uni, bi,
+        nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // train: uni a=3 b=2 c=1; bigrams "a b"=2 "b a"=2 "a c"=1
+    // doc 1 "a b": seen -> qlog(2) - qlog(3) = 1 - 1 = 0
+    assert(got(1L) === ((1L, 0L)), s"got ${got(1L)}")
+    // doc 2 "z q": unseen -> qlog(uni q = 0) - 4 = 0 - 4 = -4
+    assert(got(2L) === ((1L, -4L)), s"got ${got(2L)}")
+    // doc 4 "a c": seen -> qlog(1) - qlog(3) = 0 - 1 = -1
+    assert(got(4L) === ((1L, -1L)), s"got ${got(4L)}")
+    // doc 3: single token, no bigram positions
+    assert(!got.contains(3L))
+  }
+
   // ---- BM25 -----------------------------------------------------------
 
   test("bm25TopK: exact scores on a known corpus, zero-score docs omitted") {
