@@ -199,6 +199,12 @@ object GraftExtensions {
           else 256),
         Seq(graft.functions.PortableHash.md5Lo(c(args.head)))),
       "graft_uniq_kmv(value[, k]) - AGGREGATE: KMV approximate count distinct (== ApproxAgg.uniqKmv est)"),
+    ("graft_uniq_upto",
+      args => udafExpr(
+        new graft.functions.Aggregates.UniqUpToAgg(
+          intLit(args(1), "graft_uniq_upto")),
+        Seq(graft.functions.PortableHash.md5Lo(c(args.head)))),
+      "graft_uniq_upto(value, n) - AGGREGATE: exact count distinct while <= n, else n+1 (== ApproxAgg.uniqUpTo)"),
     ("graft_sequence_count",
       args => udafExpr(
         new graft.functions.Aggregates.SequenceCountAgg(

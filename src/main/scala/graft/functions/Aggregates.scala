@@ -164,6 +164,27 @@ object Aggregates {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** `graft_uniq_upto(value, n)`: CH `uniqUpTo(N)` — exact distinct
+    * count while <= n, else the sentinel n+1. The k = n+1
+    * [[graft.operators.ApproxAgg.MinKDistinctAgg]] buffer holds every
+    * distinct hash until it saturates, so its SIZE is the answer (==
+    * the `uniq_upto` column of [[graft.operators.ApproxAgg.uniqUpTo]]).
+    */
+  class UniqUpToAgg(n: Int)
+      extends Aggregator[java.lang.Long, List[Long], Long] {
+    require(n >= 1, "n must be >= 1")
+    private val inner = new graft.operators.ApproxAgg.MinKDistinctAgg(n + 1)
+    override def zero: List[Long] = inner.zero
+    override def reduce(b: List[Long], v: java.lang.Long): List[Long] =
+      inner.reduce(b, v)
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      inner.merge(a, b)
+    override def finish(r: List[Long]): Long = r.length.toLong
+    override def bufferEncoder: Encoder[List[Long]] =
+      ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** `graft_window_funnel(ts, step, window_sec, k[, mode])`: ClickHouse's
     * `windowFunnel` as a SQL aggregate — per group (the user), the
     * deepest step chain within `window_sec` of the chain start, running

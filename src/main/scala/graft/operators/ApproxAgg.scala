@@ -295,6 +295,23 @@ object ApproxAgg {
       k: Int = 256): DataFrame =
     kmvEstimate(kmvSketch(df, keyCols, valueCol, k), keyCols, k)
 
+  /** CH `uniqUpTo(N)`: the EXACT distinct count while it does not
+    * exceed N, and the sentinel N+1 as soon as it does — the cheap
+    * "is this column low-cardinality?" probe. The k = N+1 KMV sketch
+    * holds ALL distinct hashes until there are more than N+1 of them,
+    * so its size is exactly min(distinct, N+1): no estimation branch
+    * exists, and the answer is exact modulo 64-bit md5-lo collisions.
+    * Same ONE-shuffle shape as [[uniqKmv]] — map-side partials carry at
+    * most N+1 longs per (mapper, key); NULLs skip (CH uniq semantics).
+    */
+  def uniqUpTo(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    kmvSketch(df, keyCols, valueCol, n + 1)
+      .select(keyCols.map(col) :+
+        size(col("ks")).cast("long").as("uniq_upto"): _*)
+  }
+
   /** KMV set operations (CH `uniqTheta`'s union/intersect role): join
     * two per-key sketch frames and estimate, per key, the UNION distinct
     * count, the INTERSECTION distinct count, and the Jaccard similarity

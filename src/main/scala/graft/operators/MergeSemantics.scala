@@ -82,6 +82,36 @@ object MergeSemantics {
         when(col("__mk").isNotNull,
           struct(col("__mk"), col("__sv")))))).as(mapCol))
 
+  /** VersionedCollapsingMergeTree FINAL: cancellations pair with the
+    * state row carrying the SAME (key, version) — unlike plain
+    * Collapsing, a cancel for an old version never consumes a newer
+    * state. Per (key, version) the net sign decides: net 0 folds to
+    * nothing (a matched +1/-1 pair), net != 0 survives as one row with
+    * sign = sgn(net) and the payload of a row on that side (struct max —
+    * well-formed inputs repeat the state payload on the cancel, so this
+    * is a no-op tiebreak). Output is the folded TABLE (all surviving
+    * versions, sign column included); chain [[replacingMerge]] over the
+    * sign=1 survivors for the current-state read.
+    *
+    * One map-side-combined aggregate on (key, version) — at 100 TB the
+    * shuffle carries one partially-folded row per (mapper, key, version),
+    * never the raw appends.
+    */
+  def versionedCollapsingMerge(df: DataFrame, keyCols: Seq[String],
+      signCol: String, verCol: String): DataFrame = {
+    val payload = payloadCols(df, keyCols, Seq(signCol, verCol))
+    val packed = struct(payload.map(col): _*)
+    df.groupBy((keyCols :+ verCol).map(col): _*)
+      .agg(sum(col(signCol)).as("__net"),
+        max(when(col(signCol) === 1, packed)).as("__p"),
+        max(when(col(signCol) === -1, packed)).as("__m"))
+      .filter(col("__net") =!= 0)
+      .select(keyCols.map(col) ++ Seq(col(verCol),
+          when(col("__net") > 0, lit(1)).otherwise(lit(-1)).as(signCol)) ++
+        payload.map(c => when(col("__net") > 0, col("__p").getField(c))
+          .otherwise(col("__m").getField(c)).as(c)): _*)
+  }
+
   /** CollapsingMergeTree FINAL: rows arrive as (+1) states and (-1)
     * cancellations; per key the net sign decides survival — net > 0
     * keeps the greatest-`verCol` (+1) row, net <= 0 folds to nothing.

@@ -163,6 +163,33 @@ object Sampling {
       .select(col("group"), col("kept").getField("nn_id").as("id"))
   }
 
+  /** Cluster-balanced (semantic-diversity) sampling: assign each vector
+    * to its k-means cell (a [[Similarity.Centroids]] set — train once
+    * via [[Similarity.trainCentroids]] or load a persisted
+    * [[Similarity.IvfIndex]]) and keep at most `maxPerCell` rows per
+    * cell in [[capPerGroup]]'s stable hash order. This is the
+    * cluster-then-cap selection shape (SemDeDup / SSL-prototypes
+    * lineage): dominant semantic modes (boilerplate clusters) stop
+    * crowding out the distribution tail, which uniform hash sampling
+    * cannot do.
+    *
+    * Scale shape: the cell assignment is a scan-local projection
+    * against broadcast centroid literals (no shuffle, no index join);
+    * the cap is the bounded-heap partial aggregate, so the one shuffle
+    * carries at most nCells x maxPerCell candidate rows per mapper.
+    * Returns (cell, id) for kept rows; join back on id for payloads.
+    */
+  def clusterBalancedSample(vectors: DataFrame, id: Column,
+      centroids: Similarity.Centroids, maxPerCell: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val assigned = vectors.select(id.as("id"),
+      centroids.assignCell(col(vecCol).cast(ArrayType(DoubleType)))
+        .as("cell"))
+    capPerGroup(assigned, col("id"), col("cell"), maxPerCell)
+      .select(col("group").as("cell"), col("id"))
+  }
+
   /** Token-budget cap per group: keep each group's documents in the
     * deterministic hash order (bucket, id) while the group's running
     * token total stays within `budget` — the pretraining-mix shape

@@ -1389,6 +1389,22 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // --- cluster-balanced semantic sampling: k-means cells (the IVF
+    //     centroids, re-derived identically by the oracle) capped at 10
+    //     docs each in stable hash order — dominant semantic modes stop
+    //     crowding out the tail ------------------------------------------
+    "sample_cluster_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val cents = Similarity.trainCentroids(e, nCells = 16)
+      Sampling.clusterBalancedSample(e, col("vec_id"), cents,
+          maxPerCell = 10)
+        .select(col("cell"), col("id").as("vec_id"))
+        .orderBy(col("cell"), col("vec_id"))
+    },
+
     // --- per-source TOKEN-budget cap (the pretraining-mix shape: take N
     //     tokens per source in deterministic hash order) — keyed
     //     distributed prefix sum, ONE range exchange, never a per-source
@@ -1863,6 +1879,30 @@ object ExtensionQueries {
       graft.operators.MergeSemantics.collapsingMerge(o, Seq("k"), "sign", "ver")
         .select(col("k"), col("ver"), round(col("tp"), 6).as("totalprice"))
         .orderBy(col("k"))
+    },
+
+    // --- VersionedCollapsingMergeTree FINAL: cancels pair on (key,
+    //     version) — even-version states are cancelled pairwise, odd
+    //     versions survive untouched, stray cancels (no matching state)
+    //     surface with sign -1 instead of consuming a newer version ----
+    "q_versioned_collapsing" -> { (s, dir) =>
+      val base = Tables(s, dir).orders.select(
+        (col("o_orderkey") % 149).as("k"),
+        expr("CAST(o_orderkey DIV 149 AS BIGINT)").as("ver"),
+        col("o_totalprice").as("tp"))
+      val states = base.withColumn("sign", lit(1))
+      val cancels = base.filter(col("ver") % 2 === 0)
+        .withColumn("sign", lit(-1))
+      val strays = base.filter(col("ver") % 7 === 3)
+        .withColumn("ver", col("ver") + 1000000L)
+        .withColumn("sign", lit(-1))
+      val rows = states.unionByName(cancels).unionByName(strays)
+        .select(col("k"), col("sign"), col("ver"), col("tp"))
+      graft.operators.MergeSemantics
+        .versionedCollapsingMerge(rows, Seq("k"), "sign", "ver")
+        .select(col("k"), col("ver"), col("sign"),
+          round(col("tp"), 6).as("totalprice"))
+        .orderBy(col("k"), col("ver"))
     },
 
     // --- asymmetric containment dedup: 10-word excerpts of each doc are
@@ -2779,11 +2819,14 @@ object ExtensionQueries {
        |WHERE cos0 >= 0.75 ORDER BY ref_id, new_id""".stripMargin
   }
 
-  /** IVF recomputation: re-trains the identical centroids in SQL —
-    * md5-hash-sampled seeds, one Lloyd step with round(mean, 3) — then
-    * assigns cells, probes 4, re-ranks.
+  /** The shared centroid-derivation CTE prefix (e … cellof): re-trains
+    * the identical [[graft.operators.Similarity.trainCentroids]]
+    * centroids in SQL — md5-hash-sampled seeds, one Lloyd step with
+    * round(mean, 3) — then assigns every vector its cell. Consumed by
+    * [[ivfOracle]] (probe + re-rank on top) and the cluster-balanced
+    * sampling oracle (per-cell hash-order cap on top).
     */
-  private def ivfOracle: String = {
+  private def ivfCellCtes: String = {
     val meanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS m$d")
       .mkString(",\n    ")
     val centList = (0 until 64).map(d => s"coalesce(m.m$d, round(s.v[${d + 1}], 3))")
@@ -2818,7 +2861,15 @@ object ExtensionQueries {
        |  FROM e CROSS JOIN cent c),
        |cellof AS (
        |  SELECT vec_id, v, cell FROM ac
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1)"""
+      .stripMargin
+  }
+
+  /** IVF recomputation: the [[ivfCellCtes]] centroids + cell
+    * assignment, then probes 4 cells per query and re-ranks exactly.
+    */
+  private def ivfOracle: String = {
+    s"""$ivfCellCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, v AS qv, cell FROM ac WHERE vec_id < 20
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) <= 4),
@@ -5655,6 +5706,28 @@ object ExtensionQueries {
         |WHERE a.net > 0
         |ORDER BY a.k""".stripMargin,
 
+    // VersionedCollapsing: the fold replayed per (key, version) — net 0
+    // pairs vanish, net != 0 keeps sgn(net) and that side's payload
+    "q_versioned_collapsing" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 149 AS k, 1 AS sign,
+        |    o_orderkey // 149 AS ver, o_totalprice AS tp FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey % 149, -1, o_orderkey // 149, o_totalprice
+        |  FROM orders WHERE (o_orderkey // 149) % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey % 149, -1, (o_orderkey // 149) + 1000000,
+        |    o_totalprice FROM orders WHERE (o_orderkey // 149) % 7 = 3),
+        |a AS (
+        |  SELECT k, ver, sum(sign) AS net,
+        |    max(CASE WHEN sign = 1 THEN tp END) AS tp_p,
+        |    max(CASE WHEN sign = -1 THEN tp END) AS tp_m
+        |  FROM t GROUP BY 1, 2)
+        |SELECT k, ver, CASE WHEN net > 0 THEN 1 ELSE -1 END AS sign,
+        |  round(CASE WHEN net > 0 THEN tp_p ELSE tp_m END, 6) AS totalprice
+        |FROM a WHERE net <> 0
+        |ORDER BY k, ver""".stripMargin,
+
     // resample + fill + LOCF (portable count-group trick) + lag delta +
     // exact decimal moving sum divided once at the end
     "q_timeseries_fill" ->
@@ -5831,6 +5904,18 @@ object ExtensionQueries {
          |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  min(doc_id) AS id_min, max(doc_id) AS id_max
          |FROM r WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
+
+    // cluster-balanced sampling: identical centroid re-derivation as the
+    // IVF oracle, then the per-cell hash-order cap replayed as a window
+    "sample_cluster_cap" ->
+      s"""$ivfCellCtes,
+         |kept AS (
+         |  SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ((md5_number_lower(CAST(vec_id AS VARCHAR)) >> 1) % 10000),
+         |        vec_id) AS rn
+         |  FROM cellof)
+         |SELECT CAST(cell AS INT) AS cell, vec_id FROM kept
+         |WHERE rn <= 10 ORDER BY cell, vec_id""".stripMargin,
 
     // cumulative window over the same (bucket, id) hash order; kept iff
     // the exclusive prefix + own size fits the budget

@@ -594,6 +594,18 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- uniqUpTo(50) per (type, day): exact while <= 50 distinct
+    // users, the 51 sentinel above — both branches fire on this corpus
+    // (per-day cardinalities straddle 50) --------------------------------
+    "q_uniq_upto" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      graft.operators.ApproxAgg.uniqUpTo(e, Seq("event_type", "day"),
+          col("user_id"), n = 50)
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // --- KMV set operations (uniqTheta's role): per event type, the
     // union / intersection / Jaccard of its user set vs the 'view' user
     // set estimated purely from k=64 sketches (saturated: ~150 users per
@@ -1087,6 +1099,15 @@ object ParityQueries {
         |    END AS BIGINT) AS est,
         |  CAST(least(n_d, 256) AS INT) AS n_kept
         |FROM r WHERE rn = least(n_d, 256) ORDER BY event_type""".stripMargin,
+
+    // uniqUpTo: distinct md5-lo hashes (exactly what the sketch admits)
+    // clamped at n+1 — no estimation branch to replay
+    "q_uniq_upto" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  least(count(DISTINCT md5_number_lower(CAST(user_id AS VARCHAR))),
+        |    51) AS uniq_upto
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
 
     // KMV set-op replay: both sides' k-smallest distinct hash sets, the
     // merged k-slice as the union sketch, membership via joins, then the

@@ -179,6 +179,27 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(e3.getLong(1) === 2L)
   }
 
+  test("uniqUpTo: exact at and below n, sentinel n+1 above, NULLs " +
+      "skipped, partition-order independent") {
+    // exactly n distinct -> exact
+    val atN = (1 to 50).map(i => ("k", i.toLong)).toDF("k", "v")
+    assert(ApproxAgg.uniqUpTo(atN, Seq("k"), col("v"), n = 50)
+      .collect()(0).getLong(1) === 50L)
+    // n+1 distinct -> sentinel n+1 (indistinguishable from more)
+    val over = (1 to 51).map(i => ("k", i.toLong)).toDF("k", "v")
+    assert(ApproxAgg.uniqUpTo(over, Seq("k"), col("v"), n = 50)
+      .collect()(0).getLong(1) === 51L)
+    val wayOver = (1 to 5000).map(i => ("k", i.toLong)).toDF("k", "v")
+    assert(ApproxAgg.uniqUpTo(wayOver, Seq("k"), col("v"), n = 50)
+      .collect()(0).getLong(1) === 51L)
+    // duplicates don't inflate; NULLs skip; repartition-invariant
+    val dups = ((1 to 30).flatMap(i => Seq(("k", Some(i.toLong)),
+      ("k", Some(i.toLong)))) :+ (("k", Option.empty[Long])))
+      .toDF("k", "v").repartition(7)
+    assert(ApproxAgg.uniqUpTo(dups, Seq("k"), col("v"), n = 50)
+      .collect()(0).getLong(1) === 30L)
+  }
+
   test("StreamingUniqKmv: batch estimates equal the batch uniqKmv over " +
       "full history; crash-replay is idempotent") {
     import graft.streaming.StreamingUniqKmv

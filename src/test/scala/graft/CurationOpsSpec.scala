@@ -403,6 +403,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept.exceptAll(again).count() === 0)
   }
 
+  test("clusterBalancedSample: caps bind per semantic cell; clusters " +
+      "stay coherent; re-runs identical") {
+    import graft.operators.Similarity
+    // two well-separated clusters along orthogonal axes, 6 vectors each
+    def vec(axis: Int, i: Long): Seq[Double] =
+      (0 until 4).map(d => if (d == axis) 10.0 + i * 0.01 else 0.0)
+    val rows = (0L until 6L).map(i => (i, vec(0, i))) ++
+      (10L until 16L).map(i => (i, vec(1, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, nCells = 2)
+    val kept = Sampling.clusterBalancedSample(df, col("vec_id"), cents,
+      maxPerCell = 3)
+    val byCell = kept.collect()
+      .groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.map(_.getLong(1)).toSet }
+    // both cells filled to the cap, and no cell mixes the two clusters
+    assert(byCell.values.map(_.size).toSeq.sorted === Seq(3, 3))
+    byCell.values.foreach { ids =>
+      assert(ids.forall(_ < 6L) || ids.forall(_ >= 10L), s"mixed cell: $ids")
+    }
+    assert(byCell.values.flatten.toSet.size === 6)
+    // deterministic: a re-run with retrained centroids picks the same rows
+    val again = Sampling.clusterBalancedSample(df, col("vec_id"),
+      Similarity.trainCentroids(df, nCells = 2), maxPerCell = 3)
+    assert(kept.exceptAll(again).count() === 0)
+  }
+
   test("capPerGroupTokens: maximal hash-order prefix within the budget, " +
       "offsets exact, budget binds per group independently") {
     val df = (1L to 40L).map(i =>
@@ -1174,6 +1201,28 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = MergeSemantics.collapsingMerge(rows, Seq("k"), "sign", "ver")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(got === Array((2L, 22L, "new")))
+  }
+
+  test("versionedCollapsingMerge: cancels pair only on (key, version); " +
+      "stray cancels survive with sign -1") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      // k=1: v1 state + matching cancel -> pair vanishes; v2 state stays
+      (1L, 1, 1L, "a"), (1L, -1, 1L, "a"), (1L, 1, 2L, "b"),
+      // k=2: cancel for OLD v1 while state is v2 — plain Collapsing
+      // would net them; versioned keeps BOTH (no same-version pair)
+      (2L, -1, 1L, "old"), (2L, 1, 2L, "cur"),
+      // k=3: duplicate states, one cancel -> net +1 survives
+      (3L, 1, 7L, "x"), (3L, 1, 7L, "x"), (3L, -1, 7L, "x")
+    ).toDF("k", "sign", "ver", "state")
+    val got = MergeSemantics
+      .versionedCollapsingMerge(rows, Seq("k"), "sign", "ver")
+      .orderBy("k", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 2L, 1, "b"),
+      (2L, 1L, -1, "old"), (2L, 2L, 1, "cur"),
+      (3L, 7L, 1, "x")))
   }
 
   test("summingMerge: exact decimal sums; non-sum payload collapses " +

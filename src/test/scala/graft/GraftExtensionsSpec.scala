@@ -146,6 +146,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql === api)
   }
 
+  test("SQL graft_uniq_upto == ApproxAgg.uniqUpTo per group") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    ev.createOrReplaceTempView("upto_events")
+    // n=10: the corpus has 15 distinct users per type, so the sentinel
+    // binds; n=20: exact counts come through
+    for ((n, expectSentinel) <- Seq((10, true), (20, false))) {
+      val sql = spark.sql(
+        s"""SELECT event_type, graft_uniq_upto(user_id, $n) AS uniq_upto
+           |FROM upto_events GROUP BY event_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val api = graft.operators.ApproxAgg.uniqUpTo(ev, Seq("event_type"),
+          col("user_id"), n = n)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sql === api)
+      assert(sql.values.exists(_ == n + 1L) === expectSentinel, s"n=$n: $sql")
+    }
+  }
+
   test("SQL graft_quantile_sketch == ApproxAgg.quantileSketch per group; " +
       "all-NULL group yields NULL") {
     val l = Tables(spark, "/root/testdata/sf0.001").lineitem
