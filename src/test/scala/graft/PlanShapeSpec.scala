@@ -642,6 +642,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one key exchange of bounded sketches:\n$p")
   }
 
+  test("versionedCollapsingMerge: one (key, version) exchange with " +
+      "map-side partial fold, no window") {
+    import graft.operators.MergeSemantics
+    val o = Tables(spark, sf).orders.select(
+      (col("o_orderkey") % 149).as("k"), lit(1).as("sign"),
+      expr("CAST(o_orderkey DIV 149 AS BIGINT)").as("ver"),
+      col("o_totalprice").as("tp"))
+    val p = plan(MergeSemantics
+      .versionedCollapsingMerge(o, Seq("k"), "sign", "ver"))
+    assert(p.contains("partial_sum"),
+      s"sign fold must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one (key, version) exchange of partially-folded rows:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("clusterBalancedSample: cell assign is a scan-local projection " +
+      "(no join, no window), cap is the bounded-heap partial aggregate") {
+    import graft.operators.{Sampling, Similarity}
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainCentroids(e, nCells = 8)
+    val p = plan(Sampling.clusterBalancedSample(e, col("vec_id"), cents, 5))
+    assert(!p.contains("Join"), s"centroids must be literals, not a join:\n$p")
+    assert(!p.contains("Window"), s"cap must not sort cells:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected map-side bounded-heap partials:\n$p")
+  }
+
+  test("uniqUpTo: the n+1 min-k buffer combines map-side — exactness " +
+      "probe is one bounded exchange") {
+    import graft.operators.ApproxAgg
+    val q = ApproxAgg.uniqUpTo(Tables(spark, sf).events,
+      Seq("event_type"), col("user_id"), n = 20)
+    val p = plan(q)
+    assert(p.contains("partial_minkdistinctagg"),
+      s"min-k must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+  }
+
   test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
       "shuffle carries sketch buffers, never raw values") {
     val p = plan(graft.queries.Registry
