@@ -199,6 +199,46 @@ object ApproxAgg {
       }): _*)
   }
 
+  /** CH `quantileExactWeighted`: the exact discrete quantile of a value
+    * multiset where each row carries an integer repeat weight — the
+    * smallest value whose cumulative weight reaches rank
+    * ceil(num * W / den) (the [[quantilesOfHistogram]] rank rule, so
+    * the two quantile families agree on their shared cases). NULL or
+    * non-positive weights are skipped.
+    *
+    * Scale shape: weights pre-aggregate per (key, value) with map-side
+    * combine FIRST, so the window walks distinct values, not rows —
+    * exact quantiles are only sane on bounded/discretized value domains
+    * (tiers, ratings, integer buckets), and for those the per-key window
+    * is |domain|-bounded. For unbounded domains use [[quantileSketch]];
+    * this is the exact-parity twin. Both windows and the final fold
+    * share ONE key partitioning.
+    *
+    * Output: keyCols..., `w_total` (total weight), one column per
+    * (name, num, den) quantile carrying the original value type.
+    */
+  def quantileExactWeighted(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column, weightCol: Column,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile")
+    val byVal = df
+      .filter(valueCol.isNotNull && weightCol.isNotNull && weightCol > 0)
+      .groupBy(keyCols.map(col) :+ valueCol.as("__v"): _*)
+      .agg(sum(weightCol.cast("long")).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = byVal.withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__n", sum(col("__w")).over(wAll))
+    val picks = quantiles.map { case (name, num, den) =>
+      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+      min(when(col("__cum") >= rank, col("__v"))).as(name)
+    }
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("w_total"), picks: _*)
+  }
+
   // ---- KMV (k-minimum-values) distinct sketch --------------------------
 
   /** Bounded sorted-unique buffer of the k smallest md5 hashes in

@@ -402,6 +402,19 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- exact WEIGHTED quantiles (CH quantileExactWeighted): price
+    // tiers weighted by quantity; weights pre-aggregate per (key, tier)
+    // so the window walks the bounded tier domain, never raw rows -------
+    "q_quantile_weighted" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem.select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("tier"),
+        col("l_quantity").cast("long").as("qty"))
+      graft.operators.ApproxAgg.quantileExactWeighted(l, Seq("flag"),
+          col("tier"), col("qty"),
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("flag"))
+    },
+
     // --- set ops (§2.7 completeness) -------------------------------------
     "q_setops" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -944,6 +957,26 @@ object ParityQueries {
         |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
         |  min(CASE WHEN cd >= 0.95 THEN value END) AS p95
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // weighted discrete quantile: per-(flag, tier) weight sums, then the
+    // smallest tier whose cumulative weight reaches ceil(num*W/den) —
+    // exact integer arithmetic end to end
+    "q_quantile_weighted" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice / 1000) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT flag, v, sum(w) AS w FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v, sum(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS n
+        |  FROM g)
+        |SELECT flag, max(n) AS w_total,
+        |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q_limit_by" ->
       """SELECT event_type,

@@ -179,6 +179,33 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(e3.getLong(1) === 2L)
   }
 
+  test("quantileExactWeighted: hand-computed ranks; bad weights skipped; " +
+      "unit weights agree with percentile_disc") {
+    val rows = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 1L),
+      ("k", 9L, 0L), ("k", 9L, -5L)) // zero/negative weights ignored
+      .toDF("k", "v", "w")
+    val got = ApproxAgg.quantileExactWeighted(rows, Seq("k"),
+        col("v"), col("w"),
+        Seq(("p50", 1, 2), ("p75", 3, 4), ("p100", 1, 1)))
+      .collect()(0)
+    // W=4: p50 rank 2 -> 2; p75 rank 3 -> 2; p100 rank 4 -> 3
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((4L, 2L, 2L, 3L)))
+    // unit weights == the discrete percentile definition
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_type"), floor(col("value") * 10).cast("long").as("v"))
+    val wq = ApproxAgg.quantileExactWeighted(ev, Seq("event_type"),
+        col("v"), lit(1L), Seq(("p50", 1, 2), ("p95", 19, 20)))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val pd = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").as("p95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1).toLong, r.getDouble(2).toLong))
+      .toMap
+    assert(wq === pd)
+  }
+
   test("uniqUpTo: exact at and below n, sentinel n+1 above, NULLs " +
       "skipped, partition-order independent") {
     // exactly n distinct -> exact

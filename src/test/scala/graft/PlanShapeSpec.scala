@@ -683,6 +683,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
   }
 
+  test("quantileExactWeighted: weights pre-aggregate map-side per " +
+      "(key, value); windows + final fold share ONE key partitioning") {
+    import graft.operators.ApproxAgg
+    val l = Tables(spark, sf).lineitem.select(col("l_returnflag").as("flag"),
+      floor(col("l_extendedprice") / 1000).cast("long").as("tier"),
+      col("l_quantity").cast("long").as("qty"))
+    val p = plan(ApproxAgg.quantileExactWeighted(l, Seq("flag"),
+      col("tier"), col("qty"), Seq(("p50", 1, 2), ("p90", 9, 10))))
+    assert(p.contains("partial_sum"),
+      s"per-(key, value) weight sums must combine map-side:\n$p")
+    // one exchange on (flag, tier) for the pre-agg, one on flag shared
+    // by both windows AND the final fold — never a third
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"windows and final fold must reuse the key partitioning:\n$p")
+  }
+
   test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
       "shuffle carries sketch buffers, never raw values") {
     val p = plan(graft.queries.Registry
