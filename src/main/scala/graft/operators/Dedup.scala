@@ -35,6 +35,34 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n"))
 
+  /** Corpus snapshot diff — the incremental-crawl bookkeeping step:
+    * classify every document identity across two snapshots as `added`
+    * (new only), `removed` (old only), `changed` (both, content bytes
+    * differ) or `unchanged`. Content identity is raw `md5(text)` — a
+    * BYTE diff, deliberately not [[TextAnalysis.fingerprint]]'s
+    * canonical form, so a re-crawl that only re-encoded whitespace
+    * still reports `changed` (chain a canonical dedup downstream if
+    * that noise is unwanted).
+    *
+    * Scale shape: each side projects to (id, 16-byte fp) BEFORE the
+    * full-outer join, so document payloads never shuffle — the join
+    * carries two narrow columns per side at 100 TB. Inputs must be
+    * id-unique (snapshots, not logs); pre-fold with [[dropExact]] or a
+    * replacing merge otherwise.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col(idCol).as("id"),
+      md5(col(textCol).cast(org.apache.spark.sql.types.BinaryType)).as(name))
+    fp(oldSnap, "old_fp").join(fp(newSnap, "new_fp"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** Drop exact duplicates, keeping the min-id row per fingerprint.
     *
     * A map-side-combined `min(struct(id, row...))` aggregate, not a

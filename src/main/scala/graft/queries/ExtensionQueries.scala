@@ -640,6 +640,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- corpus snapshot diff (incremental crawl bookkeeping): the new
+    //     snapshot drops every 17th doc, edits every 13th, adds re-id'd
+    //     copies of every 11th — each identity classifies as
+    //     added/removed/changed/unchanged by byte fingerprint ----------
+    "corpus_diff" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      Dedup.snapshotDiff(d, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // --- the composed curation pipeline (capstone): exact-dedup the
     //     corpus, drop low-quality docs, roll up by predicted language —
     //     every stage individually oracle-proven, composed here ----------
@@ -4865,6 +4882,28 @@ object ExtensionQueries {
         |  round(CASE WHEN n_words = 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) < 0.8 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // snapshot diff: both snapshots reduced to (id, md5) then a full
+    // outer join — byte-level change classification
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |        ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('new ' || text)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "corpus_curate" -> {
       val stopHits = TextAnalysis.enStopwords.map { w =>

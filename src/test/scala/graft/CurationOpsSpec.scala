@@ -1174,6 +1174,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 1L), (1L, 1L)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classify by byte " +
+      "fingerprint; whitespace-only edits still report changed") {
+    import graft.operators.Dedup
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "same"))
+      .toDF("doc_id", "text")
+    val neu = Seq((2L, "beta EDITED"), (3L, "gamma "), (4L, "same"),
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "changed",
+      3L -> "changed", // trailing space IS a byte change, by contract
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   // ---- MergeTree FINAL semantics --------------------------------------
 
   test("replacingMerge: greatest version wins; version ties keep ONE " +

@@ -699,6 +699,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"windows and final fold must reuse the key partitioning:\n$p")
   }
 
+  test("snapshotDiff: payloads project to 16-byte fingerprints BEFORE " +
+      "the full-outer join — text never shuffles") {
+    import graft.operators.Dedup
+    val d = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val p = plan(Dedup.snapshotDiff(d, d, "doc_id", "text"))
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    // the exchanges feeding the join must carry (id, md5), not text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !p.contains("CartesianProduct"), p)
+    assert(!"Exchange[^\\n]*text".r.findFirstIn(p).isDefined,
+      s"text must be fingerprinted before the shuffle:\n$p")
+  }
+
   test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
       "shuffle carries sketch buffers, never raw values") {
     val p = plan(graft.queries.Registry
