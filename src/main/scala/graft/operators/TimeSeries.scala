@@ -70,6 +70,39 @@ object TimeSeries {
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation across filled gaps — the CH
+    * `WITH FILL … INTERPOLATE` counterpart to [[locf]]'s step carry:
+    * a gap bucket takes
+    * `prev + (next - prev) * (b - prevB) / (nextB - prevB)` from its
+    * surrounding observations. [[resample]] only generates buckets
+    * BETWEEN a series' first and last observation, so every gap row has
+    * both neighbors; observed rows pass through exactly. All arithmetic
+    * is the same IEEE expression the oracle evaluates — one division,
+    * no accumulation, so results are bit-reproducible cross-engine.
+    * Two windows (backward carry, forward reach) + any caller windows
+    * share ONE key partitioning.
+    */
+  def interpolate(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, outName: String = "interp"): DataFrame = {
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col(valueCol), ignoreNulls = true).over(wb).cast("double")
+    val pb = last(when(col(valueCol).isNotNull, col(bucketCol)),
+      ignoreNulls = true).over(wb)
+    val nv = first(col(valueCol), ignoreNulls = true).over(wf).cast("double")
+    val nb = first(when(col(valueCol).isNotNull, col(bucketCol)),
+      ignoreNulls = true).over(wf)
+    df.withColumn(outName,
+      when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+        .otherwise(pv + (nv - pv) *
+          ((col(bucketCol) - pb).cast("double") /
+            (nb - pb).cast("double"))))
+  }
+
   /** runningDifference: value minus the previous bucket's value within
     * the key (null at each series head). Exact when the value column is
     * decimal/integer.

@@ -2047,6 +2047,22 @@ object ExtensionQueries {
         .orderBy(col("k"), col("b"))
     },
 
+    // --- WITH FILL ... INTERPOLATE: the same sparse resampled series,
+    //     gap buckets linearly interpolated between their surrounding
+    //     observations (vs locf's step carry) ---------------------------
+    "q_timeseries_interp" -> { (s, dir) =>
+      import graft.operators.TimeSeries
+      val e = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 10).as("k"), col("ts"), col("value"))
+      val rs = TimeSeries.resample(e, Seq("k"), "ts", stepSec = 21600,
+        valueCol = col("value").cast("decimal(18,2)"))
+      TimeSeries.interpolate(rs, Seq("k"), "b", "v0")
+        .select(col("k"), col("b"), col("filled"),
+          round(col("interp"), 6).as("v"))
+        .orderBy(col("k"), col("b"))
+    },
+
     // --- ClickHouse windowFunnel: deepest view->click->purchase chain
     //     within 4h of the chain start, exists-chain semantics ----------
     "q_window_funnel" -> { (s, dir) =>
@@ -5801,6 +5817,42 @@ object ExtensionQueries {
         |SELECT k, b, round(CAST(v AS DOUBLE), 6) AS v, n, filled,
         |  round(CAST(delta AS DOUBLE), 6) AS delta, mov_avg FROM dl
         |ORDER BY k, b""".stripMargin,
+
+    // WITH FILL ... INTERPOLATE: same resample/grid CTEs, gap buckets
+    // take prev + (next - prev) * (b - pb) / (nb - pb) — the identical
+    // IEEE expression tree the Spark side evaluates
+    "q_timeseries_interp" ->
+      """WITH pts AS (
+        |  SELECT user_id % 10 AS k,
+        |    CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS b,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |bk AS (SELECT k, b, max(v) AS v0 FROM pts GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT k, unnest(generate_series(lo, hi)) AS b FROM
+        |    (SELECT k, min(b) AS lo, max(b) AS hi FROM pts GROUP BY 1)),
+        |fl AS (
+        |  SELECT g.k, g.b, bk.v0, bk.v0 IS NULL AS filled
+        |  FROM gr g LEFT JOIN bk ON g.k = bk.k AND g.b = bk.b),
+        |ip AS (
+        |  SELECT k, b, filled, v0,
+        |    last_value(v0 IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v0 IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER wb AS pb,
+        |    first_value(v0 IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v0 IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER wf AS nb
+        |  FROM fl
+        |  WINDOW wb AS (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT k, b, filled,
+        |  round(CASE WHEN v0 IS NOT NULL THEN CAST(v0 AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |      * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |    END, 6) AS v
+        |FROM ip ORDER BY k, b""".stripMargin,
 
     // exists-chain funnel: level k iff a time-ordered chain of the first
     // k steps fits in the window measured from the chain start

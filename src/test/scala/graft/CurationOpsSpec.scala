@@ -1162,6 +1162,25 @@ class CurationOpsSpec extends AnyFunSuite {
       (3L, "4.00", 1L, false, "-5.00", 6.5))) // real point, avg(9,4)
   }
 
+  test("timeSeries interpolate: gap buckets take the linear blend of " +
+      "their surrounding observations; observed rows pass through") {
+    import graft.operators.TimeSeries
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key 1: observations in buckets 0 (v=10) and 4 (v=30); gaps 1-3
+    // interpolate to 15, 20, 25. key 2: single point — no gaps at all.
+    val df = Seq((1L, ts(5), "10.00"), (1L, ts(45), "30.00"),
+      (2L, ts(12), "7.00")).toDF("k", "ts", "raw")
+    val rs = TimeSeries.resample(df, Seq("k"), "ts", stepSec = 10,
+      valueCol = col("raw").cast("decimal(18,2)"))
+    val got = TimeSeries.interpolate(rs, Seq("k"), "b", "v0")
+      .orderBy("k", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 0L, 10.0), (1L, 1L, 15.0), (1L, 2L, 20.0), (1L, 3L, 25.0),
+      (1L, 4L, 30.0), (2L, 1L, 7.0)))
+  }
+
   test("timeSeries: bucket boundary is exact integer division (no " +
       "double rounding drift)") {
     import graft.operators.TimeSeries

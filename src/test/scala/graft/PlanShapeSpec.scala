@@ -699,6 +699,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"windows and final fold must reuse the key partitioning:\n$p")
   }
 
+  test("timeseries interpolate: both frames fuse into ONE Window " +
+      "operator on the key partitioning") {
+    val p = plan(graft.queries.Registry
+      .queries("q_timeseries_interp")(spark, sf))
+    assert("Window \\[".r.findAllIn(p).length === 1,
+      s"backward carry + forward reach must share one Window op:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"resample aggs + window must not add extra exchanges:\n$p")
+  }
+
   test("snapshotDiff: payloads project to 16-byte fingerprints BEFORE " +
       "the full-outer join — text never shuffles") {
     import graft.operators.Dedup
