@@ -199,6 +199,13 @@ object GraftExtensions {
           else 256),
         Seq(graft.functions.PortableHash.md5Lo(c(args.head)))),
       "graft_uniq_kmv(value[, k]) - AGGREGATE: KMV approximate count distinct (== ApproxAgg.uniqKmv est)"),
+    ("graft_quantile_weighted",
+      args => udafExpr(
+        new graft.functions.Aggregates.QuantileExactWeightedAgg(
+          intLit(args(2), "graft_quantile_weighted"),
+          intLit(args(3), "graft_quantile_weighted")),
+        Seq(c(args.head).cast("long"), c(args(1)).cast("long"))),
+      "graft_quantile_weighted(value, weight, num, den) - AGGREGATE: exact weighted quantile at num/den (== ApproxAgg.quantileExactWeighted)"),
     ("graft_uniq_upto",
       args => udafExpr(
         new graft.functions.Aggregates.UniqUpToAgg(

@@ -164,6 +164,52 @@ object Aggregates {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** `graft_quantile_weighted(value, weight, num, den)`: CH
+    * `quantileExactWeighted` as a SQL aggregate over integer values —
+    * the smallest value whose cumulative weight reaches
+    * ceil(num * W / den), the exact rank rule of
+    * [[graft.operators.ApproxAgg.quantileExactWeighted]]. State is the
+    * (value -> weight) map — bounded by the distinct-value domain, the
+    * same contract as the DataFrame operator's pre-aggregate. NULLs and
+    * non-positive weights skip; an all-skipped group yields NULL.
+    */
+  class QuantileExactWeightedAgg(num: Int, den: Int)
+      extends Aggregator[(java.lang.Long, java.lang.Long),
+        Map[Long, Long], java.lang.Long] {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"need 1 <= num <= den, got $num/$den")
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(b: Map[Long, Long],
+        v: (java.lang.Long, java.lang.Long)): Map[Long, Long] =
+      if (v._1 == null || v._2 == null || v._2 <= 0L) b
+      else b.updated(v._1.longValue,
+        b.getOrElse(v._1.longValue, 0L) + v._2.longValue)
+
+    override def merge(a: Map[Long, Long],
+        b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (acc, (v, w)) =>
+        acc.updated(v, acc.getOrElse(v, 0L) + w) }
+
+    override def finish(m: Map[Long, Long]): java.lang.Long =
+      if (m.isEmpty) null
+      else {
+        val n = m.valuesIterator.sum
+        val rank = (n * num + (den - 1)) / den
+        var cum = 0L
+        for ((v, w) <- m.toSeq.sortBy(_._1)) {
+          cum += w
+          if (cum >= rank) return v
+        }
+        m.keysIterator.max
+      }
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+  }
+
   /** `graft_uniq_upto(value, n)`: CH `uniqUpTo(N)` — exact distinct
     * count while <= n, else the sentinel n+1. The k = n+1
     * [[graft.operators.ApproxAgg.MinKDistinctAgg]] buffer holds every

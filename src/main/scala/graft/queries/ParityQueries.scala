@@ -677,6 +677,19 @@ object ParityQueries {
               |ORDER BY l_returnflag""".stripMargin)
     },
 
+    "q_quantile_weighted_sql" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("tier"),
+          col("l_quantity").cast("long").as("qty"))
+        .createOrReplaceTempView("sqlagg_wq_lineitem")
+      s.sql("""SELECT flag,
+              |  graft_quantile_weighted(tier, qty, 1, 2) AS p50,
+              |  graft_quantile_weighted(tier, qty, 9, 10) AS p90
+              |FROM sqlagg_wq_lineitem GROUP BY flag
+              |ORDER BY flag""".stripMargin)
+    },
+
     "q_window_funnel_sql" -> { (s, dir) =>
       Tables(s, dir).events.createOrReplaceTempView("sqlagg_funnel_events")
       s.sql("""SELECT user_id, graft_window_funnel(ts,
@@ -1278,6 +1291,24 @@ object ParityQueries {
         |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN blo END)
         |    AS DOUBLE) / CAST(100 AS DOUBLE) AS p90
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same weighted-rank replay as q_quantile_weighted, trimmed to the
+    // UDAF's per-quantile outputs
+    "q_quantile_weighted_sql" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice / 1000) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT flag, v, sum(w) AS w FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v, sum(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS n
+        |  FROM g)
+        |SELECT flag,
+        |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
 
     // same entry-rows replay as q_summap (the UDAF output is exploded
     // back to rows on the Spark side)

@@ -146,6 +146,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql === api)
   }
 
+  test("SQL graft_quantile_weighted == ApproxAgg.quantileExactWeighted; " +
+      "all-skipped group yields NULL") {
+    val l = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("tier"),
+        col("l_quantity").cast("long").as("qty"))
+    l.createOrReplaceTempView("wq_lineitem")
+    val sql = spark.sql(
+      """SELECT flag, graft_quantile_weighted(tier, qty, 1, 2) AS p50,
+        |  graft_quantile_weighted(tier, qty, 99, 100) AS p99
+        |FROM wq_lineitem GROUP BY flag""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val api = graft.operators.ApproxAgg.quantileExactWeighted(l, Seq("flag"),
+        col("tier"), col("qty"), Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sql === api)
+    import spark.implicits._
+    val empty = Seq(("k", 5L, 0L), ("k", 6L, -1L)).toDF("g", "v", "w")
+    empty.createOrReplaceTempView("wq_empty")
+    val r = spark.sql(
+      "SELECT graft_quantile_weighted(v, w, 1, 2) FROM wq_empty").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("SQL graft_uniq_upto == ApproxAgg.uniqUpTo per group") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     ev.createOrReplaceTempView("upto_events")

@@ -734,5 +734,9 @@ class PlanShapeSpec extends AnyFunSuite {
       .queries("q_quantile_sketch_sql")(spark, sf))
     assert(p2.contains("partial_quantilesketchagg"),
       s"quantile UDAF must combine map-side:\n$p2")
+    val p3 = plan(graft.queries.Registry
+      .queries("q_quantile_weighted_sql")(spark, sf))
+    assert(p3.contains("partial_quantileexactweightedagg"),
+      s"weighted-quantile UDAF must combine map-side:\n$p3")
   }
 }
