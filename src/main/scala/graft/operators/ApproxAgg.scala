@@ -239,6 +239,38 @@ object ApproxAgg {
       .agg(max(col("__n")).as("w_total"), picks: _*)
   }
 
+  /** Equi-depth (equal-weight) histogram — CH `histogram(N)`'s role,
+    * done deterministically: distinct values in order, each assigned
+    * the bin containing its FIRST occupant rank
+    * (`bin = floor(prefixW * N / W) + 1`), then folded to
+    * (bin, lo, hi, weight) rows. Atoms heavier than W/N occupy a bin
+    * alone rather than splitting fractionally — a replayable contract
+    * where CH's adaptive heights are sampling/order-dependent.
+    * Same scale shape as [[quantileExactWeighted]]: weights pre-
+    * aggregate per (key, value) map-side, the window walks the bounded
+    * distinct-value domain, and the final fold shares the key
+    * partitioning.
+    */
+  def equiDepthHistogram(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column, weightCol: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val byVal = df
+      .filter(valueCol.isNotNull && weightCol.isNotNull && weightCol > 0)
+      .groupBy(keyCols.map(col) :+ valueCol.as("__v"): _*)
+      .agg(sum(weightCol.cast("long")).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    byVal.withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__n", sum(col("__w")).over(wAll))
+      .withColumn("bin",
+        expr(s"((__cum - __w) * $nBins) div __n + 1").cast("int"))
+      .groupBy(keyCols.map(col) :+ col("bin"): _*)
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        sum(col("__w")).as("w"))
+  }
+
   // ---- KMV (k-minimum-values) distinct sketch --------------------------
 
   /** Bounded sorted-unique buffer of the k smallest md5 hashes in

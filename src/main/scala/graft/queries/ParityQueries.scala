@@ -415,6 +415,17 @@ object ParityQueries {
         .orderBy(col("flag"))
     },
 
+    // --- equi-depth histogram (CH histogram(N)'s role, deterministic):
+    // 8 equal-weight bins over price tiers weighted by quantity ---------
+    "q_histogram_equidepth" -> { (s, dir) =>
+      val l = Tables(s, dir).lineitem.select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("tier"),
+        col("l_quantity").cast("long").as("qty"))
+      graft.operators.ApproxAgg.equiDepthHistogram(l, Seq("flag"),
+          col("tier"), col("qty"), nBins = 8)
+        .orderBy(col("flag"), col("bin"))
+    },
+
     // --- set ops (§2.7 completeness) -------------------------------------
     "q_setops" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -970,6 +981,26 @@ object ParityQueries {
         |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
         |  min(CASE WHEN cd >= 0.95 THEN value END) AS p95
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // equi-depth histogram: first-occupant-rank bin assignment over the
+    // same cumulative-weight walk, folded to (bin, lo, hi, w)
+    "q_histogram_equidepth" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice / 1000) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT flag, v, sum(w) AS w FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS n
+        |  FROM g),
+        |b AS (SELECT flag, v, w,
+        |    CAST(((cum - w) * 8) // n + 1 AS INT) AS bin FROM c)
+        |SELECT flag, bin, min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(w) AS BIGINT) AS w
+        |FROM b GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin,
 
     // weighted discrete quantile: per-(flag, tier) weight sums, then the
     // smallest tier whose cumulative weight reaches ceil(num*W/den) —

@@ -206,6 +206,28 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(wq === pd)
   }
 
+  test("equiDepthHistogram: uniform weights split evenly; heavy atoms " +
+      "occupy a bin alone; bin weights cover the total") {
+    // 8 unit-weight values into 4 bins -> 2 values each
+    val uni = (1L to 8L).map(v => ("k", v, 1L)).toDF("k", "v", "w")
+    val got = ApproxAgg.equiDepthHistogram(uni, Seq("k"),
+        col("v"), col("w"), nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1, 1L, 2L, 2L), (2, 3L, 4L, 2L),
+      (3, 5L, 6L, 2L), (4, 7L, 8L, 2L)))
+    // atom with 6/8 of the weight: starts in bin 1; the tail values
+    // land by their start ranks (bin 4); empty middle bins just absent
+    val heavy = Seq(("k", 1L, 6L), ("k", 2L, 1L), ("k", 3L, 1L))
+      .toDF("k", "v", "w")
+    val got2 = ApproxAgg.equiDepthHistogram(heavy, Seq("k"),
+        col("v"), col("w"), nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got2.toSeq === Seq((1, 1L, 1L, 6L), (4, 2L, 3L, 2L)))
+    assert(got2.map(_._4).sum === 8L)
+  }
+
   test("uniqUpTo: exact at and below n, sentinel n+1 above, NULLs " +
       "skipped, partition-order independent") {
     // exactly n distinct -> exact
