@@ -1608,6 +1608,41 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("k"))
     },
 
+    // --- standing streaming VersionedCollapsing (the fourth MergeTree
+    //     streaming tier), replayed under oracle: signed rows fold into
+    //     per-(key, VERSION) nets across 3 batches — pairwise cancels
+    //     collapse, a SECOND cancel drives the net negative (the
+    //     tombstone row must survive net 0 for that to fold right), and
+    //     old-version cancels never consume newer state ----------------
+    "stream_versioned_replay" -> { (s, dir) =>
+      val base = Tables(s, dir).orders.filter(col("o_orderkey") < 3000)
+        .select((col("o_orderkey") % 149).as("k"),
+          expr("CAST(o_orderkey DIV 149 AS BIGINT)").as("ver"),
+          (col("o_orderkey") % 3).as("g"), col("o_totalprice").as("tp"))
+      def states(g: Int) = base.filter(col("g") === g)
+        .select(col("k"), lit(1).as("sign"), col("ver"), col("tp"))
+      def cancels(g: Int, m: Int) = base
+        .filter(col("g") === g && col("ver") % m === 0)
+        .select(col("k"), lit(-1).as("sign"), col("ver"), col("tp"))
+      val batches = Seq(
+        states(0),
+        states(1).unionByName(cancels(0, 2)),
+        states(2).unionByName(cancels(1, 2))
+          .unionByName(cancels(0, 10))) // second cancel -> net -1
+      val stateDir = scratchDir("stream_versioned", dir)
+      val svc = new graft.streaming.StreamingVersionedCollapsing(s,
+        stateDir, "k", "sign", "ver", Seq("tp"))
+      svc.seed(states(0).filter(lit(false)))
+      val outs = batches.zipWithIndex.map { case (b, i) =>
+        val r = svc.admit(b, i.toLong).withColumn("batch", lit(i))
+        if (i == 0) svc.compact(upTo = 0L)
+        r
+      }.reduce(_ unionByName _)
+      outs.select(col("batch"), col("k"), col("ver"), col("net"),
+          col("surviving"), round(col("tp"), 6).as("totalprice"))
+        .orderBy(col("batch"), col("k"), col("ver"))
+    },
+
     // --- standing streaming quantile sketch, replayed under oracle:
     //     per-batch histogram folds; each batch's p50/p90 must equal the
     //     batch sketch over the key's full history ----------------------
@@ -5700,6 +5735,45 @@ object ExtensionQueries {
          |  SELECT * FROM out1 UNION ALL
          |  SELECT * FROM out2)
          |ORDER BY batch, flag""".stripMargin
+    },
+
+    // per batch b: full-history (key, version) nets for the pairs
+    // touched in b — survival flips off at net 0 and back ON (sign -1)
+    // at the second cancel; payload follows the surviving side
+    "stream_versioned_replay" -> {
+      def out(b: Int) =
+        s"""out$b AS (
+           |  SELECT $b AS batch, k, ver,
+           |    CAST(sum(sign) AS BIGINT) AS net,
+           |    sum(sign) <> 0 AS surviving,
+           |    round(CASE WHEN sum(sign) > 0
+           |        THEN max(CASE WHEN sign = 1 THEN tp END)
+           |      WHEN sum(sign) < 0
+           |        THEN max(CASE WHEN sign = -1 THEN tp END)
+           |      END, 6) AS totalprice
+           |  FROM t WHERE b <= $b AND EXISTS (SELECT 1 FROM t t2
+           |    WHERE t2.b = $b AND t2.k = t.k AND t2.ver = t.ver)
+           |  GROUP BY k, ver)"""
+      s"""WITH base AS (
+         |  SELECT o_orderkey % 149 AS k, o_orderkey // 149 AS ver,
+         |    o_orderkey % 3 AS g, o_totalprice AS tp
+         |  FROM orders WHERE o_orderkey < 3000),
+         |t AS (
+         |  SELECT 0 AS b, k, 1 AS sign, ver, tp FROM base WHERE g = 0
+         |  UNION ALL SELECT 1, k, 1, ver, tp FROM base WHERE g = 1
+         |  UNION ALL SELECT 1, k, -1, ver, tp FROM base
+         |    WHERE g = 0 AND ver % 2 = 0
+         |  UNION ALL SELECT 2, k, 1, ver, tp FROM base WHERE g = 2
+         |  UNION ALL SELECT 2, k, -1, ver, tp FROM base
+         |    WHERE g = 1 AND ver % 2 = 0
+         |  UNION ALL SELECT 2, k, -1, ver, tp FROM base
+         |    WHERE g = 0 AND ver % 10 = 0),
+         |${(0 to 2).map(out).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM out0 UNION ALL
+         |  SELECT * FROM out1 UNION ALL
+         |  SELECT * FROM out2)
+         |ORDER BY batch, k, ver""".stripMargin
     },
 
     // per batch b: full-history sums for the keys touched in b; compare

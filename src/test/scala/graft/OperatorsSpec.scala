@@ -1348,4 +1348,42 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(got.sameElements(exact))
   }
+
+  test("StreamingVersionedCollapsing: cancels pair per (key, version); " +
+      "tombstones fold a second cancel; replay-idempotent") {
+    import graft.streaming.StreamingVersionedCollapsing
+    val stateDir = java.nio.file.Files.createTempDirectory("svc").toString
+    val svc = new StreamingVersionedCollapsing(spark, stateDir,
+      "k", "sign", "ver", Seq("p"))
+    svc.seed(Seq.empty[(Long, Int, Long, String)].toDF("k", "sign", "ver", "p"))
+    type Out = (Long, Boolean, Option[String])
+    def run(rows: Seq[(Long, Int, Long, String)], b: Long) =
+      svc.admit(rows.toDF("k", "sign", "ver", "p"), b).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3), Option(r.getString(4))): Out))
+        .toMap
+    // batch 0: two versions of key 1, one of key 2
+    val r0 = run(Seq((1L, 1, 1L, "a1"), (1L, 1, 2L, "a2"),
+      (2L, 1, 5L, "b5")), 0L)
+    assert(r0((1L, 1L)) === ((1L, true, Some("a1"))))
+    assert(r0((1L, 2L)) === ((1L, true, Some("a2"))))
+    svc.compact(upTo = 0L)
+    // batch 1: cancel ONLY (1, ver 1) — ver 2 must stay untouched (not
+    // even emitted), which plain Collapsing (no version) would get wrong
+    val r1 = run(Seq((1L, -1, 1L, "a1")), 1L)
+    assert(r1 === Map((1L, 1L) -> ((0L, false, None: Option[String]))))
+    // batch 2: a SECOND cancel of the collapsed version must fold
+    // against the net-0 tombstone (net -1), and a cancel for a never-
+    // seen (key, version) lands at net -1 with the cancel's payload
+    val b2 = Seq((1L, -1, 1L, "a1"), (2L, -1, 9L, "b9"))
+    val r2 = run(b2, 2L)
+    assert(r2((1L, 1L)) === ((-1L, true, Some("a1"))))
+    assert(r2((2L, 9L)) === ((-1L, true, Some("b9"))))
+    // crash-after-append replay reproduces the identical view
+    assert(run(b2, 2L) === r2)
+    // batch 3: re-assertion of the doubly-cancelled version folds
+    // -1 + 1 = 0, not a resurrected +1
+    val r3 = run(Seq((1L, 1, 1L, "a1")), 3L)
+    assert(r3((1L, 1L))._1 === 0L)
+  }
 }
