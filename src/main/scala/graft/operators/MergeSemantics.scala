@@ -69,6 +69,26 @@ object MergeSemantics {
     * sums, as with [[summingMerge]].
     */
   def sumMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    aggMap(df, keyCols, mapCol, sum)
+
+  /** minMap / maxMap / avgMap siblings (CH's Map-combinator family all
+    * share sumMap's fold shape — only the per-map-key aggregate
+    * differs). avgMap changes the value type to DOUBLE, as CH does.
+    */
+  def minMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    aggMap(df, keyCols, mapCol, min)
+  def maxMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    aggMap(df, keyCols, mapCol, max)
+  def avgMap(df: DataFrame, keyCols: Seq[String], mapCol: String): DataFrame =
+    aggMap(df, keyCols, mapCol, avg)
+
+  /** Shared fold for the `*Map` combinator family: per (key, map key),
+    * aggregate the map values with `fn`, then reassemble one sorted map
+    * per key. Two map-side-combined aggregates; the shuffle carries one
+    * partially-folded row per (mapper, key, map key), never raw entries.
+    */
+  def aggMap(df: DataFrame, keyCols: Seq[String], mapCol: String,
+      fn: Column => Column): DataFrame =
     // explode_outer: a key whose mapCol is NULL or empty on every row
     // still surfaces with an empty map (SummingMergeTree keeps the key
     // row; plain explode would drop it). The null entry rows fold away
@@ -76,7 +96,7 @@ object MergeSemantics {
     df.select(keyCols.map(col) :+
         explode_outer(col(mapCol)).as(Seq("__mk", "__mv")): _*)
       .groupBy((keyCols :+ "__mk").map(col): _*)
-      .agg(sum(col("__mv")).as("__sv"))
+      .agg(fn(col("__mv")).as("__sv"))
       .groupBy(keyCols.map(col): _*)
       .agg(map_from_entries(sort_array(collect_list(
         when(col("__mk").isNotNull,

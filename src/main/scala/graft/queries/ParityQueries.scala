@@ -746,6 +746,97 @@ object ParityQueries {
               |  FROM sqlagg_maps GROUP BY k)
               |LATERAL VIEW explode(m) AS etype, cents
               |ORDER BY k, etype""".stripMargin)
+    },
+
+    // --- minMap / maxMap / avgMap (the rest of CH's Map-combinator
+    // family; [[MergeSemantics.aggMap]] is the map-typed operator). The
+    // compare surface fuses all three into ONE exploded aggregate — the
+    // plan a 100 TB run wants (single shuffle on (k, map key)) ----------
+    "q_minmax_map" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select((col("user_id") % 20).as("k"),
+          map(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)")).as("m"))
+        .select(col("k"), explode(col("m")).as(Seq("etype", "cents")))
+        .groupBy(col("k"), col("etype"))
+        .agg(min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          round(avg(col("cents")), 6).as("avg_cents"))
+        .orderBy(col("k"), col("etype"))
+    },
+
+    // --- the -ForEach combinator (sumForEach / maxForEach / avgForEach):
+    // elementwise aggregation across fixed-length arrays. posexplode +
+    // (k, pos) aggregate is the scale shape — map-side combine leaves one
+    // partial row per (mapper, k, pos), never whole arrays in flight ----
+    "q_agg_foreach" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select((col("user_id") % 10).as("k"),
+          array(expr("CAST(floor(value * 100) AS BIGINT) % 7"),
+            expr("CAST(floor(value * 100) AS BIGINT) % 11"),
+            expr("CAST(floor(value * 100) AS BIGINT) % 13")).as("vals"))
+        .select(col("k"), posexplode(col("vals")).as(Seq("pos", "v")))
+        .groupBy(col("k"), col("pos"))
+        .agg(sum(col("v")).as("sum_v"), max(col("v")).as("max_v"),
+          round(avg(col("v")), 6).as("avg_v"), count(lit(1)).as("n"))
+        .orderBy(col("k"), col("pos"))
+    },
+
+    // --- groupBitAnd / groupBitOr / groupBitXor over a 16-bit field;
+    // per-user groups keep the AND lattice from collapsing to 0 ---------
+    "q_group_bitops" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select((col("user_id") % 200).as("k"),
+          expr("CAST(floor(value * 100) AS BIGINT) % 65536").as("v"))
+        .groupBy(col("k"))
+        .agg(expr("bit_and(v)").as("band"), expr("bit_or(v)").as("bor"),
+          expr("bit_xor(v)").as("bxor"), count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
+    // --- GraphiteMergeTree retention rollup: precision degrades with
+    // age (<=7d -> 1h buckets, <=21d -> 6h, else 1d) against a pinned
+    // "now"; double values fold as exact integer cents, the mean is ONE
+    // deterministic division at the end -------------------------------
+    "q_graphite_rollup" -> { (s, dir) =>
+      val now = 1706659200L // 2024-01-31T00:00:00Z, just past the corpus
+      val e = Tables(s, dir).events.select(col("event_type").as("metric"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").as("es"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      e.withColumn("prec",
+          when(lit(now) - col("es") <= 7L * 86400L, lit(3600L))
+            .when(lit(now) - col("es") <= 21L * 86400L, lit(21600L))
+            .otherwise(lit(86400L)))
+        .withColumn("bucket", expr("es DIV prec") * col("prec"))
+        .groupBy(col("metric"), col("prec"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          round(sum(col("cents")) / count(lit(1)), 6).as("avg_cents"))
+        .orderBy(col("metric"), col("bucket"))
+    },
+
+    // --- intervalLengthSum: per key, the measure of the UNION of
+    // [start, end) intervals — the running-max sweep (overlap clipped
+    // against the furthest end seen so far) in ONE window pass, the
+    // plan that never materializes pairwise overlaps ---------------------
+    "q_interval_length_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select((col("user_id") % 10).as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("st"),
+        col("event_id"))
+        .withColumn("en",
+          col("st") + (lit(1L) + col("event_id") % 3) * 3600000000L)
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("st"), col("en"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("covered", max(col("en")).over(w))
+        .withColumn("contrib", greatest(
+          col("en") - greatest(col("st"), coalesce(col("covered"), col("st"))),
+          lit(0L)))
+        .groupBy(col("k"))
+        .agg(sum(col("contrib")).as("us"), count(lit(1)).as("n_intervals"))
+        .select(col("k"), expr("us DIV 1000000").as("covered_secs"),
+          col("n_intervals"))
+        .orderBy(col("k"))
     }
   )
 
@@ -1346,6 +1437,78 @@ object ParityQueries {
     "q_summap_sql" ->
       """SELECT user_id % 20 AS k, event_type AS etype,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY 1, 2 ORDER BY k, etype""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY k, etype""".stripMargin,
+
+    // min/max/avg per (key, map key) over the single-entry maps the
+    // Spark side builds — entry semantics replayed from the base columns
+    "q_minmax_map" ->
+      """WITH e AS (
+        |  SELECT user_id % 20 AS k, event_type AS etype,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT k, etype, min(cents) AS min_cents, max(cents) AS max_cents,
+        |  round(avg(cents), 6) AS avg_cents
+        |FROM e GROUP BY k, etype ORDER BY k, etype""".stripMargin,
+
+    // elementwise = per-position aggregate: the three fixed positions
+    // replay as three grouped aggregates unioned with their ordinals
+    "q_agg_foreach" ->
+      """WITH e AS (
+        |  SELECT user_id % 10 AS k, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT k, pos, CAST(sum(el) AS BIGINT) AS sum_v, max(el) AS max_v,
+        |  round(avg(el), 6) AS avg_v, count(*) AS n
+        |FROM (
+        |  SELECT k, 0 AS pos, v % 7 AS el FROM e
+        |  UNION ALL SELECT k, 1, v % 11 FROM e
+        |  UNION ALL SELECT k, 2, v % 13 FROM e)
+        |GROUP BY k, pos ORDER BY k, pos""".stripMargin,
+
+    "q_group_bitops" ->
+      """WITH e AS (
+        |  SELECT user_id % 200 AS k,
+        |    CAST(floor(value * 100) AS BIGINT) % 65536 AS v
+        |  FROM events)
+        |SELECT k, bit_and(v) AS band, bit_or(v) AS bor, bit_xor(v) AS bxor,
+        |  count(*) AS n
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
+
+    // same pinned now / age tiers / bucket floor-div; the mean is the
+    // same single division of the exact integer sum
+    "q_graphite_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS es,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT metric, es, cents,
+        |    CASE WHEN 1706659200 - es <= 7 * 86400 THEN 3600
+        |      WHEN 1706659200 - es <= 21 * 86400 THEN 21600
+        |      ELSE 86400 END AS prec
+        |  FROM e)
+        |SELECT metric, CAST(prec AS BIGINT) AS prec,
+        |  CAST((es // prec) * prec AS BIGINT) AS bucket,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+        |FROM p GROUP BY metric, prec, es // prec
+        |ORDER BY metric, bucket""".stripMargin,
+
+    // identical running-max sweep: covered = furthest end among STRICTLY
+    // preceding rows in the same (st, en, event_id) order
+    "q_interval_length_sum" ->
+      """WITH e AS (
+        |  SELECT user_id % 10 AS k, epoch_us(ts) AS st, event_id,
+        |    epoch_us(ts) + (1 + event_id % 3) * 3600000000 AS en
+        |  FROM events),
+        |c AS (
+        |  SELECT k, st, en,
+        |    max(en) OVER (PARTITION BY k ORDER BY st, en, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS covered
+        |  FROM e)
+        |SELECT k,
+        |  CAST(sum(greatest(en - greatest(st, coalesce(covered, st)), 0))
+        |    // 1000000 AS BIGINT) AS covered_secs,
+        |  count(*) AS n_intervals
+        |FROM c GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -1298,6 +1298,23 @@ class CurationOpsSpec extends AnyFunSuite {
       4L -> Map("b" -> 2L)), s"got $got")
   }
 
+  test("minMap/maxMap/avgMap: per-map-key folds share sumMap's shape; " +
+      "avgMap widens values to DOUBLE") {
+    import graft.operators.MergeSemantics
+    val rows = Seq(
+      (1L, Map("a" -> 4L, "b" -> 2L)),
+      (1L, Map("a" -> 1L, "c" -> 9L)),
+      (2L, Map("z" -> 7L))).toDF("k", "m")
+    def asMap[V](df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getMap[String, V](1).toMap).toMap
+    assert(asMap[Long](MergeSemantics.minMap(rows, Seq("k"), "m")) === Map(
+      1L -> Map("a" -> 1L, "b" -> 2L, "c" -> 9L), 2L -> Map("z" -> 7L)))
+    assert(asMap[Long](MergeSemantics.maxMap(rows, Seq("k"), "m")) === Map(
+      1L -> Map("a" -> 4L, "b" -> 2L, "c" -> 9L), 2L -> Map("z" -> 7L)))
+    assert(asMap[Double](MergeSemantics.avgMap(rows, Seq("k"), "m")) === Map(
+      1L -> Map("a" -> 2.5, "b" -> 2.0, "c" -> 9.0), 2L -> Map("z" -> 7.0)))
+  }
+
   // ---- event-sequence analytics (windowFunnel / retention) ------------
 
   test("windowFunnel: exists-chain semantics — a later start can complete " +
