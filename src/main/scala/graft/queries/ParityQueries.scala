@@ -814,6 +814,42 @@ object ParityQueries {
         .orderBy(col("metric"), col("bucket"))
     },
 
+    // --- sequenceNextNode(forward, first_match): per user, the event
+    // immediately after the first CONSECUTIVE 'view' -> 'click' pair in
+    // (ts, event_id) order; NULL when no pair (or the pair ends the
+    // stream). One window pass + one min-struct aggregate — the
+    // first-match selection never re-sorts the events ---------------------
+    "q_sequence_next_node" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view" && col("n1") === "click",
+            struct(col("ts"), col("event_id"), col("n2"))))
+          .getField("n2").as("next_node"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- topK(3): heavy hitters by FREQUENCY (CH's space-saving sketch;
+    // the exact groupBy-count + rank plan is the Spark-first path — two
+    // map-side-combined shuffles, ties broken by value) -------------------
+    "q_topk_freq" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("v"))
+      Tables(s, dir).events
+        .select(col("event_type"), (col("user_id") % 50).as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("v"), col("cnt"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+
     // --- intervalLengthSum: per key, the measure of the UNION of
     // [start, end) intervals — the running-max sweep (overlap clipped
     // against the furthest end seen so far) in ONE window pass, the
@@ -1492,6 +1528,36 @@ object ParityQueries {
         |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
         |FROM p GROUP BY metric, prec, es // prec
         |ORDER BY metric, bucket""".stripMargin,
+
+    // same leads in the same (ts, event_id) order; first match selected
+    // by rank instead of struct-min, joined back to every user
+    "q_sequence_next_node" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS n1,
+        |    lead(event_type, 2) OVER w AS n2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id, n2,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM o WHERE event_type = 'view' AND n1 = 'click')
+        |SELECT u.user_id, m.n2 AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q_topk_freq" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id % 50 AS v, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cnt DESC, v) AS INT) AS rk,
+        |  v, cnt
+        |FROM c QUALIFY rk <= 3
+        |ORDER BY event_type, rk""".stripMargin,
 
     // identical running-max sweep: covered = furthest end among STRICTLY
     // preceding rows in the same (st, en, event_id) order
