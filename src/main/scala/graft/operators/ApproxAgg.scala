@@ -104,6 +104,20 @@ object ApproxAgg {
       valueCol: Column): DataFrame =
     hllEstimate(hllRegisters(df, keyCols, valueCol), keyCols)
 
+  /** AggregatingMergeTree FINAL for HLL states (the -State/-Merge
+    * combinator pair): partial register frames appended by any number
+    * of independent writers union here and re-fold by per-(key,
+    * register) max. Register max is associative, commutative, and
+    * idempotent, so merged partials equal the direct sketch over the
+    * union of the inputs — even when writers saw overlapping rows —
+    * which is exactly the uniqState merge guarantee the CH engine
+    * gives. One map-side-combined aggregate over bounded state rows
+    * (<= 512 per key per writer); raw values never travel.
+    */
+  def hllMerge(partials: DataFrame, keyCols: Seq[String]): DataFrame =
+    hllEstimate(partials.groupBy((keyCols :+ "reg").map(col): _*)
+      .agg(max(col("m")).as("m")), keyCols)
+
   /** The histogram sketch under [[quantileSketch]]: values scaled to
     * integers by `scale` (exact for DECIMAL(p, s<=log10 scale) input),
     * then bucketed HdrHistogram-style — keep the top `sigBits` bits of

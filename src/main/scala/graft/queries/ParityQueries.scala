@@ -608,6 +608,33 @@ object ParityQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- AggregatingMergeTree FINAL (-State/-Merge): three independent
+    // "ingest jobs" each append partial states (HLL register frames +
+    // count/sum partials); the read-side merge folds registers by max
+    // and scalars by sum — and MUST equal the direct aggregate over the
+    // whole corpus, the engine's mergeability guarantee. The oracle
+    // computes the direct side, so a green row proves the invariance --
+    "q_agg_state_merge" -> { (s, dir) =>
+      import graft.operators.ApproxAgg
+      val e = Tables(s, dir).events.select(col("event_type"),
+        col("user_id"), (col("event_id") % 3).as("job"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val jobs = (0 to 2).map(j => e.filter(col("job") === j))
+      val states = jobs.map(df =>
+          ApproxAgg.hllRegisters(df, Seq("event_type"), col("user_id")))
+        .reduce(_ unionByName _)
+      val scalars = jobs.map(_.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")))
+        .reduce(_ unionByName _)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      ApproxAgg.hllMerge(states, Seq("event_type"))
+        .join(scalars, Seq("event_type"))
+        .select(col("event_type"), col("est"), col("n_regs"),
+          col("n"), col("cents"))
+        .orderBy(col("event_type"))
+    },
+
     // --- approximate distinct, KMV flavor (uniqCombined's role): the k
     // smallest distinct md5 hashes in unsigned order; exact below k,
     // floor((k-1)*2^64 / kth) above — the oracle replays the selection
@@ -1281,6 +1308,43 @@ object ParityQueries {
         |    ELSE floor(raw) END AS BIGINT) AS est,
         |  n_regs
         |FROM e ORDER BY event_type""".stripMargin,
+
+    // the DIRECT whole-corpus aggregate (same HLL replay as q_uniq_hll
+    // plus exact count/sum) — the Spark side merges per-job partial
+    // states, so equality IS the -State/-Merge invariance proof
+    "q_agg_state_merge" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 512 AS reg,
+        |    LEAST(CASE WHEN h // 512 = 0 THEN 52
+        |          ELSE 52 - length(bin(h // 512)) END, 30) AS rho
+        |  FROM h),
+        |m AS (SELECT event_type, reg, max(rho) AS m FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (30 - m)) AS s_present,
+        |    count(*) AS n_regs
+        |  FROM m GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, n_regs, 512 - n_regs AS v0,
+        |    202600935058957.5 / CAST(
+        |      s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 30)
+        |      AS DOUBLE) AS raw
+        |  FROM s),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(CASE WHEN v0 > 0 AND raw <= 1280.0
+        |    THEN floor(512.0 * ln(512.0 / v0) + 0.5)
+        |    ELSE floor(raw) END AS BIGINT) AS est,
+        |  n_regs, a.n, a.cents
+        |FROM e JOIN a ON e.event_type = a.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // KMV replay: distinct md5 hashes ranked in unsigned order (DuckDB's
     // md5_number_lower is already the unsigned 64-bit value), exact

@@ -35,18 +35,23 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
-  test("uniqHll registers merge: union of slice sketches == whole sketch") {
+  test("uniqHll registers merge (hllMerge): union of OVERLAPPING slice " +
+      "sketches == whole sketch — the -State/-Merge invariance") {
     val a = (1 to 3000).map(i => ("k", i.toLong)).toDF("k", "v")
     val b = (2000 to 6000).map(i => ("k", i.toLong)).toDF("k", "v")
     val whole = ApproxAgg.uniqHll(a.union(b), Seq("k"), col("v"))
       .collect()(0)
-    val merged = ApproxAgg.hllEstimate(
+    val merged = ApproxAgg.hllMerge(
       ApproxAgg.hllRegisters(a, Seq("k"), col("v"))
-        .union(ApproxAgg.hllRegisters(b, Seq("k"), col("v")))
-        .groupBy(col("k"), col("reg")).agg(max(col("m")).as("m")),
+        .union(ApproxAgg.hllRegisters(b, Seq("k"), col("v"))),
       Seq("k")).collect()(0)
     assert(whole.getLong(1) === merged.getLong(1))
     assert(whole.getLong(2) === merged.getLong(2))
+    // merging a slice with ITSELF is a no-op (register max idempotence)
+    val selfA = ApproxAgg.hllRegisters(a, Seq("k"), col("v"))
+    val twice = ApproxAgg.hllMerge(selfA.union(selfA), Seq("k")).collect()(0)
+    val once = ApproxAgg.hllEstimate(selfA, Seq("k")).collect()(0)
+    assert(twice.getLong(1) === once.getLong(1))
   }
 
   test("quantileSketch: bucket lower bound within 2^-8 relative of exact") {
