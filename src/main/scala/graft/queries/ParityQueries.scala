@@ -841,6 +841,56 @@ object ParityQueries {
         .orderBy(col("metric"), col("bucket"))
     },
 
+    // --- the CH URL-function family (protocol / domain /
+    // topLevelDomain / path / queryString / cutQueryString) — Spark's
+    // codegen'd parse_url IS this family; scan-local projection --------
+    "q_url_functions" -> { (s, dir) =>
+      val url = concat(
+        when(col("doc_id") % 5 === 0, lit("http://")).otherwise(lit("https://")),
+        lit("s"), col("doc_id") % 7, lit(".example."),
+        when(col("doc_id") % 3 === 0, lit("org")).otherwise(lit("com")),
+        lit("/p/"), col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?id="), col("doc_id"), lit("&ref=x")))
+          .otherwise(lit("")))
+      Tables(s, dir).documents.filter(col("doc_id") < 500)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("protocol"),
+          parse_url(col("url"), lit("HOST")).as("domain"),
+          regexp_extract(parse_url(col("url"), lit("HOST")),
+            "([^.]+)$", 1).as("tld"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          coalesce(parse_url(col("url"), lit("QUERY")), lit(""))
+            .as("query_string"),
+          regexp_replace(col("url"), "\\?.*$", "").as("cut_query"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- IPv4StringToNum / IPv4NumToString / isIPAddressInRange: the
+    // CIDR membership test is a shift-compare on the packed uint32 —
+    // pure integer arithmetic, scan-local, no UDF ------------------------
+    "q_ip_cidr" -> { (s, dir) =>
+      val ip = concat_ws(".", lit(10), pmod(col("user_id"), lit(256)),
+        pmod(col("event_id"), lit(2)) * 16,
+        pmod(col("event_id"), lit(256)))
+      def oct(i: Int) =
+        get(split(col("ip"), "\\."), lit(i)).cast("long")
+      Tables(s, dir).events.filter(col("event_id") < 3000)
+        .select(col("event_id"), ip.as("ip"))
+        .withColumn("ipnum", oct(0) * 16777216L + oct(1) * 65536L +
+          oct(2) * 256L + oct(3))
+        .select(col("event_id"), col("ip"), col("ipnum"),
+          concat_ws(".",
+            expr("ipnum DIV 16777216"), expr("ipnum DIV 65536 % 256"),
+            expr("ipnum DIV 256 % 256"), expr("ipnum % 256"))
+            .as("roundtrip"),
+          (expr("ipnum DIV 16777216") === 10L).as("in_10_8"),
+          // 10.42.0.0/16: fires exactly for user_id % 256 == 42 rows
+          (expr("ipnum DIV 65536") === 2602L).as("in_10_42_16"))
+        .orderBy(col("event_id"))
+    },
+
     // --- sequenceNextNode(forward, first_match): per user, the event
     // immediately after the first CONSECUTIVE 'view' -> 'click' pair in
     // (ts, event_id) order; NULL when no pair (or the pair ends the
@@ -1592,6 +1642,59 @@ object ParityQueries {
         |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
         |FROM p GROUP BY metric, prec, es // prec
         |ORDER BY metric, bucket""".stripMargin,
+
+    // the same URLs re-parsed with string primitives (DuckDB has no
+    // parse_url): protocol up to ://, host up to the first /?, the tld
+    // is the last host label, path/query split on ?
+    "q_url_functions" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END ||
+        |    's' || CAST(doc_id % 7 AS VARCHAR) || '.example.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=x'
+        |      ELSE '' END AS url
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+        |    regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS domain,
+        |    regexp_extract(url, '^[a-z]+://[^/?]*(/[^?]*)', 1) AS path,
+        |    CASE WHEN contains(url, '?')
+        |      THEN regexp_extract(url, '\?(.*)$', 1) ELSE '' END
+        |      AS query_string
+        |  FROM u)
+        |SELECT doc_id, url, protocol, domain,
+        |  regexp_extract(domain, '([^.]+)$', 1) AS tld, path, query_string,
+        |  regexp_replace(url, '\?.*$', '') AS cut_query
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // identical packed-uint32 arithmetic; booleans from the same
+    // integer-div prefix compares
+    "q_ip_cidr" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((event_id % 2) * 16 AS VARCHAR) || '.' ||
+        |    CAST(event_id % 256 AS VARCHAR) AS ip
+        |  FROM events WHERE event_id < 3000),
+        |n AS (
+        |  SELECT event_id, ip,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum
+        |  FROM e)
+        |SELECT event_id, ip, ipnum,
+        |  CAST(ipnum // 16777216 AS VARCHAR) || '.' ||
+        |    CAST(ipnum // 65536 % 256 AS VARCHAR) || '.' ||
+        |    CAST(ipnum // 256 % 256 AS VARCHAR) || '.' ||
+        |    CAST(ipnum % 256 AS VARCHAR) AS roundtrip,
+        |  ipnum // 16777216 = 10 AS in_10_8,
+        |  ipnum // 65536 = 2602 AS in_10_42_16
+        |FROM n ORDER BY event_id""".stripMargin,
 
     // same leads in the same (ts, event_id) order; first match selected
     // by rank instead of struct-min, joined back to every user
