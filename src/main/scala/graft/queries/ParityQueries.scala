@@ -927,6 +927,37 @@ object ParityQueries {
         .orderBy(col("event_type"), col("rk"))
     },
 
+    // --- arrayEnumerateUniq: occurrence number of each element within
+    // its group's (ts, event_id)-ordered event list — CH numbers
+    // repeats inside arrays; the flat window form IS that semantics
+    // without ever materializing the arrays ------------------------------
+    "q_array_enumerate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wUniq = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events.filter(col("user_id") < 30)
+        .withColumn("idx", row_number().over(wAll))
+        .withColumn("occ", row_number().over(wUniq))
+        .select(col("user_id"), col("idx"), col("event_type"), col("occ"))
+        .orderBy(col("user_id"), col("idx"))
+    },
+
+    // --- the -Resample combinator (countResample / sumResample /
+    // avgResample over value bands [0, 500) step 50): banding is an
+    // integer div in the scan, then ONE map-side-combined aggregate ----
+    "q_agg_resample" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("band", least(expr("cents DIV 5000"), lit(9L)))
+        .groupBy(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          round(avg(col("cents")), 6).as("avg_cents"))
+        .orderBy(col("event_type"), col("band"))
+    },
+
     // --- intervalLengthSum: per key, the measure of the UNION of
     // [start, end) intervals — the running-max sweep (overlap clipped
     // against the furthest end seen so far) in ONE window pass, the
@@ -1725,6 +1756,27 @@ object ParityQueries {
         |  v, cnt
         |FROM c QUALIFY rk <= 3
         |ORDER BY event_type, rk""".stripMargin,
+
+    // identical double-window numbering in the same order
+    "q_array_enumerate" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS INT) AS idx,
+        |  event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS INT) AS occ
+        |FROM events WHERE user_id < 30
+        |ORDER BY user_id, idx""".stripMargin,
+
+    "q_agg_resample" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, least(cents // 5000, 9) AS band,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  round(avg(cents), 6) AS avg_cents
+        |FROM e GROUP BY event_type, least(cents // 5000, 9)
+        |ORDER BY event_type, band""".stripMargin,
 
     // identical running-max sweep: covered = furthest end among STRICTLY
     // preceding rows in the same (st, en, event_id) order
