@@ -722,6 +722,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text must be fingerprinted before the shuffle:\n$p")
   }
 
+  test("hllMerge (-State/-Merge): the register re-fold partial-aggregates " +
+      "map-side — the merge shuffle carries partially-maxed state rows") {
+    val p = plan(graft.queries.Registry
+      .queries("q_agg_state_merge")(spark, sf))
+    // the register max and the scalar sums must both split partial/final
+    assert("partial_max".r.findAllIn(p).nonEmpty,
+      s"register merge must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the 5-row estimate-vs-scalars join must broadcast:\n$p")
+  }
+
+  test("intervalLengthSum: window sweep and final fold share ONE key " +
+      "partitioning — no second shuffle for the groupBy") {
+    val p = plan(graft.queries.Registry
+      .queries("q_interval_length_sum")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"sweep + fold must reuse the k partitioning:\n$p")
+    assert("Window \\[".r.findAllIn(p).length === 1, p)
+  }
+
+  test("graphite rollup: one map-side-combined aggregate, banding stays " +
+      "in the scan stage") {
+    val p = plan(graft.queries.Registry
+      .queries("q_graphite_rollup")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"rollup must partial-aggregate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"one (metric, prec, bucket) exchange:\n$p")
+  }
+
   test("SQL aggregate surface: UDAFs partial-aggregate map-side — the " +
       "shuffle carries sketch buffers, never raw values") {
     val p = plan(graft.queries.Registry
