@@ -1019,15 +1019,19 @@ class CurationOpsSpec extends AnyFunSuite {
     val model = TextAnalysis.trainQualityClassifier(
       docs, "text", col("label"), nBuckets = 128)
     val dir = s"target/qclf_spec_${ProcessHandle.current().pid()}"
-    TextAnalysis.QualityModel.save(model, dir)
-    val loaded = TextAnalysis.QualityModel.load(spark, dir)
-    val a = TextAnalysis.scoreQualityClassifier(
-      docs, "doc_id", "text", model, nBuckets = 128)
-      .orderBy("id").collect().toSeq
-    val b = TextAnalysis.scoreQualityClassifier(
-      docs, "doc_id", "text", loaded, nBuckets = 128)
-      .orderBy("id").collect().toSeq
-    assert(a === b)
+    try {
+      TextAnalysis.QualityModel.save(model, dir)
+      val loaded = TextAnalysis.QualityModel.load(spark, dir)
+      val a = TextAnalysis.scoreQualityClassifier(
+        docs, "doc_id", "text", model, nBuckets = 128)
+        .orderBy("id").collect().toSeq
+      val b = TextAnalysis.scoreQualityClassifier(
+        docs, "doc_id", "text", loaded, nBuckets = 128)
+        .orderBy("id").collect().toSeq
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("sampleByWeight: weight 1 keeps all, 0 keeps none, and keeps are " +
