@@ -1251,7 +1251,7 @@ object ParityQueries {
         |  SELECT flag, v, sum(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
         |    sum(w) OVER (PARTITION BY flag) AS n
         |  FROM g)
-        |SELECT flag, max(n) AS w_total,
+        |SELECT flag, CAST(max(n) AS BIGINT) AS w_total,
         |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
         |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90,
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
