@@ -187,6 +187,18 @@ object ApproxAgg {
       quantileHistogram(df, keyCols, valueCol, scale, sigBits),
       keyCols, quantiles, scale)
 
+  /** AggregatingMergeTree FINAL for histogram states ([[hllMerge]]'s
+    * quantile sibling): (keyCols..., blo, cnt) partial frames from any
+    * number of independent writers union and re-fold by per-(key,
+    * bucket) count SUM — associative and commutative (NOT idempotent:
+    * unlike register max, the same rows must not be appended twice,
+    * the same contract CH's quantileState merge has). Feed the result
+    * to [[quantilesOfHistogram]] for the merged estimate.
+    */
+  def histMerge(partials: DataFrame, keyCols: Seq[String]): DataFrame =
+    partials.groupBy((keyCols :+ "blo").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** The histogram -> quantile stage of [[quantileSketch]], broken out
     * so a standing pipeline can evaluate quantiles over a PERSISTED
     * (merged) histogram — `hist` is (keyCols..., blo, cnt) rows from

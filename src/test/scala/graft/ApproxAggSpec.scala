@@ -54,6 +54,23 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(twice.getLong(1) === once.getLong(1))
   }
 
+  test("histMerge: quantiles over merged DISJOINT slice histograms == " +
+      "whole-corpus sketch (quantileState's merge contract)") {
+    val rows = (1 to 4000).map(i => ("k", BigDecimal(i) / 100))
+    val df = rows.toDF("k", "v").select(col("k"),
+      col("v").cast("decimal(18,2)").as("v"))
+    val slices = Seq(df.filter(col("v") <= 13), df.filter(col("v") > 13))
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    val whole = ApproxAgg.quantileSketch(df, Seq("k"), col("v"), qs)
+      .collect()(0)
+    val merged = ApproxAgg.quantilesOfHistogram(
+      ApproxAgg.histMerge(
+        slices.map(s => ApproxAgg.quantileHistogram(s, Seq("k"), col("v")))
+          .reduce(_ unionByName _), Seq("k")),
+      Seq("k"), qs).collect()(0)
+    assert(whole.toSeq === merged.toSeq)
+  }
+
   test("quantileSketch: bucket lower bound within 2^-8 relative of exact") {
     val vals = (1 to 10000).map(i => ("k", BigDecimal(i * i % 9973 + 1)))
     val df = vals.toDF("k", "v").select(col("k"),
