@@ -165,11 +165,30 @@ object GraftExtensions {
           if (args.lengthCompare(3) > 0) intLit(args(3), "graft_quantile_sketch")
           else 100
         // pre-scale exactly like quantileHistogram: multiply THEN cast,
-        // so decimal inputs stay exact and bucket ids are bit-identical
+        // so decimal inputs stay exact and bucket ids are bit-identical.
+        // Mirror quantileHistogram's input guard: float input truncates
+        // toward zero in Spark but rounds half-up in DuckDB, so a DOUBLE
+        // through this surface would silently drift from any oracle —
+        // reject it loudly here too.
+        if (args.head.resolved) args.head.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            val pow = math.pow(10, d.scale).toLong
+            if (scale <= 0 || scale % pow != 0) throw new IllegalArgumentException(
+              s"graft_quantile_sketch scale=$scale cannot exactly represent " +
+                s"DECIMAL(${d.precision},${d.scale}) input: scale must be a " +
+                s"multiple of 10^${d.scale}")
+          case org.apache.spark.sql.types.ByteType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_sketch needs DECIMAL or integer input for exact " +
+              s"scaling (got $other): cast to DECIMAL first")
+        }
         udafExpr(new graft.functions.Aggregates.QuantileSketchAgg(num, den, scale),
           Seq((c(args.head) * scale).cast("long")))
       },
-      "graft_quantile_sketch(value, num, den[, scale]) - AGGREGATE: histogram-sketch quantile at num/den (== ApproxAgg.quantileSketch)"),
+      "graft_quantile_sketch(value, num, den[, scale]) - AGGREGATE: histogram-sketch quantile at num/den; value must be DECIMAL or integer (== ApproxAgg.quantileSketch)"),
     ("graft_sum_map",
       args => udafExpr(new graft.functions.Aggregates.SumMapAgg,
         Seq(c(args.head))),

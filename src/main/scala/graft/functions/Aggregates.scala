@@ -246,6 +246,10 @@ object Aggregates {
       extends Aggregator[(java.lang.Long, java.lang.Integer),
         Seq[(Long, Int)], Int] {
     require(k > 0 && windowSec > 0, s"need k > 0 and window > 0")
+    // same contract as the batch operator: a typo'd mode must fail loudly,
+    // not fall through funnelWalk's catch-all to 'default' semantics
+    require(graft.operators.EventAnalytics.Modes.contains(mode),
+      s"mode must be one of ${graft.operators.EventAnalytics.Modes} (got '$mode')")
 
     override def zero: Seq[(Long, Int)] = Vector.empty
 
@@ -363,12 +367,27 @@ object Aggregates {
       }
 
     override def finish(b: Map[String, Long]): Map[String, Long] =
-      // entry order = key order, matching sumMap's sort_array reassembly
-      scala.collection.immutable.TreeMap.empty[String, Long] ++ b
+      // entry order = key order in UTF-8 BYTE order, matching sumMap's
+      // sort_array over UTF8String keys — plain TreeMap would compare
+      // UTF-16 code units, which diverges for supplementary-plane keys
+      scala.collection.immutable.TreeMap.empty[String, Long](
+        SumMapAgg.Utf8Order) ++ b
 
     override def bufferEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
+  }
+
+  object SumMapAgg {
+    /** UTF-8 byte order (== code-point order == UTF8String binary order),
+      * the ordering `sort_array` applies to STRING elements.
+      */
+    val Utf8Order: Ordering[String] = new Ordering[String] {
+      def compare(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 }

@@ -672,10 +672,14 @@ object ParityQueries {
           (col("user_id") * 100 + dayofmonth(col("ts"))).as("ud"))
       val a = ApproxAgg.kmvSketch(e, Seq("event_type"), col("ud"), k = 64)
       val types = e.select(col("event_type")).distinct()
-      val b = ApproxAgg.kmvSketch(
-        types.crossJoin(e.filter(col("event_type") === "view")
-          .select(col("ud"))),
-        Seq("event_type"), col("ud"), k = 64)
+      // sketch the view slice ONCE (global agg -> 1 sketch row), then
+      // broadcast that single row to every type — sketching it per type
+      // via a pre-sketch crossJoin would scan and shuffle the same set
+      // |types| times for identical sketches
+      val viewSketch = ApproxAgg.kmvSketch(
+        e.filter(col("event_type") === "view").select(col("ud")),
+        Seq.empty, col("ud"), k = 64)
+      val b = types.crossJoin(broadcast(viewSketch))
       ApproxAgg.kmvSetOps(a, b, Seq("event_type"), k = 64)
         .orderBy(col("event_type"))
     },

@@ -231,7 +231,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case (u, l) if !sql.get(u).contains(l) =>
             s"u=$u api=$l sql=${sql.get(u)}"
         }.take(5).mkString(", "))
-      assert(sql.keySet.subsetOf(sql.keySet) && api.nonEmpty)
+      assert(api.keySet.subsetOf(sql.keySet) && api.nonEmpty)
     }
   }
 

@@ -769,4 +769,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p3.contains("partial_quantileexactweightedagg"),
       s"weighted-quantile UDAF must combine map-side:\n$p3")
   }
+
+  test("kmv set-ops: the view slice is sketched ONCE (three events scans " +
+      "total), and the 1-row sketch broadcasts to the type list") {
+    val p = plan(graft.queries.Registry.queries("q_kmv_setops")(spark, sf))
+    // scans: per-type sketch + view-slice sketch + distinct type list —
+    // a per-type re-sketch (crossJoin BEFORE the sketch) would either add
+    // a scan or replicate the view rows |types|x through the exchange
+    assert("Scan parquet".r.findAllIn(p).length === 3,
+      s"expected exactly 3 events scans (a, view sketch, types):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row view sketch must broadcast, not shuffle:\n$p")
+  }
 }
