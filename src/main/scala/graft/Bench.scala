@@ -30,7 +30,17 @@ object BenchScale {
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "text_quality", "q_asof_join",
     "dedup_cluster_minhash", "text_chunk_dedup", "text_pack",
     "dedup_minhash_incr", "corpus_pipeline", "text_rep_ngrams",
-    "text_boilerplate", "dedup_substring_winnow")
+    "text_boilerplate", "dedup_substring_winnow",
+    // streaming replays at 10x: state compaction under real volume —
+    // the top wall-time rows at 1x were all stream_* but only batch
+    // queries ran at the second scale. Single timed run (see timedN):
+    // each replay is itself a multi-batch pipeline with checkpoint
+    // orchestration, and the 1x registry loop has already JIT-warmed it.
+    "stream_dedup_replay", "stream_multitier_replay")
+
+  /** Names measured with ONE timed run and no extra warm-up at 10x. */
+  val singleRun: Set[String] = Set(
+    "stream_dedup_replay", "stream_multitier_replay")
 
   def ensure10x(spark: SparkSession, sfDir: String, cpus: Int): String = {
     val dir = s"target/bench_10x_${new java.io.File(sfDir).getName}"
@@ -68,6 +78,84 @@ object BenchScale {
       marker.createNewFile()
     }
     dir
+  }
+}
+
+/** Third bench scale: the 100x flagship-dedup corpus (documents only).
+  *
+  * Replica design keeps duplicate families BOUNDED so output stays
+  * linear in corpus size (a replica suffix shared across all copies
+  * would create reps-sized families and a quadratic pair explosion —
+  * not a corpus shape, a degenerate one): every (base doc, replica)
+  * gets a 3-token salt that is UNIQUE except for exactly two replicas
+  * per base doc (`(doc_id + rep) % reps < 2`), which share a family
+  * salt and are therefore exact twins. The 3-token salt also pushes the
+  * base table's natural exact-dup texts (8 at sf0.1) below the 0.9
+  * verify threshold across replicas, so expected pairs ~= base-doc
+  * count (+ the registry query's own planted +1000000 twins), at ANY
+  * reps. The LSH/banding work — the thing being measured — still
+  * scales with the full corpus.
+  */
+object BenchScale100 {
+  def ensure(spark: SparkSession, sfDir: String, cpus: Int, reps: Int): String = {
+    val dir = s"target/bench_100x_${new java.io.File(sfDir).getName}_r$reps"
+    val marker = new java.io.File(s"$dir/_READY")
+    if (!marker.exists()) {
+      val d = Tables(spark, sfDir).documents
+      // rep id-offset 1e7 clears the registry queries' +1000000 planted-
+      // twin shift (base doc_id < 1e6), so ids never collide
+      val rep = spark.range(reps.toLong).select(col("id").as("rep"))
+      val gid = col("rep") * 10000000L + col("doc_id")
+      val fam = (col("doc_id") + col("rep")) % reps < 2
+      d.crossJoin(rep).select(
+          gid.as("doc_id"),
+          concat(col("text"),
+            when(fam, concat(lit(" xf"), col("doc_id"),
+              lit(" yf"), col("doc_id"), lit(" zf"), col("doc_id")))
+            .otherwise(concat(lit(" xu"), gid,
+              lit(" yu"), gid, lit(" zu"), gid))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus * 4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      marker.createNewFile()
+    }
+    dir
+  }
+}
+
+/** Aggregated shuffle/spill telemetry for the 100x section: total
+  * shuffle read/write bytes, per-task max read (skew numerator), and
+  * read-task count — enough to verify "shuffle carries signatures, not
+  * texts" and to compute partition skew, without touching private
+  * Spark APIs.
+  */
+final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val write = new AtomicLong; val read = new AtomicLong
+  val maxTaskRead = new AtomicLong; val readTasks = new AtomicLong
+  val spill = new AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      val r = m.shuffleReadMetrics.localBytesRead +
+        m.shuffleReadMetrics.remoteBytesRead
+      if (r > 0) {
+        read.addAndGet(r); readTasks.incrementAndGet()
+        maxTaskRead.updateAndGet(c => math.max(c, r))
+      }
+      spill.addAndGet(m.diskBytesSpilled)
+    }
+  }
+  def reset(): Unit =
+    Seq(write, read, maxTaskRead, readTasks, spill).foreach(_.set(0L))
+  /** (writeB, readB, maxTaskReadB, readTasks, skew = max/mean, spillB) */
+  def snapshot: (Long, Long, Long, Long, Double, Long) = {
+    val n = readTasks.get
+    val skew =
+      if (n == 0) 0.0 else maxTaskRead.get.toDouble / (read.get.toDouble / n)
+    (write.get, read.get, maxTaskRead.get, n, skew, spill.get)
   }
 }
 
@@ -112,7 +200,7 @@ object Bench {
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
     // The event table is replicated 30x so the timed window is seconds,
     // not a sub-second blip dominated by scheduling noise.
-    val ingest = {
+    def ingestRun(): (Long, Double, Seq[Double], Seq[Double]) = {
       val events = Tables(spark, sfDir).events
       val one = events.select(to_json(struct(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
@@ -144,6 +232,7 @@ object Bench {
       raw.unpersist()
       (n, timedRuns.map(_._1).min, timedRuns.map(_._1), timedRuns.map(_._2))
     }
+    val ingest = ingestRun()
 
     // a failing query must fail the bench LOUDLY — a swallowed crash
     // would score ~0s and *improve* the total
@@ -173,17 +262,20 @@ object Bench {
     // is runOnce too — the same plan as the timed runs, not a count()
     // that could prune columns/projections and leave the first timed run
     // cold
-    def timed(errKey: String,
-        mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Seq[Double], Seq[Double]) =
+    def timedN(errKey: String, mk: () => org.apache.spark.sql.DataFrame,
+        nRuns: Int, warm: Boolean): (Double, Long, Seq[Double], Seq[Double]) =
       try {
-        runOnce(mk)
-        val rs = (1 to runs).map { _ => val la = loadAvg(); (runOnce(mk), la) }
+        if (warm) runOnce(mk)
+        val rs = (1 to nRuns).map { _ => val la = loadAvg(); (runOnce(mk), la) }
         (rs.map(_._1._1).min, rs.head._1._2, rs.map(_._1._1), rs.map(_._2))
       } catch {
         case e: Throwable =>
           errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           (0.0, -1L, Nil, Nil)
       }
+    def timed(errKey: String,
+        mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Seq[Double], Seq[Double]) =
+      timedN(errKey, mk, runs, warm = true)
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
     // queries (1x and 10x); the driver never sets it, so the graded
     // artifact always covers the full registry
@@ -212,12 +304,74 @@ object Bench {
       Some(BenchScale.headline
         .filter(name => only.forall(_.contains(name)))
         .map { name =>
-          name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
+          // multi-batch streaming replays get ONE timed run, no warm-up:
+          // they already executed (warm + runs) times in the 1x registry
+          // loop above, and each 10x execution is minutes of checkpoint
+          // orchestration — a min-of-3 would triple bench wall for a
+          // number whose noise floor is file IO, not scheduling
+          if (BenchScale.singleRun(name))
+            name -> timedN(s"10x:$name",
+              () => SparkEntry.queries(name)(spark, dir), 1, warm = false)
+          else
+            name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
         })
     } catch { case e: Throwable =>
       errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       None
     }
+
+    // ---- third scale: the 100x flagship proof. The registry's minhash
+    // dedup + clustering, executed end-to-end on a corpus 100x the base
+    // sf (driver sf0.1 -> 500k docs, 1M after the query's planted-twin
+    // union), with shuffle-byte / skew / spill telemetry riding on the
+    // run — the "would this survive a scale-up" claim as a measurement,
+    // not a plan-reading. Generation is cached under target/ behind a
+    // _READY marker, so only the first round pays it. One timed run per
+    // query (cold-ish is honest at this scale; JIT is warm from the
+    // registry loop). SPARK_GRAFT_BENCH_100X=0 skips;
+    // _REPS overrides the replica count (e.g. 2000 -> 10M docs).
+    val scale100: Option[(Int, Long, Seq[(String, Double, Long, Double,
+        (Long, Long, Long, Long, Double, Long))])] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_100X", "1") == "0" ||
+          only.nonEmpty) None
+      else try {
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_100X_REPS", "100").toInt
+        val dir100 = BenchScale100.ensure(spark, sfDir, cpus.toInt, reps)
+        val nDocs = spark.read.parquet(s"$dir100/documents.parquet").count()
+        val lsnr = new ShuffleStatListener
+        spark.sparkContext.addSparkListener(lsnr)
+        val rows = Seq("dedup_minhash_lsh", "dedup_cluster_minhash").flatMap {
+          name =>
+            lsnr.reset()
+            val la = loadAvg()
+            try {
+              val (sec, n) =
+                runOnce(() => SparkEntry.queries(name)(spark, dir100))
+              // listener bus drains async; a short settle keeps the
+              // telemetry attributable to this query
+              Thread.sleep(2000)
+              Some((name, sec, n, la, lsnr.snapshot))
+            } catch {
+              case e: Throwable =>
+                errors(s"100x:$name") =
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                None
+            }
+        }
+        spark.sparkContext.removeSparkListener(lsnr)
+        Some((reps, nDocs, rows))
+      } catch {
+        case e: Throwable =>
+          errors("100x:setup") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
+
+    // ---- isolated ingest re-run: same measurement as the in-loop
+    // headline but taken AFTER the full registry + scales have drained,
+    // with its own load samples — the machine-readable twin of the
+    // BENCHNOTES "isolated re-run" prose (r12 What's-wrong #4)
+    val ingestIso = ingestRun()
 
     def qjson(rs: Seq[(String, (Double, Long, Seq[Double], Seq[Double]))]): String = rs
       .map { case (k, (sec, rows, all, loads)) =>
@@ -241,7 +395,27 @@ object Bench {
         s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}"""
       case None => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson,"errors":$errJson}"""
+    val scale100Json = scale100 match {
+      case Some((reps, nDocs, rows)) =>
+        val qs100 = rows.map { case (name, sec, n, la,
+            (wr, rd, maxRd, nTasks, skew, spill)) =>
+          "\"" + name + s"""":{"sec":$sec,"rows":$n,"load":$la,""" +
+            s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
+            s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
+            s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
+            s""""disk_spill_bytes":$spill}"""
+        }.mkString("{", ",", "}")
+        s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs"""
+      case None => ""
+    }
+    val isoJson = {
+      val runsJ = ingestIso._3.mkString("[", ",", "]")
+      val loadJ = ingestIso._4.mkString("[", ",", "]")
+      s""","ingest_isolated":{"sec":${ingestIso._2},"rows":${ingestIso._1},""" +
+        s""""rows_per_sec":${(ingestIso._1 / ingestIso._2).toLong},""" +
+        s""""runs":$runsJ,"load":$loadJ}"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson$scale100Json$isoJson,"errors":$errJson}"""
     println(line)
     // out-of-band copy: the driver's stdout tail has truncated this line
     // before (losing the ingest headline); the file is the durable artifact

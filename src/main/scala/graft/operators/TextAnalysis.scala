@@ -1095,8 +1095,9 @@ object TextAnalysis {
     * never emits it.
     */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): org.apache.spark.sql.DataFrame = {
+      nMerges: Int, batch: Int = 1): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
+    require(batch >= 1, "batch must be >= 1")
     val spark = df.sparkSession
     val E = "\u0001"
     var vocab = df.select(explode(canonToks(col(textCol))).as("w"))
@@ -1106,10 +1107,33 @@ object TextAnalysis {
         transform(filter(split(col("w"), ""), ch => ch =!= ""),
           ch => concat(lit(E), ch, lit(E)))))
       .localCheckpoint()
+    // batched merge selection (the scale knob): per driver ROUND, recount
+    // pairs ONCE, collect the top `candidates` rows, greedily pick up to
+    // `batch` pairwise symbol-DISJOINT pairs in (cnt desc, pr) order, and
+    // apply them in pick order. Disjoint pairs cannot create or destroy
+    // each other's occurrences, so each pick is still the argmax of the
+    // remaining candidates at its turn; what batching gives up is only
+    // that a pair CREATED mid-round (x+ab after merging a+b) cannot win
+    // until the next round's recount — the standard BPE-training
+    // trade-off. A 32k-merge vocab costs ~32k/batch driver rounds (and
+    // pair-recount shuffles) instead of 32k. batch=1 (with a 1-row
+    // candidate list) IS classic sequential BPE, bit-identical to the
+    // unbatched implementation; the DuckDB oracle replays the identical
+    // round/candidate-cap/greedy-disjoint spec.
+    val candidates = if (batch == 1) 1 else batch * 8
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var step = 1
     var done = false
-    while (step <= nMerges && !done) {
+    // the round layout is STRUCTURAL (fixed caps summing to nMerges),
+    // not fill-driven: a round that finds fewer than its cap of disjoint
+    // candidates loses the slack rather than extending the schedule —
+    // this is what makes the oracle's unrolled round/pick CTE lattice an
+    // exact replay. With batch=1 every round caps at 1 and the layout is
+    // the classic one-merge-per-recount loop.
+    val nRounds = (nMerges + batch - 1) / batch
+    var round = 0
+    while (round < nRounds && !done) {
+      val roundCap = math.min(batch, nMerges - round * batch)
+      round += 1
       // pin the symbol split in its own projection: referenced from the
       // per-element lambda it would re-split the string per element
       val withSyms = vocab.withColumn("__sy", graft.functions.Once(
@@ -1119,24 +1143,33 @@ object TextAnalysis {
         transform(sequence(lit(1), size(syms) - 1),
           i => concat(element_at(syms, i), lit(E), element_at(syms, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val best = withSyms.select(explode(pairs).as("pr"), col("c"))
+      val top = withSyms.select(explode(pairs).as("pr"), col("c"))
         .groupBy(col("pr")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(candidates).collect()
+      if (top.isEmpty) done = true
       else {
-        val pr = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val Array(a, b) = pr.split(E, 2)
-        merges += ((step, a, b, cnt))
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.map { r =>
+          val Array(a, b) = r.getString(0).split(E, 2)
+          (a, b, r.getLong(1))
+        }.filter { case (a, b, _) =>
+          val ok = !used(a) && !used(b)
+          if (ok) { used += a; used += b }
+          ok
+        }.take(roundCap).toSeq
+        picked.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1, a, b, cnt))
+        }
         val prev = vocab
         vocab = vocab.withColumn("sym",
-          regexp_replace(col("sym"),
-            lit(java.util.regex.Pattern.quote(E + a + E + E + b + E)),
-            lit(java.util.regex.Matcher.quoteReplacement(E + a + b + E))))
+          picked.foldLeft(col("sym")) { case (acc, (a, b, _)) =>
+            regexp_replace(acc,
+              lit(java.util.regex.Pattern.quote(E + a + E + E + b + E)),
+              lit(java.util.regex.Matcher.quoteReplacement(E + a + b + E)))
+          })
           .localCheckpoint()
         prev.unpersist()
-        step += 1
       }
     }
     import spark.implicits._

@@ -2226,6 +2226,15 @@ object ExtensionQueries {
       TextAnalysis.bpeTrain(Tables(s, dir).documents, "text", nMerges = 3)
     },
 
+    // --- deep BPE trainer: 64 merges via BATCHED selection (8 rounds x
+    //     up to 8 greedy-disjoint picks per recount) — proves the
+    //     driver loop at real depth: merge count scales with nMerges/batch
+    //     rounds, not nMerges ------------------------------------------
+    "text_bpe_train_deep" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(Tables(s, dir).documents, "text",
+        nMerges = 64, batch = 8)
+    },
+
     // --- BPE apply: encode the corpus with the 3 trained merges; the
     //     merge table is a bounded driver-side collect (nMerges rows) ----
     "text_bpe_encode" -> { (s, dir) =>
@@ -3546,6 +3555,14 @@ object ExtensionQueries {
       Seq(pick(i, src)) ++
         (if (i < n || mergeLast) Seq(merge(i, src)) else Nil)
     }
+    s"""$bpeHeader,
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  /** Shared tokenize → vocab → enclosed-symbol-encoding CTE header of
+    * every bpe oracle (no trailing comma).
+    */
+  private def bpeHeader: String =
     s"""tok AS (
        |  SELECT unnest(string_split(
        |    regexp_replace(replace(replace(lower(trim(text)), 'ς', 'σ'), 'i' || chr(775), 'i'), '\\s+', ' ', 'g'), ' ')) AS w
@@ -3554,9 +3571,7 @@ object ExtensionQueries {
        |  WHERE length(w) >= 1 GROUP BY w),
        |enc0 AS (SELECT c, list_aggregate(list_transform(
        |    string_split(w, ''), ch -> chr(1)||ch||chr(1)),
-       |    'string_agg', '') AS sym FROM vocab),
-       |${stages.mkString(",\n")}""".stripMargin
-  }
+       |    'string_agg', '') AS sym FROM vocab)""".stripMargin
 
   private def bpeTrainOracle(n: Int): String = {
     val unions = (1 to n).map { i =>
@@ -3565,6 +3580,75 @@ object ExtensionQueries {
     }
     s"""WITH ${bpeStages(n, mergeLast = false)}
        |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
+
+  /** text_bpe_train_deep oracle: replay of [[graft.operators.TextAnalysis
+    * .bpeTrain]]'s BATCHED selection. Per round: one pair recount
+    * (materialized, LIMIT batch*8 candidates by cnt desc / pr), then
+    * `batch` pick CTEs — pick k is the argmax among candidates whose two
+    * symbols are DISJOINT from every earlier pick of the round (an empty
+    * pick NULL-poisons the comparisons of all later picks, which is
+    * exactly greedy exhaustion) — then ONE merge stage applying the
+    * picks' replaces in pick order (empty picks coalesce to a chr(2)
+    * no-op pattern). Steps renumber by (round, pick) at the end.
+    */
+  private def bpeTrainBatchedOracle(nMerges: Int, batch: Int): String = {
+    val k = batch * 8
+    val nRounds = (nMerges + batch - 1) / batch
+    def picksIn(r: Int) = math.min(batch, nMerges - (r - 1) * batch)
+    def pick(r: Int, j: Int) = s"p${r}_$j"
+    val stages = (1 to nRounds).flatMap { r =>
+      val src = s"enc${r - 1}"
+      val cand =
+        s"""cand$r AS MATERIALIZED (
+           |  SELECT pr, cnt, string_split(pr, chr(1))[1] AS lhs,
+           |    string_split(pr, chr(1))[2] AS rhs
+           |  FROM (
+           |    SELECT pr, CAST(sum(c) AS BIGINT) AS cnt FROM (
+           |      SELECT unnest(list_transform(range(1, len(sy)),
+           |        i -> sy[i] || chr(1) || sy[i+1])) AS pr, c
+           |      FROM (SELECT c, string_split(substr(sym, 2, length(sym)-2),
+           |        chr(1)||chr(1)) AS sy FROM $src))
+           |    GROUP BY pr ORDER BY cnt DESC, pr LIMIT $k))""".stripMargin
+      val picks = (1 to picksIn(r)).map { j =>
+        val disjoint = (1 until j).map { i =>
+          val p = pick(r, i)
+          s"""lhs <> (SELECT lhs FROM $p) AND lhs <> (SELECT rhs FROM $p)
+             |    AND rhs <> (SELECT lhs FROM $p) AND rhs <> (SELECT rhs FROM $p)""".stripMargin
+        }
+        val where =
+          if (disjoint.isEmpty) "" else disjoint.mkString("\n  WHERE ", "\n    AND ", "")
+        s"""${pick(r, j)} AS MATERIALIZED (
+           |  SELECT pr, cnt, lhs, rhs FROM cand$r$where
+           |  ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin
+      }
+      val merged = (1 to picksIn(r)).foldLeft("sym") { (acc, j) =>
+        val p = pick(r, j)
+        val pat = s"coalesce(chr(1)||(SELECT lhs FROM $p)||chr(1)||" +
+          s"chr(1)||(SELECT rhs FROM $p)||chr(1), chr(2))"
+        val rep = s"coalesce(chr(1)||(SELECT lhs FROM $p)||" +
+          s"(SELECT rhs FROM $p)||chr(1), '')"
+        s"replace($acc, $pat, $rep)"
+      }
+      // MATERIALIZED is load-bearing on enc/pick: each enc$r is referenced
+      // twice (cand$r+1 and enc$r+1) — inlined, the plan doubles per round
+      // (2^nRounds expansion; observed: 50 GB for 8 rounds at sf0.01)
+      val enc = s"""enc$r AS MATERIALIZED (SELECT c, $merged AS sym FROM $src)"""
+      cand +: picks :+ enc
+    }
+    val unions = (1 to nRounds).flatMap { r =>
+      (1 to picksIn(r)).map { j =>
+        s"SELECT $r AS r, $j AS k, lhs, rhs, cnt FROM ${pick(r, j)}"
+      }
+    }
+    s"""WITH $bpeHeader,
+       |${stages.mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY r, k) AS INTEGER) AS step,
+       |  lhs, rhs, cnt
+       |FROM (
+       |${unions.mkString("\nUNION ALL\n")}
+       |)
        |ORDER BY step""".stripMargin
   }
 
@@ -5281,6 +5365,7 @@ object ExtensionQueries {
         |ORDER BY t.doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracle(3),
+    "text_bpe_train_deep" -> bpeTrainBatchedOracle(64, 8),
 
     "text_bpe_encode" -> bpeApplyOracle(3),
 

@@ -244,6 +244,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrain(df, "text", nMerges = 5).count() === 0)
   }
 
+  test("bpeTrain batched: disjoint picks share a recount, overlaps defer") {
+    def merges(df: org.apache.spark.sql.DataFrame, n: Int, b: Int) =
+      TextAnalysis.bpeTrain(df, "text", nMerges = n, batch = b)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // (a,b)=2 and (c,d)=1 are symbol-disjoint: ONE round (one recount)
+    // merges both, counts both taken from the SAME recount
+    val dj = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    assert(merges(dj, 2, 2) === Seq((1, "a", "b", 2L), (2, "c", "d", 1L)))
+
+    // overlapping candidates: (a,b) shares 'a' with round-1 winner (a,a),
+    // so it must WAIT for round 2's recount (where merging aa has changed
+    // its count from 3 to... still 3 here) — and the round's unused cap
+    // is structural slack, not extra schedule: 2 rounds x cap 2 yield
+    // exactly the sequential trainer's 2-merge prefix
+    val ov = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val batched = merges(ov, 4, 2)
+    assert(batched === Seq((1, "a", "a", 4L), (2, "a", "b", 3L)))
+    assert(batched === merges(ov, 2, 1)) // == classic sequential prefix
+  }
+
   test("bpePairStats: adjacent in-token pairs, single-char tokens skipped") {
     val df = Seq((1L, "abc ab x"), (2L, "bc")).toDF("doc_id", "text")
     val got = TextAnalysis.bpePairStats(df, "text")
