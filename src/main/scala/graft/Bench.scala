@@ -83,22 +83,32 @@ object BenchScale {
 
 /** Third bench scale: the 100x flagship-dedup corpus (documents only).
   *
-  * Replica design keeps duplicate families BOUNDED so output stays
-  * linear in corpus size (a replica suffix shared across all copies
-  * would create reps-sized families and a quadratic pair explosion —
-  * not a corpus shape, a degenerate one): every (base doc, replica)
-  * gets a 3-token salt that is UNIQUE except for exactly two replicas
-  * per base doc (`(doc_id + rep) % reps < 2`), which share a family
-  * salt and are therefore exact twins. The 3-token salt also pushes the
-  * base table's natural exact-dup texts (8 at sf0.1) below the 0.9
-  * verify threshold across replicas, so expected pairs ~= base-doc
-  * count (+ the registry query's own planted +1000000 twins), at ANY
-  * reps. The LSH/banding work — the thing being measured — still
-  * scales with the full corpus.
+  * Replica design keeps near-dup structure BOUNDED so both the LSH
+  * CANDIDATE volume and the verified-pair output stay linear in corpus
+  * size at ANY replica count. A suffix salt can't do that: two replicas
+  * of the same base doc would still share almost every 3-gram shingle
+  * (Jaccard (T-2)/(T-2+2k) for k salt tokens), so they'd stay band
+  * candidates — and with reps=2000 each base doc becomes a ~4000-member
+  * candidate clique, ~8M verify pairs per base doc. Instead every
+  * SECOND word is tagged with a replica key: any 3 consecutive tokens
+  * contain a tagged one, so same-base replicas share ZERO 3-gram
+  * shingles (J ~= 0, band collisions only at random), while within a
+  * replica half the tokens keep the base corpus' word distribution.
+  * Duplicate structure that SHOULD be found is planted per base doc via
+  * `(doc_id + rep) % reps`: slot 0 and slot 1 share the family tag —
+  * slot 1 with one extra trailing token, so the pair verifies at
+  * J = (T-2)/(T-1) in (0.9, 1) for all but the shortest docs: a true
+  * NEAR dup, not just the
+  * registry query's own +1000000 EXACT twins. Expected verified pairs
+  * ~= corpus size (one twin pair per doc + the bounded fam cliques).
   */
 object BenchScale100 {
   def ensure(spark: SparkSession, sfDir: String, cpus: Int, reps: Int): String = {
-    val dir = s"target/bench_100x_${new java.io.File(sfDir).getName}_r$reps"
+    require(reps >= 2, s"reps must be >= 2 (got $reps)")
+    // v2: word-tagged replicas (suffix-salted v1 dirs are invalid — same-
+    // base replicas stayed band candidates and the pair count went
+    // quadratic in reps); the version bump orphans any cached v1 corpus
+    val dir = s"target/bench_100x_v2_${new java.io.File(sfDir).getName}_r$reps"
     val marker = new java.io.File(s"$dir/_READY")
     if (!marker.exists()) {
       val d = Tables(spark, sfDir).documents
@@ -106,14 +116,16 @@ object BenchScale100 {
       // twin shift (base doc_id < 1e6), so ids never collide
       val rep = spark.range(reps.toLong).select(col("id").as("rep"))
       val gid = col("rep") * 10000000L + col("doc_id")
-      val fam = (col("doc_id") + col("rep")) % reps < 2
+      val slot = (col("doc_id") + col("rep")) % reps
+      val tag = when(slot < 2, concat(lit("f"), col("doc_id")))
+        .otherwise(concat(lit("u"), gid))
+      val tagged = concat_ws(" ",
+        transform(split(col("text"), " "),
+          (w, i) => when(i % 2 === 1, concat(w, lit("#"), tag)).otherwise(w)))
       d.crossJoin(rep).select(
           gid.as("doc_id"),
-          concat(col("text"),
-            when(fam, concat(lit(" xf"), col("doc_id"),
-              lit(" yf"), col("doc_id"), lit(" zf"), col("doc_id")))
-            .otherwise(concat(lit(" xu"), gid,
-              lit(" yu"), gid, lit(" zu"), gid))).as("text"),
+          when(slot === 1, concat(tagged, lit(" zf"), col("doc_id")))
+            .otherwise(tagged).as("text"),
           col("lang"), col("source"), col("n_chars"))
         .repartition(cpus * 4)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
