@@ -103,12 +103,22 @@ object BenchScale {
   * ~= corpus size (one twin pair per doc + the bounded fam cliques).
   */
 object BenchScale100 {
-  def ensure(spark: SparkSession, sfDir: String, cpus: Int, reps: Int): String = {
+  /** `lowDup = true` generates the real-world-rate variant: only slot 0
+    * carries the family tag, so every tag is unique and NO near-dup
+    * pairs are planted — candidates arise only from random band
+    * collisions. This is the corpus where the verify-stage semi-join
+    * prune matters: shuffle bytes must track the (near-empty) candidate
+    * set, not the corpus (r13 What's-wrong 2's "1% vs 100%" case).
+    */
+  def ensure(spark: SparkSession, sfDir: String, cpus: Int, reps: Int,
+      lowDup: Boolean = false): String = {
     require(reps >= 2, s"reps must be >= 2 (got $reps)")
     // v2: word-tagged replicas (suffix-salted v1 dirs are invalid — same-
     // base replicas stayed band candidates and the pair count went
     // quadratic in reps); the version bump orphans any cached v1 corpus
-    val dir = s"target/bench_100x_v2_${new java.io.File(sfDir).getName}_r$reps"
+    val variant = if (lowDup) "_lowdup" else ""
+    val dir =
+      s"target/bench_100x_v2_${new java.io.File(sfDir).getName}_r$reps$variant"
     val marker = new java.io.File(s"$dir/_READY")
     if (!marker.exists()) {
       val d = Tables(spark, sfDir).documents
@@ -117,7 +127,8 @@ object BenchScale100 {
       val rep = spark.range(reps.toLong).select(col("id").as("rep"))
       val gid = col("rep") * 10000000L + col("doc_id")
       val slot = (col("doc_id") + col("rep")) % reps
-      val tag = when(slot < 2, concat(lit("f"), col("doc_id")))
+      val tagCut = if (lowDup) 1 else 2
+      val tag = when(slot < tagCut, concat(lit("f"), col("doc_id")))
         .otherwise(concat(lit("u"), gid))
       val tagged = concat_ws(" ",
         transform(split(col("text"), " "),
@@ -347,29 +358,65 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_100X", "1") == "0" ||
           only.nonEmpty) None
       else try {
-        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_100X_REPS", "100").toInt
+        // default reps=1000 (sf0.1 base -> 5M docs, 10M after the
+        // registry query's planted-twin union): the r12/r13 asks named
+        // the multi-million-doc mark for the flagship proof
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_100X_REPS", "1000").toInt
         val dir100 = BenchScale100.ensure(spark, sfDir, cpus.toInt, reps)
         val nDocs = spark.read.parquet(s"$dir100/documents.parquet").count()
+        // two fixed reps=100 comparison rows: `_r100` re-runs the
+        // registry query on r13's exact corpus (recorded 4.58 GB of
+        // verify-stage shuffle read before the semi-join prune), and
+        // `_lowdup_r100` runs the RAW operator (no planted-twin union —
+        // the union would make every doc a candidate again) on the
+        // no-planted-dups corpus, where pruned verify bytes must track
+        // the near-empty candidate set instead of the corpus
+        val dirR100 = BenchScale100.ensure(spark, sfDir, cpus.toInt, 100)
+        val dirLow =
+          BenchScale100.ensure(spark, sfDir, cpus.toInt, 100, lowDup = true)
+        def registry(name: String, dir: String) =
+          () => SparkEntry.queries(name)(spark, dir)
+        val rawLshLow = () => graft.operators.Dedup.nearDupPairsMinhash(
+          spark.read.parquet(s"$dirLow/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.9)
+        val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
+          "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
+          // second dedup family under the same telemetry (r13 task 6)
+          "dedup_simhash" -> registry("dedup_simhash", dir100),
+          "dedup_minhash_lsh_r100" -> registry("dedup_minhash_lsh", dirR100),
+          "dedup_minhash_lsh_lowdup_r100" -> rawLshLow)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
-        val rows = Seq("dedup_minhash_lsh", "dedup_cluster_minhash").flatMap {
-          name =>
-            lsnr.reset()
-            val la = loadAvg()
-            try {
-              val (sec, n) =
-                runOnce(() => SparkEntry.queries(name)(spark, dir100))
-              // listener bus drains async; a short settle keeps the
-              // telemetry attributable to this query
-              Thread.sleep(2000)
-              Some((name, sec, n, la, lsnr.snapshot))
-            } catch {
-              case e: Throwable =>
-                errors(s"100x:$name") =
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-                None
-            }
-        }
+        // partition sizing is part of the scale claim: 32 shuffle
+        // partitions fit the sf0.1 registry loop, but the 100x corpus
+        // shuffles 10-20 GB — over 32 partitions that is ~500 MB per
+        // task, OOM territory with all 32 cores resident (observed at
+        // reps=1000 in the default heap). cpus*16 keeps tasks at
+        // tens-of-MB; AQE coalesces lighter stages back down, so only
+        // the genuinely-big exchanges fan wide — the same
+        // shuffle.partitions-tracks-data-size rule a 1000-executor
+        // deployment applies
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          (cpus.toInt * 16).toString)
+        val rows = try jobs.flatMap { case (name, mk) =>
+          lsnr.reset()
+          val la = loadAvg()
+          try {
+            val (sec, n) = runOnce(mk)
+            // listener bus drains async; a short settle keeps the
+            // telemetry attributable to this query
+            Thread.sleep(2000)
+            Some((name, sec, n, la, lsnr.snapshot))
+          } catch {
+            case e: Throwable =>
+              errors(s"100x:$name") =
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              None
+          }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.sparkContext.removeSparkListener(lsnr)
         Some((reps, nDocs, rows))
       } catch {
@@ -382,7 +429,20 @@ object Bench {
     // ---- isolated ingest re-run: same measurement as the in-loop
     // headline but taken AFTER the full registry + scales have drained,
     // with its own load samples — the machine-readable twin of the
-    // BENCHNOTES "isolated re-run" prose (r12 What's-wrong #4)
+    // BENCHNOTES "isolated re-run" prose (r12 What's-wrong #4).
+    // GATED on 1-min load actually draining first (r13 What's-wrong 1:
+    // captured at load ~23 straight after the loops, the "isolated"
+    // field recorded a CONTENDED 0.94M rows/s — below the in-loop
+    // number). 1-min load decays with a ~1-min time constant once this
+    // JVM idles, so a bounded sleep-retry reaches the threshold fast
+    // when the contention was our own just-finished loop; if an
+    // EXTERNAL hog keeps the box busy past the wait cap, we measure
+    // anyway and the emitted wait_sec + load samples say so.
+    val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_ISO_LOAD", "10.0").toDouble
+    val isoWait0 = System.nanoTime()
+    while (loadAvg() > isoThreshold &&
+        (System.nanoTime() - isoWait0) / 1e9 < 600) Thread.sleep(15000)
+    val isoWaitSec = math.rint((System.nanoTime() - isoWait0) / 1e9)
     val ingestIso = ingestRun()
 
     def qjson(rs: Seq[(String, (Double, Long, Seq[Double], Seq[Double]))]): String = rs
@@ -425,6 +485,7 @@ object Bench {
       val loadJ = ingestIso._4.mkString("[", ",", "]")
       s""","ingest_isolated":{"sec":${ingestIso._2},"rows":${ingestIso._1},""" +
         s""""rows_per_sec":${(ingestIso._1 / ingestIso._2).toLong},""" +
+        s""""wait_sec":$isoWaitSec,"load_gate":$isoThreshold,""" +
         s""""runs":$runsJ,"load":$loadJ}"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson$scale100Json$isoJson,"errors":$errJson}"""

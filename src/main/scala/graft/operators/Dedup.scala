@@ -257,6 +257,12 @@ object Dedup {
     * Scale shape: the only wide exchanges are (band, bandHash) self-join
     * buckets and the final distinct — never an all-pairs product. Skewed
     * buckets (boilerplate docs) are bounded by AQE skew-join handling.
+    * The verify stage semi-join-prunes the (text-sized) shingle table to
+    * the distinct CANDIDATE ids before rejoining it, so the exchange
+    * carries candidates' shingles, not the corpus' — at a real-world
+    * ~1% dup rate that is the difference between shuffling 1% and 100%
+    * of the data (the streaming twin's state pruning, applied to the
+    * batch path).
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
@@ -279,7 +285,14 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
 
+    // prune BEFORE the shingle rejoin: only ids that appear in some
+    // candidate pair need their shingles moved. AQE sizes the semi-join
+    // at runtime — a low-dup corpus broadcasts the candidate-id set and
+    // the shingle table never shuffles at all
+    val candIds = candidates
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
     val sh = shingled.select(col("id"), col("shingles"))
+      .join(candIds, Seq("id"), "left_semi")
     candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))

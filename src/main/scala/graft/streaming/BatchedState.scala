@@ -176,12 +176,28 @@ final class BatchedState(spark: SparkSession, dir: String,
   def maxBatchId: Option[Long] =
     (deltaIds ++ snapshotId).sorted.lastOption
 
+  /** Cluster rows by the partition columns before a partitioned write:
+    * without it every writing TASK opens a file in every partition-value
+    * dir it sees — tasks x buckets files per write (measured: the
+    * dominant phase of the 10x replay bench was compaction walking/
+    * writing thousands of KB-sized files, 32 tasks x 32 buckets x 2
+    * states). Clustered, each bucket value lands in exactly one task ->
+    * ONE file per bucket per write; the extra exchange moves only the
+    * (batch- or state-sized) rows being written. At cluster scale this
+    * is the difference between a state dir of O(buckets) files and one
+    * of O(tasks x buckets) — file-listing cost dominates small-state
+    * reads long before byte cost does.
+    */
+  private def clustered(df: DataFrame): DataFrame =
+    if (partitionCols.isEmpty) df
+    else df.repartition(partitionCols.map(col): _*)
+
   /** Write one micro-batch's state rows. OVERWRITES `dir/batch=<id>`,
     * so a replayed batch replaces its own previous attempt.
     */
   def append(df: DataFrame, batchId: Long): Unit = {
     ensureLease()
-    val w = df.write.mode("overwrite")
+    val w = clustered(df).write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/batch=$batchId")
   }
@@ -333,7 +349,7 @@ final class BatchedState(spark: SparkSession, dir: String,
     val staged = new Path(s"$dir/.staged-snap-$bound")
     val target = new Path(s"$dir/snap=$bound")
     val trash = new Path(s"$dir/.trash-snap-$bound")
-    val w = snapshot.write.mode("overwrite")
+    val w = clustered(snapshot).write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staged.toString)
     if (fs.exists(target)) {

@@ -101,6 +101,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    // the verify stage must semi-join-prune the text-sized shingle table
+    // to candidate ids BEFORE rejoining it — shuffle bytes track the
+    // candidate set, not the corpus (r13 What's-wrong 2)
+    assert(p.contains("LeftSemi"),
+      s"verify stage lost its candidate-id semi-join prune:\n$p")
   }
 
   test("phash image dedup joins banded fingerprints, never payloads or products") {
