@@ -169,8 +169,14 @@ object GraftExtensions {
         // Mirror quantileHistogram's input guard: float input truncates
         // toward zero in Spark but rounds half-up in DuckDB, so a DOUBLE
         // through this surface would silently drift from any oracle —
-        // reject it loudly here too.
-        if (args.head.resolved) args.head.dataType match {
+        // reject it loudly here too. ResolveFunctions only invokes a
+        // builder once the children are resolved; if that ever changes,
+        // fail LOUDLY rather than skipping the guard (a skipped check is
+        // exactly the silent truncate-vs-round drift it exists to stop).
+        if (!args.head.resolved) throw new IllegalStateException(
+          "graft_quantile_sketch: input type guard needs a resolved child " +
+            "(analyzer invoked the function builder early)")
+        args.head.dataType match {
           case d: org.apache.spark.sql.types.DecimalType =>
             val pow = math.pow(10, d.scale).toLong
             if (scale <= 0 || scale % pow != 0) throw new IllegalArgumentException(

@@ -1109,16 +1109,20 @@ object TextAnalysis {
       .localCheckpoint()
     // batched merge selection (the scale knob): per driver ROUND, recount
     // pairs ONCE, collect the top `candidates` rows, greedily pick up to
-    // `batch` pairwise symbol-DISJOINT pairs in (cnt desc, pr) order, and
-    // apply them in pick order. Disjoint pairs cannot create or destroy
-    // each other's occurrences, so each pick is still the argmax of the
-    // remaining candidates at its turn; what batching gives up is only
-    // that a pair CREATED mid-round (x+ab after merging a+b) cannot win
-    // until the next round's recount — the standard BPE-training
-    // trade-off. A 32k-merge vocab costs ~32k/batch driver rounds (and
-    // pair-recount shuffles) instead of 32k. batch=1 (with a 1-row
-    // candidate list) IS classic sequential BPE, bit-identical to the
-    // unbatched implementation; the DuckDB oracle replays the identical
+    // `batch` DISJOINT pairs in (cnt desc, pr) order, and apply them in
+    // pick order. Disjointness excludes a later candidate whose lhs/rhs
+    // equals an earlier pick's lhs, rhs, OR concatenation a+b: without
+    // the concat exclusion, a candidate (z, 'xy') after a pick (x, y)
+    // would merge occurrences of 'xy' the earlier replace just CREATED —
+    // counts not present in this round's recount. With it, no pick can
+    // create or destroy another's occurrences, so each pick is the true
+    // argmax of the remaining candidates at its turn; what batching
+    // gives up is only that a pair CREATED mid-round cannot win until
+    // the next round's recount — the standard BPE-training trade-off.
+    // A 32k-merge vocab costs ~32k/batch driver rounds (and pair-recount
+    // shuffles) instead of 32k. batch=1 (with a 1-row candidate list) IS
+    // classic sequential BPE, bit-identical to the unbatched
+    // implementation; the DuckDB oracle replays the identical
     // round/candidate-cap/greedy-disjoint spec.
     val candidates = if (batch == 1) 1 else batch * 8
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -1155,7 +1159,7 @@ object TextAnalysis {
           (a, b, r.getLong(1))
         }.filter { case (a, b, _) =>
           val ok = !used(a) && !used(b)
-          if (ok) { used += a; used += b }
+          if (ok) { used += a; used += b; used += a + b }
           ok
         }.take(roundCap).toSeq
         picked.foreach { case (a, b, cnt) =>

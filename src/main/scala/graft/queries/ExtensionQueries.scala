@@ -305,14 +305,37 @@ object ExtensionQueries {
           .as("text"))
       val stateDir =
         scratchDir("stream_replay", dir)
+      // opt-in phase decomposition (SPARK_GRAFT_REPLAY_TIMING=1): the
+      // replay's wall at 10x is dominated by SOMETHING — per-phase wall
+      // + on-disk state size after each phase names it (admit() is
+      // eager via localCheckpoint, so each phase's work lands inside
+      // its own window; the final write only unions pinned results)
+      val timing = sys.env.contains("SPARK_GRAFT_REPLAY_TIMING")
+      def phase[A](label: String)(f: => A): A =
+        if (!timing) f else {
+          val t0 = System.nanoTime(); val r = f
+          val stateB = try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(stateDir)
+            if (!java.nio.file.Files.exists(p)) 0L
+            else java.nio.file.Files.walk(p).iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          } catch { case _: Throwable => -1L }
+          System.err.println(
+            f"[replay] $label%-8s ${(System.nanoTime() - t0) / 1e9}%7.1f s" +
+              f"  state=${stateB / 1024}%d KiB")
+          r
+        }
       val sd = new graft.streaming.StreamingDedup(s, stateDir,
         "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.5)
-      sd.seed(base)
+      phase("seed")(sd.seed(base))
       val pairs = (0 until 3).map { k =>
-        val p = sd.admit(batchDf(k), k.toLong).withColumn("batch", lit(k))
+        val p = phase(s"admit$k")(
+          sd.admit(batchDf(k), k.toLong)).withColumn("batch", lit(k))
         // fold seed + batch 0 into one snapshot mid-replay: batches 1-2
         // must see identical state through the compaction
-        if (k == 0) sd.compact(upTo = 0L)
+        if (k == 0) phase("compact")(sd.compact(upTo = 0L))
         p
       }.reduce(_ unionByName _)
       pairs.select(col("batch"), col("ref_id"), col("new_id"),
@@ -3587,9 +3610,10 @@ object ExtensionQueries {
     * .bpeTrain]]'s BATCHED selection. Per round: one pair recount
     * (materialized, LIMIT batch*8 candidates by cnt desc / pr), then
     * `batch` pick CTEs — pick k is the argmax among candidates whose two
-    * symbols are DISJOINT from every earlier pick of the round (an empty
-    * pick NULL-poisons the comparisons of all later picks, which is
-    * exactly greedy exhaustion) — then ONE merge stage applying the
+    * symbols are DISJOINT from every earlier pick of the round (its lhs,
+    * rhs, AND concatenation lhs||rhs; an empty pick NULL-poisons the
+    * comparisons of all later picks, which is exactly greedy
+    * exhaustion) — then ONE merge stage applying the
     * picks' replaces in pick order (empty picks coalesce to a chr(2)
     * no-op pattern). Steps renumber by (round, pick) at the end.
     */
@@ -3614,8 +3638,14 @@ object ExtensionQueries {
       val picks = (1 to picksIn(r)).map { j =>
         val disjoint = (1 until j).map { i =>
           val p = pick(r, i)
+          // third exclusion term (lhs||rhs): a candidate whose symbol
+          // equals an earlier pick's CONCATENATION would merge
+          // occurrences that pick's replace just created — counts not
+          // in this round's recount (mirrors bpeTrain's used += a+b)
           s"""lhs <> (SELECT lhs FROM $p) AND lhs <> (SELECT rhs FROM $p)
-             |    AND rhs <> (SELECT lhs FROM $p) AND rhs <> (SELECT rhs FROM $p)""".stripMargin
+             |    AND rhs <> (SELECT lhs FROM $p) AND rhs <> (SELECT rhs FROM $p)
+             |    AND lhs <> (SELECT lhs||rhs FROM $p)
+             |    AND rhs <> (SELECT lhs||rhs FROM $p)""".stripMargin
         }
         val where =
           if (disjoint.isEmpty) "" else disjoint.mkString("\n  WHERE ", "\n    AND ", "")

@@ -675,10 +675,15 @@ object ParityQueries {
       // sketch the view slice ONCE (global agg -> 1 sketch row), then
       // broadcast that single row to every type — sketching it per type
       // via a pre-sketch crossJoin would scan and shuffle the same set
-      // |types| times for identical sketches
+      // |types| times for identical sketches. The size(ks)>0 filter
+      // preserves the pre-r13 inner-join degenerate-input semantics: a
+      // corpus with NO 'view' events yields zero output rows (the
+      // global agg's one empty-sketch row is dropped), not |types| rows
+      // of estimates against an empty sketch
       val viewSketch = ApproxAgg.kmvSketch(
         e.filter(col("event_type") === "view").select(col("ud")),
         Seq.empty, col("ud"), k = 64)
+        .filter(size(col("ks")) > 0)
       val b = types.crossJoin(broadcast(viewSketch))
       ApproxAgg.kmvSetOps(a, b, Seq("event_type"), k = 64)
         .orderBy(col("event_type"))

@@ -34,6 +34,15 @@ class RegistryCanarySpec extends AnyFunSuite {
     val lostOracle = fixture.keySet -- os
     assert(lostQuery.isEmpty, s"queries dropped from registry: $lostQuery")
     assert(lostOracle.isEmpty, s"queries that LOST their oracle: $lostOracle")
+    // the converse gate: a NEWLY added registry query with no fixture
+    // entry must red the suite in the SAME commit (regen the snapshot
+    // with graft.tools.SnapshotRegistry) — without this, an
+    // oracle-less or drifting new query sails through sbt test and is
+    // only caught by the driver's gate a round late
+    val unsnapshotted = qs -- fixture.keySet
+    assert(unsnapshotted.isEmpty,
+      s"registry queries missing from registry_green.json (regen the " +
+        s"snapshot): $unsnapshotted")
     assert(fixture.size >= 193, s"fixture truncated: ${fixture.size} entries")
   }
 
