@@ -349,11 +349,20 @@ object Dedup {
 
   /** The cross-corpus core of [[nearDupsAgainstMinhash]], over
     * already-prepared sides (fresh from [[prepMinhash]] or loaded from
-    * persisted state). Strictly (reference, fresh) pairs.
+    * persisted state). Strictly (reference, fresh) pairs. The reference
+    * shingle table (corpus-sized) is semi-join-pruned to the candidates'
+    * ref ids before the verify join — admission cost tracks the
+    * candidate set, not the standing corpus (same shape as
+    * [[nearDupPairsMinhash]]'s verify prune and [[graft.streaming
+    * .StreamingDedup]]'s bucket pruning).
     */
   def nearDupsPrepared(shRef: DataFrame, bRef: DataFrame,
-      shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard(bandCandidates(bRef, bNew), shRef, shNew, threshold)
+      shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame = {
+    val candidates = bandCandidates(bRef, bNew)
+    val refIds = candidates.select(col("ref_id").as("id")).distinct()
+    verifyJaccard(candidates,
+      shRef.join(refIds, Seq("id"), "left_semi"), shNew, threshold)
+  }
 
   /** Stage 1 of [[nearDupsPrepared]]: distinct (ref_id, new_id)
     * candidate pairs from the banded equi-join. Broken out so a standing

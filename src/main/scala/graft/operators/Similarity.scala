@@ -531,9 +531,15 @@ object Similarity {
         col("l.ks"), col("r.ks"), col("l.band")))
       .select(col("l.id").as("a"), col("r.id").as("b"))
 
+    // verify-stage prune (same shape as the minhash path): only vectors
+    // appearing in some candidate pair rejoin — at a low dup rate the
+    // corpus-sized vector table never reaches the verify exchange
+    val candIds = candidates
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    val vp = vecs.join(candIds, Seq("id"), "left_semi")
     candidates
-      .join(vecs.as("va"), col("a") === col("va.id"))
-      .join(vecs.as("vb"), col("b") === col("vb.id"))
+      .join(vp.as("va"), col("a") === col("va.id"))
+      .join(vp.as("vb"), col("b") === col("vb.id"))
       .select(col("a"), col("b"),
         cosine(col("va.v"), col("vb.v")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -618,8 +624,14 @@ object Similarity {
     * (reference, fresh) pairs.
     */
   def nearDupsPreparedEmbedding(vRef: DataFrame, kRef: DataFrame,
-      vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame =
-    verifyCosine(bandCandidatesEmbedding(kRef, kNew), vRef, vNew, threshold)
+      vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame = {
+    val candidates = bandCandidatesEmbedding(kRef, kNew)
+    // corpus-sized reference vectors shrink to candidate ref ids before
+    // the verify join — admission cost tracks candidates, not corpus
+    val refIds = candidates.select(col("ref_id").as("id")).distinct()
+    verifyCosine(candidates,
+      vRef.join(refIds, Seq("id"), "left_semi"), vNew, threshold)
+  }
 
   /** Stage 1 of [[nearDupsPreparedEmbedding]]: (ref_id, new_id)
     * candidates from the RHP band equi-join, first-matching-band

@@ -108,6 +108,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"verify stage lost its candidate-id semi-join prune:\n$p")
   }
 
+  test("incremental minhash admission semi-join-prunes the reference shingles") {
+    val t = Tables(spark, sf)
+    val d = t.documents
+    val fresh = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val p = plan(graft.operators.Dedup.nearDupsAgainstMinhash(
+      d, fresh, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized reference shingle table must shrink to candidate
+    // ref ids before the verify join — admission cost tracks candidates
+    assert(p.contains("LeftSemi"),
+      s"reference shingles lost their candidate-id semi-join prune:\n$p")
+  }
+
   test("phash image dedup joins banded fingerprints, never payloads or products") {
     import spark.implicits._
     val ids = (1L to 20L).toDF("asset_id")
@@ -148,6 +161,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // candidates come from a real equi-join on the (band, key) bucket
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    // verify stage prunes the vector table to candidate ids (same rule
+    // as the minhash paths: verify bytes track candidates, not corpus)
+    assert(p.contains("LeftSemi"),
+      s"vector table lost its candidate-id semi-join prune:\n$p")
+    val pIncr = plan(graft.operators.Similarity.nearDupsAgainstEmbedding(
+      e, e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+      threshold = 0.75, dims = 64))
+    assert(pIncr.contains("LeftSemi"),
+      s"incremental embedding admission lost its reference prune:\n$pIncr")
   }
 
   test("decontamination plans as a broadcast semi join against the benchmark") {
