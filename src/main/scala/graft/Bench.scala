@@ -144,6 +144,41 @@ object BenchScale100 {
     }
     dir
   }
+
+  /** 100x embeddings corpus: every replica is the base unit vector
+    * shifted by a STRONG deterministic pseudo-random direction keyed by
+    * its global id (components in [-3, 3] per dim, so the shift
+    * dominates the unit base) — all replicas are mutually low-cosine
+    * and candidate volume stays linear at any replica count, the
+    * embedding twin of the word-tag design above (a small +eps*i
+    * perturbation can't do that: replicas of one base would stay
+    * band-colliding near-dups and the pair count would go quadratic in
+    * reps). Near-dup structure comes from the QUERY side (perturbed
+    * twins of the whole corpus), mirroring the registry query's shape.
+    */
+  def ensureEmbeddings(spark: SparkSession, sfDir: String, cpus: Int,
+      reps: Int): String = {
+    require(reps >= 2, s"reps must be >= 2 (got $reps)")
+    val dir =
+      s"target/bench_100x_emb_${new java.io.File(sfDir).getName}_r$reps"
+    val marker = new java.io.File(s"$dir/_READY")
+    if (!marker.exists()) {
+      val e = Tables(spark, sfDir).embeddings
+      val rep = spark.range(reps.toLong).select(col("id").as("rep"))
+      val gid = col("rep") * 10000000L + col("vec_id")
+      e.crossJoin(rep).select(
+          gid.as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              (pmod(xxhash64(gid, i), lit(2001)) - lit(1000))
+                .cast("double") / 1000.0 * 3.0).as("embedding"),
+          col("label"))
+        .repartition(cpus * 4)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      marker.createNewFile()
+    }
+    dir
+  }
 }
 
 /** Aggregated shuffle/spill telemetry for the 100x section: total
@@ -380,11 +415,31 @@ object Bench {
           spark.read.parquet(s"$dirLow/documents.parquet")
             .select(col("doc_id"), col("text")),
           "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.9)
+        // embedding family: the registry query's shape (corpus vs its
+        // +0.05-perturbed twins through the RHP-banded incremental
+        // path) at reps x the base vectors — with bandBits 16 -> 32,
+        // because band WIDTH is the embedding-LSH scale lever: 16-bit
+        // keys give 65536 buckets/band, so millions of vectors pile
+        // ~|corpus|/65536 per bucket and candidates go quadratic;
+        // 32-bit bands keep buckets sparse (same rule as "nCells grows
+        // with corpus" for IVF). 384/32 = 12 bands holds twin recall
+        // ~1 at the twins' cos >= 0.999
+        val dirEmb = BenchScale100.ensureEmbeddings(spark, sfDir, cpus.toInt, reps)
+        val rawEmbIncr = () => {
+          val ref = spark.read.parquet(s"$dirEmb/embeddings.parquet")
+          val fresh = ref.select(
+            (col("vec_id") + 20000000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+          graft.operators.Similarity.nearDupsAgainstEmbedding(ref, fresh,
+            threshold = 0.75, dims = 64, nBits = 384, bandBits = 32)
+        }
         val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
           "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
-          // second dedup family under the same telemetry (r13 task 6)
+          // second + third dedup families under the same telemetry
+          // (r13 task 6 named simhash or embedding/RHP — run both)
           "dedup_simhash" -> registry("dedup_simhash", dir100),
+          "dedup_embedding_lsh_b32" -> rawEmbIncr,
           "dedup_minhash_lsh_r100" -> registry("dedup_minhash_lsh", dirR100),
           "dedup_minhash_lsh_lowdup_r100" -> rawLshLow)
         val lsnr = new ShuffleStatListener
