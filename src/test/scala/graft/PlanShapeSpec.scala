@@ -462,6 +462,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram hashing should sit on the scan:\n$p")
     assert(!"Exchange [^\n]*text#".r.findFirstIn(p).isDefined,
       s"document text must never shuffle:\n$p")
+    // NOTE the text DOES travel into the verify re-extraction joins
+    // (as __ta/__tb) by design — a candidate-id semi-join prune was
+    // measured WORSE here (it forks the witness self-join, the actual
+    // corpus-sized payload; see verifiedPairs' scaladoc)
     assert(!p.contains("Window"), s"no window:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
