@@ -301,6 +301,58 @@ object Similarity {
         val v = r.getSeq[Double](1).toArray
         (r.getInt(0), v, math.sqrt(v.map(x => x * x).sum))
       }.sortBy(_._1).toIndexedSeq)
+
+    /** Persist the FULL inverted index: the centroids plus the corpus
+      * assigned to cells, PARTITIONED by cell (clustered first — one
+      * data file per cell, the BatchedState write rule). This is the
+      * standing-index scale path: [[Similarity.ivfTopKFromIndex]]
+      * answers a query batch by reading ONLY the probed cells'
+      * partitions, so per-batch scan cost is ~nprobe/nCells of the
+      * corpus — the live [[Similarity.ivfTopKWithIndex]] path instead
+      * re-runs the nCells-wide cell assignment over every corpus
+      * vector per batch (measured at 2M vectors: assignment dominates
+      * and query wall is flat in nprobe).
+      */
+    def saveAssigned(corpus: DataFrame, c: Centroids, dir: String,
+        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      save(c, corpus.sparkSession, s"$dir/centroids")
+      corpus
+        .select(col(idCol).as("nn_id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
+        .withColumn("cell", c.assignCell(col("nn_vec")))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+    }
+  }
+
+  /** Top-k over a [[IvfIndex.saveAssigned]] index: load the centroids,
+    * rank each query's `nprobe` cells, and scan ONLY those cells'
+    * partitions (static isin partition pruning — the probed-cell set is
+    * a bounded driver collect of ≤ min(nCells, |queries|·nprobe) ints).
+    * Identical results to [[ivfTopKWithIndex]] on the same centroids;
+    * the difference is purely physical: no per-batch corpus assignment,
+    * no full-corpus scan.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = IvfIndex.load(spark, s"$indexDir/centroids")
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(cent.probeCells(col("q_vec"), nprobe)).as("cell"))
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
+    val scored = cells.join(broadcast(q),
+        cells("cell") === q("cell") && col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF top-k: assign each corpus vector to its nearest centroid (one

@@ -575,6 +575,24 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- the persisted-inverted-list twin: the corpus is written out
+    //     assigned + partitioned by cell, and the query batch scans
+    //     ONLY its probed cells' partitions (static isin partition
+    //     prune) — no per-batch corpus re-assignment. Same centroids,
+    //     same results as sim_topk_ivf; different physics -------------
+    "sim_topk_ivf_persisted" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val idxDir = scratchDir("ivf_inv_index", dir)
+      Similarity.IvfIndex.saveAssigned(e,
+        Similarity.trainCentroids(e, nCells = 16), idxDir)
+      Similarity.ivfTopKFromIndex(s, idxDir, e.filter(col("vec_id") < 20),
+          k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "sim_topk_pq_indexed" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
@@ -4898,8 +4916,12 @@ object ExtensionQueries {
     "sim_topk_pq" -> pqOracle,
 
     // the indexed twins answer from the SAVED + RELOADED index; training
-    // is deterministic, so the oracle recomputation is the same SQL
+    // is deterministic, so the oracle recomputation is the same SQL —
+    // and the persisted-inverted-list twin reads identical rows from
+    // the cell-partitioned files, so it shares it too
     "sim_topk_ivf_indexed" -> ivfOracle,
+
+    "sim_topk_ivf_persisted" -> ivfOracle,
 
     "sim_topk_pq_indexed" -> pqOracle,
 

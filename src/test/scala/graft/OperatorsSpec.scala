@@ -439,6 +439,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(loaded).nonEmpty)
   }
 
+  test("IvfIndex.saveAssigned: partition-pruned query path answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inv").toString
+    val trained = Similarity.trainCentroids(embs, nCells = 8)
+    Similarity.IvfIndex.saveAssigned(embs, trained, dir)
+    val queries = embs.limit(5)
+    val live = Similarity.ivfTopKWithIndex(embs, queries, k = 10, trained,
+        nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val persisted = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 10,
+        nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(persisted === live)
+    assert(persisted.nonEmpty)
+    // clustered write: exactly one data file per cell partition
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName} has $n data files — write not clustered")
+    }
+  }
+
   test("StreamingDedup: a replayed batch emits exactly the clean run's pairs") {
     import graft.streaming.StreamingDedup
     val stateDir = java.nio.file.Files.createTempDirectory("sd_rp").toString

@@ -214,6 +214,23 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("persisted ivf index: the query scan partition-prunes to probed cells") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    Similarity.IvfIndex.saveAssigned(e, Similarity.trainCentroids(e, 8), dir)
+    val f = formatted(Similarity.ivfTopKFromIndex(spark, dir,
+      e.filter(col("vec_id") < 5), k = 5, nprobe = 2))
+    // the probed-cell isin lands as a STATIC partition filter on the
+    // cells scan — per-batch read cost is ~nprobe/nCells of the corpus,
+    // and no corpus-wide assignCell projection runs at query time
+    val scan = f.linesIterator.filter(_.contains("PartitionFilters:"))
+      .mkString("\n")
+    assert(scan.contains("cell#") && scan.contains(" IN ("),
+      s"probed-cell partition prune missing from the cells scan:\n$f")
+  }
+
   test("dynamic-schema path parses each message exactly once") {
     import graft.dynamic.SchemaEvolution
     import graft.functions.ChGetters
