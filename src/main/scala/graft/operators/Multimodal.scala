@@ -304,6 +304,16 @@ object Multimodal {
     * probes each band's 1-bit ball for exact 4..7-bit recall
     * ([[bandCols]]). The only exchange is the (band, key) equi-join over
     * narrow (id, hash) rows; payloads and luma maps never reach it.
+    *
+    * Scale note (measured at 1M assets): PAIR output is inherently
+    * quadratic in identical-fingerprint clique size — m assets sharing
+    * one dhash (blank pages, boilerplate thumbnails) are all true
+    * near-dups and emit m(m-1)/2 pairs; that output IS the work, not a
+    * banding defect. For dedup at corpus scale, collapse identical
+    * hashes first (groupBy(dhash) -> one representative + clique size,
+    * a key-sized exchange) and band over the representatives: a 1M-
+    * asset corpus that degenerates to ~500 cliques near-dups in ~1 s
+    * that way, where raw pairs would emit billions of rows.
     */
   def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false): DataFrame =
