@@ -330,10 +330,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val books = Similarity.trainPq(e, m = 8, k = 16)
     val p = plan(Similarity.pqTopKWithBooks(e, e.filter(col("vec_id") < 20), 5, books))
-    // the ADC stage joins codes x broadcast(luts): broadcast on the
-    // query side only, never a shuffle of the corpus for scoring
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"query side not broadcast:\n$p")
+    // the ADC stage is a JOINLESS codegen'd generate: per-query lookup
+    // tables ride as array literals over the code scan. A broadcast
+    // nested-loop join here is excluded from whole-stage codegen and
+    // was measured 37x slower at 2M vectors
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring must not nested-loop join (non-codegen):\n$p")
+    assert(p.contains("Generate explode"),
+      s"ADC scoring should explode literal per-query scores:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
     assert(!p.contains("Window"), s"top-k must be the bounded aggregate:\n$p")
   }
