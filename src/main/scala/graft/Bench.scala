@@ -145,6 +145,34 @@ object BenchScale100 {
     dir
   }
 
+  /** 100x events corpus: the base events replicated with SHIFTED user
+    * ids (each replica is a fresh user population — per-user event
+    * counts stay at the base density, so the corpus scales users, not
+    * per-user history; a same-user replication would instead grow every
+    * user's event list linearly in reps and conflate "more users" with
+    * "hotter users"). Feeds the event-analytics / time-series 100x rows.
+    */
+  def ensureEvents(spark: SparkSession, sfDir: String, cpus: Int,
+      reps: Int): String = {
+    require(reps >= 2, s"reps must be >= 2 (got $reps)")
+    val dir =
+      s"target/bench_100x_ev_${new java.io.File(sfDir).getName}_r$reps"
+    val marker = new java.io.File(s"$dir/_READY")
+    if (!marker.exists()) {
+      val ev = Tables(spark, sfDir).events
+      val rep = spark.range(reps.toLong).select(col("id").as("rep"))
+      ev.crossJoin(rep).select(
+          (col("rep") * 100000000L + col("event_id")).as("event_id"),
+          col("ts"),
+          (col("rep") * 10000000L + col("user_id")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(cpus * 4)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      marker.createNewFile()
+    }
+    dir
+  }
+
   /** 100x embeddings corpus: every replica is the base unit vector
     * shifted by a STRONG deterministic pseudo-random direction keyed by
     * its global id (components in [-3, 3] per dim, so the shift
@@ -425,14 +453,52 @@ object Bench {
         // with corpus" for IVF). 384/32 = 12 bands holds twin recall
         // ~1 at the twins' cos >= 0.999
         val dirEmb = BenchScale100.ensureEmbeddings(spark, sfDir, cpus.toInt, reps)
+        // band width derived from corpus size by the rule, not hand-
+        // picked: bandBitsFor reproduces r14's measured choice (32 bits
+        // at 2M vectors) and scales it with reps
+        val nEmb = spark.read.parquet(s"$dirEmb/embeddings.parquet").count()
+        val embBandBits = graft.operators.Similarity.bandBitsFor(2 * nEmb)
         val rawEmbIncr = () => {
           val ref = spark.read.parquet(s"$dirEmb/embeddings.parquet")
           val fresh = ref.select(
             (col("vec_id") + 20000000000L).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
           graft.operators.Similarity.nearDupsAgainstEmbedding(ref, fresh,
-            threshold = 0.75, dims = 64, nBits = 384, bandBits = 32)
+            threshold = 0.75, dims = 64, nBits = 384, bandBits = embBandBits)
         }
+        // 100x events (10M at the driver's sf0.1 base): the r14 session
+        // probes promoted to artifact rows, so family regressions are
+        // caught by artifact diff. Fixed reps=100 = the probed 10M mark.
+        val dirEv = BenchScale100.ensureEvents(spark, sfDir, cpus.toInt, 100)
+        val rawFunnel = () => graft.operators.EventAnalytics.windowFunnel(
+          spark.read.parquet(s"$dirEv/events.parquet"),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 14400)
+        val rawTsChain = () => {
+          val ev = spark.read.parquet(s"$dirEv/events.parquet")
+          val rs = graft.operators.TimeSeries.resample(
+            ev, Seq("user_id"), "ts", 3600, col("value"))
+          val lo = graft.operators.TimeSeries.locf(rs, Seq("user_id"), "b", "v0")
+          graft.operators.TimeSeries.movingAvg(lo, Seq("user_id"), "b", "v0", 6)
+        }
+        // PageRank over 5 hash-derived out-edges per doc (the r14 probe
+        // recipe: ~2 nodes per doc, linear in edges, no hot node)
+        val rawPageRank = () => {
+          val docs = spark.read.parquet(s"$dir100/documents.parquet")
+            .select(col("doc_id"))
+          val edges = docs.select(col("doc_id").as("src"),
+            explode(array((0 until 5).map(i =>
+              pmod(xxhash64(col("doc_id"), lit(i)),
+                lit(nDocs * 2))): _*)).as("dst"))
+          graft.operators.Graph.pageRank(edges)
+        }
+        // the r14 disk-filling corpus through the DEFAULT operator path:
+        // 1M assets degenerating to 494 identical-fingerprint cliques —
+        // collapse-first must answer in seconds with ~zero pair output
+        val rawMmClique = () => graft.operators.Multimodal.imageNearDups(
+          spark.range(1000000L).select(col("id").as("asset_id"),
+            xxhash64(pmod(col("id"), lit(494))).as("dhash")),
+          maxHamming = 3)
         val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
           "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
@@ -441,7 +507,11 @@ object Bench {
           "dedup_simhash" -> registry("dedup_simhash", dir100),
           "dedup_embedding_lsh_b32" -> rawEmbIncr,
           "dedup_minhash_lsh_r100" -> registry("dedup_minhash_lsh", dirR100),
-          "dedup_minhash_lsh_lowdup_r100" -> rawLshLow)
+          "dedup_minhash_lsh_lowdup_r100" -> rawLshLow,
+          "graph_pagerank" -> rawPageRank,
+          "events_funnel" -> rawFunnel,
+          "timeseries_chain" -> rawTsChain,
+          "mm_phash_clique_1m" -> rawMmClique)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
         // partition sizing is part of the scale claim: 32 shuffle

@@ -166,33 +166,17 @@ object GraftExtensions {
           else 100
         // pre-scale exactly like quantileHistogram: multiply THEN cast,
         // so decimal inputs stay exact and bucket ids are bit-identical.
-        // Mirror quantileHistogram's input guard: float input truncates
-        // toward zero in Spark but rounds half-up in DuckDB, so a DOUBLE
-        // through this surface would silently drift from any oracle —
-        // reject it loudly here too. ResolveFunctions only invokes a
-        // builder once the children are resolved; if that ever changes,
-        // fail LOUDLY rather than skipping the guard (a skipped check is
-        // exactly the silent truncate-vs-round drift it exists to stop).
-        if (!args.head.resolved) throw new IllegalStateException(
-          "graft_quantile_sketch: input type guard needs a resolved child " +
-            "(analyzer invoked the function builder early)")
-        args.head.dataType match {
-          case d: org.apache.spark.sql.types.DecimalType =>
-            val pow = math.pow(10, d.scale).toLong
-            if (scale <= 0 || scale % pow != 0) throw new IllegalArgumentException(
-              s"graft_quantile_sketch scale=$scale cannot exactly represent " +
-                s"DECIMAL(${d.precision},${d.scale}) input: scale must be a " +
-                s"multiple of 10^${d.scale}")
-          case org.apache.spark.sql.types.ByteType
-             | org.apache.spark.sql.types.ShortType
-             | org.apache.spark.sql.types.IntegerType
-             | org.apache.spark.sql.types.LongType => ()
-          case other => throw new IllegalArgumentException(
-            s"graft_quantile_sketch needs DECIMAL or integer input for exact " +
-              s"scaling (got $other): cast to DECIMAL first")
-        }
+        // The DECIMAL/integer input guard (float truncate-vs-round drift,
+        // scale-divisibility) lives in QuantileSketchInputGuard's
+        // checkInputDataTypes, NOT here: the analyzer may invoke this
+        // builder before the child resolves (nested views, lateral
+        // aliases, subqueries), and a builder-time dataType check would
+        // either fail a plan that resolves next fixpoint iteration or
+        // silently skip — the resolution-time check is loud on bad input
+        // and deferred (never skipped) on early invocation.
         udafExpr(new graft.functions.Aggregates.QuantileSketchAgg(num, den, scale),
-          Seq((c(args.head) * scale).cast("long")))
+          Seq((c(graft.functions.QuantileSketchInputGuard(args.head, scale))
+            * scale).cast("long")))
       },
       "graft_quantile_sketch(value, num, den[, scale]) - AGGREGATE: histogram-sketch quantile at num/den; value must be DECIMAL or integer (== ApproxAgg.quantileSketch)"),
     ("graft_sum_map",

@@ -305,19 +305,16 @@ object Multimodal {
     * ([[bandCols]]). The only exchange is the (band, key) equi-join over
     * narrow (id, hash) rows; payloads and luma maps never reach it.
     *
-    * Scale note (measured at 1M assets): PAIR output is inherently
-    * quadratic in identical-fingerprint clique size — m assets sharing
-    * one dhash (blank pages, boilerplate thumbnails) are all true
-    * near-dups and emit m(m-1)/2 pairs; that output IS the work, not a
-    * banding defect. For dedup at corpus scale, collapse identical
-    * hashes first (groupBy(dhash) -> one representative + clique size,
-    * a key-sized exchange) and band over the representatives: a 1M-
-    * asset corpus that degenerates to ~500 cliques near-dups in ~1 s
-    * that way, where raw pairs would emit billions of rows.
+    * `collapseIdentical` (the DEFAULT) makes the pair output clique-safe:
+    * see [[bandedHammingPairs]]. Pass `collapseIdentical = false` only
+    * when the raw m(m-1)/2 within-clique pair expansion is genuinely
+    * wanted on a corpus known to have bounded fingerprint multiplicity.
     */
   def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
-      wideRecall: Boolean = false): DataFrame =
-    bandedHammingPairs(decoded, "dhash", maxHamming, wideRecall)
+      wideRecall: Boolean = false,
+      collapseIdentical: Boolean = true): DataFrame =
+    bandedHammingPairs(decoded, "dhash", maxHamming, wideRecall,
+      collapseIdentical)
 
   /** Deterministic 24-bit uncompressed BMP fixture, built entirely in
     * Catalyst (hex assembly + `unhex`, like [[syntheticAssets]]): a real
@@ -610,6 +607,18 @@ object Multimodal {
       "4 16-bit bands guarantee recall only for maxHamming <= 3; " +
         "pass wideRecall=true (1-bit band probing) for 4..7")
 
+  /** Collapse identical fingerprints into one representative row:
+    * (id = min asset_id of the clique, hash, clique = member count). A
+    * single key-sized groupBy exchange — the pre-pass that makes pair
+    * output linear in DISTINCT fingerprints instead of quadratic in
+    * clique size. Public so callers can read the clique table itself
+    * (members of a clique ARE mutual hamming-0 near-dups; `clique > 1`
+    * rows are the exact-duplicate groups).
+    */
+  def collapseByFingerprint(hashed: DataFrame, hashCol: String): DataFrame =
+    hashed.groupBy(col(hashCol))
+      .agg(min(col("asset_id")).as("id"), count(lit(1)).as("clique"))
+
   /** Banded hamming near-dup pairs over any 64-bit fingerprint column —
     * the shared engine behind [[imageNearDups]] and [[audioNearDups]]:
     * block on the hash's 4×16-bit bands (pigeonhole: recall EXACT for
@@ -617,24 +626,46 @@ object Multimodal {
     * exact recall <= 7, see [[bandCols]]), verify with true hamming. The
     * only exchange is the (band, key) equi-join over narrow
     * (id, hash) rows.
+    *
+    * `collapseIdentical` (the DEFAULT — the clique-safe path) first
+    * collapses identical fingerprints via [[collapseByFingerprint]] and
+    * bands over REPRESENTATIVES only, emitting
+    * (a, b, hamming, clique_a, clique_b) — a/b are clique
+    * representatives (min asset_id) and clique_a/clique_b the member
+    * counts they stand for. Raw pair output is quadratic in
+    * identical-fingerprint clique size: m assets sharing one hash
+    * (blank pages, boilerplate thumbnails) emit m(m-1)/2 pairs —
+    * measured at 1M assets degenerating to ~500 cliques, the raw form
+    * emits ~2B rows and fills the disk, while the collapsed form
+    * answers in ~1s. Within-clique members are hamming-0 near-dups BY
+    * CONSTRUCTION; the clique counts carry that information without
+    * materializing the quadratic pair set. `collapseIdentical = false`
+    * keeps the raw per-asset pair form (clique_a = clique_b = 1, every
+    * within-clique pair emitted) for bounded-multiplicity corpora.
     */
   private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
-      maxHamming: Int, wideRecall: Boolean = false): DataFrame = {
+      maxHamming: Int, wideRecall: Boolean = false,
+      collapseIdentical: Boolean = true): DataFrame = {
     requireBandRecall(maxHamming, wideRecall)
-    val anchor = hashed.select(col("asset_id").as("id"), col(hashCol),
+    val members =
+      if (collapseIdentical) collapseByFingerprint(hashed, hashCol)
+      else hashed.select(col("asset_id").as("id"), col(hashCol),
+        lit(1L).as("clique"))
+    val anchor = members.select(col("id"), col(hashCol), col("clique"),
       posexplode(array(bandCols(col(hashCol)): _*)).as(Seq("band", "key")))
     // a <= 1-bit band difference collides between one side's EXACT key
     // and the other side's probe ball, so only ONE side expands 17×
     val probe = if (!wideRecall) anchor
-    else hashed.select(col("asset_id").as("id"), col(hashCol),
+    else members.select(col("id"), col(hashCol), col("clique"),
         posexplode(array(probeKeys(col(hashCol)): _*)).as(Seq("band", "keys")))
-      .select(col("id"), col(hashCol), col("band"),
+      .select(col("id"), col(hashCol), col("clique"), col("band"),
         explode(col("keys")).as("key"))
     anchor.as("l").join(probe.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        Dedup.hamming64(col(s"l.$hashCol"), col(s"r.$hashCol")).as("hamming"))
+        Dedup.hamming64(col(s"l.$hashCol"), col(s"r.$hashCol")).as("hamming"),
+        col("l.clique").as("clique_a"), col("r.clique").as("clique_b"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -645,8 +676,10 @@ object Multimodal {
     * probes 1-bit band balls for 4..7-bit recall ([[bandCols]]).
     */
   def audioNearDups(decoded: DataFrame, maxHamming: Int = 3,
-      wideRecall: Boolean = false): DataFrame =
-    bandedHammingPairs(decoded, "afp", maxHamming, wideRecall)
+      wideRecall: Boolean = false,
+      collapseIdentical: Boolean = true): DataFrame =
+    bandedHammingPairs(decoded, "afp", maxHamming, wideRecall,
+      collapseIdentical)
 
   /** Deterministic 16-bit (or 8-bit) mono PCM WAV fixture, built entirely
     * in Catalyst like [[bmpContent]]: a real RIFF file [[WavDecoder]]
@@ -826,32 +859,64 @@ object Multimodal {
     * payloads and lumas never reach it. Frame slots align absolutely
     * (near-dup = same cut, re-encoded/touched-up; a trimmed copy is a
     * different cut by this definition).
+    *
+    * `collapseIdentical` (the DEFAULT — the clique-safe path, the video
+    * twin of [[bandedHammingPairs]]' collapse): videos whose ENTIRE
+    * ordered frame-hash sequence is identical (byte-identical copies,
+    * re-containered re-uploads) collapse first — one key-sized groupBy
+    * per video plus one groupBy on the sequence — and only one
+    * representative per clique enters the frame join. Without it, m
+    * identical copies make every matching frame slot an m-member
+    * bucket and the pair output goes m² — the same measured
+    * disk-filling failure mode as the raw image path. Output gains
+    * `clique_a`/`clique_b` (member counts the representatives stand
+    * for; 1s when `collapseIdentical = false`).
     */
   def videoNearDups(frames: DataFrame, maxHamming: Int = 3,
-      minMatchPct: Int = 80, wideRecall: Boolean = false): DataFrame = {
+      minMatchPct: Int = 80, wideRecall: Boolean = false,
+      collapseIdentical: Boolean = true): DataFrame = {
     requireBandRecall(maxHamming, wideRecall)
     require(minMatchPct >= 1 && minMatchPct <= 100,
       "minMatchPct is a percentage")
-    val banded = frames.select(col("asset_id").as("id"), col("frame_id"),
-      col("dhash"),
+    // sequence signature = the ordered (frame_id, dhash) list: total
+    // order per video (frame ids are unique), so identical copies —
+    // and only they — share it
+    val fr =
+      if (!collapseIdentical) frames.withColumn("clique", lit(1L))
+      else {
+        val cliques = frames
+          .groupBy(col("asset_id"))
+          .agg(sort_array(collect_list(struct(col("frame_id"),
+            col("dhash")))).as("__sig"))
+          .groupBy(col("__sig"))
+          .agg(min(col("asset_id")).as("asset_id"),
+            count(lit(1)).as("clique"))
+          .select(col("asset_id"), col("clique"))
+        frames.join(cliques, Seq("asset_id"))
+      }
+    val banded = fr.select(col("asset_id").as("id"), col("frame_id"),
+      col("dhash"), col("clique"),
       posexplode(array(bandCols(col("dhash")): _*)).as(Seq("band", "key")))
     val probed = if (!wideRecall) banded
-    else frames.select(col("asset_id").as("id"), col("frame_id"),
-        col("dhash"),
+    else fr.select(col("asset_id").as("id"), col("frame_id"),
+        col("dhash"), col("clique"),
         posexplode(array(probeKeys(col("dhash")): _*)).as(Seq("band", "keys")))
-      .select(col("id"), col("frame_id"), col("dhash"), col("band"),
-        explode(col("keys")).as("key"))
+      .select(col("id"), col("frame_id"), col("dhash"), col("clique"),
+        col("band"), explode(col("keys")).as("key"))
     val framePairs = banded.as("l").join(probed.as("r"),
         col("l.frame_id") === col("r.frame_id") &&
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"), col("l.frame_id"),
-        Dedup.hamming64(col("l.dhash"), col("r.dhash")).as("hamming"))
+        Dedup.hamming64(col("l.dhash"), col("r.dhash")).as("hamming"),
+        col("l.clique").as("clique_a"), col("r.clique").as("clique_b"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
     val matched = framePairs.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_matched"))
-    val counts = frames.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(col("clique_a")).as("clique_a"),
+        max(col("clique_b")).as("clique_b"))
+    val counts = fr.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_frames"))
     matched
       .join(broadcast(counts.select(col("asset_id").as("a"),
@@ -860,7 +925,8 @@ object Multimodal {
         col("n_frames").as("n_b"))), "b")
       .filter(col("n_matched") * 100 >=
         lit(minMatchPct) * greatest(col("n_a"), col("n_b")))
-      .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
+      .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"),
+        col("clique_a"), col("clique_b"))
   }
 
   /** Scene-change detection over [[decodeVideoFrames]] output — keyframe

@@ -324,6 +324,33 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/cells")
     }
+
+    /** Append a NEW batch to a [[saveAssigned]] index: assign against
+      * the SAVED centroids (never retrain — retrained centroids renumber
+      * cells and would orphan every existing partition) and append the
+      * batch into the cell partitions, ONE file per touched cell (rows
+      * clustered by cell before the partitioned write — the BatchedState
+      * write rule), leaving existing files untouched. This is the
+      * standing-index lifecycle a corpus that grows daily needs:
+      * admission costs |batch| cell assignments plus a key-clustered
+      * append — no retrain, no rewrite, no index re-scan — and
+      * [[Similarity.ivfTopKFromIndex]] answers over the union
+      * immediately. Identical to rebuilding from scratch on the union
+      * BY CONSTRUCTION: assignment depends only on the frozen
+      * centroids, so appended rows land in exactly the cells a full
+      * rebuild would give them.
+      */
+    def appendAssigned(batch: DataFrame, dir: String,
+        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      val c = load(batch.sparkSession, s"$dir/centroids")
+      batch
+        .select(col(idCol).as("nn_id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
+        .withColumn("cell", c.assignCell(col("nn_vec")))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/cells")
+    }
   }
 
   /** Top-k over a [[IvfIndex.saveAssigned]] index: load the centroids,
@@ -339,15 +366,27 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = IvfIndex.load(spark, s"$indexDir/centroids")
-    val q = queries
+    val qExploded = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
       .select(col("query_id"), col("q_vec"),
         explode(cent.probeCells(col("q_vec"), nprobe)).as("cell"))
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$indexDir/cells")
-      .where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
+    // the query batch is the bounded (broadcast) side by contract:
+    // localize the exploded (query, cell) rows ONCE, so probeCells
+    // evaluates a single time (the previous shape ran it twice — once
+    // for the probed-cell collect, again inside the join) and the
+    // probed-cell set derives driver-side for the partition prune
+    val qRows = qExploded.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qExploded.schema)
+    val probed = qRows.map(_.getInt(2)).distinct.sorted
+    val cellsAll = spark.read.parquet(s"$indexDir/cells")
+    // explicit empty-batch short-circuit (zero probed cells -> zero
+    // scan), not a reliance on zero-argument isin() evaluating false
+    val cells =
+      if (probed.isEmpty) cellsAll.where(lit(false))
+      else cellsAll.where(col("cell")
+        .isin(probed.toIndexedSeq.map(Int.box): _*))
     val scored = cells.join(broadcast(q),
         cells("cell") === q("cell") && col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
@@ -503,7 +542,7 @@ object Similarity {
         }
         (qid, lut)
       }
-    // ADC scoring as ONE joinless generate over the code scan: the luts
+    // ADC scoring as a joinless generate over the code scan: the luts
     // ride along as array LITERALS (the IVF centroid trick). The
     // previous broadcast-join form (`codes JOIN broadcast(luts) ON
     // query_id =!= nn_id`) planned as a BroadcastNestedLoopJoin, which
@@ -514,23 +553,30 @@ object Similarity {
     // serving shape) stay inside whole-stage codegen; at ~100 queries
     // the generate outgrows JVM codegen limits and Spark's interpreted
     // fallback takes over — still joinless, still 7x the join form.
+    // Batches are CHUNKED at 100 queries per generate (union of chunk
+    // scans): plan/codegen size is O(chunk * m * k) literals regardless
+    // of batch size, so a thousand-query batch can't blow past Janino
+    // method limits or driver plan memory — it pays ceil(|q|/100) code
+    // scans instead, each codegen-friendly.
+    val lutChunk = 100
+    def adcChunk(group: Seq[(Long, IndexedSeq[Seq[Double]])]): DataFrame = {
+      val scoreRows = group.map { case (qid, lut) =>
+        struct(lit(qid).as("query_id"),
+          books.books.indices.map { s =>
+            element_at(typedLit(lut(s)),
+              element_at(col("codes"), s + 1) + 1)
+          }.reduce(_ + _).as("cos")) // ADC score; named cos for TopKAgg
+      }
+      codes.select(col("nn_id"), explode(array(scoreRows: _*)).as("qs"))
+        .select(col("qs.query_id").as("query_id"), col("nn_id"),
+          col("qs.cos").as("cos"))
+        .filter(col("query_id") =!= col("nn_id"))
+    }
     val approx =
       if (luts.isEmpty)
         codes.select(lit(0L).as("query_id"), col("nn_id"),
           lit(0.0).as("cos")).where(lit(false))
-      else {
-        val scoreRows = luts.map { case (qid, lut) =>
-          struct(lit(qid).as("query_id"),
-            books.books.indices.map { s =>
-              element_at(typedLit(lut(s)),
-                element_at(col("codes"), s + 1) + 1)
-            }.reduce(_ + _).as("cos")) // ADC score; named cos for TopKAgg
-        }
-        codes.select(col("nn_id"), explode(array(scoreRows: _*)).as("qs"))
-          .select(col("qs.query_id").as("query_id"), col("nn_id"),
-            col("qs.cos").as("cos"))
-          .filter(col("query_id") =!= col("nn_id"))
-      }
+      else luts.grouped(lutChunk).map(adcChunk).reduce(_ unionByName _)
     val candidates = topKPerQuery(approx, k * rerank)
       .select(col("query_id"), col("nn_id"))
     // exact re-rank of the bounded candidate set (query_id stays long —
@@ -540,6 +586,116 @@ object Similarity {
     val exact = candidates
       .join(c, Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  // ---- IVF-PQ composition (the 100 TB serving plan) -------------------
+
+  /** Persist the composed IVF-ADC serving index: coarse centroids, PQ
+    * codebooks, and the corpus assigned to cells — partitioned by cell
+    * (clustered first: one file per cell), each row carrying BOTH its PQ
+    * codes (the ADC scan payload, m ints) and its full vector (the
+    * exact-re-rank payload). Column pruning makes the split free: the
+    * ADC stage reads (nn_id, codes) only, the re-rank stage (nn_id,
+    * nn_vec) of candidates only — one table, two physical read shapes.
+    * At 100 TB neither pure IVF (full vectors scanned per probed cell)
+    * nor pure PQ (the ENTIRE code table scanned per batch) is the
+    * serving plan; probing cells and ADC-scoring only within them is
+    * the standard composition (Jegou et al. 2011's IVFADC).
+    */
+  object IvfPqIndex {
+    def save(corpus: DataFrame, cent: Centroids, books: PqCodebooks,
+        dir: String, idCol: String = "vec_id",
+        vecCol: String = "embedding"): Unit = {
+      IvfIndex.save(cent, corpus.sparkSession, s"$dir/centroids")
+      PqIndex.save(books, corpus.sparkSession, s"$dir/books")
+      corpus
+        .select(col(idCol).as("nn_id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
+        .withColumn("codes", books.encode(col("nn_vec")))
+        .withColumn("cell", cent.assignCell(col("nn_vec")))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+    }
+  }
+
+  /** Top-k over a [[IvfPqIndex.save]] index: rank each query's `nprobe`
+    * cells against the saved centroids, statically partition-prune the
+    * index scan to the probed cells, ADC-score the pruned CODES against
+    * per-query lookup tables, cut to `k * rerank` candidates per query
+    * (bounded-heap [[TopKAgg]]), and exact-cosine re-rank the winners
+    * against their true vectors (read from the same pruned partitions).
+    *
+    * Physics: the LUTs ride the BROADCAST query side as DATA
+    * (`array<array<double>>` — never plan literals, so plan/codegen
+    * size is O(1) in query-batch size and the [[pqTopKWithBooks]]
+    * literal-chunking concern doesn't arise), and the score join has a
+    * real equi-key (the cell), so it plans as a codegen'd
+    * BroadcastHashJoin — never the BroadcastNestedLoopJoin that cost
+    * the pure-PQ path 7x before r14. Per-batch scan cost is
+    * ~nprobe/nCells of the code table; ADC arithmetic is m array
+    * lookups + adds per (query, row) in fixed order, so a SQL oracle
+    * replays every score bit-identically.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cent = IvfIndex.load(spark, s"$indexDir/centroids")
+    val books = PqIndex.load(spark, s"$indexDir/books")
+    val vecd = col(vecCol).cast(ArrayType(DoubleType))
+    // localize the bounded query batch ONCE: probed cells and per-query
+    // ADC lookup tables both derive from the same collect (probeCells
+    // evaluates once; the id cast to long mirrors pqTopKWithBooks)
+    val qRows = queries
+      .select(col(idCol).cast(LongType).as("query_id"), vecd.as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(cent.probeCells(col("q_vec"), nprobe)).as("cell"))
+      .collect()
+    val lutByQ: Map[Long, Seq[Seq[Double]]] =
+      qRows.groupBy(_.getLong(0)).map { case (qid, rs) =>
+        val q = rs.head.getSeq[Double](1).toArray
+        qid -> books.books.indices.map { s =>
+          val qs = q.slice(s * books.subDims, (s + 1) * books.subDims)
+          books.books(s).cells.sortBy(_._1).map { case (_, cv, _) =>
+            var acc = 0.0
+            var i = 0
+            while (i < qs.length) { acc += qs(i) * cv(i); i += 1 }
+            acc
+          }.toSeq
+        }.toSeq
+      }
+    val q = qRows.toSeq
+      .map(r => (r.getLong(0), r.getInt(2), lutByQ(r.getLong(0))))
+      .toDF("query_id", "cell", "lut")
+    val probed = qRows.map(_.getInt(2)).distinct.sorted
+    val cellsAll = spark.read.parquet(s"$indexDir/cells")
+    // explicit empty-batch short-circuit; otherwise a static isin prune
+    // (PartitionFilters — only probed cell directories are read)
+    val cells =
+      if (probed.isEmpty) cellsAll.where(lit(false))
+      else cellsAll.where(col("cell")
+        .isin(probed.toIndexedSeq.map(Int.box): _*))
+    val adcScore = books.books.indices.map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val approx = cells.select(col("nn_id"), col("cell"), col("codes")).as("c")
+      .join(broadcast(q).as("q"),
+        col("c.cell") === col("q.cell") && col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adcScore.as("cos"))
+    val candidates = topKPerQuery(approx, k * rerank)
+      .select(col("query_id"), col("nn_id"))
+    // exact re-rank against true vectors, read from the SAME pruned
+    // partitions (every candidate lives in a probed cell by construction)
+    val qv = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .distinct.toDF("query_id", "q_vec")
+    val exact = candidates
+      .join(cells.select(col("nn_id"), col("nn_vec")), Seq("nn_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("cos"))
     topKPerQuery(exact, k)
@@ -580,7 +736,31 @@ object Similarity {
     * per-band recall that width alone destroys (4x16 scored below 0.5).
     * Residual skewed buckets (a boilerplate embedding cluster) are
     * handled by AQE skew-join splitting, same as the minhash path.
+    * Don't hand-pick `bandBits` at scale — [[bandBitsFor]] encodes the
+    * rule (key space must track corpus size: 16-bit bands measured
+    * quadratic at 2M vectors, 32-bit linear at identical twin recall).
     */
+  /** Band-key width for an RHP-banded corpus of `n` vectors — the r14
+    * scale finding made a rule instead of a caller footgun: bucket
+    * occupancy per band is ~n / 2^bandBits, so the key space must GROW
+    * with the corpus (like nCells ~ sqrt(n) for IVF) or buckets go
+    * quadratic — 16-bit keys measured fine at 200K vectors but
+    * quadratic at 2M, where 32-bit keys ran linear at identical twin
+    * recall. Returns the smallest divisor of `nBits` at least
+    * ceil(log2 n) + `margin` (margin 4 ~= target occupancy 1/16),
+    * capped at 32 (packed keys are longs; 2^32 buckets/band outgrows
+    * any single corpus this library bands). Divisibility matters:
+    * bands partition the signature, so bandBits must divide nBits.
+    */
+  def bandBitsFor(n: Long, nBits: Int = 384, margin: Int = 4): Int = {
+    require(n > 0, "corpus size must be positive")
+    require(nBits > 0, "nBits must be positive")
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val want = log2 + margin
+    val divisors = (1 to math.min(32, nBits)).filter(nBits % _ == 0)
+    divisors.find(_ >= want).getOrElse(divisors.last)
+  }
+
   def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
       nBits: Int = 384, bandBits: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

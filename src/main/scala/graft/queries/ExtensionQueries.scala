@@ -431,6 +431,42 @@ object ExtensionQueries {
         .orderBy(col("batch"), col("ref_id"), col("new_id"))
     },
 
+    // --- the multimodal twin of stream_dedup_replay: standing phash
+    //     fingerprint state (band-bucketed on BatchedState), three
+    //     admitted image batches derived from the same pixel ids (even
+    //     ids byte-exact — hamming 0 to the seed and to every earlier
+    //     batch; odd ids noisy — a few gradient bits off), compaction
+    //     after batch 0. The oracle regenerates every dHash from the
+    //     pixel arithmetic and replays each batch's band-probed pairs
+    //     against exactly the ids admitted before it -------------------
+    "stream_phash_replay" -> { (s, dir) =>
+      val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("asset_id"))
+      val seed = ids.select(col("asset_id"),
+        Multimodal.bmpContent(col("asset_id"), 8, lit(false)).as("content"))
+      def batchAssets(shift: Long) = ids
+        .select(col("asset_id"),
+          Multimodal.bmpContent(col("asset_id"), 8,
+            col("asset_id") % 2 =!= 0).as("content"))
+        .select((col("asset_id") + shift).as("asset_id"), col("content"))
+      def decoded(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.decodeImages(df).toDF()
+          .select(col("asset_id"), col("dhash"))
+      val stateDir = scratchDir("stream_phash", dir)
+      val spd = new graft.streaming.StreamingPhashDedup(s, stateDir,
+        "asset_id", "dhash", maxHamming = 7, wideRecall = true)
+      spd.seed(decoded(seed))
+      val pairs = (0 until 3).map { k =>
+        val p = spd.admit(decoded(batchAssets((k + 1) * 1000000L)), k.toLong)
+          .withColumn("batch", lit(k))
+        if (k == 0) spd.compact(upTo = 0L)
+        p
+      }.reduce(_ unionByName _)
+      pairs.select(col("batch"), col("ref_id"), col("new_id"),
+          col("hamming"))
+        .orderBy(col("batch"), col("ref_id"), col("new_id"))
+    },
+
     // --- standing streaming decontamination, replayed under oracle: seed
     //     the benchmark 8-gram state from docs < 20; three admitted doc
     //     batches plant benchmark quotes (doc_id%4==1 quotes the SEED
@@ -601,6 +637,49 @@ object ExtensionQueries {
       val books = Similarity.PqIndex.load(s, idxDir)
       Similarity.pqTopKWithBooks(e, e.filter(col("vec_id") < 20), k = 5,
           books, rerank = 8)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- the standing-index ADMISSION lifecycle: the index is built on
+    //     the even-id half only (train + saveAssigned), the odd half is
+    //     APPENDED against the frozen centroids (no retrain, no rewrite
+    //     — one new file per touched cell), and the query path answers
+    //     over the union. The oracle trains its centroids on the even
+    //     half and assigns the union — exactly what appendAssigned must
+    //     reproduce ------------------------------------------------------
+    "sim_topk_ivf_appended" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val seedHalf = e.filter(col("vec_id") % 2 === 0)
+      val fresh = e.filter(col("vec_id") % 2 =!= 0)
+      val idxDir = scratchDir("ivf_app_index", dir)
+      Similarity.IvfIndex.saveAssigned(seedHalf,
+        Similarity.trainCentroids(seedHalf, nCells = 16), idxDir)
+      Similarity.IvfIndex.appendAssigned(fresh, idxDir)
+      Similarity.ivfTopKFromIndex(s, idxDir, e.filter(col("vec_id") < 20),
+          k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- the IVF-PQ serving composition (IVFADC): probe cells from the
+    //     persisted index, ADC-score CODES within probed cells only
+    //     (LUTs as broadcast DATA on a cell equi-join — codegen'd BHJ,
+    //     plan size O(1) in batch size), exact re-rank from the same
+    //     pruned partitions. The oracle composes the deterministic IVF
+    //     cell derivation with the PQ codebook derivation ---------------
+    "sim_topk_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val idxDir = scratchDir("ivfpq_index", dir)
+      Similarity.IvfPqIndex.save(e,
+        Similarity.trainCentroids(e, nCells = 16),
+        Similarity.trainPq(e, m = 8, k = 16), idxDir)
+      Similarity.ivfPqTopK(s, idxDir, e.filter(col("vec_id") < 20),
+          k = 5, nprobe = 4, rerank = 8)
         .select(col("query_id"), col("rank"), col("nn_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
@@ -872,8 +951,10 @@ object ExtensionQueries {
     },
 
     // --- perceptual-hash image dedup: banded dHash near-dup pairs over
-    //     base images, their scale twins (hamming 0 by construction) and
-    //     noise twins (a two-cell luma bump flips a few gradient bits) --
+    //     base images, their scale twins (hamming 0 by construction —
+    //     they COLLAPSE into a rep+clique under the default clique-safe
+    //     path) and noise twins (a two-cell luma bump flips a few
+    //     gradient bits — they pair with the representatives) -----------
     "mm_phash_dedup" -> { (s, dir) =>
       val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
         .select(col("doc_id").as("asset_id"))
@@ -885,7 +966,8 @@ object ExtensionQueries {
         .unionByName(bmp(1000000L, 16, noisy = false))
         .unionByName(bmp(2000000L, 8, noisy = true))).toDF()
       Multimodal.imageNearDups(decoded, maxHamming = 6, wideRecall = true)
-        .select(col("a"), col("b"), col("hamming"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("clique_a"), col("clique_b"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -903,7 +985,8 @@ object ExtensionQueries {
         .unionByName(bmp(1000000L, 16, noisy = false))
         .unionByName(bmp(2000000L, 8, noisy = true))).toDF()
       Multimodal.imageNearDups(decoded)
-        .select(col("a"), col("b"), col("hamming"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("clique_a"), col("clique_b"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -950,7 +1033,8 @@ object ExtensionQueries {
         .unionByName(wav(1000000L, 2, noisy = false))
         .unionByName(wav(2000000L, 1, noisy = true))).toDF()
       Multimodal.audioNearDups(decoded, maxHamming = 7, wideRecall = true)
-        .select(col("a"), col("b"), col("hamming"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("clique_a"), col("clique_b"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -979,9 +1063,10 @@ object ExtensionQueries {
     },
 
     // --- video near-dup: frame-slot-aligned dHash matching over base
-    //     videos, byte-identical copies (all 10 slots at hamming 0) and
-    //     touched-up copies (frames 0/5 bumped; the 80% bar still links
-    //     them) ----------------------------------------------------------
+    //     videos, byte-identical copies (identical frame-hash sequences —
+    //     they COLLAPSE into a rep+clique under the default clique-safe
+    //     path) and touched-up copies (frames 0/5 bumped; the 80% bar
+    //     still links them to the representatives) ----------------------
     "mm_video_dedup" -> { (s, dir) =>
       val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
         .select(col("doc_id").as("asset_id"))
@@ -995,7 +1080,8 @@ object ExtensionQueries {
         .unionByName(avi(2000000L, noisy = true))).toDF()
       Multimodal.videoNearDups(frames, maxHamming = 6, minMatchPct = 80,
           wideRecall = true)
-        .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"))
+        .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"),
+          col("clique_a"), col("clique_b"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -1857,40 +1943,61 @@ object ExtensionQueries {
           nBuckets = 8),
         new graft.streaming.StreamingSummingMerge(s, s"$root/sum",
           "k", Seq("v"), nBuckets = 8))
+      // opt-in per-tier decomposition (SPARK_GRAFT_REPLAY_TIMING=1):
+      // each tier's admit() is EAGER (localCheckpoint inside), so
+      // per-call wall attributes cleanly — the stream_dedup_replay hook
+      // extended to the five-tier capstone
+      val timing = sys.env.contains("SPARK_GRAFT_REPLAY_TIMING")
+      def phase[A](label: String)(f: => A): A =
+        if (!timing) f else {
+          val p0 = System.nanoTime(); val r = f
+          System.err.println(
+            f"[multitier] $label%-14s ${(System.nanoTime() - p0) / 1e9}%7.1f s")
+          r
+        }
       val t0 = mkTiers()
       val empty = e.filter(lit(false))
-      t0._1.seed(empty); t0._2.seed(empty); t0._3.seed(empty)
-      t0._4.seed(quantIn(empty)); t0._5.seed(sumIn(empty))
+      phase("seed") {
+        t0._1.seed(empty); t0._2.seed(empty); t0._3.seed(empty)
+        t0._4.seed(quantIn(empty)); t0._5.seed(sumIn(empty))
+      }
       val dNull = lit(null).cast("double")
       def runBatch(t: (graft.streaming.StreamingWindowFunnel,
           graft.streaming.StreamingRetention,
           graft.streaming.StreamingUniqHll,
           graft.streaming.StreamingQuantile,
           graft.streaming.StreamingSummingMerge), b: Int) = {
-        val bd = batchDf(b)
+        val bd = phase(s"batchdf$b")(batchDf(b).localCheckpoint())
         Seq(
-          t._1.admit(bd, b.toLong).select(lit("funnel").as("tier"),
+          phase(s"funnel$b")(t._1.admit(bd, b.toLong))
+            .select(lit("funnel").as("tier"),
             col("user_id").cast("string").as("k"),
             col("level").cast("double").as("v1"), dNull.as("v2")),
-          t._2.admit(bd, b.toLong).select(lit("retention").as("tier"),
+          phase(s"retention$b")(t._2.admit(bd, b.toLong))
+            .select(lit("retention").as("tier"),
             col("user_id").cast("string").as("k"),
             (col("r0") * 4 + col("r1") * 2 + col("r2"))
               .cast("double").as("v1"), dNull.as("v2")),
-          t._3.admit(bd, b.toLong).select(lit("uniq").as("tier"),
+          phase(s"uniq$b")(t._3.admit(bd, b.toLong))
+            .select(lit("uniq").as("tier"),
             col("event_type").as("k"), col("est").cast("double").as("v1"),
             col("n_regs").cast("double").as("v2")),
-          t._4.admit(quantIn(bd), b.toLong).select(lit("quantile").as("tier"),
+          phase(s"quantile$b")(t._4.admit(quantIn(bd), b.toLong))
+            .select(lit("quantile").as("tier"),
             col("event_type").as("k"), col("p50").as("v1"),
             col("p90").as("v2")),
-          t._5.admit(sumIn(bd), b.toLong).select(lit("summing").as("tier"),
+          phase(s"summing$b")(t._5.admit(sumIn(bd), b.toLong))
+            .select(lit("summing").as("tier"),
             col("k"), round(col("v").cast("double"), 6).as("v1"),
             dNull.as("v2"))
         ).reduce(_ unionByName _).withColumn("batch", lit(b))
       }
       val out0 = runBatch(t0, 0)
-      out0.cache().count() // force admits before the instance discard
-      t0._1.compact(upTo = 0L); t0._3.compact(upTo = 0L)
-      t0._4.compact(upTo = 0L); t0._5.compact(upTo = 0L)
+      phase("force0")(out0.cache().count()) // force before instance discard
+      phase("compact") {
+        t0._1.compact(upTo = 0L); t0._3.compact(upTo = 0L)
+        t0._4.compact(upTo = 0L); t0._5.compact(upTo = 0L)
+      }
       val t1 = mkTiers() // <- the cold restart: state re-read from disk
       val outs = out0 +: (1 until 3).map(b => runBatch(t1, b))
       outs.reduce(_ unionByName _)
@@ -2944,7 +3051,17 @@ object ExtensionQueries {
     * [[ivfOracle]] (probe + re-rank on top) and the cluster-balanced
     * sampling oracle (per-cell hash-order cap on top).
     */
-  private def ivfCellCtes: String = {
+  private def ivfCellCtes: String = ivfCellCtesTrainedOn("e")
+
+  /** [[ivfCellCtes]] with the TRAINING corpus (seed selection + the
+    * Lloyd step) restricted to `trainRel` — a CTE name or inline
+    * relation over (vec_id, v). Cell ASSIGNMENT (`ac`/`cellof`) always
+    * runs over the full `e`: the standing-index admission lifecycle
+    * trains once on the seed corpus and assigns later arrivals against
+    * the frozen centroids ([[graft.operators.Similarity.IvfIndex
+    * .appendAssigned]]).
+    */
+  private def ivfCellCtesTrainedOn(trainRel: String): String = {
     val meanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS m$d")
       .mkString(",\n    ")
     val centList = (0 until 64).map(d => s"coalesce(m.m$d, round(s.v[${d + 1}], 3))")
@@ -2958,12 +3075,12 @@ object ExtensionQueries {
        |seeds AS (
        |  SELECT row_number() OVER (
        |      ORDER BY $hSigned, vec_id) - 1 AS cell, v
-       |  FROM e
+       |  FROM $trainRel
        |  ORDER BY $hSigned, vec_id LIMIT 16),
        |a0 AS (
        |  SELECT e.vec_id, e.v, s.cell,
        |    list_dot_product(e.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
-       |  FROM e CROSS JOIN seeds s),
+       |  FROM $trainRel e CROSS JOIN seeds s),
        |b0 AS (
        |  SELECT vec_id, v, cell FROM a0
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
@@ -2986,8 +3103,18 @@ object ExtensionQueries {
   /** IVF recomputation: the [[ivfCellCtes]] centroids + cell
     * assignment, then probes 4 cells per query and re-ranks exactly.
     */
-  private def ivfOracle: String = {
-    s"""$ivfCellCtes,
+  private def ivfOracle: String = ivfOracleTail(ivfCellCtes)
+
+  /** The appended-index oracle: centroids train on the EVEN-id half
+    * (the seed corpus the index was built from), assignment covers the
+    * union — what [[graft.operators.Similarity.IvfIndex.appendAssigned]]
+    * must reproduce file-for-file.
+    */
+  private def ivfAppendedOracle: String = ivfOracleTail(
+    ivfCellCtesTrainedOn("(SELECT vec_id, v FROM e WHERE vec_id % 2 = 0)"))
+
+  private def ivfOracleTail(ctes: String): String = {
+    s"""$ctes,
        |probes AS (
        |  SELECT vec_id AS query_id, v AS qv, cell FROM ac WHERE vec_id < 20
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) <= 4),
@@ -3073,6 +3200,138 @@ object ExtensionQueries {
        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The IVF-PQ (IVFADC) composed oracle: the [[ivfCellCtes]] coarse
+    * tier (renamed `ia../icent/iac/cellof` to avoid CTE collisions) for
+    * cell assignment + per-query probes, the [[pqOracle]] per-subspace
+    * codebook/code derivation verbatim, then ADC scoring RESTRICTED to
+    * each query's probed cells, the k*rerank candidate cut, and exact
+    * re-rank — the SQL twin of
+    * [[graft.operators.Similarity.ivfPqTopK]]. nCells == kCodes == 16
+    * here, so the coarse and subspace tiers share the `seeds` CTE
+    * (seed selection depends only on ids).
+    */
+  private def ivfPqOracle: String = {
+    val m = 8; val sub = 8; val kCodes = 16
+    val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
+      "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    val perSub = (0 until m).map { s =>
+      val meanCols = (0 until sub).map(d => s"round(avg(sv[${d + 1}]), 3) AS m$d")
+        .mkString(", ")
+      val centList = (0 until sub).map(d => s"coalesce(m.m$d, round(s.v[${lo(s) + d}], 3))")
+        .mkString("[", ", ", "]")
+      s"""a$s AS (
+         |  SELECT e.vec_id, e.v[${lo(s)}:${hi(s)}] AS sv, s.cell,
+         |    list_dot_product(e.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}]) /
+         |      sqrt(list_dot_product(s.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}])) AS score
+         |  FROM e CROSS JOIN seeds s),
+         |b$s AS (
+         |  SELECT vec_id, sv, cell FROM a$s
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+         |m$s AS (SELECT cell, $meanCols FROM b$s GROUP BY cell),
+         |cent$s AS (
+         |  SELECT s.cell, $centList AS cv
+         |  FROM seeds s LEFT JOIN m$s m ON s.cell = m.cell),
+         |code$s AS (
+         |  SELECT e.vec_id, c.cell AS code
+         |  FROM e CROSS JOIN cent$s c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    list_dot_product(e.v[${lo(s)}:${hi(s)}], c.cv) /
+         |      sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cell) = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcScore = (0 until m)
+      .map(s => s"list_dot_product(p.qv[${lo(s)}:${hi(s)}], c$s.cv)")
+      .mkString(" + ")
+    val codeJoins = (0 until m)
+      .map(s => s"JOIN code$s k$s ON k$s.vec_id = k.vec_id " +
+        s"JOIN cent$s c$s ON c$s.cell = k$s.code")
+      .mkString("\n  ")
+    val iMeanCols = (0 until 64).map(d => s"round(avg(v[${d + 1}]), 3) AS im$d")
+      .mkString(",\n    ")
+    val iCentList = (0 until 64).map(d => s"coalesce(m.im$d, round(s.v[${d + 1}], 3))")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY $hSigned, vec_id) - 1 AS cell, v
+       |  FROM e ORDER BY $hSigned, vec_id LIMIT $kCodes),
+       |ia AS (
+       |  SELECT e.vec_id, e.v, s.cell,
+       |    list_dot_product(e.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
+       |  FROM e CROSS JOIN seeds s),
+       |ib AS (
+       |  SELECT vec_id, v, cell FROM ia
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |im AS (SELECT cell,
+       |    $iMeanCols
+       |  FROM ib GROUP BY cell),
+       |icent AS (
+       |  SELECT s.cell, $iCentList AS cv
+       |  FROM seeds s LEFT JOIN im m ON s.cell = m.cell),
+       |iac AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+       |  FROM e CROSS JOIN icent c),
+       |cellof AS (
+       |  SELECT vec_id, v, cell FROM iac
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell FROM iac WHERE vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) <= 4),
+       |$perSub,
+       |approx AS (
+       |  SELECT p.query_id, k.vec_id AS nn_id, ($adcScore) AS ascore
+       |  FROM probes p JOIN cellof k ON p.cell = k.cell AND k.vec_id <> p.query_id
+       |  $codeJoins),
+       |cand AS (
+       |  SELECT query_id, nn_id FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, nn_id) <= 40),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT cand.query_id, cand.nn_id, q.qv, e.v AS cv
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |  JOIN e ON e.vec_id = cand.nn_id),
+       |scored AS (SELECT query_id, nn_id, $cosExpr AS cos0 FROM sc)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, nn_id) AS INT) AS rank,
+       |  nn_id, round(cos0, 6) AS cos
+       |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The streaming phash replay oracle: regenerate every variant's dHash
+    * from the pixel arithmetic ([[mmPixelCtesFor]]), then per batch the
+    * band-probed pairs (the [[mmPhashOracle]] wide-recall gate) bounded
+    * to (everything admitted before it) x (the batch) — the SQL twin of
+    * [[graft.streaming.StreamingPhashDedup]]'s admit sequence.
+    */
+  private def streamPhashReplayOracle: String = {
+    val bandEq = (0 until 4).map(b =>
+      s"bit_count(xor((l.dh >> ${b * 16}) & 65535, (r.dh >> ${b * 16}) & 65535)) <= 1")
+      .mkString("\n      OR ")
+    val batchArms = (1 to 3).map(k =>
+      s"  UNION ALL SELECT pid, pid + ${k}000000, 8, " +
+        s"CASE WHEN pid % 2 = 0 THEN 0 ELSE 1 END FROM ids")
+      .mkString("\n")
+    val perBatch = (0 until 3).map { k =>
+      val lo = (k + 1) * 1000000L
+      val hi = (k + 2) * 1000000L
+      s"""  SELECT $k AS batch, l.asset_id AS ref_id, r.asset_id AS new_id,
+         |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
+         |  FROM hs l JOIN hs r ON l.asset_id < $lo
+         |    AND r.asset_id >= $lo AND r.asset_id < $hi
+         |    AND ($bandEq)
+         |  WHERE bit_count(xor(l.dh, r.dh)) <= 7""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${mmPixelCtesFor(
+        s"""SELECT pid, pid AS asset_id, 8 AS size, 0 AS noisy FROM ids
+           |$batchArms""".stripMargin)},
+       |pairs AS (
+       |$perBatch)
+       |SELECT batch, ref_id, new_id, hamming FROM pairs
+       |ORDER BY batch, ref_id, new_id""".stripMargin
+  }
+
   /** Regenerate [[graft.operators.Multimodal.syntheticAssets]]'s payload
     * hex dump (and byte length) from the id column alone — the oracle
     * twin of the REAL-binary fixture (same id-seeded byte arithmetic,
@@ -3124,10 +3383,19 @@ object ExtensionQueries {
     * appear: the decode DROPS undecodable bytes.
     */
   private def mmPixelCtes(withNoisy: Boolean): String = {
-    val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
-      .mkString("[", ", ", "]")
     val noisyRow = if (withNoisy)
       "\n  UNION ALL SELECT pid, pid + 2000000, 8, 1 FROM ids" else ""
+    mmPixelCtesFor(
+      s"""SELECT pid, pid AS asset_id, 8 AS size, 0 AS noisy FROM ids
+         |  UNION ALL SELECT pid, pid + 1000000, 16, 0 FROM ids$noisyRow""".stripMargin)
+  }
+
+  /** [[mmPixelCtes]] over an arbitrary variant list — `variants` must
+    * yield (pid, asset_id, size, noisy) rows over the `ids` CTE.
+    */
+  private def mmPixelCtesFor(variants: String): String = {
+    val pow2 = (0 until 64).map(p => (BigInt(1) << p).toString)
+      .mkString("[", ", ", "]")
     def lumaOf(src: String) =
       s"""(299 * ((base * 7 + 23) % 256) + 587 * ((base * 3 + 11) % 256)
          |      + 114 * (base % 256)) // 1000 AS luma FROM $src""".stripMargin
@@ -3136,9 +3404,7 @@ object ExtensionQueries {
         |      WHEN noisy = 1 AND xx = 5 AND yy = 6 THEN 60
         |      ELSE 0 END""".stripMargin
     s"""ids AS (SELECT doc_id AS pid FROM documents WHERE doc_id < 300),
-       |a AS (
-       |  SELECT pid, pid AS asset_id, 8 AS size, 0 AS noisy FROM ids
-       |  UNION ALL SELECT pid, pid + 1000000, 16, 0 FROM ids$noisyRow),
+       |a AS ($variants),
        |px AS (
        |  SELECT asset_id, size, pid, noisy,
        |    unnest(generate_series(0, size * size - 1)) AS p
@@ -3205,13 +3471,20 @@ object ExtensionQueries {
     val bandEq = (0 until 4).map(b =>
       s"bit_count(xor((l.dh >> ${b * 16}) & 65535, (r.dh >> ${b * 16}) & 65535)) <= 1")
       .mkString("\n      OR ")
+    // collapse-first (the operator's clique-safe default): identical
+    // hashes fold to (rep = min id, clique = count) before pairing
     s"""WITH ${mmPixelCtes(withNoisy = true)},
+       |cl AS (
+       |  SELECT dh, min(asset_id) AS rep, count(*) AS clique
+       |  FROM hs GROUP BY dh),
        |pairs AS (
-       |  SELECT l.asset_id AS a, r.asset_id AS b,
-       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
-       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |  SELECT l.rep AS a, r.rep AS b,
+       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming,
+       |    l.clique AS clique_a, r.clique AS clique_b
+       |  FROM cl l JOIN cl r ON l.rep < r.rep
        |    AND ($bandEq))
-       |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
+       |SELECT a, b, hamming, clique_a, clique_b FROM pairs
+       |WHERE hamming <= 6 ORDER BY a, b""".stripMargin
   }
 
   /** The streaming capstone's oracle: replays the decontamination state
@@ -3327,12 +3600,17 @@ object ExtensionQueries {
       s"((l.dh >> ${b * 16}) & 65535) = ((r.dh >> ${b * 16}) & 65535)")
       .mkString("\n      OR ")
     s"""WITH ${mmPixelCtes(withNoisy = true)},
+       |cl AS (
+       |  SELECT dh, min(asset_id) AS rep, count(*) AS clique
+       |  FROM hs GROUP BY dh),
        |pairs AS (
-       |  SELECT l.asset_id AS a, r.asset_id AS b,
-       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
-       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |  SELECT l.rep AS a, r.rep AS b,
+       |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming,
+       |    l.clique AS clique_a, r.clique AS clique_b
+       |  FROM cl l JOIN cl r ON l.rep < r.rep
        |    AND ($bandEq))
-       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+       |SELECT a, b, hamming, clique_a, clique_b FROM pairs
+       |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
   /** Shared CTEs for the REAL audio-decode oracles: regenerate the WAV
@@ -3402,12 +3680,17 @@ object ExtensionQueries {
           |    0 AS mute FROM ids
           |  UNION ALL SELECT pid, pid + 1000000, 16, 2, 0, 0 FROM ids
           |  UNION ALL SELECT pid, pid + 2000000, 16, 1, 1, 0 FROM ids""".stripMargin)},
+       |cl AS (
+       |  SELECT afp, min(asset_id) AS rep, count(*) AS clique
+       |  FROM hs GROUP BY afp),
        |pairs AS (
-       |  SELECT l.asset_id AS a, r.asset_id AS b,
-       |    CAST(bit_count(xor(l.afp, r.afp)) AS INT) AS hamming
-       |  FROM hs l JOIN hs r ON l.asset_id < r.asset_id
+       |  SELECT l.rep AS a, r.rep AS b,
+       |    CAST(bit_count(xor(l.afp, r.afp)) AS INT) AS hamming,
+       |    l.clique AS clique_a, r.clique AS clique_b
+       |  FROM cl l JOIN cl r ON l.rep < r.rep
        |    AND ($bandEq))
-       |SELECT a, b, hamming FROM pairs WHERE hamming <= 7 ORDER BY a, b""".stripMargin
+       |SELECT a, b, hamming, clique_a, clique_b FROM pairs
+       |WHERE hamming <= 7 ORDER BY a, b""".stripMargin
   }
 
   /** Shared CTEs for the REAL video-demux oracles: regenerate every
@@ -3482,19 +3765,32 @@ object ExtensionQueries {
        |ORDER BY st.asset_id, frame_id""".stripMargin
 
   private def mmVideoDedupOracle: String =
+    // collapse-first on the ORDERED frame-hash sequence (the operator's
+    // clique-safe default): byte-identical copies share the sequence
+    // and fold to (rep = min id, clique = count) before the frame join
     s"""WITH ${mmVideoCtes(
         """SELECT vid, vid AS asset_id, 0 AS noisy FROM ids
           |  UNION ALL SELECT vid, vid + 1000000, 0 FROM ids
           |  UNION ALL SELECT vid, vid + 2000000, 1 FROM ids""".stripMargin)},
+       |seqs AS (
+       |  SELECT asset_id, list(dh ORDER BY f) AS sig
+       |  FROM fhs GROUP BY asset_id),
+       |cl AS (
+       |  SELECT min(asset_id) AS rep, count(*) AS clique
+       |  FROM seqs GROUP BY sig),
+       |rf AS (
+       |  SELECT c.rep, c.clique, h.f, h.dh
+       |  FROM cl c JOIN fhs h ON h.asset_id = c.rep),
        |pairs AS (
-       |  SELECT l.asset_id AS a, r.asset_id AS b,
-       |    CAST(count(*) AS BIGINT) AS n_matched
-       |  FROM fhs l JOIN fhs r
-       |    ON l.asset_id < r.asset_id AND l.f = r.f
+       |  SELECT l.rep AS a, r.rep AS b,
+       |    CAST(count(*) AS BIGINT) AS n_matched,
+       |    max(l.clique) AS clique_a, max(r.clique) AS clique_b
+       |  FROM rf l JOIN rf r
+       |    ON l.rep < r.rep AND l.f = r.f
        |  WHERE bit_count(xor(l.dh, r.dh)) <= 6
        |  GROUP BY 1, 2)
        |SELECT a, b, n_matched, CAST(10 AS BIGINT) AS n_a,
-       |  CAST(10 AS BIGINT) AS n_b
+       |  CAST(10 AS BIGINT) AS n_b, clique_a, clique_b
        |FROM pairs WHERE n_matched * 100 >= 80 * 10 ORDER BY a, b""".stripMargin
 
   private def mmVideoScenesOracle: String =
@@ -4588,6 +4884,8 @@ object ExtensionQueries {
 
     "stream_dedup_replay" -> streamReplayOracle,
 
+    "stream_phash_replay" -> streamPhashReplayOracle,
+
     // global first occurrence per canonical paragraph fp, ordered
     // (batch, id, pos) with the seed at batch -1 — exactly the state the
     // standing filter accumulates; output = batches >= 0 reassembled
@@ -4923,7 +5221,13 @@ object ExtensionQueries {
 
     "sim_topk_ivf_persisted" -> ivfOracle,
 
+    // append-after-save answers == rebuild-on-union under frozen
+    // centroids (trained on the even half, assignment over the union)
+    "sim_topk_ivf_appended" -> ivfAppendedOracle,
+
     "sim_topk_pq_indexed" -> pqOracle,
+
+    "sim_topk_ivfpq" -> ivfPqOracle,
 
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>

@@ -641,6 +641,137 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
       }
 }
 
+/** The multimodal twin of [[StreamingDedup]]: standing incremental
+  * near-dup admission over 64-bit hamming fingerprints (image dHash,
+  * audio energy fingerprints, any
+  * [[graft.operators.Multimodal.bandedHammingPairs]]-shaped hash) — the
+  * streaming lift the crawl-ingestion reality needs, since multimodal
+  * corpora arrive incrementally in practice. Decode stays upstream
+  * (scan-local, [[graft.operators.Multimodal.decodeImages]] et al.);
+  * admitted batches carry (id, fingerprint) rows only.
+  *
+  * State is ONE [[BatchedState]] table of rows exploded per 16-bit band
+  * — (id, fp, band, key, bb = hash(band, key) % nBuckets) — so a batch
+  * collects its own (bounded, <= nBuckets) bucket set and the band
+  * join's state scan prunes to matching `bb=` dirs; the fingerprint
+  * rides every row, so hamming verification is join-local (no second
+  * verify join at all — the 64-bit fp IS the payload). `wideRecall`
+  * probes each batch band key's 1-bit ball (exact recall to
+  * maxHamming <= 7, the [[graft.operators.Multimodal]] pigeonhole);
+  * the probe expansion stays on the broadcast batch side, so state is
+  * never shuffled and never expands. Same [[BatchedState]]
+  * overwrite-idempotency and `read(before)` replay determinism as the
+  * text twins.
+  */
+final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
+    idCol: String, hashCol: String, maxHamming: Int = 3,
+    wideRecall: Boolean = false, nBuckets: Int = 32) extends Serializable {
+
+  if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
+    "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
+  else require(maxHamming >= 0 && maxHamming < 4,
+    "4 16-bit bands guarantee recall only for maxHamming <= 3; " +
+      "pass wideRecall=true (1-bit band probing) for 4..7")
+
+  private val fps = new BatchedState(spark, s"$stateDir/fps", Seq("bb"))
+
+  private def bandBucket(band: Column, key: Column): Column =
+    StateBuckets.bandBucket(band, key, nBuckets)
+
+  private val stateParams = Map("maxHamming" -> maxHamming.toString,
+    "wideRecall" -> wideRecall.toString, "nBuckets" -> nBuckets.toString)
+  @transient private var paramsChecked = false
+  private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
+    BatchedState.validateParams(spark, stateDir, stateParams)
+    BatchedState.requireMonotonicBatchId(batchId, Seq(fps), stateDir)
+    paramsChecked = true
+  }
+
+  /** Exploded EXACT-key rows — the stored state layout. */
+  private def bandRows(df: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(hashCol).as("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "key")))
+      .withColumn("bb", bandBucket(col("band"), col("key")))
+
+  /** The batch-side probe rows: exact keys, plus each key's 16
+    * single-bit flips when `wideRecall` (a <= 1-bit band difference
+    * collides between the state's exact key and the batch's ball).
+    */
+  private def probeRows(df: DataFrame): DataFrame =
+    if (!wideRecall) bandRows(df)
+    else df.select(col(idCol).as("id"), col(hashCol).as("fp"),
+        posexplode(array((0 until 4).map { b =>
+          val key = shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)
+          array(key +: (0 until 16).map(i =>
+            key.bitwiseXOR(lit(1L << i))): _*)
+        }: _*)).as(Seq("band", "keys")))
+      .select(col("id"), col("fp"), col("band"),
+        explode(col("keys")).as("key"))
+      .withColumn("bb", bandBucket(col("band"), col("key")))
+
+  /** Seed the persisted reference state, REPLACING any previous state
+    * under `stateDir`.
+    */
+  def seed(reference: DataFrame): Unit = {
+    BatchedState.clearParams(spark, stateDir)
+    fps.reset()
+    fps.seed(bandRows(reference))
+    BatchedState.writeParams(spark, stateDir, stateParams)
+    paramsChecked = true
+  }
+
+  /** Admit micro-batch `batchId`: (ref_id, new_id, hamming) pairs with
+    * hamming <= maxHamming against everything seeded or admitted in
+    * batches < batchId, then fold the batch's EXACT-key rows into the
+    * state. A re-arrived id with several state versions collapses to
+    * ONE pair at the best (minimum) hamming. Replay-idempotent.
+    */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+    ensureAdmissible(batchId)
+    val bNew = bandRows(batch).localCheckpoint()
+    val pNew =
+      if (!wideRecall) bNew else probeRows(batch).localCheckpoint()
+    // the batch's probe-bucket set (<= nBuckets values): the state scan
+    // reads ONLY matching bb= partitions
+    val bbs = pNew.select("bb").distinct().collect().map(_.getInt(0))
+    val ref = fps.read(before = batchId, fallback = Some(bNew.schema))
+      .where(col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
+    // state joins the broadcast batch probes on (band, key); the fp on
+    // both sides makes hamming verification join-local — no verify join
+    val pairs = ref.as("l").join(broadcast(pNew).as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
+        graft.operators.Dedup.hamming64(col("l.fp"), col("r.fp"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("ref_id"), col("new_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .localCheckpoint()
+    fps.append(bNew, batchId)
+    pairs
+  }
+
+  /** See [[StreamingDedup.compact]]. */
+  def compact(keepFrom: Long = Long.MinValue,
+      upTo: Long = Long.MaxValue): Unit = fps.compact(keepFrom, upTo)
+
+  /** See [[StreamingDedup.attach]]. */
+  def attach(source: DataFrame, pairsDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 0): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admit(batch, batchId).write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+        if (autoCompactEvery > 0 && batchId > 0 &&
+          batchId % autoCompactEvery == 0) compact(upTo = batchId - 1)
+        ()
+      }
+}
+
 /** The exact-substring twin of [[StreamingDedup]]: standing incremental
   * detection of VERBATIM shared k-char windows against an accumulating
   * corpus — the streaming lift of

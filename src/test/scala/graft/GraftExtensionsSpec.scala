@@ -208,6 +208,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("graft_quantile_sketch input guard: loud on bad input, deferred on " +
+      "late resolution (never a builder-time dataType probe)") {
+    Tables(spark, "/root/testdata/sf0.001").lineitem
+      .createOrReplaceTempView("qs_guard")
+    // DOUBLE input fails ANALYSIS loudly (truncate-vs-round drift)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_quantile_sketch(CAST(l_quantity AS DOUBLE)," +
+        " 1, 2) FROM qs_guard").collect()
+    }
+    assert(e.getMessage.contains("DECIMAL or integer"), e.getMessage)
+    // a DECIMAL whose 10^s does not divide the scale fails loudly
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_quantile_sketch(" +
+        "CAST(l_extendedprice AS DECIMAL(18,3)), 1, 2, 100) FROM qs_guard")
+        .collect()
+    }
+    assert(e2.getMessage.contains("multiple of 10^3"), e2.getMessage)
+    // an input needing multi-iteration resolution (lateral column alias)
+    // must ANALYZE fine: the analyzer can invoke the function builder
+    // before the child resolves, and the guard defers to
+    // checkInputDataTypes instead of probing dataType in the builder
+    // (the r14 builder threw IllegalStateException on early invocation)
+    val r = spark.sql(
+      """SELECT graft_quantile_sketch(p, 1, 2) AS p50 FROM
+        |  (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS c0, c0 AS p
+        |   FROM qs_guard)""".stripMargin).head()
+    assert(!r.isNullAt(0) && r.getDouble(0) > 0)
+  }
+
   test("SQL graft_window_funnel == EventAnalytics.windowFunnel for all modes") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     ev.createOrReplaceTempView("wf_events")

@@ -462,6 +462,144 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfIndex.appendAssigned: append == rebuild-on-union; one new file " +
+      "per touched cell; existing files untouched") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val trained = Similarity.trainCentroids(evens, nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.IvfIndex.saveAssigned(evens, trained, dir)
+    def cellFiles(d: String): Map[String, Set[String]] =
+      new java.io.File(s"$d/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(f => f.getName -> f.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    val before = cellFiles(dir)
+    Similarity.IvfIndex.appendAssigned(odds, dir)
+    val after = cellFiles(dir)
+    // every pre-existing file survives the append untouched
+    before.foreach { case (cell, files) =>
+      assert(files.subsetOf(after.getOrElse(cell, Set.empty)),
+        s"append rewrote files in $cell")
+    }
+    // the append lands AT MOST one new file per cell (clustered write),
+    // and at least one cell genuinely grew
+    val grown = after.map { case (cell, files) =>
+      files.size - before.getOrElse(cell, Set.empty).size
+    }
+    assert(grown.forall(_ <= 1), s"append not clustered: $after")
+    assert(grown.exists(_ == 1), "append wrote nothing")
+    // identity: the appended index answers exactly like an index REBUILT
+    // from scratch on the union under the SAME frozen centroids
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_app2").toString
+    Similarity.IvfIndex.saveAssigned(e, trained, dir2)
+    val queries = e.filter(col("vec_id") < 10)
+    def answers(d: String) =
+      Similarity.ivfTopKFromIndex(spark, d, queries, k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val appended = answers(dir)
+    assert(appended === answers(dir2))
+    assert(appended.nonEmpty)
+  }
+
+  test("ivfPqTopK: IVFADC composition — twin at rank 1, decent recall vs " +
+      "brute force, empty batch short-circuits") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.IvfPqIndex.save(e,
+      Similarity.trainCentroids(e, nCells = 8),
+      Similarity.trainPq(e, m = 8, k = 16), dir)
+    val q20 = e.filter(col("vec_id") < 20)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(e, q20, k = 5))
+    val approx = sets(
+      Similarity.ivfPqTopK(spark, dir, q20, k = 5, nprobe = 4, rerank = 8))
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & approx.getOrElse(q, Set.empty)).size.toDouble / 5)
+      .sum / exact.size
+    // deterministic centroids/codebooks -> a fixed number; the bound
+    // guards regressions (composition loses vs pure PQ only through the
+    // probed-cell restriction, which nprobe=4 of 8 mostly covers)
+    assert(recall >= 0.5, s"ivfpq recall@5 too low: $recall")
+    info(f"ivfpq recall@5 $recall%.2f")
+    // a query whose exact twin lives in its own cell must surface at
+    // rank 1 through ADC + re-rank (self is excluded, twin is not)
+    val twin = e.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    val e2 = e.union(twin)
+    Similarity.IvfPqIndex.save(e2,
+      Similarity.trainCentroids(e2, nCells = 8),
+      Similarity.trainPq(e2, m = 8, k = 16), dir2)
+    val top = Similarity.ivfPqTopK(spark, dir2,
+        e2.filter(col("vec_id") === 3L), k = 5).collect()
+      .sortBy(_.getInt(3))
+    assert(top.head.getLong(1) === 900003L, s"twin not rank 1: ${top.toSeq}")
+    assert(top.head.getDouble(2) > 0.9999)
+    // empty query batch -> empty result, no scan, no failure
+    assert(Similarity.ivfPqTopK(spark, dir, q20.limit(0), k = 5).count() === 0L)
+    assert(Similarity.ivfTopKFromIndex(spark, dir, q20.limit(0), k = 5)
+      .count() === 0L)
+  }
+
+  test("bandBitsFor: band width tracks corpus size and divides nBits") {
+    // the r14 measured points: 16-bit bands fine at ~200K vectors,
+    // quadratic at 2M where 32-bit ran linear at identical recall
+    assert(Similarity.bandBitsFor(1000) === 16)
+    assert(Similarity.bandBitsFor(40000) === 24)
+    assert(Similarity.bandBitsFor(2000000) === 32)
+    assert(Similarity.bandBitsFor(1L << 40) === 32) // capped: keys are longs
+    // width divides the signature and never shrinks as n grows
+    val widths = (0 to 36).map(p => Similarity.bandBitsFor(1L << p))
+    widths.foreach(w => assert(384 % w === 0, s"width $w !| 384"))
+    assert(widths === widths.sorted, s"not monotone: $widths")
+    // custom signature sizes constrain to their own divisors
+    assert(256 % Similarity.bandBitsFor(2000000, nBits = 256) === 0)
+  }
+
+  test("StreamingPhashDedup: cross-batch fingerprint pairs accumulate; " +
+      "replay-idempotent; survives compaction") {
+    import graft.streaming.StreamingPhashDedup
+    val stateDir = java.nio.file.Files.createTempDirectory("spd").toString
+    val spd = new StreamingPhashDedup(spark, stateDir, "asset_id", "fp")
+    spd.seed(Seq((1L, 0x1234567890abcdefL)).toDF("asset_id", "fp"))
+    // batch 0: an exact fingerprint twin + a 2-bit neighbor; both pair
+    // with the SEED only (the band join is strictly state x batch, so
+    // no intra-batch pair)
+    val b0 = Seq((101L, 0x1234567890abcdefL), (102L, 0x1234567890abcdecL))
+      .toDF("asset_id", "fp")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val first = snap(spd.admit(b0, 0L))
+    assert(first === Seq((1L, 101L, 0), (1L, 102L, 2)))
+    // crash-after-append replay reproduces the identical pairs and the
+    // state holds one exploded row set per asset (3 assets x 4 bands)
+    assert(snap(spd.admit(b0, 0L)) === first)
+    assert(spark.read.parquet(s"$stateDir/fps").count() === 12L)
+    spd.compact(upTo = 0L)
+    // batch 1 pairs against seed AND batch 0 through the compacted state
+    val second = snap(spd.admit(
+      Seq((201L, 0x1234567890abcdefL)).toDF("asset_id", "fp"), 1L))
+    assert(second === Seq((1L, 201L, 0), (101L, 201L, 0), (102L, 201L, 2)))
+    // a far fingerprint (no shared band) pairs with nothing
+    val third = snap(spd.admit(
+      Seq((301L, 0x0fedcba987654321L)).toDF("asset_id", "fp"), 2L))
+    assert(third.isEmpty)
+    // wideRecall geometry is a state param: reopening with different
+    // params must refuse loudly
+    val other = new StreamingPhashDedup(spark, stateDir, "asset_id", "fp",
+      maxHamming = 7, wideRecall = true)
+    val e = intercept[IllegalArgumentException](other.admit(b0, 3L))
+    assert(e.getMessage.contains("different parameters"), e.getMessage)
+  }
+
   test("StreamingDedup: a replayed batch emits exactly the clean run's pairs") {
     import graft.streaming.StreamingDedup
     val stateDir = java.nio.file.Files.createTempDirectory("sd_rp").toString
@@ -928,20 +1066,35 @@ class OperatorsSpec extends AnyFunSuite {
     val noisy = bmp(200L, 8, noisy = true)
     val all = Multimodal.decodeImages(
       base.unionByName(big).unionByName(noisy)).toDF()
+    // default clique-safe path: the hamming-0 scale twin COLLAPSES into
+    // its base's clique (rep = min id, clique = 2) and only the noisy
+    // twin pairs with the representative
     val pairs = Multimodal.imageNearDups(all, maxHamming = 6,
         wideRecall = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(!pairs.exists(p => p._1 == id && p._2 == id + 100L),
+        s"hamming-0 twin of $id must collapse, not pair: ${pairs.toSeq}")
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 200L &&
+          p._3 > 0 && p._4 == 2L && p._5 == 1L),
+        s"noisy pair of $id (rep clique 2) missing: ${pairs.toSeq}")
+    }
+    // raw mode (collapseIdentical = false) keeps the per-asset pair form
+    val raw = Multimodal.imageNearDups(all, maxHamming = 6,
+        wideRecall = true, collapseIdentical = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     for (id <- Seq(3L, 4L, 5L))
-      assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
-        s"exact scale pair $id missing: ${pairs.toSeq}")
-    // the scale-safe default (4×16-bit bands, maxHamming <= 3) still
-    // finds the exact twins, and thresholds needing wide recall must be
+      assert(raw.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
+        s"raw-mode exact scale pair $id missing: ${raw.toSeq}")
+    // the scale-safe default (4×16-bit bands, maxHamming <= 3) keeps the
+    // same collapse semantics, and thresholds needing wide recall must be
     // requested EXPLICITLY — the n²/64-candidate mode is never a default
-    val tight = Multimodal.imageNearDups(all)
+    val tight = Multimodal.imageNearDups(all, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     for (id <- Seq(3L, 4L, 5L))
-      assert(tight.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
-        s"default banding lost exact pair $id: ${tight.toSeq}")
+      assert(!tight.exists(p => p._1 == id && p._2 == id + 100L),
+        s"default banding must collapse exact twins of $id: ${tight.toSeq}")
     intercept[IllegalArgumentException] {
       Multimodal.imageNearDups(all, maxHamming = 6)
     }
@@ -1019,15 +1172,26 @@ class OperatorsSpec extends AnyFunSuite {
     val all = Multimodal.decodeAudio(wav(0L, 1, noisy = false)
       .unionByName(wav(100L, 2, noisy = false))
       .unionByName(wav(300L, 1, noisy = true))).toDF()
+    // default clique-safe path: the hamming-0 gain twin COLLAPSES into
+    // its base's clique; the noisy twin pairs with the representative
     val pairs = Multimodal.audioNearDups(all, maxHamming = 7,
         wideRecall = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
     for (id <- Seq(3L, 4L, 5L)) {
-      assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
-        s"exact gain pair $id missing: ${pairs.toSeq}")
-      assert(pairs.exists(p => p._1 == id && p._2 == id + 300L && p._3 > 0),
-        s"noisy pair $id missing or identical: ${pairs.toSeq}")
+      assert(!pairs.exists(p => p._1 == id && p._2 == id + 100L),
+        s"hamming-0 gain twin of $id must collapse, not pair: ${pairs.toSeq}")
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 300L &&
+          p._3 > 0 && p._4 == 2L && p._5 == 1L),
+        s"noisy pair of $id (rep clique 2) missing: ${pairs.toSeq}")
     }
+    // raw mode keeps the per-asset pair form
+    val raw = Multimodal.audioNearDups(all, maxHamming = 7,
+        wideRecall = true, collapseIdentical = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (id <- Seq(3L, 4L, 5L))
+      assert(raw.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0),
+        s"raw-mode exact gain pair $id missing: ${raw.toSeq}")
   }
 
   test("WavDecoder: stereo mixdown sums channels; LIST/odd chunks walk; truncation clamps") {
@@ -1091,18 +1255,30 @@ class OperatorsSpec extends AnyFunSuite {
     val all = Multimodal.decodeVideoFrames(avi(0L, noisy = false)
       .unionByName(avi(100L, noisy = false))
       .unionByName(avi(200L, noisy = true))).toDF()
+    // default clique-safe path: the byte-identical copy shares the full
+    // frame-hash sequence and COLLAPSES into its base's clique; only the
+    // noisy copy pairs with the representative (clique_a = 2)
     val pairs = Multimodal.videoNearDups(all, maxHamming = 6,
         minMatchPct = 80, wideRecall = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
     for (id <- Seq(3L, 4L)) {
-      assert(pairs.get((id, id + 100L)).exists(_._1 == 10L),
-        s"exact copy pair $id missing or partial: $pairs")
-      assert(pairs.get((id, id + 200L)).exists(t => t._1 >= 8L),
-        s"noisy pair $id must match >= 8 of 10 slots: $pairs")
+      assert(!pairs.contains((id, id + 100L)),
+        s"identical copy of $id must collapse, not pair: $pairs")
+      assert(pairs.get((id, id + 200L)).exists(t =>
+          t._1 >= 8L && t._4 == 2L && t._5 == 1L),
+        s"noisy pair $id must match >= 8 of 10 slots at clique 2: $pairs")
     }
     // different source videos must NOT link
     assert(!pairs.contains((3L, 4L)) && !pairs.contains((3L, 104L)), s"$pairs")
+    // raw mode keeps the per-asset pair form (copy pair at 10/10 slots)
+    val raw = Multimodal.videoNearDups(all, maxHamming = 6,
+        minMatchPct = 80, wideRecall = true, collapseIdentical = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- Seq(3L, 4L))
+      assert(raw.get((id, id + 100L)).contains(10L),
+        s"raw-mode exact copy pair $id missing or partial: $raw")
   }
 
   test("AviDemuxer: truncated tail frame drops; non-DIB refuses") {

@@ -148,6 +148,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"wideRecall must keep 16-bit bands, not shrink them:\n$pWide")
     assert(pWide.contains("32768"),
       s"wideRecall must probe the 1-bit ball:\n$pWide")
+    // the clique-safe DEFAULT: identical fingerprints collapse to one
+    // representative (min id) + count BEFORE banding, so the band join's
+    // inputs are the collapse aggregate — an m-member hash clique enters
+    // the exchange as ONE row, never m² pair rows (r14's measured
+    // disk-filling failure mode on a 494-clique 1M-asset corpus)
+    assert(p.contains("min(asset_id") && p.contains("count(1)"),
+      s"default path lost the collapse-by-fingerprint aggregate:\n$p")
+    assert(pWide.contains("min(asset_id"),
+      s"wideRecall path lost the collapse-by-fingerprint aggregate:\n$pWide")
+  }
+
+  test("video near-dup collapses identical frame sequences before the frame join") {
+    import spark.implicits._
+    val ids = (1L to 6L).toDF("asset_id")
+    val assets = ids.select(col("asset_id"),
+      graft.operators.Multimodal.aviContent(col("asset_id"), 4, 8, lit(false))
+        .as("content"))
+    val frames =
+      graft.operators.Multimodal.decodeVideoFrames(assets).toDF()
+    val p = plan(graft.operators.Multimodal.videoNearDups(frames))
+    assert(!p.contains("CartesianProduct"), p)
+    // the sequence-collapse pre-pass (collect_list of frame hashes per
+    // video, then min-id/count per sequence) must sit below the frame
+    // join — identical copies enter the (frame, band, key) exchange once
+    assert(p.contains("collect_list") && p.contains("min(asset_id"),
+      s"videoNearDups lost its sequence-collapse pre-pass:\n$p")
   }
 
   test("corpus-wide embedding near-dup is banded: no nested-loop, no cartesian") {
@@ -229,6 +255,33 @@ class PlanShapeSpec extends AnyFunSuite {
       .mkString("\n")
     assert(scan.contains("cell#") && scan.contains(" IN ("),
       s"probed-cell partition prune missing from the cells scan:\n$f")
+  }
+
+  test("ivfpq: ADC scores over a cell equi-join (no nested loop), scan " +
+      "partition-prunes to probed cells") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
+    Similarity.IvfPqIndex.save(e, Similarity.trainCentroids(e, 8),
+      Similarity.trainPq(e, m = 8, k = 16), dir)
+    val df = Similarity.ivfPqTopK(spark, dir,
+      e.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+    val p = plan(df)
+    // the LUTs ride the broadcast side as DATA on a cell equi-key: a
+    // codegen'd BroadcastHashJoin, never the BroadcastNestedLoopJoin
+    // that cost the pure-PQ path 7x before r14
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring must join on the cell equi-key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both the code scan and the re-rank vector read partition-prune to
+    // the probed cells
+    val f = formatted(df)
+    val scans = f.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("cell#") && s.contains(" IN (")),
+      s"probed-cell partition prune missing:\n$f")
   }
 
   test("dynamic-schema path parses each message exactly once") {
