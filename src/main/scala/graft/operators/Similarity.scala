@@ -380,13 +380,7 @@ object Similarity {
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qExploded.schema)
     val probed = qRows.map(_.getInt(2)).distinct.sorted
-    val cellsAll = spark.read.parquet(s"$indexDir/cells")
-    // explicit empty-batch short-circuit (zero probed cells -> zero
-    // scan), not a reliance on zero-argument isin() evaluating false
-    val cells =
-      if (probed.isEmpty) cellsAll.where(lit(false))
-      else cellsAll.where(col("cell")
-        .isin(probed.toIndexedSeq.map(Int.box): _*))
+    val cells = prunedCells(spark, s"$indexDir/cells", probed)
     val scored = cells.join(broadcast(q),
         cells("cell") === q("cell") && col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
@@ -514,34 +508,64 @@ object Similarity {
     pqTopKWithBooks(corpus, queries, k, trainPq(corpus, m, kCodes, idCol, vecCol),
       rerank, idCol, vecCol)
 
-  /** The no-train path against existing codebooks. */
+  /** Per-query ADC lookup table: lut(s)(j) = fixed-order dot(q_s,
+    * book_s[j]) over the id-sorted codebook cells — the exact arithmetic
+    * the oracles replay; shared by [[pqTopKWithBooks]] and
+    * [[ivfPqTopK]] so the two paths can never diverge.
+    */
+  private def adcLut(q: Array[Double], books: PqCodebooks): Seq[Seq[Double]] =
+    books.books.indices.map { s =>
+      val qs = q.slice(s * books.subDims, (s + 1) * books.subDims)
+      books.books(s).cells.sortBy(_._1).map { case (_, c, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qs.length) { acc += qs(i) * c(i); i += 1 }
+        acc
+      }.toSeq
+    }
+
+  /** The cell-partitioned index scan pruned to `probed` cells — an
+    * explicit empty short-circuit (zero probed cells -> zero scan),
+    * never a reliance on zero-argument isin() evaluating false. Shared
+    * by [[ivfTopKFromIndex]] and [[ivfPqTopK]].
+    */
+  private def prunedCells(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, probed: Array[Int]): DataFrame = {
+    val all = spark.read.parquet(cellsDir)
+    if (probed.isEmpty) all.where(lit(false))
+    else all.where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
+  }
+
+  /** The no-train path against existing codebooks. `lutChunk` bounds
+    * the literal LUTs per generate (see the scoring comment below);
+    * the default is the measured codegen sweet spot — it is a physical
+    * knob only, results are identical at any value.
+    */
   def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
       books: PqCodebooks, rerank: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lutChunk: Int = 100): DataFrame = {
+    require(lutChunk >= 1, "lutChunk must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecd = col(vecCol).cast(ArrayType(DoubleType))
-    val codes = corpus.select(col(idCol).as("nn_id"), books.encode(vecd).as("codes"))
     // per-query ADC lookup tables, built driver-side from the bounded
-    // query set: lut(s)(j) = fixed-order dot(q_s, book_s[j]). The id is
-    // cast to long BEFORE the collect so an int id column (the rest of
-    // the library handles ids generically) doesn't ClassCastException
-    // on getLong.
+    // query set. The id is cast to long BEFORE the collect so an int id
+    // column (the rest of the library handles ids generically) doesn't
+    // ClassCastException on getLong.
     val luts = queries.select(col(idCol).cast(LongType).as("query_id"), vecd.as("q"))
       .collect().toIndexedSeq.map { r =>
-        val qid = r.getLong(0)
-        val q = r.getSeq[Double](1).toArray
-        val lut = books.books.indices.map { s =>
-          val qs = q.slice(s * books.subDims, (s + 1) * books.subDims)
-          books.books(s).cells.sortBy(_._1).map { case (_, c, _) =>
-            var acc = 0.0
-            var i = 0
-            while (i < qs.length) { acc += qs(i) * c(i); i += 1 }
-            acc
-          }.toSeq
-        }
-        (qid, lut)
+        (r.getLong(0), adcLut(r.getSeq[Double](1).toArray, books))
       }
+    // encode once: multi-chunk batches re-scan the code table per chunk,
+    // and without the pin every chunk would re-run the m*k-dot ENCODE of
+    // the whole corpus — the expensive part — instead of re-reading its
+    // (cheap, materialized) output
+    val codesPlan = corpus.select(col(idCol).as("nn_id"),
+      books.encode(vecd).as("codes"))
+    val codes =
+      if (luts.lengthCompare(lutChunk) > 0) codesPlan.localCheckpoint()
+      else codesPlan
     // ADC scoring as a joinless generate over the code scan: the luts
     // ride along as array LITERALS (the IVF centroid trick). The
     // previous broadcast-join form (`codes JOIN broadcast(luts) ON
@@ -553,13 +577,13 @@ object Similarity {
     // serving shape) stay inside whole-stage codegen; at ~100 queries
     // the generate outgrows JVM codegen limits and Spark's interpreted
     // fallback takes over — still joinless, still 7x the join form.
-    // Batches are CHUNKED at 100 queries per generate (union of chunk
-    // scans): plan/codegen size is O(chunk * m * k) literals regardless
-    // of batch size, so a thousand-query batch can't blow past Janino
-    // method limits or driver plan memory — it pays ceil(|q|/100) code
-    // scans instead, each codegen-friendly.
-    val lutChunk = 100
-    def adcChunk(group: Seq[(Long, IndexedSeq[Seq[Double]])]): DataFrame = {
+    // Batches are CHUNKED at `lutChunk` queries per generate (union of
+    // chunk scans): plan/codegen size is O(chunk * m * k) literals
+    // regardless of batch size, so a thousand-query batch can't blow
+    // past Janino method limits or driver plan memory — it pays
+    // ceil(|q|/chunk) scans of the PINNED code table instead, each
+    // codegen-friendly.
+    def adcChunk(group: Seq[(Long, Seq[Seq[Double]])]): DataFrame = {
       val scoreRows = group.map { case (qid, lut) =>
         struct(lit(qid).as("query_id"),
           books.books.indices.map { s =>
@@ -657,28 +681,15 @@ object Similarity {
       .collect()
     val lutByQ: Map[Long, Seq[Seq[Double]]] =
       qRows.groupBy(_.getLong(0)).map { case (qid, rs) =>
-        val q = rs.head.getSeq[Double](1).toArray
-        qid -> books.books.indices.map { s =>
-          val qs = q.slice(s * books.subDims, (s + 1) * books.subDims)
-          books.books(s).cells.sortBy(_._1).map { case (_, cv, _) =>
-            var acc = 0.0
-            var i = 0
-            while (i < qs.length) { acc += qs(i) * cv(i); i += 1 }
-            acc
-          }.toSeq
-        }.toSeq
+        qid -> adcLut(rs.head.getSeq[Double](1).toArray, books)
       }
     val q = qRows.toSeq
       .map(r => (r.getLong(0), r.getInt(2), lutByQ(r.getLong(0))))
       .toDF("query_id", "cell", "lut")
     val probed = qRows.map(_.getInt(2)).distinct.sorted
-    val cellsAll = spark.read.parquet(s"$indexDir/cells")
-    // explicit empty-batch short-circuit; otherwise a static isin prune
-    // (PartitionFilters — only probed cell directories are read)
-    val cells =
-      if (probed.isEmpty) cellsAll.where(lit(false))
-      else cellsAll.where(col("cell")
-        .isin(probed.toIndexedSeq.map(Int.box): _*))
+    // static isin prune: only probed cell directories are read
+    // (PartitionFilters), empty batches short-circuit inside
+    val cells = prunedCells(spark, s"$indexDir/cells", probed)
     val adcScore = books.books.indices.map { s =>
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)

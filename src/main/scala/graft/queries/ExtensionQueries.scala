@@ -66,6 +66,36 @@ object ExtensionQueries {
     d
   }
 
+  /** Opt-in streaming-replay phase decomposition, shared by the replay
+    * queries: set `SPARK_GRAFT_REPLAY_TIMING` to anything but ""/"0"
+    * (the docs' `=1`) to print per-phase wall — and, when a `stateDir`
+    * is passed, the on-disk state size after the phase. Off by default;
+    * the driver never sets it.
+    */
+  private lazy val replayTiming: Boolean =
+    sys.env.get("SPARK_GRAFT_REPLAY_TIMING").exists(v => v.nonEmpty && v != "0")
+
+  private def replayPhase[A](tag: String, label: String,
+      stateDir: Option[String] = None)(f: => A): A =
+    if (!replayTiming) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      val state = stateDir.map { sd =>
+        val bytes = try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(sd)
+          if (!java.nio.file.Files.exists(p)) 0L
+          else java.nio.file.Files.walk(p).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } catch { case _: Throwable => -1L }
+        s"  state=${bytes / 1024} KiB"
+      }.getOrElse("")
+      System.err.println(
+        f"[$tag] $label%-14s ${(System.nanoTime() - t0) / 1e9}%7.1f s$state")
+      r
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: fingerprint groups over a corpus with planted dups -
@@ -305,28 +335,13 @@ object ExtensionQueries {
           .as("text"))
       val stateDir =
         scratchDir("stream_replay", dir)
-      // opt-in phase decomposition (SPARK_GRAFT_REPLAY_TIMING=1): the
-      // replay's wall at 10x is dominated by SOMETHING — per-phase wall
-      // + on-disk state size after each phase names it (admit() is
-      // eager via localCheckpoint, so each phase's work lands inside
-      // its own window; the final write only unions pinned results)
-      val timing = sys.env.contains("SPARK_GRAFT_REPLAY_TIMING")
+      // opt-in phase decomposition ([[replayPhase]]): the replay's wall
+      // at 10x is dominated by SOMETHING — per-phase wall + on-disk
+      // state size after each phase names it (admit() is eager via
+      // localCheckpoint, so each phase's work lands inside its own
+      // window; the final write only unions pinned results)
       def phase[A](label: String)(f: => A): A =
-        if (!timing) f else {
-          val t0 = System.nanoTime(); val r = f
-          val stateB = try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(stateDir)
-            if (!java.nio.file.Files.exists(p)) 0L
-            else java.nio.file.Files.walk(p).iterator().asScala
-              .filter(java.nio.file.Files.isRegularFile(_))
-              .map(java.nio.file.Files.size).sum
-          } catch { case _: Throwable => -1L }
-          System.err.println(
-            f"[replay] $label%-8s ${(System.nanoTime() - t0) / 1e9}%7.1f s" +
-              f"  state=${stateB / 1024}%d KiB")
-          r
-        }
+        replayPhase("replay", label, Some(stateDir))(f)
       val sd = new graft.streaming.StreamingDedup(s, stateDir,
         "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.5)
       phase("seed")(sd.seed(base))
@@ -1943,18 +1958,12 @@ object ExtensionQueries {
           nBuckets = 8),
         new graft.streaming.StreamingSummingMerge(s, s"$root/sum",
           "k", Seq("v"), nBuckets = 8))
-      // opt-in per-tier decomposition (SPARK_GRAFT_REPLAY_TIMING=1):
-      // each tier's admit() is EAGER (localCheckpoint inside), so
-      // per-call wall attributes cleanly — the stream_dedup_replay hook
-      // extended to the five-tier capstone
-      val timing = sys.env.contains("SPARK_GRAFT_REPLAY_TIMING")
+      // opt-in per-tier decomposition ([[replayPhase]]): each tier's
+      // admit() is EAGER (localCheckpoint inside), so per-call wall
+      // attributes cleanly — the stream_dedup_replay hook extended to
+      // the five-tier capstone
       def phase[A](label: String)(f: => A): A =
-        if (!timing) f else {
-          val p0 = System.nanoTime(); val r = f
-          System.err.println(
-            f"[multitier] $label%-14s ${(System.nanoTime() - p0) / 1e9}%7.1f s")
-          r
-        }
+        replayPhase("multitier", label)(f)
       val t0 = mkTiers()
       val empty = e.filter(lit(false))
       phase("seed") {
@@ -1967,7 +1976,13 @@ object ExtensionQueries {
           graft.streaming.StreamingUniqHll,
           graft.streaming.StreamingQuantile,
           graft.streaming.StreamingSummingMerge), b: Int) = {
-        val bd = phase(s"batchdf$b")(batchDf(b).localCheckpoint())
+        // the shared batch frame is pinned only UNDER TIMING (clean
+        // per-tier attribution needs it materialized once); the default
+        // path keeps the lazy filter-over-parquet — recomputing a scan
+        // five times is cheaper than holding 3 batches in block storage
+        // and losing lineage recovery
+        val bd = if (!replayTiming) batchDf(b)
+          else phase(s"batchdf$b")(batchDf(b).localCheckpoint())
         Seq(
           phase(s"funnel$b")(t._1.admit(bd, b.toLong))
             .select(lit("funnel").as("tier"),

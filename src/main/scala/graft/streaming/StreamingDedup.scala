@@ -734,10 +734,12 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     val pNew =
       if (!wideRecall) bNew else probeRows(batch).localCheckpoint()
     // the batch's probe-bucket set (<= nBuckets values): the state scan
-    // reads ONLY matching bb= partitions
+    // reads ONLY matching bb= partitions — with an explicit empty-batch
+    // short-circuit, never a reliance on zero-arg isin() being false
     val bbs = pNew.select("bb").distinct().collect().map(_.getInt(0))
     val ref = fps.read(before = batchId, fallback = Some(bNew.schema))
-      .where(col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
+      .where(if (bbs.isEmpty) lit(false)
+        else col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
     // state joins the broadcast batch probes on (band, key); the fp on
     // both sides makes hamming verification join-local — no verify join
     val pairs = ref.as("l").join(broadcast(pNew).as("r"),

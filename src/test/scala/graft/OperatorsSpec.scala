@@ -393,6 +393,15 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again === Similarity.pqTopK(corpus, q20, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the chunked multi-generate path (large query batches) is a
+    // physical knob only: lutChunk=4 forces 5 chunks over the pinned
+    // code table and must answer bit-identically to the single chunk
+    val chunked = Similarity.pqTopKWithBooks(corpus, q20, 5, books,
+        lutChunk = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Similarity.pqTopKWithBooks(corpus, q20, 5, books).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chunked === single)
   }
 
   test("PqIndex: saved + reloaded codebooks answer identically") {
