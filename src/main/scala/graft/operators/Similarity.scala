@@ -644,6 +644,30 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/cells")
     }
+
+    /** Append a NEW batch to a [[save]]d composed index: assign + encode
+      * against the FROZEN saved centroids and codebooks (retraining
+      * either would renumber cells / codes and orphan everything
+      * already written) and append one clustered file per touched cell
+      * — [[IvfIndex.appendAssigned]]'s lifecycle for the IVFADC serving
+      * index. Identical to rebuilding on the union by construction:
+      * both assignment and encoding depend only on the frozen
+      * centroids/books.
+      */
+    def append(batch: DataFrame, dir: String,
+        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      val spark = batch.sparkSession
+      val cent = IvfIndex.load(spark, s"$dir/centroids")
+      val books = PqIndex.load(spark, s"$dir/books")
+      batch
+        .select(col(idCol).as("nn_id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
+        .withColumn("codes", books.encode(col("nn_vec")))
+        .withColumn("cell", cent.assignCell(col("nn_vec")))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/cells")
+    }
   }
 
   /** Top-k over a [[IvfPqIndex.save]] index: rank each query's `nprobe`

@@ -26,11 +26,15 @@ object TimeSeries {
     * (`bucket = floor(epochMicros / step)`), so bucket ids are
     * reproducible across runs and engines.
     *
-    * Shape: one aggregate on (key, bucket) + a per-key (min, max)
-    * aggregate whose grid EXPLODES scan-local — the join back to the
-    * buckets is an equi-join on (key, bucket). Grid size per key is
-    * bounded by the series' time span over `stepSec`; pick the step so
-    * span/step stays sane (the same knob any WITH FILL query has).
+    * Shape: one aggregate on (key, bucket), then each observed bucket
+    * generates itself + its gap rows up to the per-key successor from
+    * ONE lead window over the bucket-sized table — JOINLESS, and the
+    * fan-out happens scan-local after the last exchange, on the keys
+    * partitioning every downstream window (LOCF / delta / moving)
+    * reuses. Grid size per key is bounded by the series' time span
+    * over `stepSec`; pick the step so span/step stays sane (the same
+    * knob any WITH FILL query has). Keyless resample degenerates to a
+    * single-partition window, as any global WITH FILL must.
     */
   def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
       stepSec: Long, valueCol: Column): DataFrame = {
@@ -46,14 +50,39 @@ object TimeSeries {
       bucket.as("b") :+ valueCol.as("__v"): _*)
     val buckets = keyed.groupBy((keyCols :+ "b").map(col): _*)
       .agg(max(col("__v")).as("v0"), count(lit(1)).as("n"))
-    val grid = keyed.groupBy(keyCols.map(col): _*)
-      .agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
-      .select(keyCols.map(col) :+
-        explode(sequence(col("__lo"), col("__hi"))).as("b"): _*)
-    grid.join(buckets, keyCols :+ "b", "left")
-      .select(keyCols.map(col) ++ Seq(col("b"),
-        col("v0"), coalesce(col("n"), lit(0L)).as("n"),
-        col("v0").isNull.as("filled")): _*)
+    // gap generation is JOINLESS (measured at 10M events -> 105M output
+    // buckets): each observed bucket emits itself plus the empty grid
+    // rows up to its per-key successor (one lead window over the
+    // BUCKET-sized table), so the fan-out happens scan-local AFTER the
+    // last exchange — the earlier grid-explode + (keys, b) equi-join
+    // shape shuffled the full 105M-row output for the join and then
+    // AGAIN for the first downstream window (2.09 GB read, 1.28 GB of
+    // window-sort spill where AQE had funneled the post-explosion rows
+    // into a handful of partitions; Spark's all-cluster-keys
+    // co-partition rule makes the keys-only join alignment
+    // unreachable). Only bucket-sized rows ever cross the wire, and
+    // the explicit keys repartition at the session's configured width
+    // (a) pre-spreads the explosion so no partition sorts more than
+    // its share, and (b) IS the partitioning every downstream window
+    // (LOCF / delta / moving) needs — the filled frame flows into them
+    // with zero further exchanges. The output row set is unchanged:
+    // consecutive [b_i, b_{i+1}) intervals tile exactly min..max.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (keyCols.isEmpty) buckets
+      else buckets.repartition(parts, keyCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("b"))
+    spread
+      .withColumn("__nb", lead(col("b"), 1).over(w))
+      .select(keyCols.map(col) ++ Seq(
+        col("b").as("__ob"), col("v0").as("__v0"), col("n").as("__n"),
+        explode(sequence(col("b"),
+          coalesce(col("__nb") - 1, col("b")))).as("b")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("b"),
+        when(col("b") === col("__ob"), col("__v0")).as("v0"),
+        when(col("b") === col("__ob"), col("__n")).otherwise(lit(0L)).as("n"),
+        when(col("b") === col("__ob"), col("__v0")).isNull.as("filled")): _*)
   }
 
   /** Last-observation-carried-forward over the bucket order: nulls in

@@ -700,6 +700,28 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- the composed-index ADMISSION lifecycle: the IVFADC index is
+    //     built on the even-id half (centroids AND codebooks trained
+    //     there), the odd half is APPENDED against both frozen artifacts
+    //     (assign + encode, one new file per touched cell), and the
+    //     serving path answers over the union ------------------------
+    "sim_topk_ivfpq_appended" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val seedHalf = e.filter(col("vec_id") % 2 === 0)
+      val fresh = e.filter(col("vec_id") % 2 =!= 0)
+      val idxDir = scratchDir("ivfpq_app_index", dir)
+      Similarity.IvfPqIndex.save(seedHalf,
+        Similarity.trainCentroids(seedHalf, nCells = 16),
+        Similarity.trainPq(seedHalf, m = 8, k = 16), idxDir)
+      Similarity.IvfPqIndex.append(fresh, idxDir)
+      Similarity.ivfPqTopK(s, idxDir, e.filter(col("vec_id") < 20),
+          k = 5, nprobe = 4, rerank = 8)
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // --- language identification -----------------------------------------
     "text_langid" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -3225,7 +3247,17 @@ object ExtensionQueries {
     * here, so the coarse and subspace tiers share the `seeds` CTE
     * (seed selection depends only on ids).
     */
-  private def ivfPqOracle: String = {
+  private def ivfPqOracle: String = ivfPqOracleTrainedOn("e")
+
+  /** The appended composed-index oracle: coarse centroids AND subspace
+    * codebooks train on the even-id half (the seed corpus the index was
+    * built from), assignment/encoding cover the union — what
+    * [[graft.operators.Similarity.IvfPqIndex.append]] must reproduce.
+    */
+  private def ivfPqAppendedOracle: String = ivfPqOracleTrainedOn(
+    "(SELECT vec_id, v FROM e WHERE vec_id % 2 = 0)")
+
+  private def ivfPqOracleTrainedOn(trainRel: String): String = {
     val m = 8; val sub = 8; val kCodes = 16
     val hSigned = "(md5_number_lower(CAST(vec_id AS VARCHAR))::HUGEINT - " +
       "CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR)) >= 9223372036854775808 " +
@@ -3241,7 +3273,7 @@ object ExtensionQueries {
          |  SELECT e.vec_id, e.v[${lo(s)}:${hi(s)}] AS sv, s.cell,
          |    list_dot_product(e.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}]) /
          |      sqrt(list_dot_product(s.v[${lo(s)}:${hi(s)}], s.v[${lo(s)}:${hi(s)}])) AS score
-         |  FROM e CROSS JOIN seeds s),
+         |  FROM $trainRel e CROSS JOIN seeds s),
          |b$s AS (
          |  SELECT vec_id, sv, cell FROM a$s
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
@@ -3270,11 +3302,11 @@ object ExtensionQueries {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY $hSigned, vec_id) - 1 AS cell, v
-       |  FROM e ORDER BY $hSigned, vec_id LIMIT $kCodes),
+       |  FROM $trainRel ORDER BY $hSigned, vec_id LIMIT $kCodes),
        |ia AS (
        |  SELECT e.vec_id, e.v, s.cell,
        |    list_dot_product(e.v, s.v) / sqrt(list_dot_product(s.v, s.v)) AS score
-       |  FROM e CROSS JOIN seeds s),
+       |  FROM $trainRel e CROSS JOIN seeds s),
        |ib AS (
        |  SELECT vec_id, v, cell FROM ia
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) = 1),
@@ -5243,6 +5275,10 @@ object ExtensionQueries {
     "sim_topk_pq_indexed" -> pqOracle,
 
     "sim_topk_ivfpq" -> ivfPqOracle,
+
+    // append-after-save answers == rebuild-on-union under the frozen
+    // even-half-trained centroids AND codebooks
+    "sim_topk_ivfpq_appended" -> ivfPqAppendedOracle,
 
     "text_langid" -> {
       def hits(lang: String, words: Seq[String]): String = words.map { w =>

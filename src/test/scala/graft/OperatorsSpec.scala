@@ -557,6 +557,43 @@ class OperatorsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("IvfPqIndex.append: append == rebuild-on-union under frozen " +
+      "centroids AND codebooks; clustered file layout") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val cent = Similarity.trainCentroids(evens, nCells = 8)
+    val books = Similarity.trainPq(evens, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    Similarity.IvfPqIndex.save(evens, cent, books, dir)
+    def cellFiles(d: String): Map[String, Set[String]] =
+      new java.io.File(s"$d/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(f => f.getName -> f.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    val before = cellFiles(dir)
+    Similarity.IvfPqIndex.append(odds, dir)
+    val after = cellFiles(dir)
+    before.foreach { case (cell, files) =>
+      assert(files.subsetOf(after.getOrElse(cell, Set.empty)),
+        s"append rewrote files in $cell")
+    }
+    assert(after.map { case (c, fs) =>
+      fs.size - before.getOrElse(c, Set.empty).size
+    }.forall(_ <= 1), s"append not clustered: $after")
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_app2").toString
+    Similarity.IvfPqIndex.save(e, cent, books, dir2)
+    val queries = e.filter(col("vec_id") < 10)
+    def answers(d: String) =
+      Similarity.ivfPqTopK(spark, d, queries, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val appended = answers(dir)
+    assert(appended === answers(dir2))
+    assert(appended.nonEmpty)
+  }
+
   test("bandBitsFor: band width tracks corpus size and divides nBits") {
     // the r14 measured points: 16-bit bands fine at ~200K vectors,
     // quadratic at 2M where 32-bit ran linear at identical recall

@@ -626,12 +626,22 @@ class PlanShapeSpec extends AnyFunSuite {
         TimeSeries.locf(rs, Seq("k"), "b", "v0"), Seq("k"), "b", "v0"),
       Seq("k"), "b", "v0", 4)
     val p = plan(q)
-    // the three window stages all partition by k: at most one exchange
-    // may sit above the resample join (AQE may show reused exchanges)
-    val aboveJoin = p.substring(0, math.max(0, p.indexOf("Join")))
-    val exchanges = "Exchange hashpartitioning\\(k".r.findAllIn(aboveJoin).length
-    assert(exchanges <= 1,
-      s"window stages must share one k-partitioning, saw $exchanges:\n$p")
+    // the resample is JOINLESS (gap rows generate scan-local from a
+    // lead window over the bucket table) and the whole chain moves
+    // bucket-sized rows through exactly two exchanges — the (k, b)
+    // groupBy and the keys repartition, whose partitioning every
+    // window stage (LOCF / delta / moving) then reuses with ZERO
+    // further shuffles; output-sized rows never cross the wire
+    assert(!p.contains("Join"), s"resample must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"chain must move only bucket-sized exchanges, saw $exchanges:\n$p")
+    // the explosion sits ABOVE the last exchange (scan-local fan-out):
+    // no Exchange may appear between the Generate and the Windows
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, s"gap generation missing:\n$p")
+    assert(!p.substring(0, genIdx).contains("Exchange"),
+      s"output-sized rows must not shuffle after the gap fan-out:\n$p")
     assert(!p.contains("CartesianProduct"), s"no products:\n$p")
   }
 
@@ -808,8 +818,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "operator on the key partitioning") {
     val p = plan(graft.queries.Registry
       .queries("q_timeseries_interp")(spark, sf))
-    assert("Window \\[".r.findAllIn(p).length === 1,
+    // interpolate's backward carry + forward reach fuse into ONE Window
+    // op ABOVE the resample's gap fan-out (Generate); the second Window
+    // below it is resample's own bucket-sized lead — output-sized rows
+    // see exactly one Window pass
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, s"gap generation missing:\n$p")
+    assert("Window \\[".r.findAllIn(p.substring(0, genIdx)).length === 1,
       s"backward carry + forward reach must share one Window op:\n$p")
+    assert("Window \\[".r.findAllIn(p).length <= 2,
+      s"at most the fused interpolate pair + resample's lead:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"resample aggs + window must not add extra exchanges:\n$p")
   }
