@@ -662,6 +662,18 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   * never shuffled and never expands. Same [[BatchedState]]
   * overwrite-idempotency and `read(before)` replay determinism as the
   * text twins.
+  *
+  * Clique note (the r15 batch-engine lesson, applied to deployment):
+  * admission emits one pair per MATCHING STATE ROW, so a corpus where
+  * one fingerprint recurs m times in state hands every new copy m
+  * pairs — measured graceful (1M standing fps, hot cliques of ~1000:
+  * 100k-batch admits at 4-8 s / zero spill / 5-6M true pairs), but at
+  * boilerplate-thumbnail rates the OUTPUT is the cost. For such
+  * corpora, feed the collapsed stream instead: exact-dedup each batch
+  * on the fingerprint upstream
+  * ([[graft.operators.Multimodal.collapseByFingerprint]]) and admit
+  * representatives — the streaming analog of the batch engine's
+  * collapse-first default.
   */
 final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     idCol: String, hashCol: String, maxHamming: Int = 3,
