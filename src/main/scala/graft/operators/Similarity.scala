@@ -287,6 +287,24 @@ object Similarity {
     * state. The table is nCells rows (bounded by construction), so the
     * load-side collect is legitimate.
     */
+  /** The ONE cells-write recipe every persisted index shares (plain IVF
+    * and IVFADC, initial save and admission append): project to
+    * (nn_id, nn_vec[, codes]), assign against the given centroids,
+    * cluster by cell, partitioned write — so the four call sites can
+    * never drift in layout.
+    */
+  private def writeCells(corpus: DataFrame, cent: Centroids,
+      books: Option[PqCodebooks], dir: String, mode: String,
+      idCol: String, vecCol: String): Unit = {
+    val base = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
+    books.fold(base)(b => base.withColumn("codes", b.encode(col("nn_vec"))))
+      .withColumn("cell", cent.assignCell(col("nn_vec")))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
   object IvfIndex {
     def save(c: Centroids, spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = {
@@ -316,13 +334,7 @@ object Similarity {
     def saveAssigned(corpus: DataFrame, c: Centroids, dir: String,
         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
       save(c, corpus.sparkSession, s"$dir/centroids")
-      corpus
-        .select(col(idCol).as("nn_id"),
-          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
-        .withColumn("cell", c.assignCell(col("nn_vec")))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/cells")
+      writeCells(corpus, c, None, dir, "overwrite", idCol, vecCol)
     }
 
     /** Append a NEW batch to a [[saveAssigned]] index: assign against
@@ -341,16 +353,9 @@ object Similarity {
       * rebuild would give them.
       */
     def appendAssigned(batch: DataFrame, dir: String,
-        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-      val c = load(batch.sparkSession, s"$dir/centroids")
-      batch
-        .select(col(idCol).as("nn_id"),
-          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
-        .withColumn("cell", c.assignCell(col("nn_vec")))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$dir/cells")
-    }
+        idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      writeCells(batch, load(batch.sparkSession, s"$dir/centroids"),
+        None, dir, "append", idCol, vecCol)
   }
 
   /** Top-k over a [[IvfIndex.saveAssigned]] index: load the centroids,
@@ -635,14 +640,7 @@ object Similarity {
         vecCol: String = "embedding"): Unit = {
       IvfIndex.save(cent, corpus.sparkSession, s"$dir/centroids")
       PqIndex.save(books, corpus.sparkSession, s"$dir/books")
-      corpus
-        .select(col(idCol).as("nn_id"),
-          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
-        .withColumn("codes", books.encode(col("nn_vec")))
-        .withColumn("cell", cent.assignCell(col("nn_vec")))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/cells")
+      writeCells(corpus, cent, Some(books), dir, "overwrite", idCol, vecCol)
     }
 
     /** Append a NEW batch to a [[save]]d composed index: assign + encode
@@ -657,16 +655,9 @@ object Similarity {
     def append(batch: DataFrame, dir: String,
         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
       val spark = batch.sparkSession
-      val cent = IvfIndex.load(spark, s"$dir/centroids")
-      val books = PqIndex.load(spark, s"$dir/books")
-      batch
-        .select(col(idCol).as("nn_id"),
-          col(vecCol).cast(ArrayType(DoubleType)).as("nn_vec"))
-        .withColumn("codes", books.encode(col("nn_vec")))
-        .withColumn("cell", cent.assignCell(col("nn_vec")))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$dir/cells")
+      writeCells(batch, IvfIndex.load(spark, s"$dir/centroids"),
+        Some(PqIndex.load(spark, s"$dir/books")), dir, "append",
+        idCol, vecCol)
     }
   }
 

@@ -72,7 +72,7 @@ object TimeSeries {
       if (keyCols.isEmpty) buckets
       else buckets.repartition(parts, keyCols.map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("b"))
-    spread
+    val filled = spread
       .withColumn("__nb", lead(col("b"), 1).over(w))
       .select(keyCols.map(col) ++ Seq(
         col("b").as("__ob"), col("v0").as("__v0"), col("n").as("__n"),
@@ -83,6 +83,11 @@ object TimeSeries {
         when(col("b") === col("__ob"), col("__v0")).as("v0"),
         when(col("b") === col("__ob"), col("__n")).otherwise(lit(0L)).as("n"),
         when(col("b") === col("__ob"), col("__v0")).isNull.as("filled")): _*)
+    // keyless resample necessarily generates through ONE partition (a
+    // global WITH FILL has a global order); redistribute the OUTPUT so
+    // downstream work doesn't inherit the single-partition cliff — the
+    // old join shape paid this same output shuffle on its (b) key
+    if (keyCols.isEmpty) filled.repartition(parts) else filled
   }
 
   /** Last-observation-carried-forward over the bucket order: nulls in

@@ -580,9 +580,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(files.subsetOf(after.getOrElse(cell, Set.empty)),
         s"append rewrote files in $cell")
     }
-    assert(after.map { case (c, fs) =>
+    val grownPq = after.map { case (c, fs) =>
       fs.size - before.getOrElse(c, Set.empty).size
-    }.forall(_ <= 1), s"append not clustered: $after")
+    }
+    assert(grownPq.forall(_ <= 1), s"append not clustered: $after")
+    assert(grownPq.exists(_ == 1), "append wrote nothing")
     val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_app2").toString
     Similarity.IvfPqIndex.save(e, cent, books, dir2)
     val queries = e.filter(col("vec_id") < 10)
