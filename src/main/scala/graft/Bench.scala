@@ -123,7 +123,12 @@ object BenchScale100 {
     if (!marker.exists()) {
       val d = Tables(spark, sfDir).documents
       // rep id-offset 1e7 clears the registry queries' +1000000 planted-
-      // twin shift (base doc_id < 1e6), so ids never collide
+      // twin shift (base doc_id < 1e6), so ids never collide — GUARDED:
+      // a larger base sf would otherwise silently alias docs across
+      // replicas and break the unique-tag scaling property
+      val maxDoc = d.agg(max(col("doc_id")).cast("long")).head.getLong(0)
+      require(maxDoc < 10000000L,
+        s"replica shift 1e7 would alias doc ids (max doc_id $maxDoc)")
       val rep = spark.range(reps.toLong).select(col("id").as("rep"))
       val gid = col("rep") * 10000000L + col("doc_id")
       val slot = (col("doc_id") + col("rep")) % reps
@@ -160,6 +165,15 @@ object BenchScale100 {
     val marker = new java.io.File(s"$dir/_READY")
     if (!marker.exists()) {
       val ev = Tables(spark, sfDir).events
+      // the shifts assume base ids fit under them; at a larger base sf
+      // replicas would silently alias users/events across replicas and
+      // break the fresh-user-population-per-replica scaling property —
+      // guard loudly instead
+      val mx = ev.agg(max(col("event_id")).cast("long"),
+        max(col("user_id")).cast("long")).head
+      require(mx.getLong(0) < 100000000L && mx.getLong(1) < 10000000L,
+        s"replica shifts would alias ids (max event_id ${mx.getLong(0)}, " +
+          s"max user_id ${mx.getLong(1)})")
       val rep = spark.range(reps.toLong).select(col("id").as("rep"))
       ev.crossJoin(rep).select(
           (col("rep") * 100000000L + col("event_id")).as("event_id"),
@@ -464,7 +478,8 @@ object Bench {
             (col("vec_id") + 20000000000L).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
           graft.operators.Similarity.nearDupsAgainstEmbedding(ref, fresh,
-            threshold = 0.75, dims = 64, nBits = 384, bandBits = embBandBits)
+            threshold = 0.75, dims = 64, nBits = 384, bandBits = embBandBits,
+            expectedN = Some(2 * nEmb))
         }
         // 100x events (10M at the driver's sf0.1 base): the r14 session
         // probes promoted to artifact rows, so family regressions are
@@ -499,6 +514,20 @@ object Bench {
           spark.range(1000000L).select(col("id").as("asset_id"),
             xxhash64(pmod(col("id"), lit(494))).as("dhash")),
           maxHamming = 3)
+        // the heaviest text family as a standing artifact row (r15 ask:
+        // its 53.2 GB banding payload at 5M docs was probe-only prose —
+        // regressions were invisible to artifact diff). The LOW-DUP
+        // corpus at full reps: unique word tags break shared 40-char
+        // windows across replicas, so the witness-banding exchange IS
+        // the measured cost and output stays near-empty — the shape
+        // whose prune-regression (forked join subtree, 53.2 -> 95.3 GB)
+        // r14 measured and reverted
+        val dirLowBig =
+          BenchScale100.ensure(spark, sfDir, cpus.toInt, reps, lowDup = true)
+        val rawWinnow = () => graft.operators.Dedup.substringDupPairsWinnowed(
+          spark.read.parquet(s"$dirLowBig/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 40, w = 10)
         val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
           "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
@@ -511,7 +540,8 @@ object Bench {
           "graph_pagerank" -> rawPageRank,
           "events_funnel" -> rawFunnel,
           "timeseries_chain" -> rawTsChain,
-          "mm_phash_clique_1m" -> rawMmClique)
+          "mm_phash_clique_1m" -> rawMmClique,
+          "dedup_substring_winnow" -> rawWinnow)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
         // partition sizing is part of the scale claim: 32 shuffle

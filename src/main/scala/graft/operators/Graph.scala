@@ -28,8 +28,13 @@ object Graph {
     * current rank vector plus one map-side-combined sum by dst — the
     * standard distributed PR round. `localCheckpoint` truncates the
     * 5-iteration lineage the same way [[Dedup.connectedComponents]]
-    * does. The single driver-side scalar is `n` (node count) for the
-    * teleport base — O(1), never corpus-sized.
+    * does, and the loop INVARIANTS (`e` after edge dedup, `outdeg`,
+    * `nodes`) are materialized the same way ONCE before the loop —
+    * otherwise each iteration's lineage re-runs the edge-dedup shuffle,
+    * the out-degree aggregation, and the node-set distinct from the
+    * scan up (~3 corpus-sized exchanges × iterations of pure
+    * redundancy at 25 M edges). The single driver-side scalar is `n`
+    * (node count) for the teleport base — O(1), never corpus-sized.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iterations: Int = 5,
@@ -37,10 +42,11 @@ object Graph {
     require(iterations >= 1, "at least one iteration")
     require(dampNum > 0 && dampNum < 100, "dampNum is a percentage in (0,100)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = ((scale * (100 - dampNum)) / 100) / n // exact Long arithmetic

@@ -309,6 +309,17 @@ object Multimodal {
     * see [[bandedHammingPairs]]. Pass `collapseIdentical = false` only
     * when the raw m(m-1)/2 within-clique pair expansion is genuinely
     * wanted on a corpus known to have bounded fingerprint multiplicity.
+    *
+    * ==MIGRATION (default flipped in the clique-safe release)==
+    * Under the default, non-representative members of an
+    * identical-fingerprint clique no longer appear in (a, b) AT ALL —
+    * their existence rides `clique_a`/`clique_b` on the representative.
+    * A caller that builds dedup components from (a, b) alone (the extra
+    * columns don't break a `.select`) would silently keep exact
+    * duplicates as unique: ALSO read [[collapseByFingerprint]] (its
+    * `clique > 1` rows are the exact-dup groups, every member a
+    * hamming-0 dup of its `id`), or pass `collapseIdentical = false` to
+    * restore the old per-asset pair form verbatim.
     */
   def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
@@ -613,11 +624,21 @@ object Multimodal {
     * output linear in DISTINCT fingerprints instead of quadratic in
     * clique size. Public so callers can read the clique table itself
     * (members of a clique ARE mutual hamming-0 near-dups; `clique > 1`
-    * rows are the exact-duplicate groups).
+    * rows are the exact-duplicate groups). `idCol` names the asset-id
+    * column (default matches [[decodeImages]]/[[decodeAudio]] output,
+    * same convention as the Similarity operators' idCol).
+    *
+    * To recover per-member exact-dup EDGES (what the pre-collapse pair
+    * output used to carry), read this table with `clique > 1`: every
+    * member of a group is a hamming-0 dup of its representative `id`.
+    * Keep the full member list with
+    * `hashed.groupBy(hashCol).agg(min(idCol) as "id", collect_list(idCol))`
+    * when ids themselves are needed rather than counts.
     */
-  def collapseByFingerprint(hashed: DataFrame, hashCol: String): DataFrame =
+  def collapseByFingerprint(hashed: DataFrame, hashCol: String,
+      idCol: String = "asset_id"): DataFrame =
     hashed.groupBy(col(hashCol))
-      .agg(min(col("asset_id")).as("id"), count(lit(1)).as("clique"))
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("clique"))
 
   /** Banded hamming near-dup pairs over any 64-bit fingerprint column —
     * the shared engine behind [[imageNearDups]] and [[audioNearDups]]:
@@ -674,6 +695,9 @@ object Multimodal {
     * volume-shifted copies land at hamming 0, lightly-edited copies within
     * a few bits. Same banded shape as [[imageNearDups]]; `wideRecall`
     * probes 1-bit band balls for 4..7-bit recall ([[bandCols]]).
+    * MIGRATION: the `collapseIdentical = true` default changed the pair
+    * output exactly as documented on [[imageNearDups]] — exact-dup
+    * members now ride [[collapseByFingerprint]], not (a, b).
     */
   def audioNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
@@ -870,7 +894,9 @@ object Multimodal {
     * bucket and the pair output goes m² — the same measured
     * disk-filling failure mode as the raw image path. Output gains
     * `clique_a`/`clique_b` (member counts the representatives stand
-    * for; 1s when `collapseIdentical = false`).
+    * for; 1s when `collapseIdentical = false`). MIGRATION: same (a, b)
+    * contract change as [[imageNearDups]] — clique members come from
+    * the sequence-collapse groups, not the pair set.
     */
   def videoNearDups(frames: DataFrame, maxHamming: Int = 3,
       minMatchPct: Int = 80, wideRecall: Boolean = false,
@@ -880,9 +906,15 @@ object Multimodal {
       "minMatchPct is a percentage")
     // sequence signature = the ordered (frame_id, dhash) list: total
     // order per video (frame ids are unique), so identical copies —
-    // and only they — share it
+    // and only they — share it. n_frames rides the collapse aggregate
+    // (the signature's size IS the frame count) and, raw, a window
+    // count — every frame row then carries its video's length into the
+    // band join, so the minMatchPct filter needs NO per-video-sized
+    // join (let alone broadcast) onto the pair set.
     val fr =
-      if (!collapseIdentical) frames.withColumn("clique", lit(1L))
+      if (!collapseIdentical)
+        frames.withColumn("clique", lit(1L)).withColumn("n_frames",
+          count(lit(1)).over(Window.partitionBy(col("asset_id"))))
       else {
         val cliques = frames
           .groupBy(col("asset_id"))
@@ -891,38 +923,34 @@ object Multimodal {
           .groupBy(col("__sig"))
           .agg(min(col("asset_id")).as("asset_id"),
             count(lit(1)).as("clique"))
-          .select(col("asset_id"), col("clique"))
+          .select(col("asset_id"), col("clique"),
+            size(col("__sig")).cast("long").as("n_frames"))
         frames.join(cliques, Seq("asset_id"))
       }
     val banded = fr.select(col("asset_id").as("id"), col("frame_id"),
-      col("dhash"), col("clique"),
+      col("dhash"), col("clique"), col("n_frames"),
       posexplode(array(bandCols(col("dhash")): _*)).as(Seq("band", "key")))
     val probed = if (!wideRecall) banded
     else fr.select(col("asset_id").as("id"), col("frame_id"),
-        col("dhash"), col("clique"),
+        col("dhash"), col("clique"), col("n_frames"),
         posexplode(array(probeKeys(col("dhash")): _*)).as(Seq("band", "keys")))
       .select(col("id"), col("frame_id"), col("dhash"), col("clique"),
-        col("band"), explode(col("keys")).as("key"))
+        col("n_frames"), col("band"), explode(col("keys")).as("key"))
     val framePairs = banded.as("l").join(probed.as("r"),
         col("l.frame_id") === col("r.frame_id") &&
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"), col("l.frame_id"),
         Dedup.hamming64(col("l.dhash"), col("r.dhash")).as("hamming"),
-        col("l.clique").as("clique_a"), col("r.clique").as("clique_b"))
+        col("l.clique").as("clique_a"), col("r.clique").as("clique_b"),
+        col("l.n_frames").as("n_a"), col("r.n_frames").as("n_b"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    val matched = framePairs.groupBy(col("a"), col("b"))
+    framePairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_matched"),
         max(col("clique_a")).as("clique_a"),
-        max(col("clique_b")).as("clique_b"))
-    val counts = fr.groupBy(col("asset_id"))
-      .agg(count(lit(1)).as("n_frames"))
-    matched
-      .join(broadcast(counts.select(col("asset_id").as("a"),
-        col("n_frames").as("n_a"))), "a")
-      .join(broadcast(counts.select(col("asset_id").as("b"),
-        col("n_frames").as("n_b"))), "b")
+        max(col("clique_b")).as("clique_b"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .filter(col("n_matched") * 100 >=
         lit(minMatchPct) * greatest(col("n_a"), col("n_b")))
       .select(col("a"), col("b"), col("n_matched"), col("n_a"), col("n_b"),

@@ -301,6 +301,10 @@ object Similarity {
     books.fold(base)(b => base.withColumn("codes", b.encode(col("nn_vec"))))
       .withColumn("cell", cent.assignCell(col("nn_vec")))
       .repartition(col("cell"))
+      // id-sorted within each cell file: parquet row-group min/max on
+      // nn_id becomes tight, so a candidate-id point fetch (the re-rank
+      // read) can skip row groups; costs nothing on the scan paths
+      .sortWithinPartitions(col("cell"), col("nn_id"))
       .write.mode(mode).partitionBy("cell")
       .parquet(s"$dir/cells")
   }
@@ -377,14 +381,15 @@ object Similarity {
       .select(col("query_id"), col("q_vec"),
         explode(cent.probeCells(col("q_vec"), nprobe)).as("cell"))
     // the query batch is the bounded (broadcast) side by contract:
-    // localize the exploded (query, cell) rows ONCE, so probeCells
-    // evaluates a single time (the previous shape ran it twice — once
-    // for the probed-cell collect, again inside the join) and the
-    // probed-cell set derives driver-side for the partition prune
-    val qRows = qExploded.collect()
-    val q = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qExploded.schema)
-    val probed = qRows.map(_.getInt(2)).distinct.sorted
+    // pin the exploded (query, cell) rows ONCE in executor storage, so
+    // probeCells evaluates a single time (the previous shape ran it
+    // twice — once for the probed-cell collect, again inside the join).
+    // Only the CELL ids reach the driver for the partition prune (≤
+    // nCells ints) — the q_vec arrays stay distributed, so a large
+    // query batch with wide embeddings never localizes vector bytes
+    val q = qExploded.localCheckpoint()
+    val probed = q.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted
     val cells = prunedCells(spark, s"$indexDir/cells", probed)
     val scored = cells.join(broadcast(q),
         cells("cell") === q("cell") && col("query_id") =!= col("nn_id"))
@@ -544,12 +549,18 @@ object Similarity {
   /** The no-train path against existing codebooks. `lutChunk` bounds
     * the literal LUTs per generate (see the scoring comment below);
     * the default is the measured codegen sweet spot — it is a physical
-    * knob only, results are identical at any value.
+    * knob only, results are identical at any value. `pinCodes` picks
+    * how multi-chunk batches materialize the encoded corpus:
+    * `localCheckpoint` (default — fastest, but severs lineage, so an
+    * executor lost after the pin is unrecoverable) vs
+    * `persist(DISK_ONLY)` (lineage retained — preemptible-executor
+    * deployments trade a possible re-encode for recoverability).
+    * Results are identical either way.
     */
   def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
       books: PqCodebooks, rerank: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lutChunk: Int = 100): DataFrame = {
+      lutChunk: Int = 100, pinCodes: Boolean = true): DataFrame = {
     require(lutChunk >= 1, "lutChunk must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -569,8 +580,9 @@ object Similarity {
     val codesPlan = corpus.select(col(idCol).as("nn_id"),
       books.encode(vecd).as("codes"))
     val codes =
-      if (luts.lengthCompare(lutChunk) > 0) codesPlan.localCheckpoint()
-      else codesPlan
+      if (luts.lengthCompare(lutChunk) <= 0) codesPlan
+      else if (pinCodes) codesPlan.localCheckpoint()
+      else codesPlan.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // ADC scoring as a joinless generate over the code scan: the luts
     // ride along as array LITERALS (the IVF centroid trick). The
     // previous broadcast-join form (`codes JOIN broadcast(luts) ON
@@ -681,11 +693,24 @@ object Similarity {
     */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxDriverQueries: Int = 10000, pointFetch: Boolean = false): DataFrame = {
     import spark.implicits._
     val cent = IvfIndex.load(spark, s"$indexDir/centroids")
     val books = PqIndex.load(spark, s"$indexDir/books")
     val vecd = col(vecCol).cast(ArrayType(DoubleType))
+    // the ADC lookup tables are BUILT driver-side (they ride the
+    // broadcast query side as data), so this path localizes the query
+    // VECTORS too — unlike ivfTopKFromIndex, which keeps them
+    // distributed. That is safe only under the bounded-batch contract;
+    // guard it explicitly instead of discovering it as a driver OOM
+    // (~20 KB/query at 512 dims: vector + m x k LUT doubles). Chunk
+    // larger batches upstream, or raise the bound knowingly.
+    val nq = queries.count()
+    require(nq <= maxDriverQueries,
+      s"ivfPqTopK localizes the query batch on the driver ($nq queries > " +
+        s"maxDriverQueries=$maxDriverQueries): vectors + ADC LUTs are " +
+        "driver-built by design — chunk the batch or raise maxDriverQueries")
     // localize the bounded query batch ONCE: probed cells and per-query
     // ADC lookup tables both derive from the same collect (probeCells
     // evaluates once; the id cast to long mirrors pqTopKWithBooks)
@@ -713,14 +738,37 @@ object Similarity {
       .join(broadcast(q).as("q"),
         col("c.cell") === col("q.cell") && col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), adcScore.as("cos"))
-    val candidates = topKPerQuery(approx, k * rerank)
+    val candidates0 = topKPerQuery(approx, k * rerank)
       .select(col("query_id"), col("nn_id"))
+    // point fetch derives its id set by MATERIALIZING candidates — pin
+    // them so the ADC scoring pass doesn't run a second time for the
+    // re-rank join
+    val candidates =
+      if (pointFetch) candidates0.localCheckpoint() else candidates0
     // exact re-rank against true vectors, read from the SAME pruned
     // partitions (every candidate lives in a probed cell by construction)
     val qv = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .distinct.toDF("query_id", "q_vec")
+    val vecSide =
+      if (!pointFetch) cells.select(col("nn_id"), col("nn_vec"))
+      else {
+        // point-fetch shape: localize the bounded candidate id set
+        // (≤ |q|·k·rerank longs) and push it into the vector read as a
+        // scan filter — cell files are id-sorted ([[writeCells]]), so
+        // parquet row-group min/max can skip non-candidate groups when
+        // candidate ids cluster in id space. Measured at 2M x 512
+        // (BENCHNOTES r16): candidates of a random corpus spread
+        // uniformly per cell, every row group holds some candidate, and
+        // the shape only re-reads the scan it hoped to skip — which is
+        // why it is NOT the default.
+        val candIds = candidates.select("nn_id").distinct().collect()
+          .map(_.getLong(0)).sorted
+        cells.select(col("nn_id"), col("nn_vec"))
+          .where(if (candIds.isEmpty) lit(false)
+            else col("nn_id").isin(candIds.toIndexedSeq.map(Long.box): _*))
+      }
     val exact = candidates
-      .join(cells.select(col("nn_id"), col("nn_vec")), Seq("nn_id"))
+      .join(vecSide, Seq("nn_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("cos"))
@@ -787,9 +835,32 @@ object Similarity {
     divisors.find(_ >= want).getOrElse(divisors.last)
   }
 
+  /** Refuse measured-quadratic band widths when the corpus size is
+    * cheaply known: occupancy per band bucket is ~n / 2^bandBits, and
+    * 16-bit bands measured FINE at 200K vectors (occupancy ~3) but
+    * quadratic at 2M (occupancy ~30). `expectedN` is optional precisely
+    * because counting the corpus isn't free — callers that know n (a
+    * standing pipeline, a bench, a catalog-stat read) pass it and get
+    * the guard; explicit-width callers without it see no behavior
+    * change. The message points at [[bandBitsFor]], the rule that
+    * derives a safe width.
+    */
+  private[graft] def requireBandOccupancy(bandBits: Int, nBits: Int,
+      expectedN: Option[Long]): Unit = expectedN.foreach { n =>
+    val occ = n.toDouble / (1L << bandBits).toDouble
+    require(occ <= 16.0,
+      f"bandBits=$bandBits gives ~$occ%.0f rows per band bucket at " +
+        s"n=$n — measured quadratic past occupancy ~16 (16-bit bands at " +
+        s"2M vectors went quadratic; 32-bit ran linear at identical " +
+        s"recall); use bandBitsFor(n) (= ${bandBitsFor(n, nBits)}) or a " +
+        "wider explicit bandBits")
+  }
+
   def nearDupPairsEmbedding(corpus: DataFrame, threshold: Double, dims: Int,
       nBits: Int = 384, bandBits: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      expectedN: Option[Long] = None): DataFrame = {
+    requireBandOccupancy(bandBits, nBits, expectedN)
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
     val banded = vecs.select(col("id"),
@@ -877,7 +948,9 @@ object Similarity {
     */
   def nearDupsAgainstEmbedding(reference: DataFrame, fresh: DataFrame,
       threshold: Double, dims: Int, nBits: Int = 384, bandBits: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      expectedN: Option[Long] = None): DataFrame = {
+    requireBandOccupancy(bandBits, nBits, expectedN)
     val (vRef, kRef) = prepEmbedding(reference, dims, nBits, bandBits, idCol, vecCol)
     val (vNew, kNew) = prepEmbedding(fresh, dims, nBits, bandBits, idCol, vecCol)
     nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew, threshold)

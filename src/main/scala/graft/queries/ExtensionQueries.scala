@@ -448,12 +448,19 @@ object ExtensionQueries {
 
     // --- the multimodal twin of stream_dedup_replay: standing phash
     //     fingerprint state (band-bucketed on BatchedState), three
-    //     admitted image batches derived from the same pixel ids (even
-    //     ids byte-exact — hamming 0 to the seed and to every earlier
-    //     batch; odd ids noisy — a few gradient bits off), compaction
-    //     after batch 0. The oracle regenerates every dHash from the
-    //     pixel arithmetic and replays each batch's band-probed pairs
-    //     against exactly the ids admitted before it -------------------
+    //     admitted image batches derived from pixel id (asset_id % 100)
+    //     — so each batch carries REAL in-batch cliques of 3 (ids pid,
+    //     pid+100, pid+200 share the pixel content) and the SAME
+    //     fingerprint recurs across batches (cross-batch version fold);
+    //     even pixel ids byte-exact — hamming 0 to the seed and to
+    //     every earlier batch; odd ids noisy — a few gradient bits off;
+    //     compaction after batch 0. The oracle regenerates every dHash
+    //     from the pixel arithmetic, collapses each arm by fingerprint
+    //     (rep = min id, clique = count), and replays each batch's
+    //     band-probed representative pairs against exactly the versions
+    //     admitted before it, folding state versions per fingerprint
+    //     (ref_id = all-time min id, clique_ref = summed multiplicity) —
+    //     the collapse-first default's representative contract ---------
     "stream_phash_replay" -> { (s, dir) =>
       val ids = Tables(s, dir).documents.filter(col("doc_id") < 300)
         .select(col("doc_id").as("asset_id"))
@@ -461,7 +468,7 @@ object ExtensionQueries {
         Multimodal.bmpContent(col("asset_id"), 8, lit(false)).as("content"))
       def batchAssets(shift: Long) = ids
         .select(col("asset_id"),
-          Multimodal.bmpContent(col("asset_id"), 8,
+          Multimodal.bmpContent(col("asset_id") % 100, 8,
             col("asset_id") % 2 =!= 0).as("content"))
         .select((col("asset_id") + shift).as("asset_id"), col("content"))
       def decoded(df: org.apache.spark.sql.DataFrame) =
@@ -478,7 +485,7 @@ object ExtensionQueries {
         p
       }.reduce(_ unionByName _)
       pairs.select(col("batch"), col("ref_id"), col("new_id"),
-          col("hamming"))
+          col("hamming"), col("clique_ref"), col("clique_new"))
         .orderBy(col("batch"), col("ref_id"), col("new_id"))
     },
 
@@ -3347,9 +3354,13 @@ object ExtensionQueries {
   }
 
   /** The streaming phash replay oracle: regenerate every variant's dHash
-    * from the pixel arithmetic ([[mmPixelCtesFor]]), then per batch the
-    * band-probed pairs (the [[mmPhashOracle]] wide-recall gate) bounded
-    * to (everything admitted before it) x (the batch) — the SQL twin of
+    * from the pixel arithmetic ([[mmPixelCtesFor]]), collapse each arm
+    * (seed, batch 0..2) by fingerprint (rep = min id, clique = count —
+    * the admit path's collapse-first default), then per batch the
+    * band-probed representative pairs (the [[mmPhashOracle]] wide-recall
+    * gate) bounded to (every version admitted before it) x (the batch),
+    * folding state versions per fingerprint: ref_id = the all-time
+    * minimum id, clique_ref = the summed multiplicity — the SQL twin of
     * [[graft.streaming.StreamingPhashDedup]]'s admit sequence.
     */
   private def streamPhashReplayOracle: String = {
@@ -3357,25 +3368,31 @@ object ExtensionQueries {
       s"bit_count(xor((l.dh >> ${b * 16}) & 65535, (r.dh >> ${b * 16}) & 65535)) <= 1")
       .mkString("\n      OR ")
     val batchArms = (1 to 3).map(k =>
-      s"  UNION ALL SELECT pid, pid + ${k}000000, 8, " +
+      s"  UNION ALL SELECT pid % 100, pid + ${k}000000, 8, " +
         s"CASE WHEN pid % 2 = 0 THEN 0 ELSE 1 END FROM ids")
       .mkString("\n")
     val perBatch = (0 until 3).map { k =>
-      val lo = (k + 1) * 1000000L
-      val hi = (k + 2) * 1000000L
-      s"""  SELECT $k AS batch, l.asset_id AS ref_id, r.asset_id AS new_id,
-         |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming
-         |  FROM hs l JOIN hs r ON l.asset_id < $lo
-         |    AND r.asset_id >= $lo AND r.asset_id < $hi
-         |    AND ($bandEq)
-         |  WHERE bit_count(xor(l.dh, r.dh)) <= 7""".stripMargin
+      s"""  SELECT $k AS batch, min(l.id) AS ref_id, r.id AS new_id,
+         |    CAST(bit_count(xor(l.dh, r.dh)) AS INT) AS hamming,
+         |    CAST(sum(l.clique) AS BIGINT) AS clique_ref,
+         |    r.clique AS clique_new
+         |  FROM reps l JOIN reps r ON l.b < $k AND r.b = $k
+         |    AND l.id <> r.id AND ($bandEq)
+         |  WHERE bit_count(xor(l.dh, r.dh)) <= 7
+         |  GROUP BY l.dh, r.dh, r.id, r.clique""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${mmPixelCtesFor(
         s"""SELECT pid, pid AS asset_id, 8 AS size, 0 AS noisy FROM ids
            |$batchArms""".stripMargin)},
+       |reps AS (
+       |  SELECT CASE WHEN asset_id < 1000000 THEN -1
+       |              ELSE asset_id // 1000000 - 1 END AS b,
+       |    dh, min(asset_id) AS id, count(*) AS clique
+       |  FROM hs GROUP BY 1, 2),
        |pairs AS (
        |$perBatch)
-       |SELECT batch, ref_id, new_id, hamming FROM pairs
+       |SELECT batch, ref_id, new_id, hamming, clique_ref, clique_new
+       |FROM pairs
        |ORDER BY batch, ref_id, new_id""".stripMargin
   }
 

@@ -663,21 +663,32 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   * overwrite-idempotency and `read(before)` replay determinism as the
   * text twins.
   *
-  * Clique note (the r15 batch-engine lesson, applied to deployment):
-  * admission emits one pair per MATCHING STATE ROW, so a corpus where
-  * one fingerprint recurs m times in state hands every new copy m
-  * pairs — measured graceful (1M standing fps, hot cliques of ~1000:
+  * `collapseBatch` (the DEFAULT — the streaming analog of the batch
+  * engine's collapse-first default, r15's lesson that a recipe in a
+  * comment is not an operator): every seeded/admitted batch first
+  * exact-dedups on the fingerprint
+  * ([[graft.operators.Multimodal.collapseByFingerprint]] semantics —
+  * representative = min id, multiplicity = row count), state keeps ONE
+  * row set per distinct fp per batch with the count folded in, and
+  * pairs fold the state side per fingerprint: one
+  * `(ref_id, new_id, hamming, clique_ref, clique_new)` row per
+  * (distinct state fp, batch representative), where `ref_id` is the
+  * minimum id ever admitted with that fingerprint, `clique_ref` the
+  * fingerprint's TOTAL admitted multiplicity across seed + batches,
+  * and `clique_new` the batch's. Without it, a corpus where one
+  * fingerprint recurs m times in state hands every new copy m pairs —
+  * measured graceful (1M standing fps, hot cliques of ~1000:
   * 100k-batch admits at 4-8 s / zero spill / 5-6M true pairs), but at
-  * boilerplate-thumbnail rates the OUTPUT is the cost. For such
-  * corpora, feed the collapsed stream instead: exact-dedup each batch
-  * on the fingerprint upstream
-  * ([[graft.operators.Multimodal.collapseByFingerprint]]) and admit
-  * representatives — the streaming analog of the batch engine's
-  * collapse-first default.
+  * boilerplate-thumbnail rates the OUTPUT is the cost.
+  * `collapseBatch = false` keeps the r15 raw per-asset form verbatim —
+  * (ref_id, new_id, hamming), one pair per matching state row, state
+  * rows carry no multiplicity. The flag is a state param: reopening a
+  * dir under the other mode refuses loudly (the layouts differ).
   */
 final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     idCol: String, hashCol: String, maxHamming: Int = 3,
-    wideRecall: Boolean = false, nBuckets: Int = 32) extends Serializable {
+    wideRecall: Boolean = false, nBuckets: Int = 32,
+    collapseBatch: Boolean = true) extends Serializable {
 
   if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
     "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
@@ -691,7 +702,8 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     StateBuckets.bandBucket(band, key, nBuckets)
 
   private val stateParams = Map("maxHamming" -> maxHamming.toString,
-    "wideRecall" -> wideRecall.toString, "nBuckets" -> nBuckets.toString)
+    "wideRecall" -> wideRecall.toString, "nBuckets" -> nBuckets.toString,
+    "collapseBatch" -> collapseBatch.toString)
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
@@ -699,12 +711,27 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     paramsChecked = true
   }
 
+  /** Per-batch normal form: (id, fp[, clique]). `collapseBatch` folds
+    * identical fingerprints to (min id, count) — the clique-safe
+    * pre-pass; raw keeps one row per asset with no multiplicity column
+    * (the r15 state layout, byte-compatible).
+    */
+  private def normalized(df: DataFrame): DataFrame =
+    if (collapseBatch)
+      df.groupBy(col(hashCol).as("fp"))
+        .agg(min(col(idCol)).as("id"), count(lit(1)).as("clique"))
+        .select(col("id"), col("fp"), col("clique"))
+    else df.select(col(idCol).as("id"), col(hashCol).as("fp"))
+
+  private def carried: Seq[Column] =
+    if (collapseBatch) Seq(col("clique")) else Seq.empty
+
   /** Exploded EXACT-key rows — the stored state layout. */
   private def bandRows(df: DataFrame): DataFrame =
-    df.select(col(idCol).as("id"), col(hashCol).as("fp"),
+    normalized(df).select(col("id") +: col("fp") +: carried :+
         posexplode(array((0 until 4).map(b =>
-          shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)): _*))
-          .as(Seq("band", "key")))
+          shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "key")): _*)
       .withColumn("bb", bandBucket(col("band"), col("key")))
 
   /** The batch-side probe rows: exact keys, plus each key's 16
@@ -713,14 +740,14 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     */
   private def probeRows(df: DataFrame): DataFrame =
     if (!wideRecall) bandRows(df)
-    else df.select(col(idCol).as("id"), col(hashCol).as("fp"),
+    else normalized(df).select(col("id") +: col("fp") +: carried :+
         posexplode(array((0 until 4).map { b =>
-          val key = shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)
+          val key = shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)
           array(key +: (0 until 16).map(i =>
             key.bitwiseXOR(lit(1L << i))): _*)
-        }: _*)).as(Seq("band", "keys")))
-      .select(col("id"), col("fp"), col("band"),
-        explode(col("keys")).as("key"))
+        }: _*)).as(Seq("band", "keys")): _*)
+      .select(col("id") +: col("fp") +: carried :+ col("band") :+
+        explode(col("keys")).as("key"): _*)
       .withColumn("bb", bandBucket(col("band"), col("key")))
 
   /** Seed the persisted reference state, REPLACING any previous state
@@ -734,11 +761,18 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
     paramsChecked = true
   }
 
-  /** Admit micro-batch `batchId`: (ref_id, new_id, hamming) pairs with
-    * hamming <= maxHamming against everything seeded or admitted in
-    * batches < batchId, then fold the batch's EXACT-key rows into the
-    * state. A re-arrived id with several state versions collapses to
-    * ONE pair at the best (minimum) hamming. Replay-idempotent.
+  /** Admit micro-batch `batchId`: hamming <= maxHamming pairs against
+    * everything seeded or admitted in batches < batchId, then fold the
+    * batch's EXACT-key rows into the state. Replay-idempotent.
+    *
+    * `collapseBatch` (default): (ref_id, new_id, hamming, clique_ref,
+    * clique_new) — one row per (distinct state fingerprint, batch
+    * representative); `ref_id` = minimum id across every state version
+    * of that fingerprint, `clique_ref` = the fingerprint's summed
+    * multiplicity over those versions, `clique_new` = the batch's.
+    * Raw: (ref_id, new_id, hamming), one pair per matching state row; a
+    * re-arrived id with several state versions collapses to ONE pair at
+    * the best (minimum) hamming.
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     ensureAdmissible(batchId)
@@ -754,16 +788,37 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
         else col("bb").isin(bbs.toIndexedSeq.map(Int.box): _*))
     // state joins the broadcast batch probes on (band, key); the fp on
     // both sides makes hamming verification join-local — no verify join
-    val pairs = ref.as("l").join(broadcast(pNew).as("r"),
+    val joined = ref.as("l").join(broadcast(pNew).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
-        graft.operators.Dedup.hamming64(col("l.fp"), col("r.fp"))
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .groupBy(col("ref_id"), col("new_id"))
-      .agg(min(col("hamming")).as("hamming"))
-      .localCheckpoint()
+    val pairs = (if (!collapseBatch)
+      joined
+        .select(col("l.id").as("ref_id"), col("r.id").as("new_id"),
+          graft.operators.Dedup.hamming64(col("l.fp"), col("r.fp"))
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .groupBy(col("ref_id"), col("new_id"))
+        .agg(min(col("hamming")).as("hamming"))
+    else
+      // one row per (state version = (batch, fp), batch rep): the
+      // distinct collapses the <= 4 band matches, then the fp groupBy
+      // folds versions — min id is the fingerprint's all-time
+      // representative, the clique sum its total admitted multiplicity
+      joined
+        .select(col("l.batch").as("sb"), col("l.fp").as("ref_fp"),
+          col("l.id").as("lid"), col("l.clique").as("lclique"),
+          col("r.id").as("new_id"), col("r.clique").as("clique_new"),
+          graft.operators.Dedup.hamming64(col("l.fp"), col("r.fp"))
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .groupBy(col("ref_fp"), col("new_id"))
+        .agg(min(col("lid")).as("ref_id"), min(col("hamming")).as("hamming"),
+          sum(col("lclique")).as("clique_ref"),
+          max(col("clique_new")).as("clique_new"))
+        .select(col("ref_id"), col("new_id"), col("hamming"),
+          col("clique_ref"), col("clique_new"))
+      ).localCheckpoint()
     fps.append(bNew, batchId)
     pairs
   }

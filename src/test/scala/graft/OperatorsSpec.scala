@@ -611,8 +611,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(256 % Similarity.bandBitsFor(2000000, nBits = 256) === 0)
   }
 
+  test("embedding banding refuses measured-quadratic widths when expectedN " +
+      "is passed; silent defaults unchanged for explicit callers") {
+    val e = Seq((1L, Seq.fill(64)(0.1)), (2L, Seq.fill(64)(0.2)))
+      .toDF("vec_id", "embedding")
+    // 2M vectors at 16-bit bands = occupancy ~30, the measured-quadratic
+    // point — refused loudly, message names the rule that derives a
+    // safe width
+    val ex = intercept[IllegalArgumentException](
+      Similarity.nearDupPairsEmbedding(e, threshold = 0.75, dims = 64,
+        bandBits = 16, expectedN = Some(2000000L)))
+    assert(ex.getMessage.contains("bandBitsFor"), ex.getMessage)
+    assert(ex.getMessage.contains("quadratic"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      Similarity.nearDupsAgainstEmbedding(e, e, threshold = 0.75, dims = 64,
+        bandBits = 16, expectedN = Some(2000000L)))
+    assert(ex2.getMessage.contains("bandBitsFor"), ex2.getMessage)
+    // 200K at 16 bits measured FINE (occupancy ~3): accepted
+    Similarity.nearDupPairsEmbedding(e, threshold = 0.75, dims = 64,
+      bandBits = 16, expectedN = Some(200000L)).queryExecution.executedPlan
+    // no expectedN -> no guard: the r15 contract for explicit callers
+    Similarity.nearDupPairsEmbedding(e, threshold = 0.75, dims = 64,
+      bandBits = 16).queryExecution.executedPlan
+  }
+
   test("StreamingPhashDedup: cross-batch fingerprint pairs accumulate; " +
-      "replay-idempotent; survives compaction") {
+      "replay-idempotent; survives compaction; collapse folds cliques") {
     import graft.streaming.StreamingPhashDedup
     val stateDir = java.nio.file.Files.createTempDirectory("spd").toString
     val spd = new StreamingPhashDedup(spark, stateDir, "asset_id", "fp")
@@ -623,29 +647,72 @@ class OperatorsSpec extends AnyFunSuite {
     val b0 = Seq((101L, 0x1234567890abcdefL), (102L, 0x1234567890abcdecL))
       .toDF("asset_id", "fp")
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      .sortBy(p => (p._1, p._2)).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        (if (r.length > 3) (r.getLong(3), r.getLong(4)) else (1L, 1L)))
+      .sortBy(p => (p._1._1, p._1._2)).toSeq
     val first = snap(spd.admit(b0, 0L))
-    assert(first === Seq((1L, 101L, 0), (1L, 102L, 2)))
+    assert(first === Seq((1L, 101L, 0) -> (1L, 1L), (1L, 102L, 2) -> (1L, 1L)))
     // crash-after-append replay reproduces the identical pairs and the
     // state holds one exploded row set per asset (3 assets x 4 bands)
     assert(snap(spd.admit(b0, 0L)) === first)
     assert(spark.read.parquet(s"$stateDir/fps").count() === 12L)
     spd.compact(upTo = 0L)
-    // batch 1 pairs against seed AND batch 0 through the compacted state
+    // batch 1 re-admits the seed fingerprint: its two state versions
+    // (seed id 1, batch-0 id 101) FOLD to one pair at the all-time
+    // representative (min id) with the multiplicity summed — the
+    // collapse-first default's representative contract
     val second = snap(spd.admit(
       Seq((201L, 0x1234567890abcdefL)).toDF("asset_id", "fp"), 1L))
-    assert(second === Seq((1L, 201L, 0), (101L, 201L, 0), (102L, 201L, 2)))
+    assert(second === Seq((1L, 201L, 0) -> (2L, 1L),
+      (102L, 201L, 2) -> (1L, 1L)))
     // a far fingerprint (no shared band) pairs with nothing
     val third = snap(spd.admit(
       Seq((301L, 0x0fedcba987654321L)).toDF("asset_id", "fp"), 2L))
     assert(third.isEmpty)
+    // an in-batch clique (3 copies of the hot fingerprint) enters the
+    // band join as ONE representative and emits ONE pair carrying both
+    // multiplicities: state side 3 (seed + b0 + b1), batch side 3
+    val clique = Seq((401L, 0x1234567890abcdefL),
+      (402L, 0x1234567890abcdefL), (403L, 0x1234567890abcdefL))
+      .toDF("asset_id", "fp")
+    val fourth = snap(spd.admit(clique, 3L))
+    assert(fourth === Seq((1L, 401L, 0) -> (3L, 3L),
+      (102L, 401L, 2) -> (1L, 3L)))
     // wideRecall geometry is a state param: reopening with different
     // params must refuse loudly
     val other = new StreamingPhashDedup(spark, stateDir, "asset_id", "fp",
       maxHamming = 7, wideRecall = true)
-    val e = intercept[IllegalArgumentException](other.admit(b0, 3L))
+    val e = intercept[IllegalArgumentException](other.admit(b0, 4L))
     assert(e.getMessage.contains("different parameters"), e.getMessage)
+    // ... and so is collapseBatch itself (the state layouts differ)
+    val rawOnCollapsed = new StreamingPhashDedup(spark, stateDir,
+      "asset_id", "fp", collapseBatch = false)
+    val e2 = intercept[IllegalArgumentException](rawOnCollapsed.admit(b0, 4L))
+    assert(e2.getMessage.contains("different parameters"), e2.getMessage)
+  }
+
+  test("StreamingPhashDedup raw mode: the r15 per-asset pair form verbatim") {
+    import graft.streaming.StreamingPhashDedup
+    val stateDir = java.nio.file.Files.createTempDirectory("spdraw").toString
+    val spd = new StreamingPhashDedup(spark, stateDir, "asset_id", "fp",
+      collapseBatch = false)
+    spd.seed(Seq((1L, 0x1234567890abcdefL)).toDF("asset_id", "fp"))
+    val b0 = Seq((101L, 0x1234567890abcdefL), (102L, 0x1234567890abcdecL))
+      .toDF("asset_id", "fp")
+    def snap(df: org.apache.spark.sql.DataFrame) = {
+      assert(df.columns.toSeq === Seq("ref_id", "new_id", "hamming"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(identity).toSeq
+    }
+    assert(snap(spd.admit(b0, 0L)) === Seq((1L, 101L, 0), (1L, 102L, 2)))
+    // every state version pairs separately (no fp fold), every clique
+    // member pairs separately (no batch collapse) — m state copies x
+    // k batch copies = m*k pairs, the documented raw cost
+    val clique = Seq((201L, 0x1234567890abcdefL),
+      (202L, 0x1234567890abcdefL)).toDF("asset_id", "fp")
+    assert(snap(spd.admit(clique, 1L)) === Seq(
+      (1L, 201L, 0), (1L, 202L, 0), (101L, 201L, 0), (101L, 202L, 0),
+      (102L, 201L, 2), (102L, 202L, 2)))
   }
 
   test("StreamingDedup: a replayed batch emits exactly the clean run's pairs") {

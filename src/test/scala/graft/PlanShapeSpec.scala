@@ -174,6 +174,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // join — identical copies enter the (frame, band, key) exchange once
     assert(p.contains("collect_list") && p.contains("min(asset_id"),
       s"videoNearDups lost its sequence-collapse pre-pass:\n$p")
+    // n_frames rides the collapse aggregate and the frame join: the
+    // minMatchPct filter sits DIRECTLY on the pair aggregate — no
+    // per-video-sized join above it (the pre-r16 shape broadcast an
+    // O(|videos|) count table onto the pair set: two extra joins and a
+    // driver-side collect of every video id). Physical plans print
+    // root-first, so "nothing above the final aggregate" = no Join
+    // before the first HashAggregate in the string.
+    val joinNodes = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+    def aboveFinalAgg(s: String) = s.substring(0, s.indexOf("HashAggregate"))
+    assert(joinNodes.findFirstIn(aboveFinalAgg(p)).isEmpty,
+      s"videoNearDups regrew a per-video count join above the pair set:\n$p")
+    // raw mode: the band self-join is the ONLY join (n_frames comes
+    // from a window over frames, never a joined count table)
+    val pRaw = plan(graft.operators.Multimodal.videoNearDups(frames,
+      collapseIdentical = false))
+    assert(joinNodes.findAllIn(pRaw).length === 1,
+      s"raw videoNearDups must have only the band self-join:\n$pRaw")
+    assert(pRaw.contains("Window"),
+      s"raw videoNearDups must window-count frames per video:\n$pRaw")
   }
 
   test("corpus-wide embedding near-dup is banded: no nested-loop, no cartesian") {
@@ -669,6 +688,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dst contribution sum must combine map-side:\n$rp")
     assert(!rp.contains("CartesianProduct") &&
       !rp.contains("BroadcastNestedLoopJoin"), s"no products in a round:\n$rp")
+  }
+
+  test("pageRank loop invariants are materialized: extra iterations add " +
+      "only round-sized stages, never the edge-dedup/degree/node stages") {
+    import graft.operators.Graph
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val l = Tables(spark, sf).lineitem
+    val edges = l.select((col("l_orderkey") % 500).as("src"),
+      (col("l_partkey") % 500).as("dst"))
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val lsnr = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(lsnr)
+    def stagesFor(iters: Int): Int = {
+      stages.set(0)
+      Graph.pageRank(edges, iterations = iters).count()
+      Thread.sleep(1500) // listener bus drains async
+      stages.get()
+    }
+    try {
+      val s1 = stagesFor(1)
+      val s3 = stagesFor(3)
+      // the pre-r16 shape recomputed e.distinct(), outdeg, and nodes
+      // inside every iteration's lineage (~3 corpus-sized shuffles x
+      // iterations of pure redundancy — 40% of the slowest 100x row);
+      // with the invariants localCheckpoint'ed once before the loop, an
+      // extra iteration costs only the round itself: the e/outdeg/rank
+      // join exchanges + the contribs aggregate + the nodes left join
+      val marginal = (s3 - s1) / 2.0
+      assert(marginal <= 8.0,
+        s"per-iteration stage cost regrew ($marginal stages/iter, " +
+          s"$s1 stages at 1 iter, $s3 at 3): loop invariants are being " +
+          "recomputed inside the iteration lineage again")
+    } finally spark.sparkContext.removeSparkListener(lsnr)
   }
 
   test("classifier scoring: bounded model broadcasts; one doc-key shuffle " +
