@@ -678,7 +678,12 @@ object Similarity {
     * index scan to the probed cells, ADC-score the pruned CODES against
     * per-query lookup tables, cut to `k * rerank` candidates per query
     * (bounded-heap [[TopKAgg]]), and exact-cosine re-rank the winners
-    * against their true vectors (read from the same pruned partitions).
+    * against their true vectors — a candidate-id POINT FETCH from the
+    * same pruned partitions (`pointFetch` default: cell files are
+    * id-sorted, so the parquet column index skips non-candidate pages
+    * of the wide vector column; measured 1.25x over the plain join
+    * fetch at 2M x 512, internal join-shape fallback past 65536
+    * candidate ids).
     *
     * Physics: the LUTs ride the BROADCAST query side as DATA
     * (`array<array<double>>` — never plan literals, so plan/codegen
@@ -694,7 +699,7 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxDriverQueries: Int = 10000, pointFetch: Boolean = false): DataFrame = {
+      maxDriverQueries: Int = 10000, pointFetch: Boolean = true): DataFrame = {
     import spark.implicits._
     val cent = IvfIndex.load(spark, s"$indexDir/centroids")
     val books = PqIndex.load(spark, s"$indexDir/books")
@@ -749,24 +754,27 @@ object Similarity {
     // partitions (every candidate lives in a probed cell by construction)
     val qv = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .distinct.toDF("query_id", "q_vec")
+    // point-fetch shape (the DEFAULT — measured winner): localize the
+    // bounded candidate id set (≤ |q|·k·rerank longs) and push it into
+    // the vector read as a scan filter — cell files are id-sorted
+    // ([[writeCells]]), so the parquet column index skips
+    // non-candidate pages of the wide nn_vec column. Measured at
+    // 2M x 512, 100 queries (BENCHNOTES r16): 5.8 s vs 7.3 s min for
+    // the join fetch (~1.25x), identical rows. The join shape remains
+    // for two cases: an explicit `pointFetch = false`, and the internal
+    // fallback when the candidate set outgrows a sane isin/InSet
+    // (> 65536 ids — a thousands-of-queries batch), where a filter
+    // that large costs more in plan/predicate weight than it prunes.
+    val candIds =
+      if (!pointFetch) Array.empty[Long]
+      else candidates.select("nn_id").distinct().collect()
+        .map(_.getLong(0)).sorted
     val vecSide =
-      if (!pointFetch) cells.select(col("nn_id"), col("nn_vec"))
-      else {
-        // point-fetch shape: localize the bounded candidate id set
-        // (≤ |q|·k·rerank longs) and push it into the vector read as a
-        // scan filter — cell files are id-sorted ([[writeCells]]), so
-        // parquet row-group min/max can skip non-candidate groups when
-        // candidate ids cluster in id space. Measured at 2M x 512
-        // (BENCHNOTES r16): candidates of a random corpus spread
-        // uniformly per cell, every row group holds some candidate, and
-        // the shape only re-reads the scan it hoped to skip — which is
-        // why it is NOT the default.
-        val candIds = candidates.select("nn_id").distinct().collect()
-          .map(_.getLong(0)).sorted
+      if (!pointFetch || candIds.length > 65536)
         cells.select(col("nn_id"), col("nn_vec"))
-          .where(if (candIds.isEmpty) lit(false)
-            else col("nn_id").isin(candIds.toIndexedSeq.map(Long.box): _*))
-      }
+      else cells.select(col("nn_id"), col("nn_vec"))
+        .where(if (candIds.isEmpty) lit(false)
+          else col("nn_id").isin(candIds.toIndexedSeq.map(Long.box): _*))
     val exact = candidates
       .join(vecSide, Seq("nn_id"))
       .join(broadcast(qv), Seq("query_id"))
