@@ -138,6 +138,37 @@ object CharGramHashes {
 
   def winnowed(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowedGramHashes(toExpression(text), k, w))
+
+  /** [[winnow]] deduplicated IN THE KERNEL: one (h1, h2, p0) witness per
+    * distinct selected gram fingerprint, at its minimum position —
+    * exactly the `groupBy(id, h1, h2).agg(min(pos))` witness set, but
+    * O(selected) scan-local work per document instead of a corpus-sized
+    * exchange of ~unique keys (whose partial aggregation can combine
+    * nothing and whose hash maps overflow — measured ~15 GB of
+    * aggregate spill at 5M docs). Selection order is position order, so
+    * keep-first IS keep-minimum-position.
+    */
+  def winnowDistinct(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val sel = winnow(text, k, w)
+    val n = sel.numElements()
+    if (n <= 1) return sel
+    // membership on the exact 128-bit pair — a mixed single-long key
+    // could merge two distinct grams and silently drop a witness
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = sel.getStruct(i, 3)
+      if (seen.add((s.getLong(0), s.getLong(1))))
+        out += new GenericInternalRow(
+          Array[Any](s.getLong(0), s.getLong(1), s.getLong(2)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def winnowedDistinct(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowedDistinctGramHashes(toExpression(text), k, w))
 }
 
 /** [[CharGramHashes.winnow]] as an expression: the selected gram
@@ -157,5 +188,28 @@ case class WinnowedGramHashes(child: Expression, k: Int, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.CharGramHashes.winnow($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowedGramHashes =
+    copy(child = newChild)
+}
+
+/** [[CharGramHashes.winnowDistinct]] as an expression: one witness per
+  * distinct selected gram fingerprint at its minimum position — the
+  * exact-substring witness normal form, produced scan-locally.
+  */
+case class WinnowedDistinctGramHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = CharGramHashes.winnowType
+  override def prettyName: String = "winnowed_distinct_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashes.winnowDistinct(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharGramHashes.winnowDistinct($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowedDistinctGramHashes =
     copy(child = newChild)
 }

@@ -743,13 +743,23 @@ object Dedup {
     */
   def substringDupPairsWinnowed(df: DataFrame, idCol: String,
       textCol: String, k: Int = 40, w: Int = 10): DataFrame = {
+    // one witness per distinct in-doc gram, derived IN THE KERNEL
+    // ([[graft.functions.CharGramHashes.winnowDistinct]]): selection
+    // order is position order, so keep-first per fingerprint IS the
+    // minimum-position witness. The r15 shape reached the same witness
+    // set through groupBy(id, h1, h2) — a corpus-sized exchange of
+    // ~unique keys whose partial aggregation cannot combine anything
+    // and whose hash maps overflow (measured at 5M docs: the dominant
+    // half of 34 GB shuffle write and ~15 GB of aggregate spill, all
+    // for a dedup each document can do in its own row). A sort_array +
+    // HOF-filter variant was measured too: same witness set, but the
+    // interpreted per-element lambda and struct sort doubled the wall —
+    // the kernel pass is O(selected) with no per-element expression eval.
     val sel = df.select(col(idCol).as("id"),
-        explode(graft.functions.CharGramHashes.winnowed(col(textCol), k, w))
-          .as("hh"))
+        explode(graft.functions.CharGramHashes
+          .winnowedDistinct(col(textCol), k, w)).as("hh"))
       .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
         (col("hh.p0") + 1).as("pos"))
-      .groupBy(col("id"), col("h1"), col("h2"))
-      .agg(min(col("pos")).as("pos"))
     verifiedPairs(df, idCol, textCol, k, sel)
   }
 

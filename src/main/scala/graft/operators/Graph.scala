@@ -28,32 +28,51 @@ object Graph {
     * current rank vector plus one map-side-combined sum by dst — the
     * standard distributed PR round. `localCheckpoint` truncates the
     * 5-iteration lineage the same way [[Dedup.connectedComponents]]
-    * does, and the loop INVARIANTS (`e` after edge dedup, `outdeg`,
-    * `nodes`) are materialized the same way ONCE before the loop —
-    * otherwise each iteration's lineage re-runs the edge-dedup shuffle,
-    * the out-degree aggregation, and the node-set distinct from the
-    * scan up (~3 corpus-sized exchanges × iterations of pure
-    * redundancy at 25 M edges). The single driver-side scalar is `n`
-    * (node count) for the teleport base — O(1), never corpus-sized.
+    * does, and the loop INVARIANTS are materialized ONCE before the
+    * loop: the deduped edge set, the node set, and the whole
+    * degree-annotated edge table `eDeg` (= edges ⋈ out-degrees) —
+    * without that, each iteration's lineage re-runs the edge-dedup
+    * shuffle, the out-degree aggregation, the degree join, and the
+    * node-set distinct from the scan up (~3 corpus-sized exchanges ×
+    * iterations of pure redundancy at 25 M edges, ~40 % of the r15
+    * wall). The single driver-side scalar is `n` (node count) for the
+    * teleport base — O(1), never corpus-sized.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iterations: Int = 5,
       dampNum: Long = 85, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "at least one iteration")
     require(dampNum > 0 && dampNum < 100, "dampNum is a percentage in (0,100)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // corpus-sized invariants pin to DISK_ONLY, not localCheckpoint:
+    // memory-resident pins steal unified memory from the per-round
+    // sort/agg work (measured at 25M edges: 388 MB of aggregate spill
+    // that the unpinned r15 shape didn't have), local-disk re-reads per
+    // round are sequential and cheap, and persist KEEPS lineage — an
+    // executor lost mid-ranking recomputes deterministic blocks instead
+    // of failing the job (the localCheckpoint trade documented on
+    // [[Similarity.pqTopKWithBooks]])
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count()
+      p
+    }
+    val e = pin(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    // the whole (src, dst, deg) join is loop-invariant too — pinning it
+    // (not just e and outdeg separately) removes one corpus-sized join
+    // per iteration, not merely its recomputation
+    val eDeg = pin(e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    e.unpersist() // consumed by nodes/eDeg; never read again
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = ((scale * (100 - dampNum)) / 100) / n // exact Long arithmetic
 
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = e.join(outdeg, "src")
+      val contribs = eDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
         .selectExpr("dst AS node", "rank div deg AS c")
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -62,6 +81,8 @@ object Graph {
           s"$base + (coalesce(s, CAST(0 AS BIGINT)) * $dampNum) div 100 AS rank")
         .localCheckpoint()
     }
+    nodes.unpersist()
+    eDeg.unpersist()
     rank
   }
 }
