@@ -148,12 +148,37 @@ object CharGramHashes {
     * aggregate spill at 5M docs). Selection order is position order, so
     * keep-first IS keep-minimum-position.
     */
-  def winnowDistinct(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val sel = winnow(text, k, w)
+  def winnowDistinct(text: UTF8String, k: Int, w: Int): ArrayData =
+    dedupByHash(winnow(text, k, w))
+
+  /** [[compute]] (every gram position) deduplicated in the kernel the
+    * same way — the dense-path twin of [[winnowDistinct]], one
+    * (h1, h2, p0) witness per distinct gram at its minimum position.
+    */
+  def allDistinct(text: UTF8String, k: Int): ArrayData = {
+    val all = compute(text, k)
+    val n = all.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      val s = all.getStruct(i, 2)
+      if (seen.add((s.getLong(0), s.getLong(1))))
+        out += new GenericInternalRow(
+          Array[Any](s.getLong(0), s.getLong(1), i.toLong))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Keep-first per (h1, h2) over an already-position-ordered
+    * (h1, h2, p0) array — keep-first IS minimum position. Membership is
+    * on the exact 128-bit pair: a mixed single-long key could merge two
+    * distinct grams and silently drop a witness.
+    */
+  private def dedupByHash(sel: ArrayData): ArrayData = {
     val n = sel.numElements()
     if (n <= 1) return sel
-    // membership on the exact 128-bit pair — a mixed single-long key
-    // could merge two distinct grams and silently drop a witness
     val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
     val out = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
@@ -169,6 +194,9 @@ object CharGramHashes {
 
   def winnowedDistinct(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowedDistinctGramHashes(toExpression(text), k, w))
+
+  def ofDistinct(text: Column, k: Int): Column =
+    toColumn(DistinctGramHashes(toExpression(text), k))
 }
 
 /** [[CharGramHashes.winnow]] as an expression: the selected gram
@@ -211,5 +239,27 @@ case class WinnowedDistinctGramHashes(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): WinnowedDistinctGramHashes =
+    copy(child = newChild)
+}
+
+/** [[CharGramHashes.allDistinct]] as an expression: every-gram density,
+  * one witness per distinct gram fingerprint at its minimum position.
+  */
+case class DistinctGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width must be positive, got $k")
+
+  override def dataType: DataType = CharGramHashes.winnowType
+  override def prettyName: String = "distinct_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashes.allDistinct(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharGramHashes.allDistinct($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctGramHashes =
     copy(child = newChild)
 }

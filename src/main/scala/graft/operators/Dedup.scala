@@ -721,16 +721,19 @@ object Dedup {
       k: Int = 40): DataFrame =
     verifiedPairs(df, idCol, textCol, k, withPos(df, idCol, textCol, k))
 
-  /** One (id, h1, h2, pos) witness row per distinct in-document gram. */
+  /** One (id, h1, h2, pos) witness row per distinct in-document gram —
+    * deduped in the kernel ([[graft.functions.CharGramHashes
+    * .allDistinct]]), never through a groupBy(id, h1, h2) exchange of
+    * ~unique keys (the winnowed path's measured 15 GB-spill pathology,
+    * at ~(w+1)/2 x the gram volume here).
+    */
   private def withPos(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(graft.functions.CharGramHashes.of(col(textCol), k))
-          .as(Seq("p0", "hh")))
+        explode(graft.functions.CharGramHashes.ofDistinct(col(textCol), k))
+          .as("hh"))
       .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
-        (col("p0") + 1).as("pos"))
-      .groupBy(col("id"), col("h1"), col("h2"))
-      .agg(min(col("pos")).as("pos"))
+        (col("hh.p0") + 1).as("pos"))
 
   /** [[substringDupPairs]] at winnowed gram density — the 100 TB knob.
     * Winnowing (Schleimer et al., MOSS) keeps ~2/(w+1) of each

@@ -884,31 +884,22 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
     paramsChecked = true
   }
 
-  /** One (id, h1, h2, pos, gb) witness row per distinct in-doc gram.
-    * The winnowed path dedups IN THE KERNEL
-    * ([[graft.functions.CharGramHashes.winnowDistinct]] — keep-first in
-    * selection order = minimum position), so no per-batch
-    * groupBy(id, h1, h2) exchange of ~unique keys; the dense w <= 1
-    * path keeps the aggregate (all-gram dedup saves real multiplicity
-    * there and batch-sized exchanges are the streaming contract anyway).
+  /** One (id, h1, h2, pos, gb) witness row per distinct in-doc gram —
+    * deduped IN THE KERNEL at both densities
+    * ([[graft.functions.CharGramHashes.winnowDistinct]] /
+    * [[graft.functions.CharGramHashes.allDistinct]]: keep-first in
+    * position order = minimum position), so no per-batch
+    * groupBy(id, h1, h2) exchange of ~unique keys (the batch engine's
+    * measured spill pathology, same shape here).
     */
   private def gramsOf(df: DataFrame): DataFrame = {
-    val witnesses =
-      if (w <= 1)
-        df.select(col(idCol).as("id"),
-            posexplode(graft.functions.CharGramHashes.of(col(textCol), k))
-              .as(Seq("p0", "hh")))
-          .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
-            (col("p0") + 1).as("pos"))
-          .groupBy(col("id"), col("h1"), col("h2"))
-          .agg(min(col("pos")).as("pos"))
-      else
-        df.select(col(idCol).as("id"),
-            explode(graft.functions.CharGramHashes
-              .winnowedDistinct(col(textCol), k, w)).as("hh"))
-          .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
-            (col("hh.p0") + 1).as("pos"))
-    witnesses.withColumn("gb", gBucket(col("h1"), col("h2")))
+    val grams =
+      if (w <= 1) graft.functions.CharGramHashes.ofDistinct(col(textCol), k)
+      else graft.functions.CharGramHashes.winnowedDistinct(col(textCol), k, w)
+    df.select(col(idCol).as("id"), explode(grams).as("hh"))
+      .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        (col("hh.p0") + 1).as("pos"))
+      .withColumn("gb", gBucket(col("h1"), col("h2")))
   }
 
   private def textsOf(df: DataFrame): DataFrame =
