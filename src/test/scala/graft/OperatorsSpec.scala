@@ -1567,6 +1567,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(win.contains((5L, 90001L)) && win.contains((42L, 90001L)))
   }
 
+  test("kernel gram dedup equals the groupBy(id,h1,h2) min-pos witness " +
+      "normal form at both densities") {
+    import graft.functions.CharGramHashes
+    // repeated boilerplate makes real within-doc duplicate grams
+    val texts = Seq(
+      (1L, "the same header line repeats " * 6 + "then a unique tail xyz"),
+      (2L, "abcabcabcabcabcabcabcabcabcabcabcabcabcabcabcabcabc"),
+      (3L, "short"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    def viaKernel(c: org.apache.spark.sql.Column) = texts
+      .select(col("doc_id"), explode(c).as("hh"))
+      .select(col("doc_id"), col("hh.h1"), col("hh.h2"),
+        (col("hh.p0") + 1).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def viaGroupBy(rows: org.apache.spark.sql.DataFrame) = rows
+      .groupBy(col("doc_id"), col("h1"), col("h2"))
+      .agg(min(col("pos")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val denseRaw = texts.select(col("doc_id"),
+        posexplode(CharGramHashes.of(col("text"), 12)).as(Seq("p0", "hh")))
+      .select(col("doc_id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        (col("p0") + 1).cast("long").as("pos"))
+    assert(viaKernel(CharGramHashes.ofDistinct(col("text"), 12)) ===
+      viaGroupBy(denseRaw))
+    val winRaw = texts.select(col("doc_id"),
+        explode(CharGramHashes.winnowed(col("text"), 12, 5)).as("hh"))
+      .select(col("doc_id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        (col("hh.p0") + 1).as("pos"))
+    assert(viaKernel(CharGramHashes.winnowedDistinct(col("text"), 12, 5)) ===
+      viaGroupBy(winRaw))
+    // the dedup is not a no-op on these corpora: raw grams genuinely repeat
+    assert(denseRaw.count() >
+      denseRaw.select("doc_id", "h1", "h2").distinct().count())
+  }
+
   test("substring dedup positions survive astral (non-BMP) characters") {
     // an emoji is ONE code point but TWO UTF-16 units: if gram positions
     // counted UTF-16 units the verify substr would re-extract shifted

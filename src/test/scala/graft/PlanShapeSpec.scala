@@ -551,7 +551,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Dedup.substringDupPairs(d, "doc_id", "text", k = 40))
     // rolling hashes are generated directly on the scan — the document
     // text reaches no exchange (only id/h1/h2/pos columns shuffle)
-    assert(p.contains("Generate posexplode(char_gram_hashes(text"),
+    assert(p.contains("Generate explode(distinct_gram_hashes(text"),
       s"gram hashing should sit on the scan:\n$p")
     assert(!"Exchange [^\n]*text#".r.findFirstIn(p).isDefined,
       s"document text must never shuffle:\n$p")
@@ -562,6 +562,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
+  }
+
+  test("substring witness normalization is kernel-local: no groupBy " +
+      "exchange of ~unique (id, h1, h2) keys at either gram density") {
+    import graft.operators.Dedup
+    val d = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    // the r15 shape normalized witnesses through groupBy(id, h1, h2)
+    // .agg(min(pos)) — at 5M docs that exchange was half of 34 GB
+    // shuffle write and ~15 GB of aggregate spill (its keys are ~all
+    // unique, so partial aggregation combines nothing); the kernel
+    // dedup (ofDistinct / winnowedDistinct) makes it scan-local. The
+    // only aggregate left is the per-pair witness min.
+    for ((q, kernel) <- Seq(
+      Dedup.substringDupPairs(d, "doc_id", "text", k = 40)
+        -> "distinct_gram_hashes",
+      Dedup.substringDupPairsWinnowed(d, "doc_id", "text", k = 40, w = 10)
+        -> "winnowed_distinct_gram_hashes")) {
+      val p = plan(q)
+      assert(p.contains(kernel), s"$kernel missing from the scan:\n$p")
+      assert(!"HashAggregate\\(keys=\\[(doc_)?id[^\\]]*h1".r
+        .findFirstIn(p).isDefined,
+        s"witness normalization regrew its groupBy exchange:\n$p")
+      // partial + final of the pair-witness min, nothing more
+      assert("HashAggregate".r.findAllIn(p).length <= 2,
+        s"unexpected extra aggregates in the witness path:\n$p")
+    }
   }
 
   test("bloom semi-join prunes the probe SCAN-LOCAL, before any exchange") {
