@@ -259,6 +259,55 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
   }
 }
 
+/** One 100x-tier artifact row: `sec`/`load`/`ext`/`snap` are the MIN
+  * run's (telemetry stays attributable to the recorded number), the
+  * arrays keep every run visible so an outlier is self-explaining.
+  */
+final case class Row100(name: String, sec: Double, rows: Long, load: Double,
+    ext: Double, runs: Seq[Double], loads: Seq[Double], exts: Seq[Double],
+    snap: (Long, Long, Long, Long, Double, Long))
+
+/** External-contention estimator for the 100x measurement gate: machine
+  * busy cores (/proc/stat deltas) minus THIS JVM's own CPU use
+  * (processCpuTime delta) over a window. The 1-min loadavg cannot gate
+  * a tier that saturates the box itself — mid-bench it reads ~30
+  * whether or not anyone else is running (it lags our own just-finished
+  * jobs by its 60 s time constant), which is how r16's artifact
+  * recorded 160.6 s for a 40-58 s pageRank. Self-corrected busy cores
+  * distinguish the two: our own load subtracts out, an external hog
+  * doesn't.
+  */
+object ExternalLoad {
+  private val os = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  /** (self process CPU ns, machine busy jiffies, machine idle jiffies,
+    * wall ns); busy = user+nice+system+irq+softirq+steal (guest time is
+    * already inside user time — summing every column double-counts it).
+    */
+  final case class Snap(selfNs: Long, busy: Long, idle: Long, wallNs: Long)
+  def snap(): Snap = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val c = try src.getLines().next().trim.split("\\s+").drop(1)
+      .map(_.toLong).padTo(8, 0L) finally src.close()
+    Snap(os.getProcessCpuTime,
+      c(0) + c(1) + c(2) + c(5) + c(6) + c(7), c(3) + c(4),
+      System.nanoTime())
+  }
+  /** Average busy cores NOT owned by this JVM between two snaps (>= 0);
+    * -1 when /proc/stat was unreadable at either end.
+    */
+  def externalCores(a: Snap, b: Snap, nCpus: Int): Double = {
+    val wall = (b.wallNs - a.wallNs) / 1e9
+    val tot = (b.busy - a.busy) + (b.idle - a.idle)
+    if (wall <= 0 || tot <= 0) return -1.0
+    val machine = (b.busy - a.busy).toDouble / tot * nCpus
+    math.max(0.0, machine - (b.selfNs - a.selfNs) / 1e9 / wall)
+  }
+  def trySnap(): Option[Snap] =
+    try Some(snap()) catch { case _: Throwable => None }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -430,8 +479,7 @@ object Bench {
     // query (cold-ish is honest at this scale; JIT is warm from the
     // registry loop). SPARK_GRAFT_BENCH_100X=0 skips;
     // _REPS overrides the replica count (e.g. 2000 -> 10M docs).
-    val scale100: Option[(Int, Long, Seq[(String, Double, Long, Double,
-        (Long, Long, Long, Long, Double, Long))])] =
+    val scale100: Option[(Int, Long, Seq[Row100])] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_100X", "1") == "0" ||
           only.nonEmpty) None
       else try {
@@ -528,6 +576,31 @@ object Bench {
           spark.read.parquet(s"$dirLowBig/documents.parquet")
             .select(col("doc_id"), col("text")),
           "doc_id", "text", k = 40, w = 10)
+        // standing-state admission row (the r16 probe recipe as a
+        // machine-readable artifact): 1M standing fingerprints (5% in
+        // ~1000-member hot cliques), admit 100K fresh assets against
+        // them — a regression in admission cost or state-scan pruning
+        // now shows up in artifact diff, not just probe prose. The
+        // seeded state caches under target/ behind a marker; every
+        // timed run re-admits the SAME batch id 1, which BatchedState
+        // replays idempotently (reads state < 1 = the seed only,
+        // overwrites the batch=1 delta), so state never grows across
+        // runs or rounds.
+        def phashCorpus(ids: org.apache.spark.sql.DataFrame) = ids.select(
+          col("id").as("asset_id"),
+          when(pmod(col("id"), lit(20L)) === 0,
+              xxhash64(pmod(col("id"), lit(1000L))))
+            .otherwise(xxhash64(col("id"), lit(99L))).as("fp"))
+        val phashDir = "target/bench_100x_phash_state_v1"
+        val spd = new graft.streaming.StreamingPhashDedup(spark, phashDir,
+          "asset_id", "fp")
+        val phashReady = new java.io.File(s"$phashDir/_BENCH_READY")
+        if (!phashReady.exists()) {
+          spd.seed(phashCorpus(spark.range(1000000L).toDF("id")))
+          phashReady.createNewFile()
+        }
+        val rawPhashAdmit = () => spd.admit(
+          phashCorpus(spark.range(1000000L, 1100000L).toDF("id")), 1L)
         val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
           "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
@@ -541,7 +614,8 @@ object Bench {
           "events_funnel" -> rawFunnel,
           "timeseries_chain" -> rawTsChain,
           "mm_phash_clique_1m" -> rawMmClique,
-          "dedup_substring_winnow" -> rawWinnow)
+          "dedup_substring_winnow" -> rawWinnow,
+          "stream_phash_admit_1m" -> rawPhashAdmit)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
         // partition sizing is part of the scale claim: 32 shuffle
@@ -556,15 +630,62 @@ object Bench {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
           (cpus.toInt * 16).toString)
+        // ---- measurement protocol (the ingest row's gate, carried to
+        // this tier — r16's single un-gated runs swung ±2-4x with box
+        // load while the code got strictly better): MIN of `runs100`
+        // timed runs per row, each with its 1-min loadavg AND its
+        // measured EXTERNAL busy cores ([[ExternalLoad]]: /proc/stat
+        // minus our own JVM — the 1-min loadavg can't gate a tier that
+        // saturates the box itself). If even the fastest run was taken
+        // under external contention (> extGate cores), wait for the
+        // hog to drain (bounded) and re-run, up to 2 extras — so the
+        // recorded number is (a) a minimum, and (b) provably taken on
+        // a quiet-enough box, or the emitted ext field says otherwise.
+        val runs100 =
+          sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2").toInt.max(1)
+        val extGate =
+          sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0").toDouble
+        def instantExt(): Double =
+          ExternalLoad.trySnap().map { a =>
+            Thread.sleep(3000)
+            ExternalLoad.trySnap()
+              .map(b => ExternalLoad.externalCores(a, b, cpus.toInt))
+              .getOrElse(-1.0)
+          }.getOrElse(-1.0)
+        def waitExternal(): Unit = {
+          val t0 = System.nanoTime()
+          var ext = instantExt()
+          while (ext > extGate && (System.nanoTime() - t0) / 1e9 < 180) {
+            Thread.sleep(10000); ext = instantExt()
+          }
+        }
         val rows = try jobs.flatMap { case (name, mk) =>
-          lsnr.reset()
-          val la = loadAvg()
           try {
-            val (sec, n) = runOnce(mk)
-            // listener bus drains async; a short settle keeps the
-            // telemetry attributable to this query
-            Thread.sleep(2000)
-            Some((name, sec, n, la, lsnr.snapshot))
+            val all = scala.collection.mutable.ArrayBuffer
+              .empty[(Double, Long, Double, Double,
+                (Long, Long, Long, Long, Double, Long))]
+            def one(): Unit = {
+              lsnr.reset()
+              val la = loadAvg()
+              val e0 = ExternalLoad.trySnap()
+              val (sec, n) = runOnce(mk)
+              // listener bus drains async; a short settle keeps the
+              // telemetry attributable to this run
+              Thread.sleep(2000)
+              val ext = e0.flatMap(a => ExternalLoad.trySnap()
+                  .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
+                .getOrElse(-1.0)
+              all += ((sec, n, la, ext, lsnr.snapshot))
+            }
+            (1 to runs100).foreach(_ => one())
+            var extra = 0
+            while (all.minBy(_._1)._4 > extGate && extra < 2) {
+              waitExternal(); one(); extra += 1
+            }
+            val best = all.minBy(_._1)
+            Some(Row100(name, best._1, best._2, best._3, best._4,
+              all.map(_._1).toSeq, all.map(_._3).toSeq, all.map(_._4).toSeq,
+              best._5))
           } catch {
             case e: Throwable =>
               errors(s"100x:$name") =
@@ -628,15 +749,21 @@ object Bench {
     }
     val scale100Json = scale100 match {
       case Some((reps, nDocs, rows)) =>
-        val qs100 = rows.map { case (name, sec, n, la,
-            (wr, rd, maxRd, nTasks, skew, spill)) =>
-          "\"" + name + s"""":{"sec":$sec,"rows":$n,"load":$la,""" +
+        val qs100 = rows.map { r =>
+          val (wr, rd, maxRd, nTasks, skew, spill) = r.snap
+          def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+          "\"" + r.name + s"""":{"sec":${r.sec},"rows":${r.rows},""" +
+            s""""load":${r.load},"ext_cores":${math.rint(r.ext * 100) / 100},""" +
+            s""""runs":${arr(r.runs)},"loads":${arr(r.loads)},""" +
+            s""""ext":${arr(r.exts.map(x => math.rint(x * 100) / 100))},""" +
             s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
             s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
             s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
             s""""disk_spill_bytes":$spill}"""
         }.mkString("{", ",", "}")
-        s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs"""
+        s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs,""" +
+          s""""runs_100x":${sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2")},""" +
+          s""""ext_gate_100x":${sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0")}"""
       case None => ""
     }
     val isoJson = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph operators for corpus curation — link-graph signals (domain
   * authority ranking a la CommonCrawl's harmonic/PageRank exports) used
@@ -28,36 +29,50 @@ object Graph {
     * current rank vector plus one map-side-combined sum by dst — the
     * standard distributed PR round. `localCheckpoint` truncates the
     * 5-iteration lineage the same way [[Dedup.connectedComponents]]
-    * does, and the loop INVARIANTS are materialized ONCE before the
-    * loop: the deduped edge set, the node set, and the whole
-    * degree-annotated edge table `eDeg` (= edges ⋈ out-degrees) —
-    * without that, each iteration's lineage re-runs the edge-dedup
-    * shuffle, the out-degree aggregation, the degree join, and the
-    * node-set distinct from the scan up (~3 corpus-sized exchanges ×
-    * iterations of pure redundancy at 25 M edges, ~40 % of the r15
-    * wall). The single driver-side scalar is `n` (node count) for the
-    * teleport base — O(1), never corpus-sized.
+    * does, and the loop INVARIANTS are persisted before the loop: the
+    * deduped edge set, the node set, and the whole degree-annotated
+    * edge table `eDeg` (= edges ⋈ out-degrees) — without that, each
+    * iteration's lineage re-runs the edge-dedup shuffle, the out-degree
+    * aggregation, the degree join, and the node-set distinct from the
+    * scan up (~3 corpus-sized exchanges × iterations of pure redundancy
+    * at 25 M edges, ~40 % of the r15 wall). The single driver-side
+    * scalar is `n` (node count) for the teleport base — O(1), never
+    * corpus-sized.
+    *
+    * Pin strategy is SIZE-AWARE (`pinEdgeThreshold`, on the deduped
+    * edge count — known after one count job that every path needs
+    * anyway): big graphs pin nodes/eDeg to DISK_ONLY and materialize
+    * them EAGERLY before the loop (memory-resident pins measured 388 MB
+    * of aggregate spill at 25 M edges — loop-held storage blocks steal
+    * unified memory from the per-round sort/agg work; MEMORY_AND_DISK_SER
+    * probed within noise of DISK_ONLY wall-to-wall but held ~0.5 GB of
+    * storage through the loop for nothing, BENCHNOTES r17 — and
+    * local-disk re-reads per round are sequential and cheap), while
+    * persist KEEPS lineage so an executor lost mid-ranking recomputes
+    * deterministic blocks instead of failing the job (the
+    * localCheckpoint trade documented on [[Similarity.pqTopKWithBooks]]).
+    * Small graphs skip the eager counts and pin lazily in memory: three
+    * DISK_ONLY materialization jobs cost more wall than the
+    * recomputation they avoid (~3.8 s of pure overhead measured on a
+    * 500-node graph), and a lazy persist still caches the invariants on
+    * their first use inside iteration 1 — later iterations read the
+    * cache either way, so the marginal-stage shape is identical.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iterations: Int = 5,
-      dampNum: Long = 85, scale: Long = 1000000000000L): DataFrame = {
+      dampNum: Long = 85, scale: Long = 1000000000000L,
+      pinEdgeThreshold: Long = 1000000L,
+      bigPinLevel: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     require(iterations >= 1, "at least one iteration")
     require(dampNum > 0 && dampNum < 100, "dampNum is a percentage in (0,100)")
-    // corpus-sized invariants pin to DISK_ONLY, not localCheckpoint:
-    // memory-resident pins steal unified memory from the per-round
-    // sort/agg work (measured at 25M edges: 388 MB of aggregate spill
-    // that the unpinned r15 shape didn't have), local-disk re-reads per
-    // round are sequential and cheap, and persist KEEPS lineage — an
-    // executor lost mid-ranking recomputes deterministic blocks instead
-    // of failing the job (the localCheckpoint trade documented on
-    // [[Similarity.pqTopKWithBooks]])
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      p.count()
-      p
-    }
-    val e = pin(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct())
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count() // sizes the pin strategy; materializes e either way
+    val small = m < pinEdgeThreshold
+    def pin(df: DataFrame): DataFrame =
+      if (small) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else { val p = df.persist(bigPinLevel); p.count(); p }
     val nodes = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     // the whole (src, dst, deg) join is loop-invariant too — pinning it
@@ -65,24 +80,33 @@ object Graph {
     // per iteration, not merely its recomputation
     val eDeg = pin(e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
-    e.unpersist() // consumed by nodes/eDeg; never read again
-    val n = nodes.count()
-    require(n > 0, "empty graph")
-    val base = ((scale * (100 - dampNum)) / 100) / n // exact Long arithmetic
+    // big path: nodes/eDeg are materialized, e is never read again; the
+    // small path's lazy pins still need e until iteration 1 caches
+    // them, so e stays pinned (bounded by the threshold) until finally
+    if (!small) e.unpersist()
+    try {
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val base = ((scale * (100 - dampNum)) / 100) / n // exact Long arithmetic
 
-    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = eDeg
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .selectExpr("dst AS node", "rank div deg AS c")
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      rank = nodes.join(contribs, Seq("node"), "left")
-        .selectExpr("node",
-          s"$base + (coalesce(s, CAST(0 AS BIGINT)) * $dampNum) div 100 AS rank")
-        .localCheckpoint()
+      var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = eDeg
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .selectExpr("dst AS node", "rank div deg AS c")
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .selectExpr("node",
+            s"$base + (coalesce(s, CAST(0 AS BIGINT)) * $dampNum) div 100 AS rank")
+          .localCheckpoint()
+      }
+      rank
+    } finally {
+      // unpersist on the failure path too (an empty graph or a failed
+      // iteration must not leak loop-held blocks for the session's life)
+      e.unpersist()
+      nodes.unpersist()
+      eDeg.unpersist()
     }
-    nodes.unpersist()
-    eDeg.unpersist()
-    rank
   }
 }

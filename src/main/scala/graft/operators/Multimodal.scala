@@ -323,9 +323,10 @@ object Multimodal {
     */
   def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true): DataFrame =
+      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
+      expectedDistinct: Option[Long] = None): DataFrame =
     bandedHammingPairs(decoded, "dhash", maxHamming, wideRecall,
-      collapseIdentical)
+      collapseIdentical, maxBucketSize, expectedDistinct)
 
   /** Deterministic 24-bit uncompressed BMP fixture, built entirely in
     * Catalyst (hex assembly + `unhex`, like [[syntheticAssets]]): a real
@@ -663,24 +664,47 @@ object Multimodal {
     * materializing the quadratic pair set. `collapseIdentical = false`
     * keeps the raw per-asset pair form (clique_a = clique_b = 1, every
     * within-clique pair emitted) for bounded-multiplicity corpora.
+    *
+    * `maxBucketSize` / `expectedDistinct` are the hot-bucket cap and the
+    * occupancy refusal from [[Dedup.nearDupPairsSimhash]] /
+    * [[Dedup.requireHammingOccupancy]] — the collapse handles identical
+    * fingerprints, but NEAR-identical distinct fps past ~1M distinct
+    * (occupancy ~16 per 16-bit bucket) are a fixed-band-width quadratic
+    * wall this family cannot widen its way out of.
     */
   private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
       maxHamming: Int, wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true): DataFrame = {
+      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
+      expectedDistinct: Option[Long] = None): DataFrame = {
     requireBandRecall(maxHamming, wideRecall)
+    Dedup.requireHammingOccupancy(expectedDistinct, maxBucketSize)
     val members =
       if (collapseIdentical) collapseByFingerprint(hashed, hashCol)
       else hashed.select(col("asset_id").as("id"), col(hashCol),
         lit(1L).as("clique"))
-    val anchor = members.select(col("id"), col(hashCol), col("clique"),
+    val anchor0 = members.select(col("id"), col(hashCol), col("clique"),
       posexplode(array(bandCols(col(hashCol)): _*)).as(Seq("band", "key")))
     // a <= 1-bit band difference collides between one side's EXACT key
     // and the other side's probe ball, so only ONE side expands 17×
-    val probe = if (!wideRecall) anchor
+    val probe0 = if (!wideRecall) anchor0
     else members.select(col("id"), col(hashCol), col("clique"),
         posexplode(array(probeKeys(col(hashCol)): _*)).as(Seq("band", "keys")))
       .select(col("id"), col(hashCol), col("clique"), col("band"),
         explode(col("keys")).as("key"))
+    // hot-bucket cap ([[Dedup.nearDupPairsSimhash]]'s guard, carried to
+    // the multimodal families): buckets over the cap are EXCLUDED from
+    // both sides via a tiny broadcast anti-join — a boilerplate-
+    // thumbnail key degrades to a bounded skip instead of a quadratic
+    // blob, and its members stay discoverable through their other bands
+    val (anchor, probe) = if (maxBucketSize <= 0) (anchor0, probe0)
+    else {
+      val hot = anchor0.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select(col("band"), col("key"))
+      (anchor0.join(broadcast(hot), Seq("band", "key"), "left_anti"),
+        probe0.join(broadcast(hot), Seq("band", "key"), "left_anti"))
+    }
     anchor.as("l").join(probe.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
@@ -701,9 +725,10 @@ object Multimodal {
     */
   def audioNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true): DataFrame =
+      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
+      expectedDistinct: Option[Long] = None): DataFrame =
     bandedHammingPairs(decoded, "afp", maxHamming, wideRecall,
-      collapseIdentical)
+      collapseIdentical, maxBucketSize, expectedDistinct)
 
   /** Deterministic 16-bit (or 8-bit) mono PCM WAV fixture, built entirely
     * in Catalyst like [[bmpContent]]: a real RIFF file [[WavDecoder]]

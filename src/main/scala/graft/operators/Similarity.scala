@@ -384,9 +384,12 @@ object Similarity {
     // pin the exploded (query, cell) rows ONCE in executor storage, so
     // probeCells evaluates a single time (the previous shape ran it
     // twice — once for the probed-cell collect, again inside the join).
-    // Only the CELL ids reach the driver for the partition prune (≤
-    // nCells ints) — the q_vec arrays stay distributed, so a large
-    // query batch with wide embeddings never localizes vector bytes
+    // The partition-prune collect below moves only CELL ids (≤ nCells
+    // ints), but the broadcast(q) join still materializes the q_vec
+    // rows driver-side to build the broadcast relation — the
+    // bounded-batch contract on query size applies to this path too;
+    // the win here is the single probeCells evaluation and the
+    // ids-only prune, not a vector-free driver
     val q = qExploded.localCheckpoint()
     val probed = q.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted
@@ -695,32 +698,74 @@ object Similarity {
     * ~nprobe/nCells of the code table; ADC arithmetic is m array
     * lookups + adds per (query, row) in fixed order, so a SQL oracle
     * replays every score bit-identically.
+    *
+    * `maxDriverQueries` bounds per-chunk DRIVER cost, not the batch: a
+    * larger batch is evaluated once, sliced into exact
+    * `maxDriverQueries`-row chunks, and answered as the union of the
+    * per-chunk results — identical rows to a single-batch run by
+    * construction (chunks partition the query ids), with at most one
+    * chunk's vectors + LUTs resident on the driver at a time.
     */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxDriverQueries: Int = 10000, pointFetch: Boolean = true): DataFrame = {
-    import spark.implicits._
     val cent = IvfIndex.load(spark, s"$indexDir/centroids")
     val books = PqIndex.load(spark, s"$indexDir/books")
     val vecd = col(vecCol).cast(ArrayType(DoubleType))
-    // the ADC lookup tables are BUILT driver-side (they ride the
-    // broadcast query side as data), so this path localizes the query
-    // VECTORS too — unlike ivfTopKFromIndex, which keeps them
-    // distributed. That is safe only under the bounded-batch contract;
-    // guard it explicitly instead of discovering it as a driver OOM
-    // (~20 KB/query at 512 dims: vector + m x k LUT doubles). Chunk
-    // larger batches upstream, or raise the bound knowingly.
-    val nq = queries.count()
-    require(nq <= maxDriverQueries,
-      s"ivfPqTopK localizes the query batch on the driver ($nq queries > " +
-        s"maxDriverQueries=$maxDriverQueries): vectors + ADC LUTs are " +
-        "driver-built by design — chunk the batch or raise maxDriverQueries")
-    // localize the bounded query batch ONCE: probed cells and per-query
+    // evaluate the (possibly expensive) upstream query plan exactly ONCE;
+    // the size check, the chunk slicing, and every per-chunk collect
+    // below all re-read the pinned rows instead of re-running the plan
+    val qBase = queries
+      .select(col(idCol).cast(LongType).as("query_id"), vecd.as("q_vec"))
+      .localCheckpoint()
+    val nq = qBase.count()
+    if (nq <= maxDriverQueries)
+      ivfPqTopKChunk(spark, indexDir, cent, books, qBase, k, nprobe, rerank,
+        pointFetch)
+    else {
+      // the ADC LUTs are driver-built per query (~20 KB at 512 dims:
+      // vector + m x k doubles), so an unbounded batch would OOM the
+      // driver — chunk INTERNALLY instead of refusing: exact slice ids
+      // via zipWithIndex (distributed, no global sort — row_number over
+      // an unpartitioned window would single-task the whole batch), at
+      // most maxDriverQueries rows localized per chunk, per-chunk top-k
+      // unioned (chunks partition the query ids, so the union IS the
+      // global per-query top-k). Each chunk's eager collect + broadcast
+      // runs serially, so peak driver memory stays one chunk's. Batches
+      // big enough to produce hundreds of chunks are past the
+      // serving-batch shape this path exists for — use the distributed
+      // [[ivfTopKFromIndex]]/[[lshTopK]] paths there.
+      import org.apache.spark.sql.Row
+      val withIdx = spark.createDataFrame(
+        qBase.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        qBase.schema.add("__idx", LongType))
+      val nChunks = ((nq + maxDriverQueries - 1) / maxDriverQueries).toInt
+      (0 until nChunks).map { c =>
+        val slice = withIdx
+          .filter(col("__idx") >= c.toLong * maxDriverQueries &&
+            col("__idx") < (c + 1).toLong * maxDriverQueries)
+          .select(col("query_id"), col("q_vec"))
+        ivfPqTopKChunk(spark, indexDir, cent, books, slice, k, nprobe,
+          rerank, pointFetch)
+      }.reduce(_ union _)
+    }
+  }
+
+  /** One bounded-batch slice of [[ivfPqTopK]] — the pre-chunking body
+    * verbatim, so the single-batch and chunked paths can never diverge.
+    * `qSlice` is (query_id long, q_vec array&lt;double&gt;), at most
+    * `maxDriverQueries` rows by the caller's construction.
+    */
+  private def ivfPqTopKChunk(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, cent: Centroids, books: PqCodebooks,
+      qSlice: DataFrame, k: Int, nprobe: Int, rerank: Int,
+      pointFetch: Boolean): DataFrame = {
+    import spark.implicits._
+    // localize the bounded query slice ONCE: probed cells and per-query
     // ADC lookup tables both derive from the same collect (probeCells
     // evaluates once; the id cast to long mirrors pqTopKWithBooks)
-    val qRows = queries
-      .select(col(idCol).cast(LongType).as("query_id"), vecd.as("q_vec"))
+    val qRows = qSlice
       .select(col("query_id"), col("q_vec"),
         explode(cent.probeCells(col("q_vec"), nprobe)).as("cell"))
       .collect()

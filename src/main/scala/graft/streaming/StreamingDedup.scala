@@ -896,9 +896,18 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
     val grams =
       if (w <= 1) graft.functions.CharGramHashes.ofDistinct(col(textCol), k)
       else graft.functions.CharGramHashes.winnowedDistinct(col(textCol), k, w)
+    // pos stays byte-compatible with each mode's historical state
+    // layout: dense dirs store int32 (the pre-kernel posexplode ordinal),
+    // winnowed dirs int64 (the kernel's long p0) — a batch appended into
+    // a pre-existing dense dir must not lay int64 parquet files next to
+    // int32 ones, or BatchedState.read hits a schema conflict at admit
+    // time instead of anything loud (positions are string offsets, so
+    // the int cast is lossless by construction)
+    val pos =
+      if (w <= 1) (col("hh.p0") + 1).cast("int") else col("hh.p0") + 1
     df.select(col(idCol).as("id"), explode(grams).as("hh"))
       .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
-        (col("hh.p0") + 1).as("pos"))
+        pos.as("pos"))
       .withColumn("gb", gBucket(col("h1"), col("h2")))
   }
 

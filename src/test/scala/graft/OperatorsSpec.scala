@@ -1738,4 +1738,138 @@ class OperatorsSpec extends AnyFunSuite {
     val r3 = run(Seq((1L, 1, 1L, "a1")), 3L)
     assert(r3((1L, 1L))._1 === 0L)
   }
+
+  test("ivfPqTopK auto-chunks past maxDriverQueries: identical rows to " +
+      "the single-batch run, per-chunk driver cost bounded") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_chunk").toString
+    Similarity.IvfPqIndex.save(e,
+      Similarity.trainCentroids(e, nCells = 8),
+      Similarity.trainPq(e, m = 8, k = 16), dir)
+    val q20 = e.filter(col("vec_id") < 20)
+    def rows(maxDq: Int) =
+      Similarity.ivfPqTopK(spark, dir, q20, k = 5, nprobe = 4, rerank = 8,
+          maxDriverQueries = maxDq)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val single = rows(10000)
+    assert(single.nonEmpty)
+    // 20 queries at maxDriverQueries=6 -> 4 exact slices; the union of
+    // per-chunk top-k must BE the single-batch answer (chunks partition
+    // the query ids), scores and ranks included
+    assert(rows(6) === single)
+    // chunk boundary exactly at the batch size: still one chunk's answer
+    assert(rows(20) === single)
+  }
+
+  test("hamming band families refuse measured-quadratic occupancy when " +
+      "expectedDistinct is passed; armed maxBucketSize disarms the guard") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    // 4M distinct fps = occupancy ~61 per 16-bit bucket, past the
+    // measured-quadratic point — refused loudly, message names the
+    // levers (the band width itself is pinned by the pigeonhole)
+    val ex = intercept[IllegalArgumentException](
+      Dedup.nearDupPairsSimhash(d, "doc_id", "text",
+        expectedDistinct = Some(4000000L)))
+    assert(ex.getMessage.contains("quadratic"), ex.getMessage)
+    assert(ex.getMessage.contains("maxBucketSize"), ex.getMessage)
+    val fps = Seq((1L, 5L), (2L, 7L)).toDF("asset_id", "dhash")
+    val ex2 = intercept[IllegalArgumentException](
+      Multimodal.imageNearDups(fps, expectedDistinct = Some(4000000L)))
+    assert(ex2.getMessage.contains("quadratic"), ex2.getMessage)
+    // an armed hot-bucket cap bounds candidates by construction: accepted
+    Dedup.nearDupPairsSimhash(d, "doc_id", "text", maxBucketSize = 64,
+      expectedDistinct = Some(4000000L)).queryExecution.executedPlan
+    Multimodal.imageNearDups(fps, maxBucketSize = 64,
+      expectedDistinct = Some(4000000L)).queryExecution.executedPlan
+    // below the knee (1M fps = occupancy ~15): accepted
+    Multimodal.imageNearDups(fps, expectedDistinct = Some(1000000L))
+      .queryExecution.executedPlan
+    // no expectedDistinct -> no guard (explicit-caller contract)
+    Multimodal.imageNearDups(fps).queryExecution.executedPlan
+  }
+
+  test("bandedHammingPairs maxBucketSize: hot bucket excluded both " +
+      "sides — pairs sharing ONLY that bucket are dropped (the " +
+      "documented bounded-recall trade), others survive via their " +
+      "other bands") {
+    val base = 0x1234_5678_9ABC_0042L
+    // p and q differ by exactly one bit in each of bands 1..3 (hamming
+    // 3) — their ONLY shared band is band 0
+    val p = base
+    val q = base ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+    // 20 fillers share p's band-0 key but carry a DISTINCT offset in
+    // each of bands 1..3 (x >= 2 never collides with q's single-bit
+    // flips), so only the band-0 bucket goes hot — the other buckets
+    // stay at 1-2 members
+    val filler = (0 until 20).map { i =>
+      val x = (i + 2).toLong
+      (100L + i, base ^ (x << 16) ^ (x << 32) ^ (x << 48))
+    }
+    val corpus = ((1L, p) +: (2L, q) +: filler).toDF("asset_id", "dhash")
+    def pairs(cap: Int) =
+      Multimodal.imageNearDups(corpus, maxHamming = 3, maxBucketSize = cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    assert(pairs(0).contains((1L, 2L)), "uncapped must find the pair")
+    // cap 10 < 22 members: the band-0 bucket is excluded, and (p, q)
+    // share no other band — dropped, exactly the documented trade
+    assert(!pairs(10).contains((1L, 2L)),
+      "capped hot bucket must exclude pairs that share only it")
+    // a pair with a shared NON-hot band survives the same cap
+    val r = base ^ (1L << 16) // hamming 1: shares bands 2, 3 with p
+    val corpus2 = corpus.union(Seq((3L, r)).toDF("asset_id", "dhash"))
+    val withR = Multimodal.imageNearDups(corpus2, maxHamming = 3,
+        maxBucketSize = 10)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(withR.contains((1L, 3L)),
+      s"pair sharing cold bands must survive the cap: $withR")
+  }
+
+  test("StreamingSubstringDedup state layout: dense dirs keep int32 pos " +
+      "(the pre-kernel layout), winnowed dirs int64 — appended batches " +
+      "never lay a conflicting parquet schema next to old files") {
+    import graft.streaming.StreamingSubstringDedup
+    def posType(w: Int): org.apache.spark.sql.types.DataType = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ssd_pos_$w")
+      val ssd = new StreamingSubstringDedup(spark, dir.toString,
+        "doc_id", "text", k = 8, w = w)
+      ssd.seed(Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text"))
+      import scala.jdk.CollectionConverters._
+      val parquet = java.nio.file.Files.walk(dir.resolve("grams"))
+        .iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      spark.read.parquet(parquet.toString).schema("pos").dataType
+    }
+    assert(posType(1) === IntegerType)
+    assert(posType(2) === LongType)
+  }
+
+  test("pageRank size-aware pins: the lazy small-graph path and the " +
+      "eager big-graph path rank identically (exact integer arithmetic)") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    def ranks(threshold: Long) =
+      Graph.pageRank(edges, pinEdgeThreshold = threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val small = ranks(1000000L) // 5 edges < threshold: lazy path
+    val big = ranks(0L)         // forces the eager DISK_ONLY path
+    assert(small === big)
+    assert(small.size === 4)
+    // a failed ranking (empty graph) must not leak persisted blocks:
+    // compare against the pre-call set — the suite's other operators
+    // (and localCheckpoint) legitimately hold persistent RDDs
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    intercept[IllegalArgumentException](Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("src", "dst")))
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"pageRank leaked persisted RDDs on the failure path: $leaked")
+  }
 }

@@ -719,22 +719,42 @@ class PlanShapeSpec extends AnyFunSuite {
   test("pageRank loop invariants are materialized: extra iterations add " +
       "only round-sized stages, never the edge-dedup/degree/node stages") {
     import graft.operators.Graph
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+      SparkListenerStageCompleted}
     val l = Tables(spark, sf).lineitem
     val edges = l.select((col("l_orderkey") % 500).as("src"),
       (col("l_partkey") % 500).as("dst"))
-    val stages = new java.util.concurrent.atomic.AtomicInteger
+    // stages are scoped to OUR job group (a concurrently-running suite's
+    // stray stages must not inflate the count) and counted only when
+    // they actually complete; the bus is drained deterministically
+    // instead of slept on (a loaded machine drains late → undercount)
+    val group = "pr-invariants"
+    val groupStages = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[Int]()
+    val completed = new java.util.concurrent.atomic.AtomicInteger
     val lsnr = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        if (j.properties != null &&
+          group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => { groupStages.add(si.stageId); () })
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet(); ()
+        if (groupStages.contains(s.stageInfo.stageId))
+          completed.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(lsnr)
     def stagesFor(iters: Int): Int = {
-      stages.set(0)
-      Graph.pageRank(edges, iterations = iters).count()
-      Thread.sleep(1500) // listener bus drains async
-      stages.get()
+      groupStages.clear()
+      completed.set(0)
+      spark.sparkContext.setJobGroup(group, "pageRank invariant count")
+      try Graph.pageRank(edges, iterations = iters).count()
+      finally spark.sparkContext.clearJobGroup()
+      org.apache.spark.GraftTestSparkAccess
+        .drainListenerBus(spark.sparkContext)
+      completed.get()
     }
     try {
       val s1 = stagesFor(1)
