@@ -465,39 +465,6 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Refuse measured-quadratic 16-bit band occupancy when the distinct-
-    * fingerprint count is cheaply known — the
-    * [[Similarity.requireBandOccupancy]] rule carried to the 64-bit
-    * hamming families (simhash / phash / audio fingerprints), with one
-    * structural difference: the pigeonhole bands are FIXED at 4×16 bits
-    * (wider bands would break the hamming-distance recall guarantee),
-    * so there is NO `bandBitsFor`-style wider-band escape here. Per-band
-    * bucket occupancy is ~n / 65536 and candidate volume grows with
-    * occ² (measured: 1M distinct fps / occ 15 paired in 16 s, 4M /
-    * occ 61 in 9.7 min — 36× the wall for 4× the rows, BENCHNOTES r17);
-    * past occupancy ~16 the join is quadratic-dominated and the caller
-    * must change shape, not wait. An armed hot-bucket cap
-    * (`maxBucketSize > 0`) bounds candidates at ~cap²·buckets by
-    * construction (hot buckets are EXCLUDED, a bounded recall trade),
-    * so it disarms the refusal. `expectedDistinct` counts DISTINCT
-    * fingerprints — collapse identical ones first (the multimodal
-    * default) before estimating it.
-    */
-  private[graft] def requireHammingOccupancy(expectedDistinct: Option[Long],
-      maxBucketSize: Int): Unit =
-    if (maxBucketSize <= 0) expectedDistinct.foreach { n =>
-      val occ = n.toDouble / 65536.0
-      require(occ <= 16.0,
-        f"$n distinct 64-bit fingerprints give ~$occ%.0f rows per 16-bit " +
-          "band bucket — measured quadratic past occupancy ~16 (1M fps " +
-          "paired in 16 s, 4M in 9.7 min), and the 4×16-bit pigeonhole " +
-          "band width is fixed by the hamming guarantee (no wider-band " +
-          "escape). Collapse identical fingerprints first if " +
-          "expectedDistinct counted raw rows, arm maxBucketSize (bounded " +
-          "recall loss on excluded hot buckets), or partition the corpus " +
-          "(e.g. by content family) before pairing.")
-    }
-
   // ---- dedup clustering (connected components) ------------------------
 
   /** Connected components over near-duplicate PAIRS — the step that turns
@@ -644,21 +611,27 @@ object Dedup {
     * the guard trades recall on degenerate keys for worst-case bounds,
     * which is an operator's call, not a silent one.
     *
-    * `expectedDistinct` (when the corpus size is cheaply known) arms
-    * [[requireHammingOccupancy]]: refuse loudly at band occupancies the
-    * probe measured quadratic instead of discovering them as a
-    * runaway join — unless `maxBucketSize` already bounds the blowup.
+    * NO occupancy refusal here, deliberately (the embedding bands'
+    * [[Similarity.requireBandOccupancy]] rule was probed and does NOT
+    * transfer — BENCHNOTES r17): uniform band occupancy stays
+    * CPU-cheap far past the embedding families' quadratic knee
+    * (measured 32M distinct random fps = occupancy ~488/bucket in
+    * 52 s, near-linear down the sweep) because verification is
+    * join-local codegen'd `bit_count` on the rows already in hand and
+    * the hamming filter pushes below the pair-distinct exchange —
+    * per-candidate cost is ~2 instructions, not an array-cosine verify
+    * join. What actually blows up is SKEW (one degenerate bucket on
+    * one reducer, quadratic OUTPUT) — which identical-fingerprint
+    * collapse and this cap bound.
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, wideRecall: Boolean = false,
-      maxBucketSize: Int = 0,
-      expectedDistinct: Option[Long] = None): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame = {
     if (wideRecall) require(maxHamming >= 0 && maxHamming < 8,
       "1-bit-probed 16-bit bands guarantee recall only for maxHamming <= 7")
     else require(maxHamming >= 0 && maxHamming < 4,
       "4 16-bit bands guarantee recall only for maxHamming <= 3; " +
         "pass wideRecall=true (1-bit band probing) for 4..7")
-    requireHammingOccupancy(expectedDistinct, maxBucketSize)
     val sigs = simhashDF(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>

@@ -323,10 +323,10 @@ object Multimodal {
     */
   def imageNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
-      expectedDistinct: Option[Long] = None): DataFrame =
+      collapseIdentical: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame =
     bandedHammingPairs(decoded, "dhash", maxHamming, wideRecall,
-      collapseIdentical, maxBucketSize, expectedDistinct)
+      collapseIdentical, maxBucketSize)
 
   /** Deterministic 24-bit uncompressed BMP fixture, built entirely in
     * Catalyst (hex assembly + `unhex`, like [[syntheticAssets]]): a real
@@ -665,19 +665,22 @@ object Multimodal {
     * keeps the raw per-asset pair form (clique_a = clique_b = 1, every
     * within-clique pair emitted) for bounded-multiplicity corpora.
     *
-    * `maxBucketSize` / `expectedDistinct` are the hot-bucket cap and the
-    * occupancy refusal from [[Dedup.nearDupPairsSimhash]] /
-    * [[Dedup.requireHammingOccupancy]] — the collapse handles identical
-    * fingerprints, but NEAR-identical distinct fps past ~1M distinct
-    * (occupancy ~16 per 16-bit bucket) are a fixed-band-width quadratic
-    * wall this family cannot widen its way out of.
+    * `maxBucketSize` is [[Dedup.nearDupPairsSimhash]]'s hot-bucket cap,
+    * carried here: the collapse handles IDENTICAL fingerprints, but a
+    * family of near-identical distinct fps (boilerplate thumbnails with
+    * a counter burned in) still piles one band bucket onto one reducer
+    * with quadratic OUTPUT — the cap degrades that bucket to a bounded
+    * skip. Deliberately NO occupancy refusal (the embedding-band rule
+    * was probed and does not transfer — uniform occupancy stayed
+    * near-linear through ~488 rows/bucket because hamming verification
+    * is join-local codegen; see [[Dedup.nearDupPairsSimhash]] and
+    * BENCHNOTES r17).
     */
   private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
       maxHamming: Int, wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
-      expectedDistinct: Option[Long] = None): DataFrame = {
+      collapseIdentical: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame = {
     requireBandRecall(maxHamming, wideRecall)
-    Dedup.requireHammingOccupancy(expectedDistinct, maxBucketSize)
     val members =
       if (collapseIdentical) collapseByFingerprint(hashed, hashCol)
       else hashed.select(col("asset_id").as("id"), col(hashCol),
@@ -725,10 +728,10 @@ object Multimodal {
     */
   def audioNearDups(decoded: DataFrame, maxHamming: Int = 3,
       wideRecall: Boolean = false,
-      collapseIdentical: Boolean = true, maxBucketSize: Int = 0,
-      expectedDistinct: Option[Long] = None): DataFrame =
+      collapseIdentical: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame =
     bandedHammingPairs(decoded, "afp", maxHamming, wideRecall,
-      collapseIdentical, maxBucketSize, expectedDistinct)
+      collapseIdentical, maxBucketSize)
 
   /** Deterministic 16-bit (or 8-bit) mono PCM WAV fixture, built entirely
     * in Catalyst like [[bmpContent]]: a real RIFF file [[WavDecoder]]

@@ -1764,32 +1764,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(20) === single)
   }
 
-  test("hamming band families refuse measured-quadratic occupancy when " +
-      "expectedDistinct is passed; armed maxBucketSize disarms the guard") {
-    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
-      .toDF("doc_id", "text")
-    // 4M distinct fps = occupancy ~61 per 16-bit bucket, past the
-    // measured-quadratic point — refused loudly, message names the
-    // levers (the band width itself is pinned by the pigeonhole)
-    val ex = intercept[IllegalArgumentException](
-      Dedup.nearDupPairsSimhash(d, "doc_id", "text",
-        expectedDistinct = Some(4000000L)))
-    assert(ex.getMessage.contains("quadratic"), ex.getMessage)
-    assert(ex.getMessage.contains("maxBucketSize"), ex.getMessage)
-    val fps = Seq((1L, 5L), (2L, 7L)).toDF("asset_id", "dhash")
-    val ex2 = intercept[IllegalArgumentException](
-      Multimodal.imageNearDups(fps, expectedDistinct = Some(4000000L)))
-    assert(ex2.getMessage.contains("quadratic"), ex2.getMessage)
-    // an armed hot-bucket cap bounds candidates by construction: accepted
-    Dedup.nearDupPairsSimhash(d, "doc_id", "text", maxBucketSize = 64,
-      expectedDistinct = Some(4000000L)).queryExecution.executedPlan
-    Multimodal.imageNearDups(fps, maxBucketSize = 64,
-      expectedDistinct = Some(4000000L)).queryExecution.executedPlan
-    // below the knee (1M fps = occupancy ~15): accepted
-    Multimodal.imageNearDups(fps, expectedDistinct = Some(1000000L))
-      .queryExecution.executedPlan
-    // no expectedDistinct -> no guard (explicit-caller contract)
-    Multimodal.imageNearDups(fps).queryExecution.executedPlan
+  test("hamming band occupancy needs no refusal guard: the hamming " +
+      "filter pushes BELOW the pair-distinct exchange, so uniform " +
+      "candidates die in codegen before any materialization (the " +
+      "probed reason the embedding occupancy rule does not transfer)") {
+    // the structural fact behind the BENCHNOTES r17 sweep (32M distinct
+    // fps = occupancy ~488/bucket in 52 s, near-linear): verification
+    // is join-local — pin that the executed plan filters hamming before
+    // the distinct's exchange, not after it
+    val fps = (0 until 64).map(i => (i.toLong, i.toLong * 1789L))
+      .toDF("asset_id", "dhash")
+    val p = Multimodal.imageNearDups(fps, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    // the bit_count(...) <= maxHamming predicate must sit IN the join
+    // operator's condition (candidates die inside the join, before the
+    // Project and the pair-distinct exchange above it)
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("bit_count"),
+      s"hamming predicate no longer fused into the band join:\n$p")
   }
 
   test("bandedHammingPairs maxBucketSize: hot bucket excluded both " +
@@ -1849,16 +1841,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(posType(2) === LongType)
   }
 
-  test("pageRank size-aware pins: the lazy small-graph path and the " +
-      "eager big-graph path rank identically (exact integer arithmetic)") {
+  test("pageRank size gate: the driver-local small-graph path and the " +
+      "distributed big-graph path rank bit-identically (exact integer " +
+      "arithmetic on both)") {
     import graft.operators.Graph
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
     def ranks(threshold: Long) =
       Graph.pageRank(edges, pinEdgeThreshold = threshold).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val small = ranks(1000000L) // 5 edges < threshold: lazy path
-    val big = ranks(0L)         // forces the eager DISK_ONLY path
+    val small = ranks(1000000L) // 5 edges < threshold: driver-local
+    val big = ranks(0L)         // forces the distributed pinned loop
     assert(small === big)
     assert(small.size === 4)
     // a failed ranking (empty graph) must not leak persisted blocks:

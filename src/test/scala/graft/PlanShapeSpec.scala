@@ -695,7 +695,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val l = Tables(spark, sf).lineitem
     val edges = l.select((col("l_orderkey") % 100).as("src"),
       (col("l_partkey") % 100).as("dst"))
-    val q = Graph.pageRank(edges, iterations = 1)
+    // pinEdgeThreshold = 0 forces the DISTRIBUTED path — these plan
+    // pins guard the 100x shape; a toy edge count would otherwise take
+    // the driver-local fallback and assert nothing
+    val q = Graph.pageRank(edges, iterations = 1, pinEdgeThreshold = 0L)
     val p = plan(q)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
@@ -750,7 +753,10 @@ class PlanShapeSpec extends AnyFunSuite {
       groupStages.clear()
       completed.set(0)
       spark.sparkContext.setJobGroup(group, "pageRank invariant count")
-      try Graph.pageRank(edges, iterations = iters).count()
+      // force the distributed path: the invariant-materialization claim
+      // is about the big-graph loop, which a toy edge count would skip
+      try Graph.pageRank(edges, iterations = iters,
+        pinEdgeThreshold = 0L).count()
       finally spark.sparkContext.clearJobGroup()
       org.apache.spark.GraftTestSparkAccess
         .drainListenerBus(spark.sparkContext)

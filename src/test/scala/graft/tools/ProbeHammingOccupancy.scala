@@ -8,9 +8,16 @@ import org.apache.spark.sql.functions._
   * fingerprints, sweeping n across the occupancy range (occupancy per
   * band bucket = n / 65536). Unlike the RHP embedding bands, the 64-bit
   * hamming band width is FIXED by the pigeonhole construction — there
-  * is no `bandBitsFor` lever — so this probe establishes where the
-  * family stops scaling and what threshold an `expectedDistinct` guard
-  * should refuse at.
+  * is no `bandBitsFor` lever — so this probe establishes whether an
+  * `expectedDistinct`-style guard transfers at all.
+  *
+  * FINDING (r17, BENCHNOTES): it does NOT — wall stays near-linear
+  * through occupancy ~488 (32M distinct fps, 51.8 s) because the
+  * hamming predicate fuses into the band join (join-local codegen'd
+  * bit_count; no verify join, no pre-filter materialization), so
+  * uniform quadratic candidates cost ~2 instructions each. The real
+  * blowup mode is SKEW/identical-fp cliques — handled by collapse-first
+  * and the maxBucketSize cap, not by an occupancy refusal.
   *
   *   sbt "Test/runMain graft.tools.ProbeHammingOccupancy"
   */
