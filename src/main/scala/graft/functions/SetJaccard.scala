@@ -57,3 +57,65 @@ object SetJaccard {
 
   def of(a: Column, b: Column): Column = toColumn(SetJaccard(toExpression(a), toExpression(b)))
 }
+
+/** [[SetJaccard]] over `array<bigint>` — the fingerprint form the
+  * minhash verify stage moves at scale: the exchanges carry 8-byte
+  * hashes instead of ~25-byte shingle strings (~3x less verify shuffle
+  * at 10M docs, BENCHNOTES r17) and the pair kernel runs a sorted
+  * merge over two primitive arrays instead of hashing UTF8 strings
+  * into sets — no boxing, no per-element string compare. Distinct
+  * (set) semantics match the string form exactly; dup values inside an
+  * input (a 64-bit collision between two shingles of one document)
+  * count once, same as a duplicated string would.
+  */
+case class SetJaccardLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "set_jaccard_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SetJaccardLong.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("setJaccardLong", SetJaccardLong,
+        "graft.functions.SetJaccardLong$")
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SetJaccardLong = copy(left = newLeft, right = newRight)
+}
+
+object SetJaccardLong {
+
+  /** Called from both eval and generated code: sort both primitive
+    * arrays, merge-count distinct intersection/union.
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0; var union = 0
+    while (i < x.length || j < y.length) {
+      if (j >= y.length || (i < x.length && x(i) < y(j))) {
+        val v = x(i); union += 1
+        while (i < x.length && x(i) == v) i += 1
+      } else if (i >= x.length || y(j) < x(i)) {
+        val v = y(j); union += 1
+        while (j < y.length && y(j) == v) j += 1
+      } else {
+        val v = x(i); union += 1; inter += 1
+        while (i < x.length && x(i) == v) i += 1
+        while (j < y.length && y(j) == v) j += 1
+      }
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def of(a: Column, b: Column): Column =
+    toColumn(SetJaccardLong(toExpression(a), toExpression(b)))
+}

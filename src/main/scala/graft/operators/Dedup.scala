@@ -263,6 +263,18 @@ object Dedup {
     * ~1% dup rate that is the difference between shuffling 1% and 100%
     * of the data (the streaming twin's state pruning, applied to the
     * batch path).
+    *
+    * The verify payload is the shingle sets' 64-BIT FINGERPRINTS
+    * (`xxhash64` per shingle), not the strings: the two id-keyed
+    * exchanges and the pair join move 8-byte longs instead of ~25-byte
+    * shingle strings (measured at 10M docs: the verify chain was 78 s
+    * of the row's 128 s, dominated by 14.5 GB of string-array shuffle —
+    * BENCHNOTES r17), and the pair kernel compares primitive arrays
+    * ([[graft.functions.SetJaccardLong]]). The reported jaccard equals
+    * the string-set jaccard unless two DISTINCT shingles of one
+    * candidate pair collide in 64 bits (probability ~|union|²/2⁶⁴ <
+    * 1e-14 per pair) — the DuckDB oracle replays the STRING form and
+    * the gate has stayed hash-identical.
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
@@ -274,11 +286,19 @@ object Dedup {
     // (id, sig) — the shingle arrays rejoin solely at the verify stage
     val withSig = minhashSignatureDF(shingled, "id", "shingles", bands * rows)
 
+    // bh is a PREFIX join key only (the raw band_hash is still compared,
+    // so the candidate set stays band-equality-exact — what the oracle
+    // declares): leading the sort-merge keys with one long makes the
+    // 8-rows-per-doc self-join sort long-dominated instead of
+    // array-comparator-dominated — array compares survive only between
+    // hash-equal runs, which are (almost always) truly equal bands
     val banded = lshBands(withSig, col("id"), col("sig"), bands, rows)
+      .withColumn("bh", xxhash64(col("band"), col("band_hash")))
 
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,
+        col("l.bh") === col("r.bh") &&
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -286,18 +306,21 @@ object Dedup {
       .distinct()
 
     // prune BEFORE the shingle rejoin: only ids that appear in some
-    // candidate pair need their shingles moved. AQE sizes the semi-join
-    // at runtime — a low-dup corpus broadcasts the candidate-id set and
-    // the shingle table never shuffles at all
+    // candidate pair need their fingerprints moved. AQE sizes the
+    // semi-join at runtime — a low-dup corpus broadcasts the
+    // candidate-id set and the fingerprint table never shuffles at all
     val candIds = candidates
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    val sh = shingled.select(col("id"), col("shingles"))
+    val sh = shingled
+      .select(col("id"),
+        transform(col("shingles"), s => xxhash64(s)).as("hs"))
       .join(candIds, Seq("id"), "left_semi")
     candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"),
-        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+        graft.functions.SetJaccardLong.of(col("sa.hs"), col("sb.hs"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1764,6 +1764,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(20) === single)
   }
 
+  test("minhash verify fingerprints: hashed-set jaccard is value-identical " +
+      "to string-set jaccard on real corpus pairs; SetJaccardLong keeps " +
+      "set (distinct) semantics") {
+    import graft.functions.SetJaccardLong
+    val sh = docs.limit(40)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+    val both = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        Dedup.jaccard(col("x.s"), col("y.s")).as("js"),
+        SetJaccardLong.of(
+          transform(col("x.s"), v => xxhash64(v)),
+          transform(col("y.s"), v => xxhash64(v))).as("jh"))
+    assert(both.count() > 100)
+    assert(both.filter(col("js") =!= col("jh")).count() === 0,
+      "hashed jaccard diverged from string jaccard (a 64-bit collision " +
+        "on the tiny test corpus would be astronomically unlikely — " +
+        "this is a logic bug)")
+    // dup values inside one input count once (set semantics), empty
+    // union scores 0.0 — matching SetJaccard's documented contract
+    val lits = spark.range(1).select(
+      SetJaccardLong.of(
+        array(lit(1L), lit(1L), lit(2L)), array(lit(2L), lit(3L))).as("d"),
+      SetJaccardLong.of(
+        array().cast("array<bigint>"), array().cast("array<bigint>")).as("e"))
+      .head()
+    assert(math.abs(lits.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    assert(lits.getDouble(1) === 0.0)
+  }
+
   test("hamming band occupancy needs no refusal guard: the hamming " +
       "filter pushes BELOW the pair-distinct exchange, so uniform " +
       "candidates die in codegen before any materialization (the " +
