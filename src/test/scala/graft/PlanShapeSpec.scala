@@ -106,6 +106,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // candidate set, not the corpus (r13 What's-wrong 2)
     assert(p.contains("LeftSemi"),
       s"verify stage lost its candidate-id semi-join prune:\n$p")
+    // r17 scale shapes: the verify payload is 64-bit shingle
+    // fingerprints (set_jaccard_long over xxhash64-transformed arrays —
+    // the string form measured 14.5 GB of verify shuffle at 10M docs),
+    // and the band self-join leads its keys with the bh prefix long
+    // (array-comparator sorts measured 20 s of the same row)
+    assert(p.contains("set_jaccard_long"),
+      s"verify stage reverted to shingle-string jaccard:\n$p")
+    assert(p.contains("xxhash64(band"),
+      s"band self-join lost its bh prefix key:\n$p")
   }
 
   test("incremental minhash admission semi-join-prunes the reference shingles") {
