@@ -333,6 +333,14 @@ object Bench {
     SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // resolved ONCE and used by both the 100x measurement loop and the
+    // emitted artifact fields — re-reading the raw env at emit time let
+    // the artifact misstate the protocol actually run (env "0" printed
+    // as 0 runs while the .max(1) loop took 1)
+    val runs100 =
+      sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2").toInt.max(1)
+    val extGate =
+      sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0").toDouble
 
     // 1-min system load sampled BEFORE each timed run: the shared bench
     // box has repeatedly produced multi-x phantom deltas under
@@ -345,11 +353,33 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
 
+    // EXTERNAL busy cores over a 3 s window ([[ExternalLoad]]) — the
+    // gate statistic for the isolated-ingest row and the 100x tier, and
+    // the attribution marker recorded with the 1x/10x totals (the 1x
+    // registry total swung 262-325 s with box load across r16/r17 and
+    // the loadavg samples could not say whose load it was)
+    def instantExt(): Double =
+      ExternalLoad.trySnap().map { a =>
+        Thread.sleep(3000)
+        ExternalLoad.trySnap()
+          .map(b => ExternalLoad.externalCores(a, b, cpus.toInt))
+          .getOrElse(-1.0)
+      }.getOrElse(-1.0)
+    // ext measured across a whole tier's wall (snap pair around it)
+    def extOver[A](f: => A): (A, Double) = {
+      val e0 = ExternalLoad.trySnap()
+      val r = f
+      val ext = e0.flatMap(a => ExternalLoad.trySnap()
+          .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
+        .getOrElse(-1.0)
+      (r, ext)
+    }
+
     // headline: the reference's benchmark shape — JSON messages through
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
     // The event table is replicated 30x so the timed window is seconds,
     // not a sub-second blip dominated by scheduling noise.
-    def ingestRun(): (Long, Double, Seq[Double], Seq[Double]) = {
+    def ingestRun(): (Long, Double, Seq[Double], Seq[Double], Seq[Double]) = {
       val events = Tables(spark, sfDir).events
       val one = events.select(to_json(struct(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
@@ -374,12 +404,18 @@ object Bench {
       // best of N timed runs: the measurement competes with GC/OS noise
       val timedRuns = (1 to runs).map { _ =>
         val la = loadAvg()
+        val e0 = ExternalLoad.trySnap()
         val t0 = System.nanoTime()
         projected.write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, la)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ext = e0.flatMap(a => ExternalLoad.trySnap()
+            .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
+          .getOrElse(-1.0)
+        (sec, la, ext)
       }
       raw.unpersist()
-      (n, timedRuns.map(_._1).min, timedRuns.map(_._1), timedRuns.map(_._2))
+      (n, timedRuns.map(_._1).min, timedRuns.map(_._1), timedRuns.map(_._2),
+        timedRuns.map(_._3))
     }
     val ingest = ingestRun()
 
@@ -437,18 +473,20 @@ object Bench {
       if (unknown.nonEmpty)
         errors("bench_only_unknown") = unknown.toSeq.sorted.mkString(",")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        name -> timed(name, () => fn(spark, sfDir))
-      }
+    val (results, ext1x) = extOver {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          name -> timed(name, () => fn(spark, sfDir))
+        }
+    }
 
     // ---- second scale: the same headline queries over a 10x corpus
     // ("sf1" when driven at sf0.1) so shuffle-heavy queries produce
     // non-noise numbers. Replicas are id-shifted and lightly perturbed
     // (suffix token / +0.001*i on embeddings) so they are near- but not
     // exact duplicates — a cluster-heavy dedup workload, the hard case.
-    val scale10 = try {
+    val (scale10, ext10x) = extOver { try {
       val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
       Some(BenchScale.headline
         .filter(name => only.forall(_.contains(name)))
@@ -467,7 +505,7 @@ object Bench {
     } catch { case e: Throwable =>
       errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       None
-    }
+    } }
 
     // ---- third scale: the 100x flagship proof. The registry's minhash
     // dedup + clustering, executed end-to-end on a corpus 100x the base
@@ -601,6 +639,35 @@ object Bench {
         }
         val rawPhashAdmit = () => spd.admit(
           phashCorpus(spark.range(1000000L, 1100000L).toDF("id")), 1L)
+        // minhash standing-state admission (r18): the machine-readable
+        // proof that the fp64 state layout keeps admit cost flat at 1M
+        // standing DOCS (real text, the heavyweight twin of the phash
+        // row) — seed a deterministic hash-slice of the 100x corpus
+        // once (cached behind a marker; the dir name carries the layout
+        // version, so a future layout change re-seeds instead of
+        // tripping the params refusal), then admit 100K docs (half
+        // exact twins, half suffix-perturbed) at a replay-idempotent
+        // batch id: reads state < 1 = the seed only, overwrites its own
+        // batch=1 delta — state never grows across runs or rounds.
+        def minhashCorpus = spark.read.parquet(s"$dir100/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
+        val minhashDir = "target/bench_100x_minhash_state_fp64"
+        val smd = new graft.streaming.StreamingDedup(spark, minhashDir,
+          "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.7)
+        val minhashReady = new java.io.File(s"$minhashDir/_BENCH_READY")
+        if (!minhashReady.exists()) {
+          smd.seed(minhashCorpus)
+          minhashReady.createNewFile()
+        }
+        val rawMinhashAdmit = () => smd.admit(
+          minhashCorpus
+            .filter(pmod(xxhash64(col("doc_id")), lit(50L)) === 0L)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              when(col("doc_id") % 2 === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" zzbench zzadmit")))
+                .as("text")),
+          1L)
         val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup_minhash_lsh" -> registry("dedup_minhash_lsh", dir100),
           "dedup_cluster_minhash" -> registry("dedup_cluster_minhash", dir100),
@@ -615,7 +682,8 @@ object Bench {
           "timeseries_chain" -> rawTsChain,
           "mm_phash_clique_1m" -> rawMmClique,
           "dedup_substring_winnow" -> rawWinnow,
-          "stream_phash_admit_1m" -> rawPhashAdmit)
+          "stream_phash_admit_1m" -> rawPhashAdmit,
+          "stream_minhash_admit_1m" -> rawMinhashAdmit)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
         // partition sizing is part of the scale claim: 32 shuffle
@@ -641,17 +709,6 @@ object Bench {
         // hog to drain (bounded) and re-run, up to 2 extras — so the
         // recorded number is (a) a minimum, and (b) provably taken on
         // a quiet-enough box, or the emitted ext field says otherwise.
-        val runs100 =
-          sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2").toInt.max(1)
-        val extGate =
-          sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0").toDouble
-        def instantExt(): Double =
-          ExternalLoad.trySnap().map { a =>
-            Thread.sleep(3000)
-            ExternalLoad.trySnap()
-              .map(b => ExternalLoad.externalCores(a, b, cpus.toInt))
-              .getOrElse(-1.0)
-          }.getOrElse(-1.0)
         def waitExternal(): Unit = {
           val t0 = System.nanoTime()
           var ext = instantExt()
@@ -704,26 +761,46 @@ object Bench {
 
     // ---- isolated ingest re-run: same measurement as the in-loop
     // headline but taken AFTER the full registry + scales have drained,
-    // with its own load samples — the machine-readable twin of the
-    // BENCHNOTES "isolated re-run" prose (r12 What's-wrong #4).
-    // GATED on 1-min load actually draining first (r13 What's-wrong 1:
-    // captured at load ~23 straight after the loops, the "isolated"
-    // field recorded a CONTENDED 0.94M rows/s — below the in-loop
-    // number). 1-min load decays with a ~1-min time constant once this
-    // JVM idles, so a bounded sleep-retry reaches the threshold fast
-    // when the contention was our own just-finished loop; if an
-    // EXTERNAL hog keeps the box busy past the wait cap, we measure
-    // anyway and the emitted wait_sec + load samples say so.
-    // gate 6.0: the r12 manual protocol measured its 1.88-1.92M
-    // headline at load 4-7, and the measurement itself (32 busy cores)
-    // adds ~1-2 to the 1-min load while it runs — a gate of 10 let the
-    // timed runs start near 11 and read low
-    val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_ISO_LOAD", "6.0").toDouble
+    // with its own load + external-cores samples — the machine-readable
+    // twin of the BENCHNOTES "isolated re-run" prose (r12 What's-wrong
+    // #4). GATED on EXTERNAL busy cores draining first (the 100x tier's
+    // r17 gate applied to the one row that feeds bench_vs_baseline —
+    // r17 recorded this row at loadavg ~7.9 against a 6.0 loadavg gate
+    // after the wait expired, because loadavg lags our own just-drained
+    // loops by its 60 s time constant; ExternalLoad subtracts this JVM
+    // out, so the wait ends as soon as the box is OURS-quiet). If the
+    // fastest run still saw external contention, wait-and-re-measure up
+    // to twice; past that we record anyway and gate_met says so.
+    val isoExtGate =
+      sys.env.getOrElse("SPARK_GRAFT_ISO_EXT_GATE", "2.0").toDouble
     val isoWait0 = System.nanoTime()
-    while (loadAvg() > isoThreshold &&
-        (System.nanoTime() - isoWait0) / 1e9 < 600) Thread.sleep(15000)
+    def waitIsoExternal(): Unit = {
+      var ext = instantExt()
+      while (ext > isoExtGate &&
+        (System.nanoTime() - isoWait0) / 1e9 < 600) {
+        Thread.sleep(15000); ext = instantExt()
+      }
+    }
+    waitIsoExternal()
     val isoWaitSec = math.rint((System.nanoTime() - isoWait0) / 1e9)
-    val ingestIso = ingestRun()
+    // ext of the MIN run is what gate_met adjudicates (the recorded
+    // number IS the min); extra attempts merge into the run arrays so
+    // every sample stays visible
+    def isoMinExt(r: (Long, Double, Seq[Double], Seq[Double], Seq[Double]))
+        : Double = r._5(r._3.indexOf(r._2))
+    var ingestIso = ingestRun()
+    var isoExtra = 0
+    while (isoMinExt(ingestIso) > isoExtGate && isoExtra < 2) {
+      waitIsoExternal()
+      val again = ingestRun()
+      ingestIso = (ingestIso._1, math.min(ingestIso._2, again._2),
+        ingestIso._3 ++ again._3, ingestIso._4 ++ again._4,
+        ingestIso._5 ++ again._5)
+      isoExtra += 1
+    }
+    val isoGateMet = {
+      val e = isoMinExt(ingestIso); e >= 0 && e <= isoExtGate
+    }
 
     def qjson(rs: Seq[(String, (Double, Long, Seq[Double], Seq[Double]))]): String = rs
       .map { case (k, (sec, rows, all, loads)) =>
@@ -742,9 +819,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
         .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
       .mkString("{", ",", "}")
+    // tier-wide external-cores markers (r17 Next-round 4): the 1x/10x
+    // protocol is unchanged, but a swing in either total is now
+    // attributable to (or cleared of) external box load from the
+    // artifact alone
+    def extJson(tag: String, v: Double): String =
+      s""","ext_cores_$tag":${math.rint(v * 100) / 100}"""
     val scaleJson = scale10 match {
       case Some(r) =>
-        s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}"""
+        s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}""" +
+          extJson("10x", ext10x)
       case None => ""
     }
     val scale100Json = scale100 match {
@@ -762,19 +846,21 @@ object Bench {
             s""""disk_spill_bytes":$spill}"""
         }.mkString("{", ",", "}")
         s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs,""" +
-          s""""runs_100x":${sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2")},""" +
-          s""""ext_gate_100x":${sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0")}"""
+          s""""runs_100x":$runs100,"ext_gate_100x":$extGate"""
       case None => ""
     }
     val isoJson = {
       val runsJ = ingestIso._3.mkString("[", ",", "]")
       val loadJ = ingestIso._4.mkString("[", ",", "]")
+      val extJ = ingestIso._5.map(x => math.rint(x * 100) / 100)
+        .mkString("[", ",", "]")
       s""","ingest_isolated":{"sec":${ingestIso._2},"rows":${ingestIso._1},""" +
         s""""rows_per_sec":${(ingestIso._1 / ingestIso._2).toLong},""" +
-        s""""wait_sec":$isoWaitSec,"load_gate":$isoThreshold,""" +
-        s""""runs":$runsJ,"load":$loadJ}"""
+        s""""wait_sec":$isoWaitSec,"ext_gate":$isoExtGate,""" +
+        s""""gate_met":$isoGateMet,""" +
+        s""""runs":$runsJ,"load":$loadJ,"ext":$extJ}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps$scaleJson$scale100Json$isoJson,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps${extJson("1x", ext1x)}$scaleJson$scale100Json$isoJson,"errors":$errJson}"""
     println(line)
     // out-of-band copy: the driver's stdout tail has truncated this line
     // before (losing the ingest headline); the file is the durable artifact

@@ -275,10 +275,43 @@ object Dedup {
     * candidate pair collide in 64 bits (probability ~|union|²/2⁶⁴ <
     * 1e-14 per pair) — the DuckDB oracle replays the STRING form and
     * the gate has stayed hash-identical.
+    *
+    * Both the candidate-pair table and the pruned fingerprint table are
+    * PINNED and the (small) result is materialized before return: the
+    * fingerprint table feeds BOTH sides of the pair join, and with the
+    * broadcast-sized candidate side there is no exchange for Spark's
+    * ReuseExchange to share — un-pinned, each side re-ran the corpus
+    * scan + shingle kernel + semi-join from scratch (the r17 stage
+    * profile's residual 2×: 2.22 GB of fingerprints computed once PER
+    * SIDE at 10M docs — BENCHNOTES r18). Eager materialization is what
+    * lets the pins release before the caller ever runs a job; the
+    * returned frame is the checkpointed (a, b, jaccard) result, orders
+    * of magnitude smaller than the corpus at any real dup rate.
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, composeNfc: Boolean = false): DataFrame = {
+    val (pairs, pins) =
+      nearDupPairsMinhashPlan(df, idCol, textCol, n, bands, rows,
+        threshold, composeNfc)
+    try {
+      // fill the pins in dependency order (candidates before the
+      // fingerprint table that semi-joins against them), so no two
+      // concurrent stages of the result job race to compute one
+      pins.foreach(_.count())
+      pairs.localCheckpoint()
+    } finally pins.foreach(_.unpersist())
+  }
+
+  /** The lazy plan + its pins behind [[nearDupPairsMinhash]] — split out
+    * so plan-shape tests can assert the verify subtree (ONE gram-kernel
+    * scan under an InMemoryRelation, read by both pair sides) before
+    * materialization collapses the public entry's plan to an RDD scan.
+    */
+  private[graft] def nearDupPairsMinhashPlan(df: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rows: Int,
+      threshold: Double, composeNfc: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
     val shingled = df.select(
       col(idCol).as("id"),
       wordShingles(prepText(col(textCol), composeNfc), n).as("shingles"))
@@ -304,6 +337,9 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+      // candidates feed the prune-id set AND the final pair join —
+      // un-pinned, the band self-join runs once per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // prune BEFORE the shingle rejoin: only ids that appear in some
     // candidate pair need their fingerprints moved. AQE sizes the
@@ -311,18 +347,29 @@ object Dedup {
     // candidate-id set and the fingerprint table never shuffles at all
     val candIds = candidates
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    val sh = shingled
-      .select(col("id"),
-        transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    val sh = shingleFingerprints(shingled)
       .join(candIds, Seq("id"), "left_semi")
-    candidates
+      // candidate-pruned, so |sh| tracks the dup rate, not the corpus;
+      // serialized blocks keep the worst (all-dup) case compact
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"),
         graft.functions.SetJaccardLong.of(col("sa.hs"), col("sb.hs"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, Seq(candidates, sh))
   }
+
+  /** `(id, hs)` 64-bit shingle fingerprints of an `(id, shingles)`
+    * table — the verify-exchange payload everywhere a Jaccard is checked
+    * (8-byte longs instead of ~25-byte shingle strings; see
+    * [[nearDupPairsMinhash]] for the collision bound).
+    */
+  def shingleFingerprints(sh: DataFrame): DataFrame =
+    sh.select(col("id"),
+      transform(col("shingles"), s => xxhash64(s)).as("hs"))
 
   /** Incremental near-dup detection: minhash-LSH candidates of a FRESH
     * batch against an existing REFERENCE corpus, verified with exact
@@ -383,8 +430,9 @@ object Dedup {
       shNew: DataFrame, bNew: DataFrame, threshold: Double): DataFrame = {
     val candidates = bandCandidates(bRef, bNew)
     val refIds = candidates.select(col("ref_id").as("id")).distinct()
-    verifyJaccard(candidates,
-      shRef.join(refIds, Seq("id"), "left_semi"), shNew, threshold)
+    verifyJaccardHashed(candidates,
+      shingleFingerprints(shRef).join(refIds, Seq("id"), "left_semi"),
+      shingleFingerprints(shNew), threshold)
   }
 
   /** Stage 1 of [[nearDupsPrepared]]: distinct (ref_id, new_id)
@@ -401,15 +449,20 @@ object Dedup {
       .distinct()
 
   /** Stage 2 of [[nearDupsPrepared]]: exact-Jaccard verification of
-    * candidate pairs against the two shingle tables.
+    * candidate pairs against two `(id, hs)` FINGERPRINT tables
+    * ([[shingleFingerprints]] — or a standing pipeline's persisted
+    * fingerprint state). Same string-jaccard value modulo the per-pair
+    * < 1e-14 64-bit collision bound on [[nearDupPairsMinhash]]; the
+    * DuckDB oracles replay the string form unchanged.
     */
-  def verifyJaccard(candidates: DataFrame, shRef: DataFrame,
-      shNew: DataFrame, threshold: Double): DataFrame =
+  def verifyJaccardHashed(candidates: DataFrame, fpRef: DataFrame,
+      fpNew: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(shRef.as("sa"), col("ref_id") === col("sa.id"))
-      .join(shNew.as("sb"), col("new_id") === col("sb.id"))
+      .join(fpRef.as("sa"), col("ref_id") === col("sa.id"))
+      .join(fpNew.as("sb"), col("new_id") === col("sb.id"))
       .select(col("ref_id"), col("new_id"),
-        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+        graft.functions.SetJaccardLong.of(col("sa.hs"), col("sb.hs"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Corpus-wide embedding near-duplicate pairs — the dedup-suite entry

@@ -70,8 +70,14 @@ object Graph {
       : DataFrame = {
     require(iterations >= 1, "at least one iteration")
     require(dampNum > 0 && dampNum < 100, "dampNum is a percentage in (0,100)")
+    // drop malformed edges (null or uncastable src/dst) ONCE, before the
+    // path gate: the local loop would NPE on a null Row.getLong and the
+    // distributed one would silently keep a null node — both paths must
+    // see the same edge set for the bit-identical contract to mean
+    // anything
     val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct()
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count() // sizes the path choice; materializes e either way
     if (m < pinEdgeThreshold)
@@ -79,18 +85,24 @@ object Graph {
         dampNum, scale)
       finally e.unpersist()
     else {
+      // every pinned frame is tracked BEFORE its count job runs, so a
+      // failure during any pin (or the loop) releases exactly what got
+      // persisted — the r17 shape unpersisted only inside the loop's
+      // try, leaking e/nodes when a pin job itself failed
+      val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def pin(df: DataFrame): DataFrame = {
-        val p = df.persist(bigPinLevel); p.count(); p
+        val p = df.persist(bigPinLevel); pinned += p
+        prePinHook(); p.count(); p
       }
-      val nodes = pin(e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
-      // the whole (src, dst, deg) join is loop-invariant too — pinning
-      // it (not just e and outdeg separately) removes one corpus-sized
-      // join per iteration, not merely its recomputation
-      val eDeg = pin(e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
-      e.unpersist() // consumed by nodes/eDeg; never read again
       try {
+        val nodes = pin(e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct())
+        // the whole (src, dst, deg) join is loop-invariant too — pinning
+        // it (not just e and outdeg separately) removes one corpus-sized
+        // join per iteration, not merely its recomputation
+        val eDeg = pin(e.join(
+          e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+        e.unpersist() // consumed by nodes/eDeg; never read again
         val n = nodes.count()
         require(n > 0, "empty graph")
         val base = ((scale * (100 - dampNum)) / 100) / n // exact Long math
@@ -108,13 +120,20 @@ object Graph {
         }
         rank
       } finally {
-        // unpersist on the failure path too (a failed iteration must
-        // not leak loop-held blocks for the session's life)
-        nodes.unpersist()
-        eDeg.unpersist()
+        // the failure path too: a failed pin or iteration must not leak
+        // blocks for the session's life (unpersist is a no-op on the
+        // already-released e of the success path)
+        e.unpersist()
+        pinned.foreach(_.unpersist())
       }
     }
   }
+
+  /** Test seam: runs before each pin's materializing count job, so a
+    * spec can inject a failure BETWEEN pins and assert the finally
+    * releases every partially-pinned frame. Production value is a no-op.
+    */
+  private[graft] var prePinHook: () => Unit = () => ()
 
   /** The sub-threshold driver-local loop: the identical integer
     * recurrence over collected (src, dst) rows. Integer sums are

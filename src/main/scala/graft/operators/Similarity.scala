@@ -703,8 +703,13 @@ object Similarity {
     * larger batch is evaluated once, sliced into exact
     * `maxDriverQueries`-row chunks, and answered as the union of the
     * per-chunk results — identical rows to a single-batch run by
-    * construction (chunks partition the query ids), with at most one
-    * chunk's vectors + LUTs resident on the driver at a time.
+    * construction (chunks partition the query ids). Each chunk's top-k
+    * (≤ `maxDriverQueries · k` rows) is MATERIALIZED before the next
+    * chunk starts, so the chunk's LUT-bearing LocalRelations and
+    * broadcasts drop out of the union plan as they finish — peak driver
+    * residency is one in-flight chunk's vectors + LUTs plus the
+    * (id, id, cos) result rows, regardless of batch size or whether the
+    * caller executes the returned frame promptly.
     */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 8,
@@ -746,8 +751,13 @@ object Similarity {
           .filter(col("__idx") >= c.toLong * maxDriverQueries &&
             col("__idx") < (c + 1).toLong * maxDriverQueries)
           .select(col("query_id"), col("q_vec"))
+        // materialize the chunk's top-k NOW (≤ maxDriverQueries·k rows):
+        // a lazy union would retain every chunk's query-vector/LUT
+        // LocalRelations (and with pointFetch=false the unexecuted ADC
+        // plans' broadcasts) until the caller executes — exactly the
+        // unbounded driver residency the chunking exists to prevent
         ivfPqTopKChunk(spark, indexDir, cent, books, slice, k, nprobe,
-          rerank, pointFetch)
+          rerank, pointFetch).localCheckpoint()
       }.reduce(_ union _)
     }
   }

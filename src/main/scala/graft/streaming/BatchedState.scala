@@ -470,9 +470,15 @@ object BatchedState {
           val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
         }.toMap
       finally in.close()
+    // a caller key ABSENT from the stored marker is drift too: it means
+    // the dir was seeded by a version that predates the parameter —
+    // layout-version keys (e.g. the minhash twin's `shingles=fp64`) rely
+    // on this to refuse an old-layout dir loudly here, instead of via an
+    // opaque parquet schema conflict at the first append
     val drift = params.collect {
-      case (k, v) if stored.get(k).exists(_ != v) =>
-        s"$k: stored=${stored(k)} caller=$v"
+      case (k, v) if !stored.get(k).contains(v) =>
+        s"$k: stored=${stored.getOrElse(k, "<absent — predates this " +
+          "parameter>")} caller=$v"
     }
     require(drift.isEmpty,
       s"state at $stateDir was built with different parameters — " +

@@ -19,11 +19,14 @@ private[streaming] object StateBuckets {
 
 /** Standing incremental near-dup admission — the streaming lift of
   * [[graft.operators.Dedup.nearDupsAgainstMinhash]]: the reference
-  * corpus's minhash state (shingle + banded-signature tables) is
-  * persisted ONCE via [[BatchedState]]; each arriving micro-batch
-  * computes its own signatures in one scan-local pass, band-joins
-  * against the persisted state, exact-Jaccard-verifies the candidates,
-  * and is then folded into the state so later batches dedup against it.
+  * corpus's minhash state (shingle-FINGERPRINT + banded-signature
+  * tables; `fp64` layout — 8-byte xxhash64 longs per shingle, not the
+  * ~25-byte strings, same trade as the batch verify and value-identical
+  * modulo the < 1e-14/pair collision bound) is persisted ONCE via
+  * [[BatchedState]]; each arriving micro-batch computes its own
+  * signatures in one scan-local pass, band-joins against the persisted
+  * state, exact-Jaccard-verifies the candidates, and is then folded
+  * into the state so later batches dedup against it.
   *
   * Scale shape (what survives a standing 100 TB corpus):
   *  - State is NEVER shuffled at admission. The batch side of both the
@@ -62,9 +65,15 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     StateBuckets.bandBucket(band, bandHash, nBuckets)
 
   // signature/bucket geometry bakes into the stored rows: persisted at
-  // seed time, validated before the first admission of each run
+  // seed time, validated before the first admission of each run.
+  // `shingles=fp64` is the STATE-LAYOUT version key (r18): the shingle
+  // state stores 64-bit xxhash64 fingerprints, not strings — a pre-r18
+  // string-layout dir is missing the key and refuses loudly at the
+  // first admission (validateParams treats an absent stored key as
+  // drift) instead of failing on a parquet schema conflict mid-append
   private val stateParams = Map("n" -> n.toString, "bands" -> bands.toString,
-    "rows" -> rows.toString, "nBuckets" -> nBuckets.toString)
+    "rows" -> rows.toString, "nBuckets" -> nBuckets.toString,
+    "shingles" -> "fp64")
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
@@ -74,9 +83,12 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
 
   /** Seed the persisted reference state, REPLACING any previous state
     * under `stateDir` (re-seeding starts a fresh corpus — stale admitted
-    * batches must not survive into the new one). Signatures are computed
-    * once; the banded table is derived from the just-persisted shingle
-    * state (a narrow parquet scan) rather than re-shingling the corpus.
+    * batches must not survive into the new one). The two seed writes
+    * each run the shingle kernel once (the fingerprint state cannot
+    * derive the md5-based signatures the banded table needs, so the
+    * pre-fp64 read-back-from-parquet trick no longer applies) — a
+    * one-time 2-scan cost at seed, paid to make every ADMISSION move
+    * 8-byte fingerprints instead of shingle strings.
     */
   def seed(reference: DataFrame): Unit = {
     // marker off first, on last: a crash anywhere between leaves a
@@ -85,14 +97,9 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     BatchedState.clearParams(spark, stateDir)
     shingles.reset()
     banded.reset()
-    val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
-    val shB = sh.withColumn("ib", idBucket(col("id")))
-    shingles.seed(shB)
-    val persisted = shingles.read(fallback = Some(shB.schema))
-      .select("id", "shingles")
-    val b = Dedup.lshBands(
-      Dedup.minhashSignatureDF(persisted, "id", "shingles", bands * rows),
-      col("id"), col("sig"), bands, rows)
+    val (sh, b) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
+    shingles.seed(Dedup.shingleFingerprints(sh)
+      .withColumn("ib", idBucket(col("id"))))
     banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
     BatchedState.writeParams(spark, stateDir, stateParams)
     paramsChecked = true
@@ -108,7 +115,8 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     val (shRaw, bRaw) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
     // pin the batch-side prep (it feeds three consumers: prune-set
     // collect, the joins, the state append) — |batch|-bounded
-    val shNew = shRaw.withColumn("ib", idBucket(col("id"))).localCheckpoint()
+    val shNew = Dedup.shingleFingerprints(shRaw)
+      .withColumn("ib", idBucket(col("id"))).localCheckpoint()
     val bNew = bRaw.withColumn("bb", bandBucket(col("band"), col("band_hash")))
       .localCheckpoint()
     // band-bucket prune set of THIS batch (<= nBuckets values)
@@ -128,7 +136,7 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     // state (each version is a state row; emit ONE pair, best score).
     // localCheckpoint pins the result so a later compact() cannot
     // invalidate an unconsumed plan's file references.
-    val pairs = Dedup.verifyJaccard(broadcast(candidates), shRef, shNew,
+    val pairs = Dedup.verifyJaccardHashed(broadcast(candidates), shRef, shNew,
         threshold)
       .filter(col("ref_id") =!= col("new_id"))
       .groupBy(col("ref_id"), col("new_id"))
@@ -892,20 +900,33 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
     * groupBy(id, h1, h2) exchange of ~unique keys (the batch engine's
     * measured spill pathology, same shape here).
     */
+  // dense dirs exist in TWO historical pos widths: int32 (the pre-kernel
+  // posexplode ordinal — the canonical layout, what seed() writes) and
+  // int64 (the r16 kernel interlude wrote the kernel's long p0 raw). An
+  // append must lay parquet of the DIR'S width next to its files, or
+  // BatchedState.read hits a schema conflict at the next admit — so the
+  // width is SNIFFED from the existing grams state once per instance
+  // (hardcoding either width orphans dirs of the other era). Winnowed
+  // dirs are uniformly int64.
+  @transient private var densePosLongCache: Option[Boolean] = None
+  private def densePosLong: Boolean = {
+    if (densePosLongCache.isEmpty)
+      densePosLongCache = Some(
+        scala.util.Try(grams.read().schema("pos").dataType ==
+          org.apache.spark.sql.types.LongType).getOrElse(false))
+    densePosLongCache.get
+  }
+
   private def gramsOf(df: DataFrame): DataFrame = {
-    val grams =
+    val gramsExpr =
       if (w <= 1) graft.functions.CharGramHashes.ofDistinct(col(textCol), k)
       else graft.functions.CharGramHashes.winnowedDistinct(col(textCol), k, w)
-    // pos stays byte-compatible with each mode's historical state
-    // layout: dense dirs store int32 (the pre-kernel posexplode ordinal),
-    // winnowed dirs int64 (the kernel's long p0) — a batch appended into
-    // a pre-existing dense dir must not lay int64 parquet files next to
-    // int32 ones, or BatchedState.read hits a schema conflict at admit
-    // time instead of anything loud (positions are string offsets, so
-    // the int cast is lossless by construction)
+    // positions are string offsets, so the int cast is lossless by
+    // construction when the dir is int32
     val pos =
-      if (w <= 1) (col("hh.p0") + 1).cast("int") else col("hh.p0") + 1
-    df.select(col(idCol).as("id"), explode(grams).as("hh"))
+      if (w <= 1 && !densePosLong) (col("hh.p0") + 1).cast("int")
+      else col("hh.p0") + 1
+    df.select(col(idCol).as("id"), explode(gramsExpr).as("hh"))
       .select(col("id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"),
         pos.as("pos"))
       .withColumn("gb", gBucket(col("h1"), col("h2")))
@@ -922,6 +943,9 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
     BatchedState.clearParams(spark, stateDir)
     grams.reset()
     texts.reset()
+    // a fresh dir always takes the canonical width (int32 for dense) —
+    // drop any width sniffed from the state this reset just deleted
+    densePosLongCache = Some(false)
     grams.seed(gramsOf(reference))
     texts.seed(textsOf(reference))
     BatchedState.writeParams(spark, stateDir, stateParams)

@@ -592,4 +592,62 @@ class BatchedStateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"band join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"state side shuffled:\n$plan")
   }
+
+  test("StreamingDedup refuses a pre-fp64 (string-layout) state dir loudly") {
+    import graft.streaming.StreamingDedup
+    val dir = tmp("sd_oldlayout")
+    val sd = new StreamingDedup(spark, dir, "doc_id", "text")
+    sd.seed(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    // simulate an r17-era dir: same geometry, but the _params marker
+    // predates the `shingles` layout key (string shingle state)
+    BatchedState.writeParams(spark, dir, Map("n" -> "3", "bands" -> "8",
+      "rows" -> "4", "nBuckets" -> "32"))
+    val fresh = new StreamingDedup(spark, dir, "doc_id", "text")
+    val e = intercept[IllegalArgumentException](fresh.admit(
+      Seq((2L, "another document")).toDF("doc_id", "text"), 0L))
+    // the refusal must name the drifted parameter, not surface as an
+    // opaque parquet schema conflict mid-append
+    assert(e.getMessage.contains("different parameters") &&
+      e.getMessage.contains("shingles"), e.getMessage)
+  }
+
+  test("StreamingSubstringDedup dense append matches the dir's pos width " +
+      "(an r16-era int64 dense dir keeps working)") {
+    import graft.streaming.StreamingSubstringDedup
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val doc = (1L, ("alpha beta gamma delta " * 5) + "epsilon zeta eta theta")
+    // simulate the r16 kernel interlude: a DENSE dir whose grams state
+    // stores int64 pos (what that version wrote), marker included
+    val dir = tmp("ssd_pos64")
+    val probeDir = tmp("ssd_probe")
+    val probe = new StreamingSubstringDedup(spark, probeDir,
+      "doc_id", "text", k = 10, w = 1)
+    probe.seed(Seq(doc).toDF("doc_id", "text"))
+    val canonical = new BatchedState(spark, s"$probeDir/grams", Seq("gb"))
+      .read()
+    assert(canonical.schema("pos").dataType === IntegerType,
+      "fresh dense dirs must keep the canonical int32 layout")
+    val old = new BatchedState(spark, s"$dir/grams", Seq("gb"))
+    old.seed(canonical.drop("batch").withColumn("pos", col("pos").cast("long")))
+    new BatchedState(spark, s"$dir/texts", Seq("ib"))
+      .seed(Seq(doc).toDF("id", "text")
+        .withColumn("ib", pmod(xxhash64(col("id")), lit(32)).cast("int")))
+    BatchedState.writeParams(spark, dir,
+      Map("k" -> "10", "w" -> "1", "nBuckets" -> "32"))
+    // an admit must sniff the dir's int64 width and lay matching parquet
+    val sd = new StreamingSubstringDedup(spark, dir, "doc_id", "text",
+      k = 10, w = 1)
+    val pairs0 = sd.admit(Seq((2L, doc._2)).toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs0 === Set((1L, 2L)), s"shared-window pair missing: $pairs0")
+    // the NEXT admit reads seed + batch-0 files together — the schema
+    // conflict the width sniff exists to prevent would surface here
+    val pairs1 = sd.admit(Seq((3L, doc._2)).toDF("doc_id", "text"), 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs1 === Set((1L, 3L), (2L, 3L)), s"pairs drifted: $pairs1")
+    val stored = new BatchedState(spark, s"$dir/grams", Seq("gb")).read()
+    assert(stored.schema("pos").dataType === LongType,
+      "append did not match the dir's int64 pos width")
+  }
 }

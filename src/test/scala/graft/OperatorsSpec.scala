@@ -126,13 +126,25 @@ class OperatorsSpec extends AnyFunSuite {
         (col("id") + 50000).as("doc_id"),
         lit("exactly the same boilerplate legal disclaimer text repeated on every page").as("text"))
       val corpus = docs.select(col("doc_id"), col("text")).union(boiler)
-      val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
-        n = 3, bands = 8, rows = 4, threshold = 0.9)
-      val rows = pairs.collect()
+      // the public entry returns a checkpointed result (plan collapsed
+      // to an RDD scan) — drive the lazy builder the same way it does,
+      // so the executed plan stays readable. AQE (incl. skew splits)
+      // runs INSIDE InMemoryRelation cached plans (probed: Spark 4.1
+      // wraps the cached plan in its own AdaptiveSparkPlan even with
+      // canChangeCachedPlanOutputPartitioning=false), so pinning the
+      // candidate table does not cost the hot-bucket split
+      val (pairs, pins) = Dedup.nearDupPairsMinhashPlan(corpus,
+        "doc_id", "text", 3, 8, 4, 0.9, false)
+      val rows = try {
+        pins.foreach(_.count())
+        pairs.collect()
+      } finally pins.foreach(_.unpersist())
       val clusterPairs = rows.count(r => r.getLong(0) >= 50000 && r.getLong(1) >= 50000)
       assert(clusterPairs === 1000 * 999 / 2,
         s"boilerplate cluster pairs missing: $clusterPairs")
-      // read the final adaptive plan: the hot bucket was split
+      // read the final adaptive plan: the hot bucket was split (the
+      // band self-join lives in the candidate pin's cached plan, whose
+      // final adaptive form prints under the InMemoryRelation)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("isFinalPlan=true"), plan.take(500))
       assert(plan.contains("skew=true"),
@@ -1894,5 +1906,73 @@ class OperatorsSpec extends AnyFunSuite {
       spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty,
       s"pageRank leaked persisted RDDs on the failure path: $leaked")
+  }
+
+  test("pageRank: a failure BETWEEN pins releases every persisted frame " +
+      "(the r17 leak: pins ran before the try)") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // fail the SECOND pin's count job: nodes is persisted+counted, eDeg
+    // persisted but never filled — both (and e) must release in finally
+    var calls = 0
+    Graph.prePinHook = () => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("injected between pins")
+    }
+    try {
+      val e = intercept[RuntimeException](
+        Graph.pageRank(edges, pinEdgeThreshold = 0L))
+      assert(e.getMessage === "injected between pins")
+    } finally Graph.prePinHook = () => ()
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"pageRank leaked persisted RDDs after a failed pin: $leaked")
+  }
+
+  test("pageRank: malformed (null) edges drop identically on both paths") {
+    import graft.operators.Graph
+    // an uncastable src yields null after cast('long'); pre-gate both
+    // paths must see the same (cleaned) edge set — the local loop used
+    // to NPE on Row.getLong while the distributed one kept a null node
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("oops", "1"))
+      .toDF("src", "dst")
+    def ranks(threshold: Long) =
+      Graph.pageRank(edges, pinEdgeThreshold = threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = ranks(1000000L)
+    val dist = ranks(0L)
+    assert(local === dist)
+    assert(local.keySet === Set(1L, 2L, 3L), s"null edge leaked: $local")
+  }
+
+  test("incremental minhash (fingerprint verify) matches the string-set " +
+      "jaccard recomputation pair-for-pair") {
+    val ref = docs.filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), "^\\S+", "zzzz")).as("text"))
+    val got = Dedup.nearDupsAgainstMinhash(ref, fresh, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    // recompute every reported pair's jaccard over the STRING shingle
+    // sets (the form the DuckDB oracle replays)
+    val shRef = ref.select(col("doc_id").as("rid"),
+      Dedup.wordShingles(col("text"), 3).as("sr"))
+    val shNew = fresh.select(col("doc_id").as("nid"),
+      Dedup.wordShingles(col("text"), 3).as("sn"))
+    val stringJ = shRef.crossJoin(shNew)
+      .select(col("rid"), col("nid"), Dedup.jaccard(col("sr"), col("sn")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case (pair, jh) =>
+      assert(jh === stringJ(pair),
+        s"fingerprint jaccard diverged from string jaccard on $pair")
+    }
   }
 }

@@ -96,25 +96,46 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("minhash LSH plan never builds a cartesian product") {
     val t = Tables(spark, sf)
-    val p = plan(graft.operators.Dedup.nearDupPairsMinhash(
-      t.documents, "doc_id", "text"))
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p)
-    // the verify stage must semi-join-prune the text-sized shingle table
-    // to candidate ids BEFORE rejoining it — shuffle bytes track the
-    // candidate set, not the corpus (r13 What's-wrong 2)
-    assert(p.contains("LeftSemi"),
-      s"verify stage lost its candidate-id semi-join prune:\n$p")
-    // r17 scale shapes: the verify payload is 64-bit shingle
-    // fingerprints (set_jaccard_long over xxhash64-transformed arrays —
-    // the string form measured 14.5 GB of verify shuffle at 10M docs),
-    // and the band self-join leads its keys with the bh prefix long
-    // (array-comparator sorts measured 20 s of the same row)
-    assert(p.contains("set_jaccard_long"),
-      s"verify stage reverted to shingle-string jaccard:\n$p")
-    assert(p.contains("xxhash64(band"),
-      s"band self-join lost its bh prefix key:\n$p")
+    // the public entry materializes eagerly (pins released before
+    // return), so shape-pin the lazy pre-checkpoint plan it runs
+    val (pairs, pins) = graft.operators.Dedup.nearDupPairsMinhashPlan(
+      t.documents, "doc_id", "text", 3, 8, 4, 0.7, false)
+    try {
+      val p = plan(pairs)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p)
+      // the verify stage must semi-join-prune the text-sized shingle table
+      // to candidate ids BEFORE rejoining it — shuffle bytes track the
+      // candidate set, not the corpus (r13 What's-wrong 2)
+      assert(p.contains("LeftSemi"),
+        s"verify stage lost its candidate-id semi-join prune:\n$p")
+      // r17 scale shapes: the verify payload is 64-bit shingle
+      // fingerprints (set_jaccard_long over xxhash64-transformed arrays —
+      // the string form measured 14.5 GB of verify shuffle at 10M docs),
+      // and the band self-join leads its keys with the bh prefix long
+      // (array-comparator sorts measured 20 s of the same row)
+      assert(p.contains("set_jaccard_long"),
+        s"verify stage reverted to shingle-string jaccard:\n$p")
+      assert(p.contains("xxhash64(band"),
+        s"band self-join lost its bh prefix key:\n$p")
+      // r18 scale shape: both pair sides read the PINNED candidate-pruned
+      // fingerprint table (InMemoryRelation) — un-pinned, each side re-ran
+      // the corpus scan + shingle kernel (the broadcast-sized candidate
+      // side leaves no exchange for ReuseExchange to share), 2.22 GB of
+      // fingerprints computed once PER SIDE at 10M docs
+      assert(p.contains("InMemoryTableScan"),
+        s"verify sides lost the pinned fingerprint table:\n$p")
+      // structural: the MAIN plan (InMemoryRelation leaves excluded —
+      // collect does not descend into cachedPlan) must hold zero gram
+      // kernels; every shingle scan lives below a pin
+      val kernelInMain = pairs.queryExecution.optimizedPlan.collect {
+        case node if node.expressions.exists(_.exists(
+          _.getClass.getSimpleName == "WordShingles")) => node
+      }
+      assert(kernelInMain.isEmpty,
+        s"verify subtree re-shingles the corpus above the pins:\n$p")
+    } finally pins.foreach(_.unpersist())
   }
 
   test("incremental minhash admission semi-join-prunes the reference shingles") {
