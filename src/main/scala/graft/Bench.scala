@@ -234,6 +234,15 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
   val write = new AtomicLong; val read = new AtomicLong
   val maxTaskRead = new AtomicLong; val readTasks = new AtomicLong
   val spill = new AtomicLong
+  // per-STAGE (sum, max, n) of task shuffle reads: the global max/mean
+  // is a cross-stage artifact when a run's stages have different
+  // per-task sizes by design (timeseries_chain read 9.3 "skew" for
+  // years of rounds from a 5.8 MB/task aggregate stage next to a
+  // 0.35 MB/task window stage — BOTH internally uniform, probed r18);
+  // the per-stage worst ratio is the number that actually detects a
+  // hot key
+  private val stages = new java.util.concurrent.ConcurrentHashMap[
+    Int, (AtomicLong, AtomicLong, AtomicLong)]
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -244,12 +253,25 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
       if (r > 0) {
         read.addAndGet(r); readTasks.incrementAndGet()
         maxTaskRead.updateAndGet(c => math.max(c, r))
+        val s = stages.computeIfAbsent(te.stageId,
+          _ => (new AtomicLong, new AtomicLong, new AtomicLong))
+        s._1.addAndGet(r); s._2.updateAndGet(c => math.max(c, r))
+        s._3.incrementAndGet()
       }
       spill.addAndGet(m.diskBytesSpilled)
     }
   }
-  def reset(): Unit =
+  def reset(): Unit = {
     Seq(write, read, maxTaskRead, readTasks, spill).foreach(_.set(0L))
+    stages.clear()
+  }
+  /** Worst intra-stage max/mean over the run's shuffle-read stages. */
+  def stageSkew: Double = {
+    import scala.jdk.CollectionConverters._
+    stages.values.asScala.map { case (sum, max, n) =>
+      if (n.get == 0) 0.0 else max.get.toDouble / (sum.get.toDouble / n.get)
+    }.maxOption.getOrElse(0.0)
+  }
   /** (writeB, readB, maxTaskReadB, readTasks, skew = max/mean, spillB) */
   def snapshot: (Long, Long, Long, Long, Double, Long) = {
     val n = readTasks.get
@@ -265,7 +287,7 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
   */
 final case class Row100(name: String, sec: Double, rows: Long, load: Double,
     ext: Double, runs: Seq[Double], loads: Seq[Double], exts: Seq[Double],
-    snap: (Long, Long, Long, Long, Double, Long))
+    snap: (Long, Long, Long, Long, Double, Long), stageSkew: Double)
 
 /** External-contention estimator for the 100x measurement gate: machine
   * busy cores (/proc/stat deltas) minus THIS JVM's own CPU use
@@ -720,7 +742,7 @@ object Bench {
           try {
             val all = scala.collection.mutable.ArrayBuffer
               .empty[(Double, Long, Double, Double,
-                (Long, Long, Long, Long, Double, Long))]
+                (Long, Long, Long, Long, Double, Long), Double)]
             def one(): Unit = {
               lsnr.reset()
               val la = loadAvg()
@@ -732,7 +754,7 @@ object Bench {
               val ext = e0.flatMap(a => ExternalLoad.trySnap()
                   .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
                 .getOrElse(-1.0)
-              all += ((sec, n, la, ext, lsnr.snapshot))
+              all += ((sec, n, la, ext, lsnr.snapshot, lsnr.stageSkew))
             }
             (1 to runs100).foreach(_ => one())
             var extra = 0
@@ -742,7 +764,7 @@ object Bench {
             val best = all.minBy(_._1)
             Some(Row100(name, best._1, best._2, best._3, best._4,
               all.map(_._1).toSeq, all.map(_._3).toSeq, all.map(_._4).toSeq,
-              best._5))
+              best._5, best._6))
           } catch {
             case e: Throwable =>
               errors(s"100x:$name") =
@@ -843,6 +865,7 @@ object Bench {
             s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
             s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
             s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
+            s""""stage_skew":${math.rint(r.stageSkew * 100) / 100},""" +
             s""""disk_spill_bytes":$spill}"""
         }.mkString("{", ",", "}")
         s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs,""" +
