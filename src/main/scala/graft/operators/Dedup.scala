@@ -276,25 +276,35 @@ object Dedup {
     * 1e-14 per pair) — the DuckDB oracle replays the STRING form and
     * the gate has stayed hash-identical.
     *
-    * Both the candidate-pair table and the pruned fingerprint table are
-    * PINNED and the (small) result is materialized before return: the
-    * fingerprint table feeds BOTH sides of the pair join, and with the
-    * broadcast-sized candidate side there is no exchange for Spark's
-    * ReuseExchange to share — un-pinned, each side re-ran the corpus
-    * scan + shingle kernel + semi-join from scratch (the r17 stage
-    * profile's residual 2×: 2.22 GB of fingerprints computed once PER
-    * SIDE at 10M docs — BENCHNOTES r18). Eager materialization is what
-    * lets the pins release before the caller ever runs a job; the
-    * returned frame is the checkpointed (a, b, jaccard) result, orders
-    * of magnitude smaller than the corpus at any real dup rate.
+    * Above `pinMinBytes` of estimated input (plan statistics — file
+    * sizes, no extra job), the candidate-pair table and the pruned
+    * fingerprint table are PINNED and the (small) result is
+    * materialized before return: the fingerprint table feeds BOTH
+    * sides of the pair join, and with the broadcast-sized candidate
+    * side there is no exchange for Spark's ReuseExchange to share —
+    * un-pinned, each side re-ran the corpus scan + shingle kernel +
+    * semi-join from scratch (the r17 stage profile's residual 2×:
+    * 2.22 GB of fingerprints computed once PER SIDE at 10M docs;
+    * 97.5 → 82.1 s on the 10M-doc artifact row — BENCHNOTES r18).
+    * Eager materialization is what lets the pins release before the
+    * caller ever runs a job. BELOW the threshold the un-pinned single
+    * lazy plan runs instead: the three pin/checkpoint jobs cost more
+    * than the double-scan they kill (measured: the sub-MB 1x registry
+    * row 1.4 → 3.1 s under unconditional pins) — the same
+    * decide-who-pays-overhead gate as [[Graph.pageRank]]'s
+    * driver-local path, identical output by construction.
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
-      threshold: Double = 0.7, composeNfc: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, composeNfc: Boolean = false,
+      pinMinBytes: Long = 256L << 20): DataFrame = {
+    val pin =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >= pinMinBytes
     val (pairs, pins) =
       nearDupPairsMinhashPlan(df, idCol, textCol, n, bands, rows,
-        threshold, composeNfc)
-    try {
+        threshold, composeNfc, pin)
+    if (!pin) pairs
+    else try {
       // fill the pins in dependency order (candidates before the
       // fingerprint table that semi-joins against them), so no two
       // concurrent stages of the result job race to compute one
@@ -307,10 +317,12 @@ object Dedup {
     * so plan-shape tests can assert the verify subtree (ONE gram-kernel
     * scan under an InMemoryRelation, read by both pair sides) before
     * materialization collapses the public entry's plan to an RDD scan.
+    * With `pin = false` the same tree is built with no caches (the
+    * small-corpus shape; `pins` comes back empty).
     */
   private[graft] def nearDupPairsMinhashPlan(df: DataFrame, idCol: String,
       textCol: String, n: Int, bands: Int, rows: Int,
-      threshold: Double, composeNfc: Boolean)
+      threshold: Double, composeNfc: Boolean, pin: Boolean = true)
       : (DataFrame, Seq[DataFrame]) = {
     val shingled = df.select(
       col(idCol).as("id"),
@@ -339,7 +351,9 @@ object Dedup {
       .distinct()
       // candidates feed the prune-id set AND the final pair join —
       // un-pinned, the band self-join runs once per consumer
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .transform(p => if (pin)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else p)
 
     // prune BEFORE the shingle rejoin: only ids that appear in some
     // candidate pair need their fingerprints moved. AQE sizes the
@@ -351,7 +365,9 @@ object Dedup {
       .join(candIds, Seq("id"), "left_semi")
       // candidate-pruned, so |sh| tracks the dup rate, not the corpus;
       // serialized blocks keep the worst (all-dup) case compact
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .transform(p => if (pin)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else p)
     val pairs = candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))
@@ -359,7 +375,7 @@ object Dedup {
         graft.functions.SetJaccardLong.of(col("sa.hs"), col("sb.hs"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, Seq(candidates, sh))
+    (pairs, if (pin) Seq(candidates, sh) else Nil)
   }
 
   /** `(id, hs)` 64-bit shingle fingerprints of an `(id, shingles)`

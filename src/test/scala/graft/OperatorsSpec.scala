@@ -106,6 +106,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.filter(col("new_id") < 10000).count() === 0)
   }
 
+  test("minhash pin gate: small corpora run the lazy single plan, forced " +
+      "pinning returns identical pairs (decide-who-pays-overhead only)") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sub-MB corpus + default threshold -> the lazy tree (joins visible,
+    // no pin/checkpoint jobs paid)
+    val lazyDf = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, threshold = 0.9)
+    val lazyPlan = lazyDf.queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("Join") && !lazyPlan.contains("ExistingRDD"),
+      s"small corpus paid the pin protocol:\n${lazyPlan.take(800)}")
+    // pinMinBytes = 0 forces the pinned+materialized path (the 100x
+    // shape): plan collapses to the checkpointed result scan
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val pinnedDf = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, threshold = 0.9, pinMinBytes = 0L)
+    assert(pinnedDf.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"), "forced pinning did not materialize")
+    // the pins must be RELEASED before return: the only new resident
+    // block set is the checkpointed result itself
+    val delta = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(delta.size <= 1, s"pinned path leaked persisted RDDs: $delta")
+    assert(pairsOf(lazyDf) === pairsOf(pinnedDf),
+      "the gate changed the answer — it may only decide who pays overhead")
+  }
+
   test("minhash survives a boilerplate cluster: AQE splits the hot bucket") {
     // one boilerplate cluster (1000 identical docs) -> ALL its rows land
     // in the same (band, key) buckets; at 100 TB that is the classic
