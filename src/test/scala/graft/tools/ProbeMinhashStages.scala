@@ -8,13 +8,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * goes (signature scan vs band exchange vs candidate distinct vs the
   * verify joins that move shingle arrays).
   *
-  *   sbt "Test/runMain graft.tools.ProbeMinhashStages [corpusDir]"
+  *   sbt "Test/runMain graft.tools.ProbeMinhashStages [corpusDir] [query]"
   */
 object ProbeMinhashStages {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32)
     spark.conf.set("spark.sql.shuffle.partitions", "512")
     val dir = args.headOption.getOrElse("target/bench_100x_v2_sf0.1_r1000")
+    val query = args.lift(1).getOrElse("dedup_minhash_lsh")
 
     final case class St(id: Int, name: String, sec: Double, read: Long,
       write: Long, input: Long, tasks: Int)
@@ -35,7 +36,7 @@ object ProbeMinhashStages {
     }
     spark.sparkContext.addSparkListener(lsnr)
     val t0 = System.nanoTime()
-    val df = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    val df = graft.SparkEntry.queries(query)(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // final AQE plan with materialized query-stage ids, for attributing

@@ -44,12 +44,17 @@ object ProbeTsSkew {
       }
     }
     spark.sparkContext.addSparkListener(lsnr)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val rs = graft.operators.TimeSeries.resample(
-      ev, Seq("user_id"), "ts", 3600, col("value"))
-    val lo = graft.operators.TimeSeries.locf(rs, Seq("user_id"), "b", "v0")
-    val out = graft.operators.TimeSeries.movingAvg(
-      lo, Seq("user_id"), "b", "v0", 6)
+    // optional second arg: profile a registry query on `dir` instead of
+    // the timeseries chain (same per-stage task dump)
+    val out = args.lift(1) match {
+      case Some(q) => graft.SparkEntry.queries(q)(spark, dir)
+      case None =>
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val rs = graft.operators.TimeSeries.resample(
+          ev, Seq("user_id"), "ts", 3600, col("value"))
+        val lo = graft.operators.TimeSeries.locf(rs, Seq("user_id"), "b", "v0")
+        graft.operators.TimeSeries.movingAvg(lo, Seq("user_id"), "b", "v0", 6)
+    }
     val t0 = System.nanoTime()
     out.write.format("noop").mode("overwrite").save()
     println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
