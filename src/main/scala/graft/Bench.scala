@@ -265,10 +265,17 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
     Seq(write, read, maxTaskRead, readTasks, spill).foreach(_.set(0L))
     stages.clear()
   }
-  /** Worst intra-stage max/mean over the run's shuffle-read stages. */
+  /** Worst intra-stage max/mean over the run's MATERIAL shuffle-read
+    * stages (>= 1% of the run's read bytes — a 3-task broadcast-prep
+    * stage must not flag a "hot key" on a run whose 10 GB exchange is
+    * uniform; when every stage is below the floor, all count).
+    */
   def stageSkew: Double = {
     import scala.jdk.CollectionConverters._
-    stages.values.asScala.map { case (sum, max, n) =>
+    val all = stages.values.asScala.toSeq
+    val floor = read.get / 100
+    val eligible = all.filter(_._1.get >= floor)
+    (if (eligible.nonEmpty) eligible else all).map { case (sum, max, n) =>
       if (n.get == 0) 0.0 else max.get.toDouble / (sum.get.toDouble / n.get)
     }.maxOption.getOrElse(0.0)
   }
@@ -354,15 +361,26 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
 
+    // a failing query must fail the bench LOUDLY — a swallowed crash
+    // would score ~0s and *improve* the total (declared up front so
+    // env-parse problems can land here instead of aborting the bench)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // resolved ONCE and used by both the 100x measurement loop and the
     // emitted artifact fields — re-reading the raw env at emit time let
     // the artifact misstate the protocol actually run (env "0" printed
-    // as 0 runs while the .max(1) loop took 1)
-    val runs100 =
-      sys.env.getOrElse("SPARK_GRAFT_100X_RUNS", "2").toInt.max(1)
-    val extGate =
-      sys.env.getOrElse("SPARK_GRAFT_100X_EXT_GATE", "4.0").toDouble
+    // as 0 runs while the .max(1) loop took 1). Malformed values fall
+    // back to the default and are RECORDED: aborting the whole bench
+    // over a typo'd tuning knob would lose every tier's measurement
+    def envOr[A](name: String, default: A)(parse: String => A): A =
+      sys.env.get(name).flatMap { v =>
+        val p = scala.util.Try(parse(v.trim)).toOption
+        if (p.isEmpty) errors(s"env:$name") = v
+        p
+      }.getOrElse(default)
+    val runs100 = envOr("SPARK_GRAFT_100X_RUNS", 2)(_.toInt).max(1)
+    val extGate = envOr("SPARK_GRAFT_100X_EXT_GATE", 4.0)(_.toDouble)
 
     // 1-min system load sampled BEFORE each timed run: the shared bench
     // box has repeatedly produced multi-x phantom deltas under
@@ -441,9 +459,6 @@ object Bench {
     }
     val ingest = ingestRun()
 
-    // a failing query must fail the bench LOUDLY — a swallowed crash
-    // would score ~0s and *improve* the total
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // contention hardening: MIN of `runs` timed executions per query —
     // median-of-N cannot reject machine contention that spans the whole
     // bench window (observed twice on the shared driver box), min is the
@@ -685,7 +700,10 @@ object Bench {
         val rawMinhashAdmit = () => smd.admit(
           minhashCorpus
             .filter(pmod(xxhash64(col("doc_id")), lit(50L)) === 0L)
-            .select((col("doc_id") + 900000000L).as("doc_id"),
+            // shift clears the whole replicated-corpus id space (gids
+            // reach ~reps*1e7 ≈ 1e10): a colliding id would hit admit's
+            // ref_id =!= new_id self-filter and silently suppress pairs
+            .select((col("doc_id") + 20000000000L).as("doc_id"),
               when(col("doc_id") % 2 === 0, col("text"))
                 .otherwise(concat(col("text"), lit(" zzbench zzadmit")))
                 .as("text")),
@@ -793,18 +811,21 @@ object Bench {
     // out, so the wait ends as soon as the box is OURS-quiet). If the
     // fastest run still saw external contention, wait-and-re-measure up
     // to twice; past that we record anyway and gate_met says so.
-    val isoExtGate =
-      sys.env.getOrElse("SPARK_GRAFT_ISO_EXT_GATE", "2.0").toDouble
-    val isoWait0 = System.nanoTime()
+    val isoExtGate = envOr("SPARK_GRAFT_ISO_EXT_GATE", 2.0)(_.toDouble)
+    // each wait gets its OWN bounded budget (a shared budget anchored
+    // before the first measurement would be exhausted by the
+    // measurement itself, turning the retry waits into silent no-ops),
+    // and wait_sec reports the CUMULATIVE wall spent waiting
+    var isoWaitSec = 0.0
     def waitIsoExternal(): Unit = {
+      val t0 = System.nanoTime()
       var ext = instantExt()
-      while (ext > isoExtGate &&
-        (System.nanoTime() - isoWait0) / 1e9 < 600) {
+      while (ext > isoExtGate && (System.nanoTime() - t0) / 1e9 < 600) {
         Thread.sleep(15000); ext = instantExt()
       }
+      isoWaitSec += (System.nanoTime() - t0) / 1e9
     }
     waitIsoExternal()
-    val isoWaitSec = math.rint((System.nanoTime() - isoWait0) / 1e9)
     // ext of the MIN run is what gate_met adjudicates (the recorded
     // number IS the min); extra attempts merge into the run arrays so
     // every sample stays visible
@@ -879,7 +900,7 @@ object Bench {
         .mkString("[", ",", "]")
       s""","ingest_isolated":{"sec":${ingestIso._2},"rows":${ingestIso._1},""" +
         s""""rows_per_sec":${(ingestIso._1 / ingestIso._2).toLong},""" +
-        s""""wait_sec":$isoWaitSec,"ext_gate":$isoExtGate,""" +
+        s""""wait_sec":${math.rint(isoWaitSec)},"ext_gate":$isoExtGate,""" +
         s""""gate_met":$isoGateMet,""" +
         s""""runs":$runsJ,"load":$loadJ,"ext":$extJ}"""
     }

@@ -298,6 +298,9 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, composeNfc: Boolean = false,
       pinMinBytes: Long = 256L << 20): DataFrame = {
+    // inputs WITHOUT statistics (RDD-backed plans report the
+    // defaultSizeInBytes sentinel) take the pinned path: unknown size
+    // is treated as large — correct at scale, a few fixed jobs when not
     val pin =
       df.queryExecution.optimizedPlan.stats.sizeInBytes >= pinMinBytes
     val (pairs, pins) =
@@ -455,7 +458,8 @@ object Dedup {
     * candidate pairs from the banded equi-join. Broken out so a standing
     * pipeline ([[graft.streaming.StreamingDedup]]) can broadcast-hint
     * the (small) fresh side, pin the candidates, and prune the shingle
-    * state it feeds to [[verifyJaccard]] by the candidates' id buckets.
+    * state it feeds to [[verifyJaccardHashed]] by the candidates' id
+    * buckets.
     */
   def bandCandidates(bRef: DataFrame, bNew: DataFrame): DataFrame =
     bRef.as("l").join(bNew.as("r"),

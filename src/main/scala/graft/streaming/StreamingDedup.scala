@@ -83,12 +83,17 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
 
   /** Seed the persisted reference state, REPLACING any previous state
     * under `stateDir` (re-seeding starts a fresh corpus — stale admitted
-    * batches must not survive into the new one). The two seed writes
-    * each run the shingle kernel once (the fingerprint state cannot
-    * derive the md5-based signatures the banded table needs, so the
-    * pre-fp64 read-back-from-parquet trick no longer applies) — a
-    * one-time 2-scan cost at seed, paid to make every ADMISSION move
-    * 8-byte fingerprints instead of shingle strings.
+    * batches must not survive into the new one). The shingled corpus is
+    * PINNED for the duration of the two state writes so both tables
+    * derive from the SAME row snapshot — two independent scans of a
+    * non-deterministic reference (an unordered limit, a sampled frame)
+    * could otherwise persist a doc in one table but not the other,
+    * silently losing its pairs forever. The pre-fp64 layout got this
+    * guarantee by re-reading the persisted string state; the fp64 state
+    * cannot derive the md5-based signatures the banded table needs, so
+    * the snapshot is a serialized seed-time pin instead (released
+    * before return — same O(corpus) bytes the old layout kept in the
+    * state dir permanently).
     */
   def seed(reference: DataFrame): Unit = {
     // marker off first, on last: a crash anywhere between leaves a
@@ -97,10 +102,17 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     BatchedState.clearParams(spark, stateDir)
     shingles.reset()
     banded.reset()
-    val (sh, b) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
-    shingles.seed(Dedup.shingleFingerprints(sh)
-      .withColumn("ib", idBucket(col("id"))))
-    banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
+    val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
+    val pinned = sh.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      shingles.seed(Dedup.shingleFingerprints(pinned)
+        .withColumn("ib", idBucket(col("id"))))
+      val b = Dedup.lshBands(
+        Dedup.minhashSignatureDF(pinned, "id", "shingles", bands * rows),
+        col("id"), col("sig"), bands, rows)
+      banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
+    } finally pinned.unpersist()
     BatchedState.writeParams(spark, stateDir, stateParams)
     paramsChecked = true
   }
@@ -112,12 +124,19 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     ensureAdmissible(batchId)
-    val (shRaw, bRaw) = Dedup.prepMinhash(batch, idCol, textCol, n, bands, rows)
-    // pin the batch-side prep (it feeds three consumers: prune-set
-    // collect, the joins, the state append) — |batch|-bounded
+    // ONE materialized snapshot of the batch's shingles feeds both
+    // derived tables (fingerprints AND banded signatures) — the same
+    // single-snapshot discipline as [[seed]], |batch|-bounded
+    val shRaw = batch.select(col(idCol).as("id"),
+      Dedup.wordShingles(col(textCol), n).as("shingles")).localCheckpoint()
+    // pin the derived tables too (they feed three consumers: prune-set
+    // collect, the joins, the state append)
     val shNew = Dedup.shingleFingerprints(shRaw)
       .withColumn("ib", idBucket(col("id"))).localCheckpoint()
-    val bNew = bRaw.withColumn("bb", bandBucket(col("band"), col("band_hash")))
+    val bNew = Dedup.lshBands(
+        Dedup.minhashSignatureDF(shRaw, "id", "shingles", bands * rows),
+        col("id"), col("sig"), bands, rows)
+      .withColumn("bb", bandBucket(col("band"), col("band_hash")))
       .localCheckpoint()
     // band-bucket prune set of THIS batch (<= nBuckets values)
     val bbs = bNew.select("bb").distinct().collect().map(_.getInt(0))
