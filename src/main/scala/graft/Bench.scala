@@ -234,15 +234,18 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
   val write = new AtomicLong; val read = new AtomicLong
   val maxTaskRead = new AtomicLong; val readTasks = new AtomicLong
   val spill = new AtomicLong
-  // per-STAGE (sum, max, n) of task shuffle reads: the global max/mean
-  // is a cross-stage artifact when a run's stages have different
-  // per-task sizes by design (timeseries_chain read 9.3 "skew" for
-  // years of rounds from a 5.8 MB/task aggregate stage next to a
-  // 0.35 MB/task window stage — BOTH internally uniform, probed r18);
-  // the per-stage worst ratio is the number that actually detects a
-  // hot key
+  // per-STAGE-ATTEMPT (sum, max, n) of task shuffle reads: the global
+  // max/mean is a cross-stage artifact when a run's stages have
+  // different per-task sizes by design (timeseries_chain read 9.3
+  // "skew" for years of rounds from a 5.8 MB/task aggregate stage next
+  // to a 0.35 MB/task window stage — BOTH internally uniform, probed
+  // r18); the per-stage worst ratio is the number that actually detects
+  // a hot key. Keyed by (stageId, attemptId): merging retried attempts
+  // into one entry double-counts sum/n while max stays per-task,
+  // DEFLATING the ratio on exactly the flaky runs where attribution
+  // matters — each attempt stands alone and the worst ratio wins
   private val stages = new java.util.concurrent.ConcurrentHashMap[
-    Int, (AtomicLong, AtomicLong, AtomicLong)]
+    (Int, Int), (AtomicLong, AtomicLong, AtomicLong)]
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -253,7 +256,7 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
       if (r > 0) {
         read.addAndGet(r); readTasks.incrementAndGet()
         maxTaskRead.updateAndGet(c => math.max(c, r))
-        val s = stages.computeIfAbsent(te.stageId,
+        val s = stages.computeIfAbsent((te.stageId, te.stageAttemptId),
           _ => (new AtomicLong, new AtomicLong, new AtomicLong))
         s._1.addAndGet(r); s._2.updateAndGet(c => math.max(c, r))
         s._3.incrementAndGet()
@@ -339,6 +342,8 @@ object ExternalLoad {
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def wallSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -356,31 +361,180 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // JIT/codegen warm-up so the first timed query isn't charged for it
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
+    // the bounded pool-rank windows (Retrieval.scala, documented
+    // <= 2*poolK pools by construction) and oracle-shape SQL emit
+    // hundreds of "No Partition Defined for Window operation" WARNs per
+    // run — they drowned the driver's truncated r18 log tail. The
+    // warning carries no signal for those plans; silence that one
+    // logger, keep WARN everywhere else
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
     // a failing query must fail the bench LOUDLY — a swallowed crash
     // would score ~0s and *improve* the total (declared up front so
     // env-parse problems can land here instead of aborting the bench)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // resolved ONCE and used by both the 100x measurement loop and the
+    // resolved ONCE and used by both the measurement loops and the
     // emitted artifact fields — re-reading the raw env at emit time let
-    // the artifact misstate the protocol actually run (env "0" printed
-    // as 0 runs while the .max(1) loop took 1). Malformed values fall
-    // back to the default and are RECORDED: aborting the whole bench
-    // over a typo'd tuning knob would lose every tier's measurement
+    // the artifact misstate the protocol actually run. Malformed values
+    // fall back to the default and are RECORDED: aborting the whole
+    // bench over a typo'd tuning knob would lose every tier's
+    // measurement
     def envOr[A](name: String, default: A)(parse: String => A): A =
       sys.env.get(name).flatMap { v =>
         val p = scala.util.Try(parse(v.trim)).toOption
         if (p.isEmpty) errors(s"env:$name") = v
         p
       }.getOrElse(default)
+    val runs = envOr("SPARK_GRAFT_BENCH_RUNS", 3)(_.toInt).max(1)
     val runs100 = envOr("SPARK_GRAFT_100X_RUNS", 2)(_.toInt).max(1)
     val extGate = envOr("SPARK_GRAFT_100X_EXT_GATE", 4.0)(_.toDouble)
+    // ---- wall budget (r19): BENCH_r18 was rc 124 / parsed null — the
+    // driver killed a run whose optional work (contended re-runs,
+    // min-of-N extras) grows exactly when the box is slow. Past the
+    // budget every remaining row still RUNS (each is a graded artifact
+    // row) but drops to one timed run, skips warm-ups where the 1x loop
+    // already JIT-warmed the path, and sheds re-run-under-load retries;
+    // everything shed is recorded in the artifact's `shed` map. The
+    // budget bounds OPTIONAL work — it never drops a row, so a
+    // pathological wall can still exceed it; the incremental flush
+    // below is the backstop that makes even a kill non-destructive
+    val budgetSec = envOr("SPARK_GRAFT_BENCH_BUDGET_SEC", 3000.0)(_.toDouble)
+    def overBudget: Boolean = wallSec > budgetSec
+    // contended re-runs capped GLOBALLY, not per row: the r18 protocol
+    // allowed +2 runs per row — 13 rows x (wait + run) is how a 45-min
+    // bench becomes a >60-min one precisely when the box is busy
+    var extrasLeft = envOr("SPARK_GRAFT_100X_EXTRA_CAP", 4)(_.toInt).max(0)
+
+    // ---- incremental artifact (r19): every tier/row records into the
+    // buffers below and flushes target/bench_last.json immediately,
+    // marked `"partial":true` until the final write — a timeout/SIGTERM
+    // (the r18 failure: ONE write at the very end, rc 124 = zero parsed
+    // rows) now yields a parseable artifact holding every completed
+    // measurement. A JVM shutdown hook re-flushes on the way out.
+    val artifact = new Object
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, Long, Seq[Double], Seq[Double]))]
+    var ingest: Option[(Long, Double, Seq[Double], Seq[Double], Seq[Double])] =
+      None
+    var ext1xOpt: Option[Double] = None
+    val rows10 = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, Long, Seq[Double], Seq[Double]))]
+    var ran10 = false
+    var ext10xOpt: Option[Double] = None
+    var meta100: Option[(Int, Long)] = None
+    var setup100Sec: Option[Double] = None
+    val rows100buf = scala.collection.mutable.ArrayBuffer.empty[Row100]
+    var isoState: Option[((Long, Double, Seq[Double], Seq[Double],
+      Seq[Double]), Double, Double, Boolean)] = None
+    val shed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var finalWritten = false
+    def record(f: => Unit): Unit = artifact.synchronized(f)
+
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
+    def qjson(
+        rs: Seq[(String, (Double, Long, Seq[Double], Seq[Double]))]): String =
+      rs.map { case (k, (sec, nRows, all, loads)) =>
+        val runsJson =
+          if (all.isEmpty) "" else all.mkString(""","runs":[""", ",", "]")
+        val loadJson =
+          if (loads.isEmpty) "" else loads.mkString(""","load":[""", ",", "]")
+        "\"" + k + s"""":{"sec":$sec,"rows":$nRows$runsJson$loadJson}"""
+      }.mkString("{", ",", "}")
+    def extJson(tag: String, v: Double): String =
+      s""","ext_cores_$tag":${math.rint(v * 100) / 100}"""
+    // the whole current state as ONE artifact line — same field layout
+    // as every prior round's final artifact, plus `partial`/`wall_sec`/
+    // `budget_sec`/`shed` so a truncated run is self-describing
+    def emitLine(partial: Boolean): String = {
+      val qs = qjson(results.toSeq ++
+        ingest.map(ing => ("ingest_json", (ing._2, ing._1, ing._3, ing._4))))
+      val total = results.map(_._2._1).sum + ingest.map(_._2).getOrElse(0.0)
+      val ingestJson = ingest.map { ing =>
+        s""","ingest_rows":${ing._1},""" +
+          s""""ingest_rows_per_sec":${(ing._1 / ing._2).toLong}"""
+      }.getOrElse("")
+      val scaleJson = (if (ran10)
+        s""","queries_10x":${qjson(rows10.toSeq)},""" +
+          s""""total_10x":${rows10.map(_._2._1).sum}"""
+      else "") + ext10xOpt.map(extJson("10x", _)).getOrElse("")
+      val scale100Json = meta100.map { case (reps, nDocs) =>
+        val qs100 = rows100buf.map { r =>
+          val (wr, rd, maxRd, nTasks, skew, spill) = r.snap
+          def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+          "\"" + r.name + s"""":{"sec":${r.sec},"rows":${r.rows},""" +
+            s""""load":${r.load},"ext_cores":${math.rint(r.ext * 100) / 100},""" +
+            s""""runs":${arr(r.runs)},"loads":${arr(r.loads)},""" +
+            s""""ext":${arr(r.exts.map(x => math.rint(x * 100) / 100))},""" +
+            s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
+            s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
+            s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
+            s""""stage_skew":${math.rint(r.stageSkew * 100) / 100},""" +
+            s""""disk_spill_bytes":$spill}"""
+        }.mkString("{", ",", "}")
+        s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs,""" +
+          s""""runs_100x":$runs100,"ext_gate_100x":$extGate""" +
+          setup100Sec.map(s => s""","setup_100x_sec":${math.rint(s)}""")
+            .getOrElse("")
+      }.getOrElse("")
+      val isoJson = isoState.map { case (ii, waitS, isoGate, gateMet) =>
+        val runsJ = ii._3.mkString("[", ",", "]")
+        val loadJ = ii._4.mkString("[", ",", "]")
+        val extJ = ii._5.map(x => math.rint(x * 100) / 100)
+          .mkString("[", ",", "]")
+        s""","ingest_isolated":{"sec":${ii._2},"rows":${ii._1},""" +
+          s""""rows_per_sec":${(ii._1 / ii._2).toLong},""" +
+          s""""wait_sec":${math.rint(waitS)},"ext_gate":$isoGate,""" +
+          s""""gate_met":$gateMet,""" +
+          s""""runs":$runsJ,"load":$loadJ,"ext":$extJ}"""
+      }.getOrElse("")
+      val errJson = errors
+        .map { case (k, v) => jstr(k) + ":" + jstr(v.take(200)) }
+        .mkString("{", ",", "}")
+      val shedJson = if (shed.isEmpty) "" else
+        shed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+          .mkString(""","shed":{""", ",", "}")
+      val partialJson = if (partial) ""","partial":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir"$ingestJson""" +
+        ext1xOpt.map(extJson("1x", _)).getOrElse("") +
+        scaleJson + scale100Json + isoJson + partialJson +
+        s""","wall_sec":${math.rint(wallSec)},"budget_sec":$budgetSec""" +
+        shedJson + s""","errors":$errJson}"""
+    }
+    // overwrite-in-place after every tier/row; the file is the durable
+    // artifact (the driver's stdout tail has truncated the line before),
+    // stdout gets a copy at tier boundaries so a killed run's log tail
+    // still ends in a parseable line
+    def flush(partial: Boolean, toStdout: Boolean,
+        markFinal: Boolean = false): Unit = artifact.synchronized {
+      val line = emitLine(partial)
+      if (toStdout) println(line)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] bench_last.json write failed: ${e.getMessage}")
+      }
+      if (markFinal) finalWritten = true
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      artifact.synchronized {
+        if (!finalWritten) {
+          System.err.println(s"[bench] shutdown before the final write " +
+            s"(wall ${math.rint(wallSec)} s) — flushing partial artifact")
+          flush(partial = true, toStdout = true)
+        }
+      }
+    }, "bench-artifact-flush"))
+
+    // JIT/codegen warm-up so the first timed query isn't charged for it
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    SparkEntry.queries("q_parse_typed")(spark, sfDir).limit(1000).count()
 
     // 1-min system load sampled BEFORE each timed run: the shared bench
     // box has repeatedly produced multi-x phantom deltas under
@@ -405,15 +559,10 @@ object Bench {
           .map(b => ExternalLoad.externalCores(a, b, cpus.toInt))
           .getOrElse(-1.0)
       }.getOrElse(-1.0)
-    // ext measured across a whole tier's wall (snap pair around it)
-    def extOver[A](f: => A): (A, Double) = {
-      val e0 = ExternalLoad.trySnap()
-      val r = f
-      val ext = e0.flatMap(a => ExternalLoad.trySnap()
-          .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
+    def extBetween(a: Option[ExternalLoad.Snap]): Double =
+      a.flatMap(s => ExternalLoad.trySnap()
+          .map(b => ExternalLoad.externalCores(s, b, cpus.toInt)))
         .getOrElse(-1.0)
-      (r, ext)
-    }
 
     // headline: the reference's benchmark shape — JSON messages through
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
@@ -448,16 +597,17 @@ object Bench {
         val t0 = System.nanoTime()
         projected.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val ext = e0.flatMap(a => ExternalLoad.trySnap()
-            .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
-          .getOrElse(-1.0)
-        (sec, la, ext)
+        (sec, la, extBetween(e0))
       }
       raw.unpersist()
       (n, timedRuns.map(_._1).min, timedRuns.map(_._1), timedRuns.map(_._2),
         timedRuns.map(_._3))
     }
-    val ingest = ingestRun()
+    // measure OUTSIDE the artifact lock — a SIGTERM mid-measurement must
+    // not find the hook blocked behind a minutes-long tier
+    val ingest0 = ingestRun()
+    record { ingest = Some(ingest0) }
+    flush(partial = true, toStdout = false)
 
     // contention hardening: MIN of `runs` timed executions per query —
     // median-of-N cannot reject machine contention that spans the whole
@@ -492,11 +642,12 @@ object Bench {
         (rs.map(_._1._1).min, rs.head._1._2, rs.map(_._1._1), rs.map(_._2))
       } catch {
         case e: Throwable =>
-          errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(errKey) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           (0.0, -1L, Nil, Nil)
       }
-    def timed(errKey: String,
-        mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Seq[Double], Seq[Double]) =
+    def timed(errKey: String, mk: () => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Seq[Double], Seq[Double]) =
       timedN(errKey, mk, runs, warm = true)
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
     // queries (1x and 10x); the driver never sets it, so the graded
@@ -510,39 +661,82 @@ object Bench {
       if (unknown.nonEmpty)
         errors("bench_only_unknown") = unknown.toSeq.sorted.mkString(",")
     }
-    val (results, ext1x) = extOver {
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-          name -> timed(name, () => fn(spark, sfDir))
-        }
+    var shed1x = 0
+    val e1x0 = ExternalLoad.trySnap()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        // past the budget: one timed run, no extra warm-up — the
+        // min-of-N extras are exactly the optional work the budget sheds
+        val r =
+          if (overBudget) {
+            shed1x += 1
+            timedN(name, () => fn(spark, sfDir), 1, warm = false)
+          } else timed(name, () => fn(spark, sfDir))
+        record { results += name -> r }
+        flush(partial = true, toStdout = false)
+      }
+    record {
+      ext1xOpt = Some(extBetween(e1x0))
+      if (shed1x > 0) shed("1x") = s"single-run-no-warm:$shed1x"
     }
+    flush(partial = true, toStdout = true)
 
     // ---- second scale: the same headline queries over a 10x corpus
     // ("sf1" when driven at sf0.1) so shuffle-heavy queries produce
     // non-noise numbers. Replicas are id-shifted and lightly perturbed
     // (suffix token / +0.001*i on embeddings) so they are near- but not
     // exact duplicates — a cluster-heavy dedup workload, the hard case.
-    val (scale10, ext10x) = extOver { try {
+    val e10x0 = ExternalLoad.trySnap()
+    try {
       val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
-      Some(BenchScale.headline
+      var shed10x = 0
+      record { ran10 = true }
+      BenchScale.headline
         .filter(name => only.forall(_.contains(name)))
-        .map { name =>
+        .foreach { name =>
           // multi-batch streaming replays get ONE timed run, no warm-up:
           // they already executed (warm + runs) times in the 1x registry
           // loop above, and each 10x execution is minutes of checkpoint
           // orchestration — a min-of-3 would triple bench wall for a
           // number whose noise floor is file IO, not scheduling
-          if (BenchScale.singleRun(name))
-            name -> timedN(s"10x:$name",
-              () => SparkEntry.queries(name)(spark, dir), 1, warm = false)
-          else
-            name -> timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
-        })
+          val r =
+            if (BenchScale.singleRun(name))
+              timedN(s"10x:$name",
+                () => SparkEntry.queries(name)(spark, dir), 1, warm = false)
+            else if (overBudget) {
+              shed10x += 1
+              timedN(s"10x:$name",
+                () => SparkEntry.queries(name)(spark, dir), 1, warm = false)
+            } else
+              timed(s"10x:$name", () => SparkEntry.queries(name)(spark, dir))
+          record { rows10 += name -> r }
+          flush(partial = true, toStdout = false)
+        }
+      record { if (shed10x > 0) shed("10x") = s"single-run-no-warm:$shed10x" }
     } catch { case e: Throwable =>
-      errors("10x:setup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      None
-    } }
+      errors("10x:setup") =
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+    record { ext10xOpt = Some(extBetween(e10x0)) }
+    flush(partial = true, toStdout = true)
+
+    // a cached-state marker is only valid for the CORPUS it was seeded
+    // from: the marker stores a fingerprint (source dir + size), and a
+    // regenerated corpus (different reps/sf under the same path) forces
+    // a re-seed instead of silently admitting against stale state
+    def ensureSeededFor(markerPath: String, fingerprint: String)(
+        seedFn: => Unit): Unit = {
+      val p = java.nio.file.Paths.get(markerPath)
+      val cur =
+        try { if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p).trim else "" }
+        catch { case _: Throwable => "" }
+      if (cur != fingerprint) {
+        seedFn
+        java.nio.file.Files.writeString(p, fingerprint + "\n")
+      }
+    }
 
     // ---- third scale: the 100x flagship proof. The registry's minhash
     // dedup + clustering, executed end-to-end on a corpus 100x the base
@@ -550,20 +744,21 @@ object Bench {
     // union), with shuffle-byte / skew / spill telemetry riding on the
     // run — the "would this survive a scale-up" claim as a measurement,
     // not a plan-reading. Generation is cached under target/ behind a
-    // _READY marker, so only the first round pays it. One timed run per
-    // query (cold-ish is honest at this scale; JIT is warm from the
-    // registry loop). SPARK_GRAFT_BENCH_100X=0 skips;
-    // _REPS overrides the replica count (e.g. 2000 -> 10M docs).
-    val scale100: Option[(Int, Long, Seq[Row100])] =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_100X", "1") == "0" ||
-          only.nonEmpty) None
-      else try {
+    // _READY marker, so only the first round pays it (`setup_100x_sec`
+    // records what this run paid). One timed run per query at the
+    // budget, min-of-`runs100` otherwise. SPARK_GRAFT_BENCH_100X=0
+    // skips; _REPS overrides the replica count (e.g. 2000 -> 10M docs).
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_100X", "1") != "0" &&
+        only.isEmpty) {
+      try {
+        val setupT0 = System.nanoTime()
         // default reps=1000 (sf0.1 base -> 5M docs, 10M after the
         // registry query's planted-twin union): the r12/r13 asks named
         // the multi-million-doc mark for the flagship proof
-        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_100X_REPS", "1000").toInt
+        val reps = envOr("SPARK_GRAFT_BENCH_100X_REPS", 1000)(_.toInt)
         val dir100 = BenchScale100.ensure(spark, sfDir, cpus.toInt, reps)
         val nDocs = spark.read.parquet(s"$dir100/documents.parquet").count()
+        record { meta100 = Some((reps, nDocs)) }
         // two fixed reps=100 comparison rows: `_r100` re-runs the
         // registry query on r13's exact corpus (recorded 4.58 GB of
         // verify-stage shuffle read before the semi-join prune), and
@@ -589,7 +784,8 @@ object Bench {
         // 32-bit bands keep buckets sparse (same rule as "nCells grows
         // with corpus" for IVF). 384/32 = 12 bands holds twin recall
         // ~1 at the twins' cos >= 0.999
-        val dirEmb = BenchScale100.ensureEmbeddings(spark, sfDir, cpus.toInt, reps)
+        val dirEmb =
+          BenchScale100.ensureEmbeddings(spark, sfDir, cpus.toInt, reps)
         // band width derived from corpus size by the rule, not hand-
         // picked: bandBitsFor reproduces r14's measured choice (32 bits
         // at 2M vectors) and scales it with reps
@@ -669,10 +865,9 @@ object Bench {
         val phashDir = "target/bench_100x_phash_state_v1"
         val spd = new graft.streaming.StreamingPhashDedup(spark, phashDir,
           "asset_id", "fp")
-        val phashReady = new java.io.File(s"$phashDir/_BENCH_READY")
-        if (!phashReady.exists()) {
+        ensureSeededFor(s"$phashDir/_BENCH_READY",
+          "range1M-hot494-layoutv1") {
           spd.seed(phashCorpus(spark.range(1000000L).toDF("id")))
-          phashReady.createNewFile()
         }
         val rawPhashAdmit = () => spd.admit(
           phashCorpus(spark.range(1000000L, 1100000L).toDF("id")), 1L)
@@ -680,22 +875,20 @@ object Bench {
         // proof that the fp64 state layout keeps admit cost flat at 1M
         // standing DOCS (real text, the heavyweight twin of the phash
         // row) — seed a deterministic hash-slice of the 100x corpus
-        // once (cached behind a marker; the dir name carries the layout
-        // version, so a future layout change re-seeds instead of
-        // tripping the params refusal), then admit 100K docs (half
-        // exact twins, half suffix-perturbed) at a replay-idempotent
-        // batch id: reads state < 1 = the seed only, overwrites its own
-        // batch=1 delta — state never grows across runs or rounds.
+        // once (cached behind a corpus-fingerprinted marker), then
+        // admit 100K docs (half exact twins, half suffix-perturbed) at
+        // a replay-idempotent batch id: reads state < 1 = the seed
+        // only, overwrites its own batch=1 delta — state never grows
+        // across runs or rounds.
         def minhashCorpus = spark.read.parquet(s"$dir100/documents.parquet")
           .select(col("doc_id"), col("text"))
           .filter(pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
         val minhashDir = "target/bench_100x_minhash_state_fp64"
         val smd = new graft.streaming.StreamingDedup(spark, minhashDir,
           "doc_id", "text", n = 3, bands = 8, rows = 4, threshold = 0.7)
-        val minhashReady = new java.io.File(s"$minhashDir/_BENCH_READY")
-        if (!minhashReady.exists()) {
+        ensureSeededFor(s"$minhashDir/_BENCH_READY",
+          s"src=$dir100 reps=$reps docs=$nDocs layout=fp64") {
           smd.seed(minhashCorpus)
-          minhashReady.createNewFile()
         }
         val rawMinhashAdmit = () => smd.admit(
           minhashCorpus
@@ -724,6 +917,8 @@ object Bench {
           "dedup_substring_winnow" -> rawWinnow,
           "stream_phash_admit_1m" -> rawPhashAdmit,
           "stream_minhash_admit_1m" -> rawMinhashAdmit)
+        record { setup100Sec = Some((System.nanoTime() - setupT0) / 1e9) }
+        flush(partial = true, toStdout = false)
         val lsnr = new ShuffleStatListener
         spark.sparkContext.addSparkListener(lsnr)
         // partition sizing is part of the scale claim: 32 shuffle
@@ -746,9 +941,11 @@ object Bench {
         // minus our own JVM — the 1-min loadavg can't gate a tier that
         // saturates the box itself). If even the fastest run was taken
         // under external contention (> extGate cores), wait for the
-        // hog to drain (bounded) and re-run, up to 2 extras — so the
-        // recorded number is (a) a minimum, and (b) provably taken on
-        // a quiet-enough box, or the emitted ext field says otherwise.
+        // hog to drain (bounded) and re-run — globally capped at
+        // `extrasLeft` extra runs across the whole tier and shed
+        // entirely past the wall budget. The recorded number is (a) a
+        // minimum, and (b) provably taken on a quiet-enough box, or
+        // the emitted ext field / shed entry says otherwise.
         def waitExternal(): Unit = {
           val t0 = System.nanoTime()
           var ext = instantExt()
@@ -756,7 +953,7 @@ object Bench {
             Thread.sleep(10000); ext = instantExt()
           }
         }
-        val rows = try jobs.flatMap { case (name, mk) =>
+        try jobs.foreach { case (name, mk) =>
           try {
             val all = scala.collection.mutable.ArrayBuffer
               .empty[(Double, Long, Double, Double,
@@ -769,35 +966,43 @@ object Bench {
               // listener bus drains async; a short settle keeps the
               // telemetry attributable to this run
               Thread.sleep(2000)
-              val ext = e0.flatMap(a => ExternalLoad.trySnap()
-                  .map(b => ExternalLoad.externalCores(a, b, cpus.toInt)))
-                .getOrElse(-1.0)
+              val ext = extBetween(e0)
               all += ((sec, n, la, ext, lsnr.snapshot, lsnr.stageSkew))
             }
-            (1 to runs100).foreach(_ => one())
-            var extra = 0
-            while (all.minBy(_._1)._4 > extGate && extra < 2) {
-              waitExternal(); one(); extra += 1
+            val nRuns = if (overBudget) {
+              record { shed(s"100x:$name") = "runs=1(budget)" }; 1
+            } else runs100
+            (1 to nRuns).foreach(_ => one())
+            while (all.minBy(_._1)._4 > extGate && extrasLeft > 0 &&
+                !overBudget) {
+              waitExternal(); one(); extrasLeft -= 1
             }
+            if (all.minBy(_._1)._4 > extGate)
+              record { shed(s"100x:$name:rerun") =
+                if (overBudget) "skipped(budget)"
+                else if (extrasLeft <= 0) "skipped(global-cap)"
+                else "exhausted" }
             val best = all.minBy(_._1)
-            Some(Row100(name, best._1, best._2, best._3, best._4,
-              all.map(_._1).toSeq, all.map(_._3).toSeq, all.map(_._4).toSeq,
-              best._5, best._6))
+            record { rows100buf += Row100(name, best._1, best._2, best._3,
+              best._4, all.map(_._1).toSeq, all.map(_._3).toSeq,
+              all.map(_._4).toSeq, best._5, best._6) }
+            flush(partial = true, toStdout = true)
           } catch {
             case e: Throwable =>
               errors(s"100x:$name") =
                 Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              None
           }
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        spark.sparkContext.removeSparkListener(lsnr)
-        Some((reps, nDocs, rows))
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          spark.sparkContext.removeSparkListener(lsnr)
+        }
       } catch {
         case e: Throwable =>
           errors("100x:setup") =
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
+          flush(partial = true, toStdout = false)
       }
+    }
 
     // ---- isolated ingest re-run: same measurement as the in-loop
     // headline but taken AFTER the full registry + scales have drained,
@@ -810,7 +1015,9 @@ object Bench {
     // loops by its 60 s time constant; ExternalLoad subtracts this JVM
     // out, so the wait ends as soon as the box is OURS-quiet). If the
     // fastest run still saw external contention, wait-and-re-measure up
-    // to twice; past that we record anyway and gate_met says so.
+    // to twice; past that (or past the wall budget, which sheds the
+    // waits and retries — the row itself always runs) we record anyway
+    // and gate_met says so.
     val isoExtGate = envOr("SPARK_GRAFT_ISO_EXT_GATE", 2.0)(_.toDouble)
     // each wait gets its OWN bounded budget (a shared budget anchored
     // before the first measurement would be exhausted by the
@@ -825,7 +1032,8 @@ object Bench {
       }
       isoWaitSec += (System.nanoTime() - t0) / 1e9
     }
-    waitIsoExternal()
+    if (!overBudget) waitIsoExternal()
+    else record { shed("iso:wait") = "skipped(budget)" }
     // ext of the MIN run is what gate_met adjudicates (the recorded
     // number IS the min); extra attempts merge into the run arrays so
     // every sample stays visible
@@ -833,7 +1041,7 @@ object Bench {
         : Double = r._5(r._3.indexOf(r._2))
     var ingestIso = ingestRun()
     var isoExtra = 0
-    while (isoMinExt(ingestIso) > isoExtGate && isoExtra < 2) {
+    while (isoMinExt(ingestIso) > isoExtGate && isoExtra < 2 && !overBudget) {
       waitIsoExternal()
       val again = ingestRun()
       ingestIso = (ingestIso._1, math.min(ingestIso._2, again._2),
@@ -841,81 +1049,21 @@ object Bench {
         ingestIso._5 ++ again._5)
       isoExtra += 1
     }
+    if (isoMinExt(ingestIso) > isoExtGate && overBudget && isoExtra < 2)
+      record { shed("iso:rerun") = "skipped(budget)" }
     val isoGateMet = {
       val e = isoMinExt(ingestIso); e >= 0 && e <= isoExtGate
     }
+    record { isoState = Some((ingestIso, isoWaitSec, isoExtGate, isoGateMet)) }
 
-    def qjson(rs: Seq[(String, (Double, Long, Seq[Double], Seq[Double]))]): String = rs
-      .map { case (k, (sec, rows, all, loads)) =>
-        val runsJson =
-          if (all.isEmpty) "" else all.mkString(""","runs":[""", ",", "]")
-        val loadJson =
-          if (loads.isEmpty) "" else loads.mkString(""","load":[""", ",", "]")
-        "\"" + k + s"""":{"sec":$sec,"rows":$rows$runsJson$loadJson}"""
-      }
-      .mkString("{", ",", "}")
-    val qs = qjson(results :+
-      (("ingest_json", (ingest._2, ingest._1, ingest._3, ingest._4))))
-    val total = results.map(_._2._1).sum + ingest._2
-    val rps = (ingest._1 / ingest._2).toLong
-    val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
-        .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
-      .mkString("{", ",", "}")
-    // tier-wide external-cores markers (r17 Next-round 4): the 1x/10x
-    // protocol is unchanged, but a swing in either total is now
-    // attributable to (or cleared of) external box load from the
-    // artifact alone
-    def extJson(tag: String, v: Double): String =
-      s""","ext_cores_$tag":${math.rint(v * 100) / 100}"""
-    val scaleJson = scale10 match {
-      case Some(r) =>
-        s""","queries_10x":${qjson(r)},"total_10x":${r.map(_._2._1).sum}""" +
-          extJson("10x", ext10x)
-      case None => ""
-    }
-    val scale100Json = scale100 match {
-      case Some((reps, nDocs, rows)) =>
-        val qs100 = rows.map { r =>
-          val (wr, rd, maxRd, nTasks, skew, spill) = r.snap
-          def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
-          "\"" + r.name + s"""":{"sec":${r.sec},"rows":${r.rows},""" +
-            s""""load":${r.load},"ext_cores":${math.rint(r.ext * 100) / 100},""" +
-            s""""runs":${arr(r.runs)},"loads":${arr(r.loads)},""" +
-            s""""ext":${arr(r.exts.map(x => math.rint(x * 100) / 100))},""" +
-            s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
-            s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
-            s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
-            s""""stage_skew":${math.rint(r.stageSkew * 100) / 100},""" +
-            s""""disk_spill_bytes":$spill}"""
-        }.mkString("{", ",", "}")
-        s""","queries_100x":$qs100,"reps_100x":$reps,"docs_100x":$nDocs,""" +
-          s""""runs_100x":$runs100,"ext_gate_100x":$extGate"""
-      case None => ""
-    }
-    val isoJson = {
-      val runsJ = ingestIso._3.mkString("[", ",", "]")
-      val loadJ = ingestIso._4.mkString("[", ",", "]")
-      val extJ = ingestIso._5.map(x => math.rint(x * 100) / 100)
-        .mkString("[", ",", "]")
-      s""","ingest_isolated":{"sec":${ingestIso._2},"rows":${ingestIso._1},""" +
-        s""""rows_per_sec":${(ingestIso._1 / ingestIso._2).toLong},""" +
-        s""""wait_sec":${math.rint(isoWaitSec)},"ext_gate":$isoExtGate,""" +
-        s""""gate_met":$isoGateMet,""" +
-        s""""runs":$runsJ,"load":$loadJ,"ext":$extJ}"""
-    }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":${ingest._1},"ingest_rows_per_sec":$rps${extJson("1x", ext1x)}$scaleJson$scale100Json$isoJson,"errors":$errJson}"""
-    println(line)
-    // out-of-band copy: the driver's stdout tail has truncated this line
-    // before (losing the ingest headline); the file is the durable artifact
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
-    }
+    // the final (non-partial) artifact write; `markFinal` flips the
+    // shutdown hook to a no-op inside the same lock, so the hook can
+    // never clobber a complete artifact with a partial line
+    flush(partial = false, toStdout = true, markFinal = true)
     spark.stop()
     if (errors.nonEmpty) {
-      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      System.err.println(
+        s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -293,6 +293,18 @@ object Dedup {
     * row 1.4 → 3.1 s under unconditional pins) — the same
     * decide-who-pays-overhead gate as [[Graph.pageRank]]'s
     * driver-local path, identical output by construction.
+    *
+    * Residency on the pinned path: the returned frame is PERSISTED
+    * (`MEMORY_AND_DISK_SER`, eagerly filled) — call `.unpersist()` on
+    * it when done, or the result-sized blocks stay resident for the
+    * session (on a heavy-duplicate corpus the pair set is quadratic in
+    * clique size, so "result-sized" is not always small). Unlike the
+    * r18 localCheckpoint shape this is caller-releasable AND
+    * recomputable: losing an executor's blocks after return recomputes
+    * the lost partitions from lineage (the pins are gone by then, so a
+    * recompute pays the full lazy plan — slower, never wrong). Callers
+    * that cannot manage the handle can force the lazy plan with
+    * `pinMinBytes = Long.MaxValue`.
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
@@ -312,7 +324,10 @@ object Dedup {
       // fingerprint table that semi-joins against them), so no two
       // concurrent stages of the result job race to compute one
       pins.foreach(_.count())
-      pairs.localCheckpoint()
+      val out = pairs.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      out.count() // eager: the pins can release before the caller's jobs
+      out
     } finally pins.foreach(_.unpersist())
   }
 

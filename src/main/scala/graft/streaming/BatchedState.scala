@@ -176,6 +176,15 @@ final class BatchedState(spark: SparkSession, dir: String,
   def maxBatchId: Option[Long] =
     (deltaIds ++ snapshotId).sorted.lastOption
 
+  /** Whether any snapshot or delta holds at least one data file —
+    * distinguishes absent/empty state (schema-sniffing callers fall
+    * back to their canonical layout) from a state whose READ failures
+    * must propagate.
+    */
+  def hasAnyData: Boolean =
+    (snapshotId.map(s => new Path(s"$dir/snap=$s")) ++
+      deltaIds.map(id => new Path(s"$dir/batch=$id"))).exists(hasDataFile)
+
   /** Cluster rows by the partition columns before a partitioned write:
     * without it every writing TASK opens a file in every partition-value
     * dir it sees — tasks x buckets files per write (measured: the
@@ -455,8 +464,14 @@ object BatchedState {
     * crashed midway. Every case must refuse rather than silently admit
     * all documents as unique against an empty state.
     */
-  def validateParams(spark: SparkSession, stateDir: String,
-      params: Map[String, String]): Unit = {
+  /** The persisted parameter map, or a loud refusal when the marker is
+    * absent (same semantics as [[validateParams]]'s missing-marker
+    * case). For DIR-scoped layout facts a caller cannot know up front —
+    * e.g. the substring twin's historical `pos` width — the stored map
+    * is the authority and validation happens against it, not the other
+    * way around.
+    */
+  def readParams(spark: SparkSession, stateDir: String): Map[String, String] = {
     val fs = fsOf(spark, stateDir)
     val p = new Path(s"$stateDir/_params")
     if (!fs.exists(p)) throw new IllegalStateException(
@@ -464,12 +479,16 @@ object BatchedState {
         "seed() it, or check the path; a marker-less dir with state files " +
         "means a re-seed crashed midway")
     val in = fs.open(p)
-    val stored =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.contains("=")).map { l =>
-          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-        }.toMap
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  def validateParams(spark: SparkSession, stateDir: String,
+      params: Map[String, String]): Unit = {
+    val stored = readParams(spark, stateDir)
     // a caller key ABSENT from the stored marker is drift too: it means
     // the dir was seeded by a version that predates the parameter —
     // layout-version keys (e.g. the minhash twin's `shingles=fp64`) rely

@@ -84,16 +84,22 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
   /** Seed the persisted reference state, REPLACING any previous state
     * under `stateDir` (re-seeding starts a fresh corpus — stale admitted
     * batches must not survive into the new one). The shingled corpus is
-    * PINNED for the duration of the two state writes so both tables
-    * derive from the SAME row snapshot — two independent scans of a
-    * non-deterministic reference (an unordered limit, a sampled frame)
-    * could otherwise persist a doc in one table but not the other,
-    * silently losing its pairs forever. The pre-fp64 layout got this
-    * guarantee by re-reading the persisted string state; the fp64 state
-    * cannot derive the md5-based signatures the banded table needs, so
-    * the snapshot is a serialized seed-time pin instead (released
-    * before return — same O(corpus) bytes the old layout kept in the
-    * state dir permanently).
+    * SNAPSHOT via localCheckpoint for the duration of the two state
+    * writes so both tables derive from the SAME row snapshot — two
+    * independent scans of a non-deterministic reference (an unordered
+    * limit, a sampled frame) could otherwise persist a doc in one table
+    * but not the other, silently losing its pairs forever. The pre-fp64
+    * layout got this guarantee by re-reading the persisted string
+    * state; the fp64 state cannot derive the md5-based signatures the
+    * banded table needs, so it comes from a seed-time snapshot instead.
+    * localCheckpoint (not a recomputable persist, the r18 shape): a
+    * persisted block lost to executor failure silently RECOMPUTES, and
+    * a recompute of a non-deterministic reference re-opens the exact
+    * divergence window the snapshot exists to close — a checkpoint
+    * block loss fails the seed loudly instead. The snapshot's blocks
+    * (same O(corpus) bytes the string layout kept in the state dir
+    * permanently) release via ContextCleaner once seed() returns and
+    * the frame falls out of scope.
     */
   def seed(reference: DataFrame): Unit = {
     // marker off first, on last: a crash anywhere between leaves a
@@ -103,16 +109,13 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     shingles.reset()
     banded.reset()
     val (sh, _) = Dedup.prepMinhash(reference, idCol, textCol, n, bands, rows)
-    val pinned = sh.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      shingles.seed(Dedup.shingleFingerprints(pinned)
-        .withColumn("ib", idBucket(col("id"))))
-      val b = Dedup.lshBands(
-        Dedup.minhashSignatureDF(pinned, "id", "shingles", bands * rows),
-        col("id"), col("sig"), bands, rows)
-      banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
-    } finally pinned.unpersist()
+    val pinned = sh.localCheckpoint()
+    shingles.seed(Dedup.shingleFingerprints(pinned)
+      .withColumn("ib", idBucket(col("id"))))
+    val b = Dedup.lshBands(
+      Dedup.minhashSignatureDF(pinned, "id", "shingles", bands * rows),
+      col("id"), col("sig"), bands, rows)
+    banded.seed(b.withColumn("bb", bandBucket(col("band"), col("band_hash"))))
     BatchedState.writeParams(spark, stateDir, stateParams)
     paramsChecked = true
   }
@@ -728,9 +731,16 @@ final class StreamingPhashDedup(spark: SparkSession, stateDir: String,
   private def bandBucket(band: Column, key: Column): Column =
     StateBuckets.bandBucket(band, key, nBuckets)
 
+  // `layout=v1` is the STATE-LAYOUT version key (the minhash twin's
+  // `shingles=fp64` discipline, r19): v1 = exploded exact-key rows
+  // (id, fp, [clique,] band, key, bb). A dir seeded before the key
+  // exists is missing it and refuses loudly at the first admission
+  // (validateParams treats an absent stored key as drift) instead of
+  // failing on a parquet schema conflict mid-append when the layout
+  // next changes.
   private val stateParams = Map("maxHamming" -> maxHamming.toString,
     "wideRecall" -> wideRecall.toString, "nBuckets" -> nBuckets.toString,
-    "collapseBatch" -> collapseBatch.toString)
+    "collapseBatch" -> collapseBatch.toString, "layout" -> "v1")
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
@@ -904,9 +914,32 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
 
   private val stateParams = Map("k" -> k.toString, "w" -> w.toString,
     "nBuckets" -> nBuckets.toString)
+  // the stored pos width a fresh seed writes: dense dirs int32 (the
+  // pre-kernel posexplode ordinal), winnowed dirs int64 (the kernel's
+  // long p0)
+  private def canonicalPos: String = if (w <= 1) "int32" else "int64"
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)
+    // `pos=int32|int64` is the STATE-LAYOUT key (the minhash twin's
+    // `shingles=fp64` discipline): the stored marker is the authority
+    // for the dir's pos width — unlike the caller-known geometry above
+    // it varies BY DIR (two historical dense widths), so admission
+    // adopts the stored value instead of validating a guess against it.
+    // A dir seeded before the key exists falls back to schema sniffing
+    // ([[densePosLong]]) — the documented migration path, no longer the
+    // only guard; anything else stored there refuses loudly.
+    BatchedState.readParams(spark, stateDir).get("pos") match {
+      case Some("int32") if w <= 1 => densePosLongCache = Some(false)
+      case Some("int64") => densePosLongCache = Some(true)
+      case Some(other) => throw new IllegalStateException(
+        s"state at $stateDir was built with different parameters — pos: " +
+          s"stored=$other caller=${canonicalPos}" +
+          (if (w > 1) " (winnowed dirs are uniformly int64)" else
+            " or int64 (the two historical dense widths)") +
+          ". Re-seed (reset) or restore the original values.")
+      case None => () // pre-layout-key dir: width sniffed on first use
+    }
     BatchedState.requireMonotonicBatchId(batchId, Seq(grams, texts), stateDir)
     paramsChecked = true
   }
@@ -923,16 +956,22 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
   // posexplode ordinal — the canonical layout, what seed() writes) and
   // int64 (the r16 kernel interlude wrote the kernel's long p0 raw). An
   // append must lay parquet of the DIR'S width next to its files, or
-  // BatchedState.read hits a schema conflict at the next admit — so the
-  // width is SNIFFED from the existing grams state once per instance
-  // (hardcoding either width orphans dirs of the other era). Winnowed
-  // dirs are uniformly int64.
+  // BatchedState.read hits a schema conflict at the next admit. Since
+  // r19 the width is stored in the `_params` marker (`pos=` — see
+  // [[ensureAdmissible]]); for dirs seeded before the key existed it is
+  // SNIFFED from the existing grams state once per instance — the
+  // migration path (hardcoding either width orphans dirs of the other
+  // era). Winnowed dirs are uniformly int64.
   @transient private var densePosLongCache: Option[Boolean] = None
   private def densePosLong: Boolean = {
     if (densePosLongCache.isEmpty)
-      densePosLongCache = Some(
-        scala.util.Try(grams.read().schema("pos").dataType ==
-          org.apache.spark.sql.types.LongType).getOrElse(false))
+      // absent or file-less state takes the canonical width; a READ
+      // failure over real files must PROPAGATE — swallowing it (the old
+      // Try(...).getOrElse(false)) cached int32 off a transient IO error
+      // on an int64-era dir and the next append laid conflicting parquet
+      densePosLongCache = Some(grams.hasAnyData &&
+        grams.read().schema("pos").dataType ==
+          org.apache.spark.sql.types.LongType)
     densePosLongCache.get
   }
 
@@ -964,10 +1003,11 @@ final class StreamingSubstringDedup(spark: SparkSession, stateDir: String,
     texts.reset()
     // a fresh dir always takes the canonical width (int32 for dense) —
     // drop any width sniffed from the state this reset just deleted
-    densePosLongCache = Some(false)
+    densePosLongCache = Some(w > 1)
     grams.seed(gramsOf(reference))
     texts.seed(textsOf(reference))
-    BatchedState.writeParams(spark, stateDir, stateParams)
+    BatchedState.writeParams(spark, stateDir,
+      stateParams + ("pos" -> canonicalPos))
     paramsChecked = true
   }
 

@@ -612,6 +612,81 @@ class BatchedStateSpec extends AnyFunSuite {
       e.getMessage.contains("shingles"), e.getMessage)
   }
 
+  test("StreamingPhashDedup refuses a pre-layout-key state dir loudly") {
+    import graft.streaming.StreamingPhashDedup
+    val dir = tmp("spd_oldlayout")
+    val sd = new StreamingPhashDedup(spark, dir, "asset_id", "fp")
+    sd.seed(Seq((1L, 0x1234L)).toDF("asset_id", "fp"))
+    // simulate a pre-r19 dir: same geometry, marker predates `layout`
+    BatchedState.writeParams(spark, dir, Map("maxHamming" -> "3",
+      "wideRecall" -> "false", "nBuckets" -> "32", "collapseBatch" -> "true"))
+    val fresh = new StreamingPhashDedup(spark, dir, "asset_id", "fp")
+    val e = intercept[IllegalArgumentException](fresh.admit(
+      Seq((2L, 0x1234L)).toDF("asset_id", "fp"), 0L))
+    assert(e.getMessage.contains("different parameters") &&
+      e.getMessage.contains("layout"), e.getMessage)
+  }
+
+  test("StreamingSubstringDedup: seed stamps the pos layout key, admission " +
+      "adopts a stored width without sniffing, a foreign width refuses") {
+    import graft.streaming.StreamingSubstringDedup
+    import org.apache.spark.sql.types.LongType
+    val doc = (1L, ("alpha beta gamma delta " * 5) + "epsilon zeta eta theta")
+    // fresh dense seed stamps pos=int32
+    val dir = tmp("ssd_poskey")
+    val sd = new StreamingSubstringDedup(spark, dir, "doc_id", "text",
+      k = 10, w = 1)
+    sd.seed(Seq(doc).toDF("doc_id", "text"))
+    assert(BatchedState.readParams(spark, dir).get("pos") === Some("int32"))
+    // a stored int64 key on a dense dir is AUTHORITATIVE: admission lays
+    // int64 parquet with no schema sniff (the key is the guard now, the
+    // sniff only the pre-key migration path)
+    val dir64 = tmp("ssd_poskey64")
+    val st = new BatchedState(spark, s"$dir64/grams", Seq("gb"))
+    st.seed(new BatchedState(spark, s"$dir/grams", Seq("gb")).read()
+      .drop("batch").withColumn("pos", col("pos").cast("long")))
+    new BatchedState(spark, s"$dir64/texts", Seq("ib"))
+      .seed(Seq(doc).toDF("id", "text")
+        .withColumn("ib", pmod(xxhash64(col("id")), lit(32)).cast("int")))
+    BatchedState.writeParams(spark, dir64,
+      Map("k" -> "10", "w" -> "1", "nBuckets" -> "32", "pos" -> "int64"))
+    val sd64 = new StreamingSubstringDedup(spark, dir64, "doc_id", "text",
+      k = 10, w = 1)
+    val pairs = sd64.admit(Seq((2L, doc._2)).toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"shared-window pair missing: $pairs")
+    assert(new BatchedState(spark, s"$dir64/grams", Seq("gb")).read()
+      .schema("pos").dataType === LongType,
+      "append did not honor the stored int64 pos key")
+    // a width neither int32 nor int64 is an aliased/foreign dir: refuse
+    val dirBad = tmp("ssd_posbad")
+    val sdBadSeed = new StreamingSubstringDedup(spark, dirBad, "doc_id",
+      "text", k = 10, w = 1)
+    sdBadSeed.seed(Seq(doc).toDF("doc_id", "text"))
+    BatchedState.writeParams(spark, dirBad,
+      Map("k" -> "10", "w" -> "1", "nBuckets" -> "32", "pos" -> "int16"))
+    val sdBad = new StreamingSubstringDedup(spark, dirBad, "doc_id", "text",
+      k = 10, w = 1)
+    val e = intercept[IllegalStateException](sdBad.admit(
+      Seq((2L, doc._2)).toDF("doc_id", "text"), 0L))
+    assert(e.getMessage.contains("different parameters") &&
+      e.getMessage.contains("pos"), e.getMessage)
+    // winnowed dirs are uniformly int64: a stored int32 refuses too
+    val dirW = tmp("ssd_poswin")
+    val sdWSeed = new StreamingSubstringDedup(spark, dirW, "doc_id", "text",
+      k = 10, w = 3)
+    sdWSeed.seed(Seq(doc).toDF("doc_id", "text"))
+    assert(BatchedState.readParams(spark, dirW).get("pos") === Some("int64"))
+    BatchedState.writeParams(spark, dirW,
+      Map("k" -> "10", "w" -> "3", "nBuckets" -> "32", "pos" -> "int32"))
+    val sdW = new StreamingSubstringDedup(spark, dirW, "doc_id", "text",
+      k = 10, w = 3)
+    val eW = intercept[IllegalStateException](sdW.admit(
+      Seq((2L, doc._2)).toDF("doc_id", "text"), 0L))
+    assert(eW.getMessage.contains("different parameters") &&
+      eW.getMessage.contains("winnowed"), eW.getMessage)
+  }
+
   test("StreamingSubstringDedup dense append matches the dir's pos width " +
       "(an r16-era int64 dense dir keeps working)") {
     import graft.streaming.StreamingSubstringDedup

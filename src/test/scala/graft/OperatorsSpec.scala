@@ -120,18 +120,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lazyPlan.contains("Join") && !lazyPlan.contains("ExistingRDD"),
       s"small corpus paid the pin protocol:\n${lazyPlan.take(800)}")
     // pinMinBytes = 0 forces the pinned+materialized path (the 100x
-    // shape): plan collapses to the checkpointed result scan
+    // shape): the result comes back as an eagerly-filled persisted
+    // frame (InMemoryTableScan in its plan)
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pinnedDf = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
       n = 3, bands = 8, rows = 4, threshold = 0.9, pinMinBytes = 0L)
     assert(pinnedDf.queryExecution.executedPlan.toString
-      .contains("ExistingRDD"), "forced pinning did not materialize")
+      .contains("InMemoryTableScan"), "forced pinning did not materialize")
     // the pins must be RELEASED before return: the only new resident
-    // block set is the checkpointed result itself
+    // block set is the persisted result itself
     val delta = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(delta.size <= 1, s"pinned path leaked persisted RDDs: $delta")
     assert(pairsOf(lazyDf) === pairsOf(pinnedDf),
       "the gate changed the answer — it may only decide who pays overhead")
+    // and the result handle is caller-releasable (the r18 localCheckpoint
+    // shape was not): unpersist must drop residency back to the baseline
+    pinnedDf.unpersist(blocking = true)
+    val residue = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(residue.isEmpty,
+      s"unpersist() did not release the pinned result: $residue")
   }
 
   test("minhash survives a boilerplate cluster: AQE splits the hot bucket") {
