@@ -10,7 +10,15 @@ import org.apache.spark.sql.types._
 /** Random-hyperplane LSH band keys of a vector, in ONE codegen'd pass:
   * `nBits` hyperplane dot products (planes = deterministic splitmix64
   * literals, see [[RhpBandKeys.planeComponent]]) -> sign bits -> packed
-  * `nBits/bandBits` band keys (`array<long>`).
+  * `nBits/bandBits` band keys (`array<long>`, or `array<int>` under
+  * `intKeys` — only legal at bandBits <= 32, where the int values are
+  * exactly the truncated longs, so equality joins decide identically
+  * on half the bytes; the narrowing lives HERE, inside the codegen'd
+  * kernel, because wrapping the long form in a `transform(_.cast(int))`
+  * HOF knocked the whole projection out of whole-stage codegen and its
+  * subexpression elimination — the generator null-guard filter then
+  * re-evaluated the full kernel 3x per row, measured 6x wall on the
+  * 2M-vector row, r19).
   *
   * The expression exists for scale: composing the same thing from
   * per-bit `VecDot`-vs-literal-array columns + higher-order `aggregate`
@@ -26,12 +34,20 @@ import org.apache.spark.sql.types._
   * over the band's bits, dots accumulated left-to-right over
   * min(|v|, dims) components.
   */
-case class RhpBandKeys(child: Expression, dims: Int, nBits: Int, bandBits: Int)
+case class RhpBandKeys(child: Expression, dims: Int, nBits: Int, bandBits: Int,
+    intKeys: Boolean = false)
     extends UnaryExpression {
 
   require(nBits % bandBits == 0, s"nBits $nBits must be a multiple of bandBits $bandBits")
+  // int keys only when every band key provably fits 32 bits; wrap-around
+  // int arithmetic is then congruent mod 2^32 to the long fold, i.e. the
+  // emitted values are exactly (int) of the long keys — an injective
+  // narrowing, so every downstream equality decides identically
+  require(!intKeys || bandBits <= 32,
+    s"intKeys requires bandBits <= 32 (got $bandBits)")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (intKeys) IntegerType else LongType, containsNull = false)
   override def prettyName: String = "rhp_band_keys"
 
   private def isFloat: Boolean = child.dataType match {
@@ -47,7 +63,7 @@ case class RhpBandKeys(child: Expression, dims: Int, nBits: Int, bandBits: Int)
     val keys = RhpBandKeys.compute(
       i => if (isFloat) v.getFloat(i).toDouble else v.getDouble(i),
       v.numElements(), planes, nBits, bandBits)
-    new GenericArrayData(keys)
+    new GenericArrayData(if (intKeys) keys.map(_.toInt) else keys)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,16 +76,18 @@ case class RhpBandKeys(child: Expression, dims: Int, nBits: Int, bandBits: Int)
       val acc   = ctx.freshName("acc")
       val plane = ctx.freshName("plane")
       val get   = if (isFloat) s"(double)$v.getFloat($d)" else s"$v.getDouble($d)"
+      val (elemT, one, zero) =
+        if (intKeys) ("int", "1", "0") else ("long", "1L", "0L")
       s"""
          |int $n = java.lang.Math.min($v.numElements(), ${dims});
-         |long[] $keys = new long[${nBits / bandBits}];
+         |$elemT[] $keys = new $elemT[${nBits / bandBits}];
          |for (int $b = 0; $b < ${nBits}; $b++) {
          |  double[] $plane = $planesRef[$b];
          |  double $acc = 0.0;
          |  for (int $d = 0; $d < $n; $d++) {
          |    $acc += $get * $plane[$d];
          |  }
-         |  $keys[$b / ${bandBits}] = $keys[$b / ${bandBits}] * 2L + ($acc >= 0 ? 1L : 0L);
+         |  $keys[$b / ${bandBits}] = $keys[$b / ${bandBits}] * 2 + ($acc >= 0 ? $one : $zero);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
        """.stripMargin
@@ -112,6 +130,7 @@ object RhpBandKeys {
     keys
   }
 
-  def of(vec: Column, dims: Int, nBits: Int, bandBits: Int): Column =
-    toColumn(RhpBandKeys(toExpression(vec), dims, nBits, bandBits))
+  def of(vec: Column, dims: Int, nBits: Int, bandBits: Int,
+      intKeys: Boolean = false): Column =
+    toColumn(RhpBandKeys(toExpression(vec), dims, nBits, bandBits, intKeys))
 }

@@ -7,23 +7,31 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge.{toColumn, toExpression}
 import org.apache.spark.sql.types._
 
-/** True when two band-key arrays (`array<long>`) agree on ANY band
-  * strictly before `band` — the first-matching-band dedup predicate for
-  * LSH candidate joins: a pair that already matched in an earlier band
-  * is dropped here, so each candidate pair survives exactly once and
-  * the b-way-multiplied `distinct()` disappears.
+/** True when two band-key arrays (`array<long>` or `array<int>` — both
+  * sides the same width) agree on ANY band strictly before `band` — the
+  * first-matching-band dedup predicate for LSH candidate joins: a pair
+  * that already matched in an earlier band is dropped here, so each
+  * candidate pair survives exactly once and the b-way-multiplied
+  * `distinct()` disappears.
   *
   * Exists as a dedicated expression because the compositional
   * `exists(zip_with(slice…))` form runs interpreted per JOINED row
   * (pre-pruning, the widest point of the whole plan) — measured 80x
   * slower on a cluster-heavy corpus. Here it is a codegen'd loop over
-  * at most `band` longs.
+  * at most `band` elements. The int form exists because band keys of
+  * `bandBits <= 32` fit 32 bits, and halving the carried key width
+  * halves the band exchange's array payload (r19) — truncating casts
+  * are injective on that domain, so equality (and therefore the emitted
+  * pair set) is unchanged.
   */
 case class SharesEarlierBand(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "shares_earlier_band"
+
+  private lazy val elemIsInt =
+    first.dataType.asInstanceOf[ArrayType].elementType == IntegerType
 
   override def nullSafeEval(l: Any, r: Any, b: Any): Any = {
     val lks = l.asInstanceOf[ArrayData]
@@ -32,7 +40,9 @@ case class SharesEarlierBand(first: Expression, second: Expression,
     var i = 0
     var found = false
     while (!found && i < band) {
-      found = lks.getLong(i) == rks.getLong(i)
+      found =
+        if (elemIsInt) lks.getInt(i) == rks.getInt(i)
+        else lks.getLong(i) == rks.getLong(i)
       i += 1
     }
     found
@@ -41,10 +51,11 @@ case class SharesEarlierBand(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r, b) => {
       val i = ctx.freshName("i")
+      val get = if (elemIsInt) "getInt" else "getLong"
       s"""
          |${ev.value} = false;
          |for (int $i = 0; !${ev.value} && $i < $b; $i++) {
-         |  ${ev.value} = $l.getLong($i) == $r.getLong($i);
+         |  ${ev.value} = $l.$get($i) == $r.$get($i);
          |}
        """.stripMargin
     })

@@ -926,23 +926,39 @@ object Similarity {
     requireBandOccupancy(bandBits, nBits, expectedN)
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-    val banded = vecs.select(col("id"),
-      graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
+    // keys narrowed to int when they provably fit (bandBits <= 32 —
+    // truncation is injective there, so every equality below, and
+    // therefore the pair set, is unchanged): halves both the join-key
+    // and prefix bytes of the band exchange (guide §2.3 narrower types).
+    // The narrowing happens INSIDE the codegen'd kernel — see
+    // [[graft.functions.RhpBandKeys]] for why a transform(cast) here
+    // measured 6x worse
+    val ksCol = graft.functions.RhpBandKeys.of(col("v"), dims, nBits,
+      bandBits, intKeys = bandBits <= 32)
+    val banded = vecs.select(col("id"), ksCol.as("ks"))
       .select(col("id"), col("ks"),
         posexplode(col("ks")).as(Seq("band", "key")))
+      // carry only the EARLIER-band prefix through the band exchange:
+      // the first-matching-band predicate reads ks[0..band-1] and nothing
+      // above it, so slicing at explode time halves the dominant array
+      // payload of the self-join shuffle (avg (b-1)/2 of b elements;
+      // guide §2.3 "project before the exchange" — measured on the 100x
+      // row in plans/r19/ and BENCHNOTES r19)
+      .select(col("id"), slice(col("ks"), lit(1), col("band")).as("pre"),
+        col("band"), col("key"))
 
     // first-matching-band emission: a pair joins in every shared band but
     // survives only in its minimal one (codegen'd predicate), so each
     // candidate appears exactly once — no b-way-multiplied distinct().
     // Measured worthwhile HERE (16 bands -> 16x pair multiplicity dwarfs
-    // the 16-long ks carry); the 4-band simhash/8-band minhash paths
+    // the prefix carry); the 4-band simhash/8-band minhash paths
     // measured better keeping their distinct() (narrower multiplicity,
     // payload carried through the join) — don't blanket-apply.
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .filter(!graft.functions.SharesEarlierBand.of(
-        col("l.ks"), col("r.ks"), col("l.band")))
+        col("l.pre"), col("r.pre"), col("l.band")))
       .select(col("l.id").as("a"), col("r.id").as("b"))
 
     // verify-stage prune (same shape as the minhash path): only vectors
@@ -1014,8 +1030,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       expectedN: Option[Long] = None): DataFrame = {
     requireBandOccupancy(bandBits, nBits, expectedN)
-    val (vRef, kRef) = prepEmbedding(reference, dims, nBits, bandBits, idCol, vecCol)
-    val (vNew, kNew) = prepEmbedding(fresh, dims, nBits, bandBits, idCol, vecCol)
+    // both sides prep with the SAME key width (int at bandBits <= 32) —
+    // the band equi-join and the prefix predicate compare them raw
+    val narrow = bandBits <= 32
+    val (vRef, kRef) =
+      prepEmbedding(reference, dims, nBits, bandBits, idCol, vecCol, narrow)
+    val (vNew, kNew) =
+      prepEmbedding(fresh, dims, nBits, bandBits, idCol, vecCol, narrow)
     nearDupsPreparedEmbedding(vRef, kRef, vNew, kNew, threshold)
   }
 
@@ -1024,20 +1045,29 @@ object Similarity {
     * state a standing pipeline persists
     * ([[graft.streaming.StreamingEmbeddingDedup]]) — `ks` is stored
     * packed (one row per vector), re-exploded at join time.
+    *
+    * `intKeys` narrows `ks` to `array<int>` (legal at bandBits <= 32,
+    * value-identical equalities — see [[graft.functions.RhpBandKeys]]).
+    * The default stays LONG because persisted streaming state stores
+    * these rows: a standing dir's layout must not change under an
+    * optimization flag. Both sides of any band join must agree.
     */
   def prepEmbedding(df: DataFrame, dims: Int, nBits: Int, bandBits: Int,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+      idCol: String, vecCol: String,
+      intKeys: Boolean = false): (DataFrame, DataFrame) = {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
     val keys = vecs.select(col("id"),
-      graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits).as("ks"))
+      graft.functions.RhpBandKeys.of(col("v"), dims, nBits, bandBits,
+        intKeys).as("ks"))
     (vecs, keys)
   }
 
   /** The cross-corpus core of [[nearDupsAgainstEmbedding]] over prepared
     * sides (fresh from [[prepEmbedding]] or loaded from persisted
     * state). First-matching-band emission, exact cosine verify; strictly
-    * (reference, fresh) pairs.
+    * (reference, fresh) pairs. Both key sides must carry the SAME `ks`
+    * element width (see [[prepEmbedding]]'s `intKeys`).
     */
   def nearDupsPreparedEmbedding(vRef: DataFrame, kRef: DataFrame,
       vNew: DataFrame, kNew: DataFrame, threshold: Double): DataFrame = {
@@ -1057,16 +1087,26 @@ object Similarity {
     */
   def bandCandidatesEmbedding(kRef: DataFrame, kNew: DataFrame,
       broadcastFresh: Boolean = false): DataFrame = {
+    // carry only the EARLIER-band prefix (ks[0..band-1]) past the
+    // explode: the first-matching-band predicate never reads bands >=
+    // `band`, so the slice halves the band exchange's dominant array
+    // payload (and the broadcastFresh relation) — guide §2.3, measured
+    // on dedup_embedding_lsh_b32 (BENCHNOTES r19). Key WIDTH is whatever
+    // the prepared `ks` carries (int under [[prepEmbedding]]'s intKeys);
+    // both sides must agree or the join's implicit cast would compare
+    // truncated against full keys.
     def expl(keys: DataFrame): DataFrame =
       keys.select(col("id"), col("ks"),
         posexplode(col("ks")).as(Seq("band", "key")))
+        .select(col("id"), slice(col("ks"), lit(1), col("band")).as("pre"),
+          col("band"), col("key"))
     // the hint goes ABOVE the explode: below it, it would have to
     // propagate through Generate to reach the join
     val fresh = if (broadcastFresh) broadcast(expl(kNew)) else expl(kNew)
     expl(kRef).as("l").join(fresh.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
-        col("l.ks"), col("r.ks"), col("l.band")))
+        col("l.pre"), col("r.pre"), col("l.band")))
       .select(col("l.id").as("ref_id"), col("r.id").as("new_id"))
   }
 

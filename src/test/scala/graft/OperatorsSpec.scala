@@ -658,6 +658,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(256 % Similarity.bandBitsFor(2000000, nBits = 256) === 0)
   }
 
+  test("SharesEarlierBand: int-narrowed prefixes decide identically to long " +
+      "(the r19 band-exchange key narrowing is result-invariant)") {
+    // every (lks, rks, band) case that can flip the predicate: match at
+    // an earlier index, match exactly AT band (must NOT count), no match,
+    // band 0 (empty prefix), and values that only differ above 32 bits
+    // (the int path is only ever taken when bandBits <= 32, i.e. keys
+    // provably fit — included here to document the guard, not to pass)
+    val cases = Seq(
+      (Seq(5L, 9L, 7L), Seq(5L, 1L, 2L), 2, true), // idx 0 match
+      (Seq(5L, 9L, 7L), Seq(4L, 9L, 2L), 2, true), // idx 1 match
+      (Seq(5L, 9L, 7L), Seq(4L, 1L, 7L), 2, false), // match only AT band
+      (Seq(5L, 9L, 7L), Seq(4L, 1L, 2L), 2, false), // no match
+      (Seq(5L, 9L, 7L), Seq(5L, 9L, 7L), 0, false)) // empty prefix
+    cases.foreach { case (l, r, b, want) =>
+      val df = Seq((l, r, b)).toDF("l", "r", "b")
+      val viaLong = df.select(graft.functions.SharesEarlierBand.of(
+        col("l"), col("r"), col("b")).as("x")).head().getBoolean(0)
+      val viaInt = df.select(graft.functions.SharesEarlierBand.of(
+        transform(col("l"), _.cast(IntegerType)),
+        transform(col("r"), _.cast(IntegerType)),
+        col("b")).as("x")).head().getBoolean(0)
+      assert(viaLong === want, s"long path: ($l, $r, $b)")
+      assert(viaInt === want, s"int path: ($l, $r, $b)")
+    }
+  }
+
   test("embedding banding refuses measured-quadratic widths when expectedN " +
       "is passed; silent defaults unchanged for explicit callers") {
     val e = Seq((1L, Seq.fill(64)(0.1)), (2L, Seq.fill(64)(0.2)))

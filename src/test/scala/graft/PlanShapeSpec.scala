@@ -240,11 +240,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // as the minhash paths: verify bytes track candidates, not corpus)
     assert(p.contains("LeftSemi"),
       s"vector table lost its candidate-id semi-join prune:\n$p")
+    // the band exchange carries the EARLIER-band prefix, not the full ks
+    // array (r19: slice(ks, 1, band) halved the dominant shuffle payload
+    // of the 100x row) — the slice must sit below the join, and the full
+    // ks must not survive past it into the join's key columns
+    assert(p.contains("slice(ks"),
+      s"band self-join lost its earlier-band prefix projection:\n$p")
     val pIncr = plan(graft.operators.Similarity.nearDupsAgainstEmbedding(
       e, e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
       threshold = 0.75, dims = 64))
     assert(pIncr.contains("LeftSemi"),
       s"incremental embedding admission lost its reference prune:\n$pIncr")
+    assert(pIncr.contains("slice(ks"),
+      s"incremental band join lost its earlier-band prefix projection:\n$pIncr")
   }
 
   test("decontamination plans as a broadcast semi join against the benchmark") {

@@ -19,7 +19,10 @@ object ProbeEmbIncr {
     val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val embBandBits = graft.operators.Similarity.bandBitsFor(2 * nEmb)
     println(s"[probe] nEmb=$nEmb bandBits=$embBandBits")
+    val lsnr = new graft.ShuffleStatListener
+    spark.sparkContext.addSparkListener(lsnr)
     (1 to 3).foreach { i =>
+      lsnr.reset()
       val e0 = graft.ExternalLoad.trySnap()
       val t0 = System.nanoTime()
       val ref = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -32,7 +35,12 @@ object ProbeEmbIncr {
       val sec = (System.nanoTime() - t0) / 1e9
       val ext = e0.flatMap(a => graft.ExternalLoad.trySnap()
         .map(b => graft.ExternalLoad.externalCores(a, b, 32))).getOrElse(-1.0)
-      println(f"[probe] run$i $sec%6.1f s  pairs=$n  ext=$ext%.2f")
+      Thread.sleep(2000)
+      val (wr, rd, maxRd, nTasks, skew, spill) = lsnr.snapshot
+      println(f"[probe] run$i $sec%6.1f s  pairs=$n  ext=$ext%.2f  " +
+        f"wr=${wr / 1e9}%.2f GB rd=${rd / 1e9}%.2f GB " +
+        f"maxTask=${maxRd / 1e6}%.1f MB tasks=$nTasks skew=$skew%.2f " +
+        f"spill=${spill / 1e6}%.1f MB")
     }
     spark.stop()
   }
