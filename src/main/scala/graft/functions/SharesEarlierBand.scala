@@ -30,6 +30,27 @@ case class SharesEarlierBand(first: Expression, second: Expression,
   override def dataType: DataType = BooleanType
   override def prettyName: String = "shares_earlier_band"
 
+  // both prefix sides MUST carry the same element width: the generated
+  // loop reads both through `first`'s accessor, so a long-keyed
+  // persisted side next to an int-narrowed fresh side would silently
+  // read garbage (two packed ints as one long) instead of failing —
+  // refuse at analysis time
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _), IntegerType)
+          if a == b && (a == IntegerType || a == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two band-key arrays of the SAME int/long " +
+          s"element type and an int band (got $f, $s, $t) — mixed key " +
+          "widths mean one side was prepped with intKeys and the other " +
+          "was not (e.g. persisted long-keyed state next to int-narrowed " +
+          "fresh prep)")
+    }
+  }
+
   private lazy val elemIsInt =
     first.dataType.asInstanceOf[ArrayType].elementType == IntegerType
 

@@ -935,17 +935,7 @@ object Similarity {
     // measured 6x worse
     val ksCol = graft.functions.RhpBandKeys.of(col("v"), dims, nBits,
       bandBits, intKeys = bandBits <= 32)
-    val banded = vecs.select(col("id"), ksCol.as("ks"))
-      .select(col("id"), col("ks"),
-        posexplode(col("ks")).as(Seq("band", "key")))
-      // carry only the EARLIER-band prefix through the band exchange:
-      // the first-matching-band predicate reads ks[0..band-1] and nothing
-      // above it, so slicing at explode time halves the dominant array
-      // payload of the self-join shuffle (avg (b-1)/2 of b elements;
-      // guide §2.3 "project before the exchange" — measured on the 100x
-      // row in plans/r19/ and BENCHNOTES r19)
-      .select(col("id"), slice(col("ks"), lit(1), col("band")).as("pre"),
-        col("band"), col("key"))
+    val banded = explodeWithPrefix(vecs.select(col("id"), ksCol.as("ks")))
 
     // first-matching-band emission: a pair joins in every shared band but
     // survives only in its minimal one (codegen'd predicate), so each
@@ -1079,6 +1069,22 @@ object Similarity {
       vRef.join(refIds, Seq("id"), "left_semi"), vNew, threshold)
   }
 
+  /** Packed `(id, ks)` -> one row per band, carrying only the
+    * EARLIER-band prefix (`pre = ks[0..band-1]`) past the explode: the
+    * first-matching-band predicate never reads bands >= `band`, so the
+    * slice halves the band exchange's dominant array payload (guide
+    * §2.3 "project before the exchange" — measured on
+    * dedup_embedding_lsh_b32, BENCHNOTES r19). Key WIDTH is whatever
+    * `ks` carries (int under [[prepEmbedding]]'s `intKeys`); both join
+    * sides must agree — [[graft.functions.SharesEarlierBand]] refuses
+    * mixed widths at analysis time.
+    */
+  private def explodeWithPrefix(keys: DataFrame): DataFrame =
+    keys.select(col("id"), col("ks"),
+      posexplode(col("ks")).as(Seq("band", "key")))
+      .select(col("id"), slice(col("ks"), lit(1), col("band")).as("pre"),
+        col("band"), col("key"))
+
   /** Stage 1 of [[nearDupsPreparedEmbedding]]: (ref_id, new_id)
     * candidates from the RHP band equi-join, first-matching-band
     * emission (so no distinct is needed). Broken out so
@@ -1087,23 +1093,11 @@ object Similarity {
     */
   def bandCandidatesEmbedding(kRef: DataFrame, kNew: DataFrame,
       broadcastFresh: Boolean = false): DataFrame = {
-    // carry only the EARLIER-band prefix (ks[0..band-1]) past the
-    // explode: the first-matching-band predicate never reads bands >=
-    // `band`, so the slice halves the band exchange's dominant array
-    // payload (and the broadcastFresh relation) — guide §2.3, measured
-    // on dedup_embedding_lsh_b32 (BENCHNOTES r19). Key WIDTH is whatever
-    // the prepared `ks` carries (int under [[prepEmbedding]]'s intKeys);
-    // both sides must agree or the join's implicit cast would compare
-    // truncated against full keys.
-    def expl(keys: DataFrame): DataFrame =
-      keys.select(col("id"), col("ks"),
-        posexplode(col("ks")).as(Seq("band", "key")))
-        .select(col("id"), slice(col("ks"), lit(1), col("band")).as("pre"),
-          col("band"), col("key"))
     // the hint goes ABOVE the explode: below it, it would have to
     // propagate through Generate to reach the join
-    val fresh = if (broadcastFresh) broadcast(expl(kNew)) else expl(kNew)
-    expl(kRef).as("l").join(fresh.as("r"),
+    val fresh = if (broadcastFresh) broadcast(explodeWithPrefix(kNew))
+      else explodeWithPrefix(kNew)
+    explodeWithPrefix(kRef).as("l").join(fresh.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(!graft.functions.SharesEarlierBand.of(
         col("l.pre"), col("r.pre"), col("l.band")))

@@ -662,26 +662,67 @@ class OperatorsSpec extends AnyFunSuite {
       "(the r19 band-exchange key narrowing is result-invariant)") {
     // every (lks, rks, band) case that can flip the predicate: match at
     // an earlier index, match exactly AT band (must NOT count), no match,
-    // band 0 (empty prefix), and values that only differ above 32 bits
-    // (the int path is only ever taken when bandBits <= 32, i.e. keys
-    // provably fit — included here to document the guard, not to pass)
+    // band 0 (empty prefix)
     val cases = Seq(
       (Seq(5L, 9L, 7L), Seq(5L, 1L, 2L), 2, true), // idx 0 match
       (Seq(5L, 9L, 7L), Seq(4L, 9L, 2L), 2, true), // idx 1 match
       (Seq(5L, 9L, 7L), Seq(4L, 1L, 7L), 2, false), // match only AT band
       (Seq(5L, 9L, 7L), Seq(4L, 1L, 2L), 2, false), // no match
       (Seq(5L, 9L, 7L), Seq(5L, 9L, 7L), 0, false)) // empty prefix
+    def via(df: org.apache.spark.sql.DataFrame, toInt: Boolean): Boolean = {
+      def side(c: org.apache.spark.sql.Column) =
+        if (toInt) transform(c, _.cast(IntegerType)) else c
+      df.select(graft.functions.SharesEarlierBand.of(
+        side(col("l")), side(col("r")), col("b")).as("x"))
+        .head().getBoolean(0)
+    }
     cases.foreach { case (l, r, b, want) =>
       val df = Seq((l, r, b)).toDF("l", "r", "b")
-      val viaLong = df.select(graft.functions.SharesEarlierBand.of(
-        col("l"), col("r"), col("b")).as("x")).head().getBoolean(0)
-      val viaInt = df.select(graft.functions.SharesEarlierBand.of(
-        transform(col("l"), _.cast(IntegerType)),
-        transform(col("r"), _.cast(IntegerType)),
-        col("b")).as("x")).head().getBoolean(0)
-      assert(viaLong === want, s"long path: ($l, $r, $b)")
-      assert(viaInt === want, s"int path: ($l, $r, $b)")
+      assert(via(df, toInt = false) === want, s"long path: ($l, $r, $b)")
+      assert(via(df, toInt = true) === want, s"int path: ($l, $r, $b)")
     }
+    // WHY the intKeys guard is bandBits <= 32: keys that differ only
+    // above bit 32 truncate to a false "earlier match" on the int path —
+    // the widths where that can happen must stay on the long path
+    val wide = Seq((Seq(0x100000005L, 9L), Seq(5L, 9L), 1))
+      .toDF("l", "r", "b")
+    assert(via(wide, toInt = false) === false, "long sees the high bits")
+    assert(via(wide, toInt = true) === true,
+      "truncation aliases >32-bit keys — exactly what the guard forbids")
+    // mixed widths refuse at analysis time instead of reading garbage
+    val mixed = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(5L), Seq(5L), 1)).toDF("l", "r", "b")
+        .select(graft.functions.SharesEarlierBand.of(
+          transform(col("l"), _.cast(IntegerType)), col("r"), col("b")))
+        .collect()
+    }
+    assert(mixed.getMessage.toLowerCase.contains("shares_earlier_band"),
+      mixed.getMessage)
+  }
+
+  test("RhpBandKeys intKeys emits exactly the truncated long keys " +
+      "(codegen int kernel == (int) of the long fold)") {
+    val vecs = Seq(
+      (1L, Seq.fill(64)(0.13)),
+      (2L, (0 until 64).map(d => math.sin(d + 1)).toSeq),
+      (3L, (0 until 64).map(d => -0.5 + 0.031 * d).toSeq))
+      .toDF("vec_id", "embedding")
+    Seq(16, 32).foreach { bb =>
+      val both = vecs.select(
+        graft.functions.RhpBandKeys.of(col("embedding"), 64, 384, bb).as("l"),
+        graft.functions.RhpBandKeys.of(col("embedding"), 64, 384, bb,
+          intKeys = true).as("i"))
+        .collect()
+      both.foreach { row =>
+        val l = row.getSeq[Long](0)
+        val i = row.getSeq[Int](1)
+        assert(i === l.map(_.toInt), s"bandBits=$bb")
+      }
+    }
+    // int keys are refused where truncation could alias (bandBits > 32)
+    val ex = intercept[IllegalArgumentException](
+      graft.functions.RhpBandKeys.of(col("x"), 64, 384, 48, intKeys = true))
+    assert(ex.getMessage.contains("bandBits <= 32"), ex.getMessage)
   }
 
   test("embedding banding refuses measured-quadratic widths when expectedN " +
