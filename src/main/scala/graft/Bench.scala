@@ -297,7 +297,8 @@ final class ShuffleStatListener extends org.apache.spark.scheduler.SparkListener
   */
 final case class Row100(name: String, sec: Double, rows: Long, load: Double,
     ext: Double, runs: Seq[Double], loads: Seq[Double], exts: Seq[Double],
-    snap: (Long, Long, Long, Long, Double, Long), stageSkew: Double)
+    ios: Seq[Double], snap: (Long, Long, Long, Long, Double, Long),
+    stageSkew: Double)
 
 /** External-contention estimator for the 100x measurement gate: machine
   * busy cores (/proc/stat deltas) minus THIS JVM's own CPU use
@@ -309,6 +310,39 @@ final case class Row100(name: String, sec: Double, rows: Long, load: Double,
   * distinguish the two: our own load subtracts out, an external hog
   * doesn't.
   */
+/** IO-pressure sampler (VERDICT r19 item 1b): the CPU-based
+  * [[ExternalLoad]] gate is blind to the box's dominant noise source —
+  * IO/dispatch pressure waves (loadavg 17-30 at ~zero external CPU
+  * inflated six r19 100x rows up to 22x with byte-identical shuffles).
+  * The kernel's pressure-stall accounting (`/proc/pressure/io`, PSI)
+  * measures exactly that: the cumulative microseconds in which at least
+  * one runnable task was stalled on IO. Recording the stall FRACTION of
+  * each timed run's wall turns "box weather" from a story into a number
+  * the artifact carries per run, next to `ext`.
+  */
+object IoPressure {
+  /** Cumulative "some" IO-stall micros since boot; -1 when PSI is
+    * unavailable (kernel without CONFIG_PSI, masked /proc).
+    */
+  def totalStallUs(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/io")
+      try src.getLines().find(_.startsWith("some"))
+        .flatMap(_.split("\\s+").find(_.startsWith("total=")))
+        .map(_.stripPrefix("total=").toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+  /** Fraction of `wallSec` during which some task was IO-stalled
+    * ([0, 1]); -1 when either sample was unavailable. System-wide, so it
+    * includes this JVM's own scans/shuffles — a row's quiet-run fraction
+    * is its baseline, and an out-of-band wall with an out-of-band stall
+    * fraction is attributed, not suspected.
+    */
+  def stallFrac(beforeUs: Long, afterUs: Long, wallSec: Double): Double =
+    if (beforeUs < 0 || afterUs < 0 || wallSec <= 0) -1.0
+    else math.min(1.0, (afterUs - beforeUs) / 1e6 / wallSec)
+}
+
 object ExternalLoad {
   private val os = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean
@@ -353,6 +387,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill/broadcast IO codec (see GraftSession.local — the
+      // same env hook, so the bench measures what the engine ships)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       // local test tables are single small parquet files; split scans so
       // all cores participate (a real deployment reads many large files)
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -401,9 +439,32 @@ object Bench {
     // everything shed is recorded in the artifact's `shed` map. The
     // budget bounds OPTIONAL work — it never drops a row, so a
     // pathological wall can still exceed it; the incremental flush
-    // below is the backstop that makes even a kill non-destructive
-    val budgetSec = envOr("SPARK_GRAFT_BENCH_BUDGET_SEC", 3000.0)(_.toDouble)
+    // below is the backstop that makes even a kill non-destructive.
+    //
+    // r20: the DEFAULT budget scales with the core count (reference:
+    // 3000 s at 32 cores — the driver's observed kill window is a FIXED
+    // wall regardless of cores, while every mandatory row's cost grows
+    // as cores shrink, so a lower-core run must shed optional work
+    // proportionally earlier to fit the same kill: BENCH_r19_c8 hit the
+    // hard rc 124 at 3573 s because its budget was still 3000). An
+    // explicit SPARK_GRAFT_BENCH_BUDGET_SEC stays absolute.
+    val budgetSec = envOr("SPARK_GRAFT_BENCH_BUDGET_SEC",
+      3000.0 * cpus.toInt / 32.0)(_.toDouble)
     def overBudget: Boolean = wallSec > budgetSec
+    // r20 shed policy (VERDICT r19 item 1a): the r19 shed dropped every
+    // remaining 100x row to min-of-1 once the budget was EXHAUSTED —
+    // which (a) started too late to fit (the mandatory single runs of
+    // the expensive tail alone overran), and (b) shed exactly the wrong
+    // runs: a second run of a sub-second detector row costs nothing and
+    // is the difference between a graded 0.3 s and a graded 6.1 s of box
+    // weather, while a second 158 s winnow run is the budget. So:
+    // optional extras of EXPENSIVE rows shed at a SOFT threshold
+    // (leaving headroom for the mandatory tail), and rows whose first
+    // run came in under `cheap100Sec` keep min-of-2 even past the full
+    // budget (never past the driver's kill — a second cheap run is
+    // seconds).
+    val cheap100Sec = envOr("SPARK_GRAFT_100X_CHEAP_SEC", 30.0)(_.toDouble)
+    def overSoftBudget: Boolean = wallSec > budgetSec * 0.8
     // contended re-runs capped GLOBALLY, not per row: the r18 protocol
     // allowed +2 runs per row — 13 rows x (wait + run) is how a 45-min
     // bench becomes a >60-min one precisely when the box is busy
@@ -418,18 +479,20 @@ object Bench {
     val artifact = new Object
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Double, Long, Seq[Double], Seq[Double]))]
-    var ingest: Option[(Long, Double, Seq[Double], Seq[Double], Seq[Double])] =
-      None
+    var ingest: Option[(Long, Double, Seq[Double], Seq[Double], Seq[Double],
+      Seq[Double])] = None
     var ext1xOpt: Option[Double] = None
+    var io1xOpt: Option[Double] = None
     val rows10 = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Double, Long, Seq[Double], Seq[Double]))]
     var ran10 = false
     var ext10xOpt: Option[Double] = None
+    var io10xOpt: Option[Double] = None
     var meta100: Option[(Int, Long)] = None
     var setup100Sec: Option[Double] = None
     val rows100buf = scala.collection.mutable.ArrayBuffer.empty[Row100]
     var isoState: Option[((Long, Double, Seq[Double], Seq[Double],
-      Seq[Double]), Double, Double, Boolean)] = None
+      Seq[Double], Seq[Double]), Double, Double, Boolean)] = None
     val shed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var finalWritten = false
     def record(f: => Unit): Unit = artifact.synchronized(f)
@@ -447,6 +510,8 @@ object Bench {
       }.mkString("{", ",", "}")
     def extJson(tag: String, v: Double): String =
       s""","ext_cores_$tag":${math.rint(v * 100) / 100}"""
+    def ioJson(tag: String, v: Double): String =
+      s""","io_psi_$tag":${math.rint(v * 1000) / 1000}"""
     // the whole current state as ONE artifact line — same field layout
     // as every prior round's final artifact, plus `partial`/`wall_sec`/
     // `budget_sec`/`shed` so a truncated run is self-describing
@@ -461,7 +526,8 @@ object Bench {
       val scaleJson = (if (ran10)
         s""","queries_10x":${qjson(rows10.toSeq)},""" +
           s""""total_10x":${rows10.map(_._2._1).sum}"""
-      else "") + ext10xOpt.map(extJson("10x", _)).getOrElse("")
+      else "") + ext10xOpt.map(extJson("10x", _)).getOrElse("") +
+        io10xOpt.map(ioJson("10x", _)).getOrElse("")
       val scale100Json = meta100.map { case (reps, nDocs) =>
         val qs100 = rows100buf.map { r =>
           val (wr, rd, maxRd, nTasks, skew, spill) = r.snap
@@ -470,6 +536,7 @@ object Bench {
             s""""load":${r.load},"ext_cores":${math.rint(r.ext * 100) / 100},""" +
             s""""runs":${arr(r.runs)},"loads":${arr(r.loads)},""" +
             s""""ext":${arr(r.exts.map(x => math.rint(x * 100) / 100))},""" +
+            s""""io":${arr(r.ios.map(x => math.rint(x * 1000) / 1000))},""" +
             s""""shuffle_write_bytes":$wr,"shuffle_read_bytes":$rd,""" +
             s""""max_task_shuffle_read_bytes":$maxRd,"read_tasks":$nTasks,""" +
             s""""skew_max_over_mean":${math.rint(skew * 100) / 100},""" +
@@ -486,11 +553,13 @@ object Bench {
         val loadJ = ii._4.mkString("[", ",", "]")
         val extJ = ii._5.map(x => math.rint(x * 100) / 100)
           .mkString("[", ",", "]")
+        val ioJ = ii._6.map(x => math.rint(x * 1000) / 1000)
+          .mkString("[", ",", "]")
         s""","ingest_isolated":{"sec":${ii._2},"rows":${ii._1},""" +
           s""""rows_per_sec":${(ii._1 / ii._2).toLong},""" +
           s""""wait_sec":${math.rint(waitS)},"ext_gate":$isoGate,""" +
           s""""gate_met":$gateMet,""" +
-          s""""runs":$runsJ,"load":$loadJ,"ext":$extJ}"""
+          s""""runs":$runsJ,"load":$loadJ,"ext":$extJ,"io":$ioJ}"""
       }.getOrElse("")
       val errJson = errors
         .map { case (k, v) => jstr(k) + ":" + jstr(v.take(200)) }
@@ -502,6 +571,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir"$ingestJson""" +
         ext1xOpt.map(extJson("1x", _)).getOrElse("") +
+        io1xOpt.map(ioJson("1x", _)).getOrElse("") +
         scaleJson + scale100Json + isoJson + partialJson +
         s""","wall_sec":${math.rint(wallSec)},"budget_sec":$budgetSec""" +
         shedJson + s""","errors":$errJson}"""
@@ -568,7 +638,8 @@ object Bench {
     // parse + tolerant typed projection (BASELINE.md: 142K rows/s/instance).
     // The event table is replicated 30x so the timed window is seconds,
     // not a sub-second blip dominated by scheduling noise.
-    def ingestRun(): (Long, Double, Seq[Double], Seq[Double], Seq[Double]) = {
+    def ingestRun(): (Long, Double, Seq[Double], Seq[Double], Seq[Double],
+        Seq[Double]) = {
       val events = Tables(spark, sfDir).events
       val one = events.select(to_json(struct(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
@@ -593,15 +664,17 @@ object Bench {
       // best of N timed runs: the measurement competes with GC/OS noise
       val timedRuns = (1 to runs).map { _ =>
         val la = loadAvg()
+        val io0 = IoPressure.totalStallUs()
         val e0 = ExternalLoad.trySnap()
         val t0 = System.nanoTime()
         projected.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, la, extBetween(e0))
+        (sec, la, extBetween(e0),
+          IoPressure.stallFrac(io0, IoPressure.totalStallUs(), sec))
       }
       raw.unpersist()
       (n, timedRuns.map(_._1).min, timedRuns.map(_._1), timedRuns.map(_._2),
-        timedRuns.map(_._3))
+        timedRuns.map(_._3), timedRuns.map(_._4))
     }
     // measure OUTSIDE the artifact lock — a SIGTERM mid-measurement must
     // not find the hook blocked behind a minutes-long tier
@@ -628,6 +701,19 @@ object Bench {
       mk().observe(obs, count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // no result caching across runs (r20 measurement-integrity fix):
+      // operators that persist internally and hand the release to the
+      // caller (the pinned minhash pair table) leave their RESULT in the
+      // session CacheManager, and Spark substitutes it into any later
+      // canonically-equal plan — so run 2 of a min-of-N row (and the
+      // cluster row that embeds the same pair plan) silently skipped the
+      // verify join, reading run 1's cached pairs (probed: ProbeCacheReuse
+      // — "Asked to cache already cached data" on every re-run). Every
+      // timed run must compute from the parquet inputs: drop all cached
+      // plans and persisted RDDs between runs. Outside the timed window
+      // by construction (sec is already taken).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       (sec, obs.get("n").asInstanceOf[Long])
     }
     // (min sec, rows, per-run secs, per-run 1-min loadavg); the warm-up
@@ -663,6 +749,8 @@ object Bench {
     }
     var shed1x = 0
     val e1x0 = ExternalLoad.trySnap()
+    val io1x0 = IoPressure.totalStallUs()
+    val t1x0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -678,6 +766,8 @@ object Bench {
       }
     record {
       ext1xOpt = Some(extBetween(e1x0))
+      io1xOpt = Some(IoPressure.stallFrac(io1x0, IoPressure.totalStallUs(),
+        (System.nanoTime() - t1x0) / 1e9))
       if (shed1x > 0) shed("1x") = s"single-run-no-warm:$shed1x"
     }
     flush(partial = true, toStdout = true)
@@ -688,6 +778,8 @@ object Bench {
     // (suffix token / +0.001*i on embeddings) so they are near- but not
     // exact duplicates — a cluster-heavy dedup workload, the hard case.
     val e10x0 = ExternalLoad.trySnap()
+    val io10x0 = IoPressure.totalStallUs()
+    val t10x0 = System.nanoTime()
     try {
       val dir = BenchScale.ensure10x(spark, sfDir, cpus.toInt)
       var shed10x = 0
@@ -718,7 +810,11 @@ object Bench {
       errors("10x:setup") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
-    record { ext10xOpt = Some(extBetween(e10x0)) }
+    record {
+      ext10xOpt = Some(extBetween(e10x0))
+      io10xOpt = Some(IoPressure.stallFrac(io10x0, IoPressure.totalStallUs(),
+        (System.nanoTime() - t10x0) / 1e9))
+    }
     flush(partial = true, toStdout = true)
 
     // a cached-state marker is only valid for the CORPUS it was seeded
@@ -957,22 +1053,38 @@ object Bench {
           try {
             val all = scala.collection.mutable.ArrayBuffer
               .empty[(Double, Long, Double, Double,
-                (Long, Long, Long, Long, Double, Long), Double)]
+                (Long, Long, Long, Long, Double, Long), Double, Double)]
             def one(): Unit = {
               lsnr.reset()
               val la = loadAvg()
+              val io0 = IoPressure.totalStallUs()
               val e0 = ExternalLoad.trySnap()
               val (sec, n) = runOnce(mk)
+              val io =
+                IoPressure.stallFrac(io0, IoPressure.totalStallUs(), sec)
               // listener bus drains async; a short settle keeps the
               // telemetry attributable to this run
               Thread.sleep(2000)
               val ext = extBetween(e0)
-              all += ((sec, n, la, ext, lsnr.snapshot, lsnr.stageSkew))
+              all += ((sec, n, la, ext, lsnr.snapshot, lsnr.stageSkew, io))
             }
-            val nRuns = if (overBudget) {
-              record { shed(s"100x:$name") = "runs=1(budget)" }; 1
-            } else runs100
-            (1 to nRuns).foreach(_ => one())
+            one()
+            // budget shed, r20 shape: the first run's own wall decides
+            // what this row may cost in extras — sub-`cheap100Sec` rows
+            // keep min-of-2 even past the budget (a second run is
+            // seconds, and these rows are the regression detectors the
+            // r19 min-of-1 shed handed to box weather), expensive rows
+            // shed extras from the SOFT threshold so the mandatory tail
+            // still fits
+            val wantRuns =
+              if (!overSoftBudget) runs100
+              else if (all.head._1 <= cheap100Sec) math.min(runs100, 2)
+              else 1
+            if (wantRuns < runs100) record {
+              shed(s"100x:$name") = s"runs=$wantRuns(" +
+                (if (wantRuns >= 2) "budget,cheap-min2)" else "budget)")
+            }
+            (2 to wantRuns).foreach(_ => one())
             while (all.minBy(_._1)._4 > extGate && extrasLeft > 0 &&
                 !overBudget) {
               waitExternal(); one(); extrasLeft -= 1
@@ -985,7 +1097,7 @@ object Bench {
             val best = all.minBy(_._1)
             record { rows100buf += Row100(name, best._1, best._2, best._3,
               best._4, all.map(_._1).toSeq, all.map(_._3).toSeq,
-              all.map(_._4).toSeq, best._5, best._6) }
+              all.map(_._4).toSeq, all.map(_._7).toSeq, best._5, best._6) }
             flush(partial = true, toStdout = true)
           } catch {
             case e: Throwable =>
@@ -1037,8 +1149,8 @@ object Bench {
     // ext of the MIN run is what gate_met adjudicates (the recorded
     // number IS the min); extra attempts merge into the run arrays so
     // every sample stays visible
-    def isoMinExt(r: (Long, Double, Seq[Double], Seq[Double], Seq[Double]))
-        : Double = r._5(r._3.indexOf(r._2))
+    def isoMinExt(r: (Long, Double, Seq[Double], Seq[Double], Seq[Double],
+        Seq[Double])): Double = r._5(r._3.indexOf(r._2))
     var ingestIso = ingestRun()
     var isoExtra = 0
     while (isoMinExt(ingestIso) > isoExtGate && isoExtra < 2 && !overBudget) {
@@ -1046,7 +1158,7 @@ object Bench {
       val again = ingestRun()
       ingestIso = (ingestIso._1, math.min(ingestIso._2, again._2),
         ingestIso._3 ++ again._3, ingestIso._4 ++ again._4,
-        ingestIso._5 ++ again._5)
+        ingestIso._5 ++ again._5, ingestIso._6 ++ again._6)
       isoExtra += 1
     }
     if (isoMinExt(ingestIso) > isoExtGate && overBudget && isoExtra < 2)

@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill/broadcast IO codec, env-parameterised for the
+      // lz4-vs-zstd A/B (guide §2.3/§6: zstd trades CPU for bytes — the
+      // r20 controlled measurement on the two biggest exchanges decides
+      // the default; a cluster deployment overrides per its NIC/CPU
+      // balance)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       // local test tables are single small parquet files; split scans so
       // all cores participate (a real deployment reads many large files)
       .config("spark.sql.files.maxPartitionBytes", "4m")

@@ -1195,7 +1195,14 @@ object ExtensionQueries {
         .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
         n = 3, bands = 8, rows = 4, threshold = 0.9)
-      Dedup.cluster(corpus.select(col("doc_id")), pairs).orderBy(col("id"))
+      val out = Dedup.cluster(corpus.select(col("doc_id")), pairs)
+        .orderBy(col("id"))
+      // connectedComponents checkpoints the edge set eagerly, so the
+      // (pinned-path) pair table is fully consumed by now: release it
+      // here instead of leaking result-sized blocks for the session
+      // (no-op on the un-pinned small-corpus path)
+      pairs.unpersist()
+      out
     },
 
     // --- deterministic train/val/test split: md5-bucketed, reproducible

@@ -594,9 +594,15 @@ final class StreamingEmbeddingDedup(spark: SparkSession, stateDir: String,
   // keysLayout guards the stored-row shape itself: a restart against a
   // dir written with the old packed layout must refuse via param drift,
   // not fail (or worse, mis-read) deep inside the band join
+  // keyWidth pins the ks element width (ADVICE r19): if the streaming
+  // prep ever enabled the batch path's int-key narrowing, persisted
+  // int64 exploded state joined against int32 fresh keys would
+  // sign-extend in the band equi-join and silently miss pairs — param
+  // drift refuses the restart instead
   private val stateParams = Map("dims" -> dims.toString,
     "nBits" -> nBits.toString, "bandBits" -> bandBits.toString,
-    "nBuckets" -> nBuckets.toString, "keysLayout" -> "banded")
+    "nBuckets" -> nBuckets.toString, "keysLayout" -> "banded",
+    "keyWidth" -> "int64")
   @transient private var paramsChecked = false
   private def ensureAdmissible(batchId: Long): Unit = if (!paramsChecked) {
     BatchedState.validateParams(spark, stateDir, stateParams)

@@ -30,7 +30,7 @@ object PlanDump {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/$name.txt"), txt)
         println(s"[plandump] $name ok")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         failed += 1
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }

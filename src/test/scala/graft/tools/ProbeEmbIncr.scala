@@ -35,8 +35,19 @@ object ProbeEmbIncr {
       val sec = (System.nanoTime() - t0) / 1e9
       val ext = e0.flatMap(a => graft.ExternalLoad.trySnap()
         .map(b => graft.ExternalLoad.externalCores(a, b, 32))).getOrElse(-1.0)
-      Thread.sleep(2000)
-      val (wr, rd, maxRd, nTasks, skew, spill) = lsnr.snapshot
+      // the listener bus drains async: poll until the counters hold still
+      // for two consecutive samples (a fixed sleep under-counts on heavy
+      // runs where the event queue drains slower — ADVICE r19)
+      var settled = lsnr.snapshot
+      var stable = false
+      val settleT0 = System.nanoTime()
+      while (!stable && (System.nanoTime() - settleT0) / 1e9 < 15) {
+        Thread.sleep(500)
+        val next = lsnr.snapshot
+        stable = next == settled
+        settled = next
+      }
+      val (wr, rd, maxRd, nTasks, skew, spill) = settled
       println(f"[probe] run$i $sec%6.1f s  pairs=$n  ext=$ext%.2f  " +
         f"wr=${wr / 1e9}%.2f GB rd=${rd / 1e9}%.2f GB " +
         f"maxTask=${maxRd / 1e6}%.1f MB tasks=$nTasks skew=$skew%.2f " +
