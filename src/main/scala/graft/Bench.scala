@@ -388,9 +388,10 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // shuffle/spill/broadcast IO codec (see GraftSession.local — the
-      // same env hook, so the bench measures what the engine ships)
+      // same env hook and same measured zstd default, so the bench
+      // measures what the engine ships)
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       // local test tables are single small parquet files; split scans so
       // all cores participate (a real deployment reads many large files)
       .config("spark.sql.files.maxPartitionBytes", "4m")

@@ -25,13 +25,17 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // shuffle/spill/broadcast IO codec, env-parameterised for the
-      // lz4-vs-zstd A/B (guide §2.3/§6: zstd trades CPU for bytes — the
-      // r20 controlled measurement on the two biggest exchanges decides
-      // the default; a cluster deployment overrides per its NIC/CPU
-      // balance)
+      // shuffle/spill/broadcast IO codec, env-parameterised so the
+      // lz4-vs-zstd choice stays a measured decision (guide §2.3/§6).
+      // Default zstd per the r20 controlled A/B on the two biggest
+      // exchanges (fresh JVM, min-of-2, cache-cleared runs, 5M docs):
+      // minhash band exchange 4.62 -> 3.84 GB written (-17%), winnow
+      // 17.7 -> 13.6 GB (-23%), warm wall never worse in any stage —
+      // these exchanges are fetch/IO-bound locally, so the byte savings
+      // beat zstd's extra CPU; a cluster deployment re-measures per its
+      // NIC/CPU balance via SPARK_GRAFT_IO_CODEC
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       // local test tables are single small parquet files; split scans so
       // all cores participate (a real deployment reads many large files)
       .config("spark.sql.files.maxPartitionBytes", "4m")

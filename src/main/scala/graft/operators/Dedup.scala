@@ -309,26 +309,46 @@ object Dedup {
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, composeNfc: Boolean = false,
-      pinMinBytes: Long = 256L << 20): DataFrame = {
+      pinMinBytes: Long = 256L << 20,
+      broadcastIdsMaxPairs: Long = 8L * 1000 * 1000): DataFrame = {
     // inputs WITHOUT statistics (RDD-backed plans report the
     // defaultSizeInBytes sentinel) take the pinned path: unknown size
     // is treated as large — correct at scale, a few fixed jobs when not
     val pin =
       df.queryExecution.optimizedPlan.stats.sizeInBytes >= pinMinBytes
-    val (pairs, pins) =
+    if (!pin)
       nearDupPairsMinhashPlan(df, idCol, textCol, n, bands, rows,
-        threshold, composeNfc, pin)
-    if (!pin) pairs
-    else try {
-      // fill the pins in dependency order (candidates before the
-      // fingerprint table that semi-joins against them), so no two
-      // concurrent stages of the result job race to compute one
-      pins.foreach(_.count())
-      val out = pairs.persist(
+        threshold, composeNfc, pin = false)._1
+    else {
+      val (shingled, cand0) =
+        minhashCandidates(df, idCol, textCol, n, bands, rows, composeNfc)
+      val candidates = cand0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      out.count() // eager: the pins can release before the caller's jobs
-      out
-    } finally pins.foreach(_.unpersist())
+      try {
+        // the pin fill doubles as the broadcast-gate measurement: the
+        // EXACT candidate-pair count is in hand before the verify plan
+        // is built, so the semi-join strategy is a deliberate pick
+        // (guide §3.1/§3.2), not an estimate the planner gets wrong —
+        // distinct candidate ids are <= 2*nPairs, so at the default cap
+        // (8M pairs -> <=16M ids, a ~hundreds-of-MB broadcast relation)
+        // the id set broadcasts and the corpus-sized fingerprint table
+        // never shuffles; past the cap the SMJ semi-join prune is the
+        // correct shape and nothing regresses
+        val nPairs = candidates.count()
+        val (pairs, shPin) = minhashVerify(shingled, candidates, threshold,
+          bcastIds = nPairs <= broadcastIdsMaxPairs, pin = true)
+        // fill in dependency order (candidates before the fingerprint
+        // table that semi-joins against them), so no two concurrent
+        // stages of the result job race to compute one
+        shPin.foreach(_.count())
+        try {
+          val out = pairs.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          out.count() // eager: the pins can release before the caller's jobs
+          out
+        } finally shPin.foreach(_.unpersist())
+      } finally candidates.unpersist()
+    }
   }
 
   /** The lazy plan + its pins behind [[nearDupPairsMinhash]] — split out
@@ -342,6 +362,25 @@ object Dedup {
       textCol: String, n: Int, bands: Int, rows: Int,
       threshold: Double, composeNfc: Boolean, pin: Boolean = true)
       : (DataFrame, Seq[DataFrame]) = {
+    val (shingled, cand0) =
+      minhashCandidates(df, idCol, textCol, n, bands, rows, composeNfc)
+    // candidates feed the prune-id set AND the final pair join —
+    // un-pinned, the band self-join runs once per consumer
+    val candidates = if (pin) cand0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) else cand0
+    val (pairs, shPin) =
+      minhashVerify(shingled, candidates, threshold, bcastIds = false, pin)
+    (pairs, (if (pin) Seq(candidates) else Nil) ++ shPin.toSeq)
+  }
+
+  /** Candidate-pair half of the minhash plan: one scan-local
+    * shingle+signature pass, the banded self-join, and the pair
+    * distinct. `shingled` is returned alongside so the verify half can
+    * rejoin the (text-sized) shingle data without a second prep.
+    */
+  private[graft] def minhashCandidates(df: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rows: Int,
+      composeNfc: Boolean): (DataFrame, DataFrame) = {
     val shingled = df.select(
       col(idCol).as("id"),
       wordShingles(prepText(col(textCol), composeNfc), n).as("shingles"))
@@ -367,25 +406,54 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-      // candidates feed the prune-id set AND the final pair join —
-      // un-pinned, the band self-join runs once per consumer
-      .transform(p => if (pin)
-        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else p)
+    (shingled, candidates)
+  }
 
+  /** Verify half of the minhash plan: prune the shingle table to the
+    * candidate ids, fingerprint, and exact-Jaccard the candidate pairs.
+    *
+    * `bcastIds = false` (the planner-chosen shape): fingerprints are
+    * computed for the WHOLE corpus and semi-join-pruned — the fingerprint
+    * table is exchanged by id once for the prune (plus the candIds
+    * exchange), correct at any candidate count.
+    *
+    * `bcastIds = true` (guide §3.2, the pinned path's pick when the
+    * measured pair count fits [[nearDupPairsMinhash]]'s cap): the
+    * candidate-id set broadcasts into a LEFT-SEMI BroadcastHashJoin on
+    * the raw `(id, shingles)` rows, so (a) the corpus-sized fingerprint
+    * table never crosses an exchange at all, and (b) the xxhash64
+    * fingerprint kernel runs ONLY on surviving candidates — at a
+    * real-world ~1% dup rate that is 99% of the fingerprint CPU and the
+    * single biggest exchange of the row gone (measured at 5M docs:
+    * the semi-join path's four exchange jobs + 4.6 GB prune read were
+    * ~38 s of a 71 s row). Identical output: the semi-join keeps exactly
+    * the same rows, and per-row fingerprints are deterministic, so
+    * computing them after the prune instead of before changes nothing
+    * the pair join can observe.
+    */
+  private[graft] def minhashVerify(shingled: DataFrame,
+      candidates: DataFrame, threshold: Double, bcastIds: Boolean,
+      pin: Boolean): (DataFrame, Option[DataFrame]) = {
     // prune BEFORE the shingle rejoin: only ids that appear in some
-    // candidate pair need their fingerprints moved. AQE sizes the
-    // semi-join at runtime — a low-dup corpus broadcasts the
-    // candidate-id set and the fingerprint table never shuffles at all
+    // candidate pair need their fingerprints moved
     val candIds = candidates
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    val sh = shingleFingerprints(shingled)
-      .join(candIds, Seq("id"), "left_semi")
-      // candidate-pruned, so |sh| tracks the dup rate, not the corpus;
-      // serialized blocks keep the worst (all-dup) case compact
-      .transform(p => if (pin)
-        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else p)
+    val sh0 =
+      if (bcastIds) shingleFingerprints(
+        shingled.join(broadcast(candIds), Seq("id"), "left_semi"))
+        // the SMJ shape below hands the pinned table id-partitioning for
+        // free (its semi-join exchange), and the pair join reads the
+        // cache ALIGNED on both sides — zero further exchanges (measured:
+        // dropping this repartition made the pair join exchange the
+        // cached table by id TWICE, 2 x 4.37 GB at 5M docs). One
+        // explicit exchange of the PRUNED fingerprints restores that
+        // alignment; the corpus-sized table still never shuffles
+        .repartition(col("id"))
+      else shingleFingerprints(shingled).join(candIds, Seq("id"), "left_semi")
+    // candidate-pruned, so |sh| tracks the dup rate, not the corpus;
+    // serialized blocks keep the worst (all-dup) case compact
+    val sh = if (pin) sh0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) else sh0
     val pairs = candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id"))
@@ -393,7 +461,7 @@ object Dedup {
         graft.functions.SetJaccardLong.of(col("sa.hs"), col("sb.hs"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, if (pin) Seq(candidates, sh) else Nil)
+    (pairs, if (pin) Some(sh) else None)
   }
 
   /** `(id, hs)` 64-bit shingle fingerprints of an `(id, shingles)`

@@ -141,6 +141,51 @@ class OperatorsSpec extends AnyFunSuite {
       s"unpersist() did not release the pinned result: $residue")
   }
 
+  test("minhash verify prune: broadcast-id and SMJ semi-join modes return " +
+      "identical pairs, and the broadcast mode never exchanges fingerprints") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // pinMinBytes = 0 forces the pinned path; the pair-count gate picks
+    // the semi-join strategy: cap 0 -> SMJ prune, huge cap -> broadcast
+    val smj = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, threshold = 0.9, pinMinBytes = 0L,
+      broadcastIdsMaxPairs = 0L)
+    val bcast = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, threshold = 0.9, pinMinBytes = 0L,
+      broadcastIdsMaxPairs = Long.MaxValue)
+    try {
+      assert(pairsOf(smj) === pairsOf(bcast),
+        "the semi-join strategy gate changed the answer")
+      assert(pairsOf(smj).nonEmpty, "degenerate corpus: nothing verified")
+      // plan shape on the broadcast path (read through the verify
+      // builder — the public entry collapses to an InMemoryTableScan):
+      // fingerprint prune is a broadcast semi-join with NO Exchange
+      // below it, and the fingerprint kernel sits ABOVE the join (only
+      // survivors pay the xxhash64 transform)
+      val (shingled, cand) = Dedup.minhashCandidates(corpus,
+        "doc_id", "text", 3, 8, 4, false)
+      val (_, Some(sh)) =
+        Dedup.minhashVerify(shingled, cand, 0.9, bcastIds = true, pin = true)
+      val shPlan = sh.queryExecution.executedPlan.toString
+      sh.unpersist()
+      assert(shPlan.contains("BroadcastHashJoin") &&
+        shPlan.contains("LeftSemi"),
+        s"broadcast mode did not plan a broadcast semi-join:\n" +
+          shPlan.take(1500))
+      // the printed tree lists the STREAM (shingle) side between the
+      // join node and its BroadcastExchange build side — that leg must
+      // hold no shuffle (the candIds build side legitimately has one:
+      // its own distinct)
+      val streamLeg = shPlan.substring(shPlan.indexOf("BroadcastHashJoin"),
+        shPlan.indexOf("BroadcastExchange"))
+      assert(!streamLeg.contains("Exchange hashpartitioning"),
+        s"broadcast mode still exchanged the fingerprint table:\n" +
+          streamLeg.take(1500))
+    } finally { smj.unpersist(); bcast.unpersist() }
+  }
+
   test("minhash survives a boilerplate cluster: AQE splits the hot bucket") {
     // one boilerplate cluster (1000 identical docs) -> ALL its rows land
     // in the same (band, key) buckets; at 100 TB that is the classic
@@ -152,8 +197,13 @@ class OperatorsSpec extends AnyFunSuite {
       // shuffle join the production plan would have
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+      // AQE adjudicates skew on COMPRESSED map-output sizes, and the
+      // boilerplate bucket (identical text) compresses ~3x harder under
+      // the r20 zstd shuffle default than under lz4 — 16KB fell below
+      // the hot bucket's lz4 size but above its zstd size, so the knob
+      // must sit well under any codec's rendering of the bucket
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
     val saved = skewConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
