@@ -310,7 +310,7 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, composeNfc: Boolean = false,
       pinMinBytes: Long = 256L << 20,
-      broadcastIdsMaxPairs: Long = 8L * 1000 * 1000): DataFrame = {
+      broadcastIdsMaxPairs: Long = 1L * 1000 * 1000): DataFrame = {
     // inputs WITHOUT statistics (RDD-backed plans report the
     // defaultSizeInBytes sentinel) take the pinned path: unknown size
     // is treated as large — correct at scale, a few fixed jobs when not
@@ -328,12 +328,17 @@ object Dedup {
         // the pin fill doubles as the broadcast-gate measurement: the
         // EXACT candidate-pair count is in hand before the verify plan
         // is built, so the semi-join strategy is a deliberate pick
-        // (guide §3.1/§3.2), not an estimate the planner gets wrong —
-        // distinct candidate ids are <= 2*nPairs, so at the default cap
-        // (8M pairs -> <=16M ids, a ~hundreds-of-MB broadcast relation)
-        // the id set broadcasts and the corpus-sized fingerprint table
-        // never shuffles; past the cap the SMJ semi-join prune is the
-        // correct shape and nothing regresses
+        // (guide §3.1/§3.2), not an estimate the planner gets wrong.
+        // Distinct candidate ids are <= 2*nPairs; the default cap
+        // (1M pairs -> <=2M ids, a ~tens-of-MB broadcast relation)
+        // broadcasts only when the relation is cheap for every
+        // executor AND the pair count signals a selective prune —
+        // measured on the all-dup bench corpora (>=2M pairs, prune
+        // keeps ~100%), the broadcast shape is byte-neutral but LOSES
+        // the SMJ shape's exchange-materialization overlap (~+10% wall
+        // at 5M docs), while on a genuinely low-dup corpus it removes
+        // the corpus-sized fingerprint exchange and ~all fingerprint
+        // CPU; past the cap nothing changes vs the r18-proven shape
         val nPairs = candidates.count()
         val (pairs, shPin) = minhashVerify(shingled, candidates, threshold,
           bcastIds = nPairs <= broadcastIdsMaxPairs, pin = true)

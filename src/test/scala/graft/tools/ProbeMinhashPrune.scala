@@ -22,10 +22,12 @@ object ProbeMinhashPrune {
     val nRuns = args.lift(1).map(_.toInt).getOrElse(2)
     val lsnr = new graft.ShuffleStatListener
     spark.sparkContext.addSparkListener(lsnr)
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // the corpus is the low-dup documents ALONE — the registry queries'
+    // exact-twin union (d ∪ d+offset) hands every doc a duplicate, which
+    // makes any id-prune vacuous; this probe exists to measure the
+    // genuinely-low-dup case the prune is built for
+    def corpus = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    def corpus = d.select(col("doc_id"), col("text"))
-      .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
 
     def once(label: String, cap: Long): Unit = {
       lsnr.reset()
